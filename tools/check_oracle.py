@@ -1,0 +1,140 @@
+"""Local replica of the driver's oracle-parity gate (SURVEY.md §5.1).
+
+Runs every registered query on Spark AND its DuckDB oracle at the given SF,
+then compares row count, sorted column names, and cell values (columns sorted
+by name, rows sorted lexicographically) — strict equality, because the
+driver's check is an order-insensitive value HASH: any float divergence that
+survives our round()-pinning would flip the hash.
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from wikipedia_org_xmldump_importer_spark.io import TABLES  # noqa: E402
+from wikipedia_org_xmldump_importer_spark.registry import (  # noqa: E402
+    REGISTRY,
+    _ensure_loaded,
+)
+from wikipedia_org_xmldump_importer_spark.session import build_session  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, datetime):
+        return ("ts", v.isoformat())
+    if isinstance(v, date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    # numpy scalars -> python
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, (int, str, bool, bytes)):
+        return norm_cell(item())
+    return v
+
+
+def to_rows(pdf):
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [tuple(norm_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return cols, rows
+
+
+def compare(name: str, spark_pdf, duck_pdf) -> list[str]:
+    problems = []
+    s_cols, s_rows = to_rows(spark_pdf)
+    d_cols, d_rows = to_rows(duck_pdf)
+    if s_cols != d_cols:
+        problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        if sr != dr:
+            detail = []
+            for c, sv, dv in zip(s_cols, sr, dr):
+                if sv != dv:
+                    if isinstance(sv, float) and isinstance(dv, float):
+                        detail.append(f"{c}: {sv!r} vs {dv!r} (diff={sv - dv:.3e})")
+                    else:
+                        detail.append(f"{c}: {sv!r} ({type(sv).__name__}) vs {dv!r} ({type(dv).__name__})")
+            problems.append(f"first diff at sorted-row {i}: " + "; ".join(detail[:4]))
+            break
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    _ensure_loaded()
+    names = args.names or list(REGISTRY)
+    spark = build_session("oracle-check")
+    con = duck_con(args.sf)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        qd = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, args.sf)
+            spdf = sdf.toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if qd.oracle is None:
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            dpdf = con.sql(qd.oracle).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        problems = compare(name, spdf, dpdf)
+        if problems:
+            print(f"FAIL  {name} ({len(spdf)} spark rows): " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""Table IO: scans over the driver-generated parquet tables + sinks.
+
+SURVEY.md §2.1 (s1 scan_parquet, s4 sink_parquet, s5 sink_jdbc).
+
+100 TB notes: parquet scans here are plain ``spark.read.parquet`` so Catalyst
+DSv2 pushdown (predicates, column pruning, partition pruning) applies
+untouched — every downstream operator's filters reach the row-group level.
+Schema inference on parquet is footer-only (no data pass), so no explicit
+StructType is needed for these tables; XML ingestion (sources/xml_pages.py)
+DOES pin an explicit schema because XML inference is a full extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_EPOCH_NTZ = "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the ten driver tables from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot
+    map to a Catalyst type (PARQUET_TYPE_ILLEGAL). We read it as epoch-nanos
+    int64 via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild:
+
+      * ``ts``    — TIMESTAMP_NTZ at microsecond precision, truncated exactly
+                    like DuckDB truncates ns->us (integer ``div``, no float
+                    rounding), and timezone-independent (pure epoch
+                    arithmetic on the NTZ epoch — no session-tz dependence).
+      * ``ts_us`` — the epoch-microseconds long, kept as a convenience column
+                    for range-frame windows (SURVEY §2.5 w5) and lag deltas
+                    (w3), where integer arithmetic is cheaper and
+                    deterministic across engines.
+
+    The legacy conf is set on the *runtime* conf so this works on any caller
+    session (incl. the driver's); it only affects how NANOS columns read.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts",
+            F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
+        )
+        return df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props", "ts_us"
+        )
+    return spark.read.parquet(path)
+
+
+def sink_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """s4: partitioned columnar sink.
+
+    100 TB notes: partition columns should be low-cardinality (date, lang,
+    namespace); high-cardinality partitioning creates a small-file explosion.
+    Writers should generally ``repartition(partition_cols)`` first so each
+    task writes one file per partition value rather than P×N fragments.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def sink_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict | None = None,
+) -> None:
+    """s5: the reference's DB-load step re-expressed as Spark's JDBC sink
+    (BASELINE.json "Spark XML reader + DataFrame write to JDBC").
+
+    No database server nor JDBC driver jar exists in this sandbox, so this
+    code path is exercised only by a unit test asserting the writer is
+    configured (not executed). On a real cluster:
+
+    100 TB notes: ``numPartitions`` bounds concurrent connections (each task
+    opens one); ``batchsize`` amortizes per-row round trips (10k is the
+    classic sweet spot); ``mode=append`` with idempotent staging tables +
+    rename beats truncate-write for restartability at scale.
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batchsize))
+    if num_partitions:
+        writer = writer.option("numPartitions", str(num_partitions))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

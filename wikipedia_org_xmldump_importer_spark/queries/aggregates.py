@@ -1,0 +1,295 @@
+"""SURVEY.md §2.4 — aggregation a1-a10.
+
+Determinism discipline for the DuckDB hash-oracle (SURVEY §4.3): every
+floating-point aggregate is round()-pinned — money sums to 2 dp, averages and
+ratios to 6 dp, second-moment stats to 2-4 dp scaled to the statistic's
+magnitude (double summation order differs between engines; the residual is
+~1e-9 relative, far below the rounding grain).
+
+100 TB notes: all group-bys here are partial+final (map-side combine) with
+small group domains, so the final shuffle carries only the group cardinality.
+count(distinct) expands to a two-phase aggregate; approx_count_distinct is
+the single-pass HLL alternative at scale (a4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_A1_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  MIN(l_shipdate) AS min_ship,
+  MAX(l_shipdate) AS max_ship,
+  ROUND(MIN(l_quantity), 2) AS min_qty,
+  ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem
+"""
+
+
+@register("agg_global", oracle=_A1_ORACLE)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+_A2_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_groupby", oracle=_A2_ORACLE)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-measure group-by."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_A3_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS n_supp,
+  COUNT(DISTINCT l_partkey) AS n_part,
+  ROUND(SUM(DISTINCT l_quantity), 2) AS sum_uq_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_distinct", oracle=_A3_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_uq_qty"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # approximate: rows-only (SURVEY §2.4 a4)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-count. 100 TB: single-pass, fixed-size sketch per
+    partition, no distinct expansion — THE way to count uniques at scale.
+    Accuracy asserted against exact count in tests (rel err < 5%)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+_A5_ORACLE = """
+SELECT 'rollup' AS mode, r_name AS k1, n_name AS k2,
+       COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS s
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+UNION ALL
+SELECT 'cube' AS mode, o_orderstatus AS k1, o_orderpriority AS k2,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_rollup_cube", oracle=_A5_ORACLE)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup(region→nation) + cube(status×priority), union-tagged.
+    100 TB: rollup/cube expand via Catalyst Expand (one input pass, k output
+    rows per input row) — fine when the grouping-set count is small."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    rolled = (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("s"))
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("r_name").alias("k1"),
+            F.col("n_name").alias("k2"),
+            "n",
+            "s",
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cubed = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .select(
+            F.lit("cube").alias("mode"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+            "s",
+        )
+    )
+    return rolled.unionByName(cubed)
+
+
+_A6_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_A6_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — spelled in SQL on both engines (SURVEY §3.2
+    #3: some operators' cleanest spelling is SQL)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS s
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_A7_ORACLE = """
+SELECT
+  date_trunc('day', ts) AS day,
+  COALESCE(COUNT(*) FILTER (event_type = 'view'), 0) AS n_view,
+  COALESCE(COUNT(*) FILTER (event_type = 'click'), 0) AS n_click,
+  COALESCE(COUNT(*) FILTER (event_type = 'signup'), 0) AS n_signup,
+  COALESCE(COUNT(*) FILTER (event_type = 'purchase'), 0) AS n_purchase,
+  COALESCE(COUNT(*) FILTER (event_type = 'error'), 0) AS n_error,
+  ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_value
+FROM events
+GROUP BY date_trunc('day', ts)
+"""
+
+_EVENT_TYPES = ("view", "click", "signup", "purchase", "error")
+
+
+@register("agg_filtered_pivot", oracle=_A7_ORACLE)
+def agg_filtered_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → per-day count columns + a conditional-sum measure.
+    Uses the true pivot API with an explicit value list (no extra distinct
+    pass — at 100 TB always pass pivot values explicitly)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    counts = (
+        ev.groupBy("day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    for t in _EVENT_TYPES:
+        counts = counts.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0))).drop(t)
+    pv = ev.groupBy("day").agg(
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), F.lit(0.0)),
+            2,
+        ).alias("purchase_value")
+    )
+    return counts.join(pv, "day")
+
+
+_A8_ORACLE = """
+SELECT c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       COUNT(*) AS n_segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_collect", oracle=_A8_ORACLE)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → array_sort → array_join (determinism: collected order is
+    partition-dependent, so it is ALWAYS sorted before leaving the operator)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segments"),
+    )
+
+
+_A9_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_percentile", oracle=_A9_ORACLE)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. 100 TB: exact percentile sorts each
+    group — use percentile_approx (t-digest-style sketch, single pass) at
+    scale; the approx variant is bench-tested, this exact one is the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
+_A10_ORACLE = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+       ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_stats", oracle=_A10_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+    )

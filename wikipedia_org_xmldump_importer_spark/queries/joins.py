@@ -1,0 +1,249 @@
+"""SURVEY.md §2.3 — joins j1-j9.
+
+100 TB notes (per operator, see docstrings): the rule of thumb baked in here
+is *broadcast every bounded dimension, shuffle only fact×fact on their FK*,
+and keep non-equi joins' small side broadcastable so BroadcastNestedLoop
+never materializes an O(n²) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.asof import asof_join
+from ..registry import register
+
+_J1_ORACLE = """
+SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price, c.c_name, c.c_nationkey
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 400000
+"""
+
+
+@register("join_inner_equi", oracle=_J1_ORACLE)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi-join orders⋈customer. 100 TB: shuffles both sides on custkey
+    (or zero-shuffle if both are bucketed on custkey at write time); AQE may
+    demote to broadcast when the filtered side is small."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "c_name",
+        "c_nationkey",
+    )
+
+
+_J2_ORACLE = """
+SELECT c.c_custkey, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_acctbal > 9000
+"""
+
+
+@register("join_broadcast", oracle=_J2_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim joins with *forced* broadcast (asserted in tests/test_plans.py).
+    100 TB: nation (25 rows) and region (5 rows) ship to every executor once;
+    the customer fact never shuffles for these lookups."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+_J3_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("join_outer", oracle=_J3_ORACLE)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (covers left/right null-production in both directions).
+    100 TB: full outer forces a shuffle join (no broadcast path); AQE skew
+    split applies. Null-heavy results stay columnar."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+_J4_ORACLE = """
+SELECT c_custkey, 'has_big_order' AS tag FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+UNION ALL
+SELECT c_custkey, 'no_big_order' AS tag FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@register("join_semi_anti", oracle=_J4_ORACLE)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti (existence/absence). 100 TB: semi/anti shuffle
+    only the *keys* of the right side after Catalyst prunes columns; prefer
+    these over IN-subquery materialization."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("tag")
+    )
+    anti = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_big_order").alias("tag")
+    )
+    return semi.unionByName(anti)
+
+
+_J5_ORACLE = """
+SELECT r.r_name AS band, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
+FROM events e
+JOIN region r
+  ON e.value >= r.r_regionkey * 100.0 AND e.value < (r.r_regionkey + 1) * 100.0
+GROUP BY r.r_name
+"""
+
+
+@register("join_theta_range", oracle=_J5_ORACLE)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join (value ∈ [lo, hi)). 100 TB: the band table is tiny
+    and broadcast, so this is a BroadcastNestedLoop over the fact — linear,
+    not O(n²). Never range-join two unbounded facts directly; bucket the
+    range into an equi-join key first (see join_interval for that pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    region = load_table(spark, sf_dir, "region")
+    bands = region.select(
+        F.col("r_name"),
+        (F.col("r_regionkey") * 100.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 100.0).alias("hi"),
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (events.value >= bands.lo) & (events.value < bands.hi),
+        )
+        .groupBy(F.col("r_name").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_J6_ORACLE = """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+"""
+
+
+@register("join_cross", oracle=_J6_ORACLE)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — bounded inputs only (5×25). 100 TB: cross joins
+    are only ever sane dim×dim; engine policy is to keep
+    spark.sql.crossJoin semantics explicit via .crossJoin()."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+_J7_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register("join_asof", oracle=_J7_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest view at-or-before it by the
+    same user (operators/asof.py composite — see its 100 TB notes)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view")
+    return asof_join(
+        probe=purchases,
+        reference=views,
+        key="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        carry={"ts": "view_ts"},
+        ref_tiebreak="event_id",
+    )
+
+
+_J8_ORACLE = """
+SELECT o.o_orderstatus, COUNT(*) AS n_lines, ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderstatus
+"""
+
+
+@register("join_interval", oracle=_J8_ORACLE)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: ship date within [order date, +30d). 100 TB:
+    the equi part (orderkey) drives the shuffle; the range predicate is a
+    post-join filter on co-located rows — this is the scalable shape for
+    interval joins (equi-key first, range residual second)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_J9_ORACLE = """
+SELECT a.o_custkey AS custkey, a.o_orderkey AS ok1, b.o_orderkey AS ok2
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND ABS(a.o_totalprice - b.o_totalprice) < 1000
+"""
+
+
+@register("join_self", oracle=_J9_ORACLE)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: near-equal-price order pairs per customer. 100 TB: one
+    shuffle on custkey, per-key pair expansion bounded by orders-per-customer
+    (~10); unbounded keys would need a window-based banding instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.alias("a")
+    b = orders.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice")) < 1000),
+    ).select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("ok1"),
+        F.col("b.o_orderkey").alias("ok2"),
+    )

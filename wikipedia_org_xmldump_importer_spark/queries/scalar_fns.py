@@ -1,0 +1,201 @@
+"""SURVEY.md §2.8 — scalar functions f1-f10 (strings, dates, math,
+conditionals, casts; arrays/maps/JSON/hash arrive with M3).
+
+All expressions are Catalyst built-ins (JVM-side, whole-stage-codegen'd) —
+zero Python in the row path. Oracle parity notes are inline where Spark and
+DuckDB disagree on spelling or result type (length() width, dayofweek()
+origin, double→int cast rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# DuckDB has no initcap(); single-word segments let the oracle rebuild it.
+# DuckDB length() returns BIGINT vs Spark INT -> oracle casts to INTEGER.
+_F1_ORACLE = """
+SELECT
+  c_custkey,
+  concat_ws('|', c_name, c_mktsegment) AS full_label,
+  substring(c_name, 10, 8) AS name_digits,
+  upper(c_mktsegment) AS seg_up,
+  lower(c_mktsegment) AS seg_lo,
+  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+  replace(c_name, 'Customer', 'Cust') AS short_name,
+  string_split(c_name, '#')[1] AS name_prefix,
+  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+  CAST(length(c_name) AS INTEGER) AS name_len,
+  upper(substring(lower(c_mktsegment), 1, 1))
+    || substring(lower(c_mktsegment), 2) AS seg_title,
+  trim(concat('  ', c_mktsegment, '  ')) AS seg_trim
+FROM customer
+"""
+
+
+@register("fn_string", oracle=_F1_ORACLE)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("full_label"),
+        F.substring("c_name", 10, 8).alias("name_digits"),
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.split("c_name", "#").getItem(0).alias("name_prefix"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.length("c_name").alias("name_len"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("seg_trim"),
+    )
+
+
+# Spark dayofweek(): 1=Sunday; DuckDB dayofweek(): 0=Sunday -> Spark side -1.
+# DuckDB year()/month() return BIGINT -> oracle casts to INTEGER.
+_F2_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(month(o_orderdate) AS INTEGER) AS mo,
+  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+  date_trunc('month', o_orderdate) AS month_start,
+  o_orderdate + INTERVAL 7 DAY AS plus_week,
+  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+
+@register("fn_date", oracle=_F2_ORACLE)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+        ).alias("days_since"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+    )
+
+
+# DuckDB floor()/ceil() return DOUBLE; Spark return LONG -> oracle casts.
+# Integer division: Spark `div`, DuckDB `//`.
+_F3_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ROUND(l_extendedprice, 1) AS price_r1,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+  ROUND(abs(l_discount - 0.05), 6) AS disc_dev,
+  ROUND(pow(l_quantity, 2), 2) AS qty_sq,
+  ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+  ROUND(ln(l_extendedprice), 6) AS price_ln,
+  ROUND(exp(l_discount), 6) AS disc_exp,
+  l_orderkey // 7 AS key_div7,
+  l_orderkey % 7 AS key_mod7,
+  CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign
+FROM lineitem
+"""
+
+
+@register("fn_math", oracle=_F3_ORACLE)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.expr("l_orderkey div 7").alias("key_div7"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+_F4_ORACLE = """
+SELECT
+  o_orderkey,
+  CASE WHEN o_totalprice < 100000 THEN 'low'
+       WHEN o_totalprice < 300000 THEN 'mid'
+       ELSE 'high' END AS bucket,
+  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+  ROUND(least(o_totalprice, 250000.0), 2) AS capped,
+  ROUND(greatest(o_totalprice, 50000.0), 2) AS floored
+FROM orders
+"""
+
+
+@register("fn_cond_null", oracle=_F4_ORACLE)
+def fn_cond_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.round(F.least(F.col("o_totalprice"), F.lit(250000.0)), 2).alias("capped"),
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(50000.0)), 2).alias("floored"),
+    )
+
+
+# double→int: Spark truncates, DuckDB rounds -> both sides trunc() first.
+# DECIMAL and DATE results are emitted as strings: pandas/arrow materialize
+# Decimal/date differently per engine, which would break the value hash even
+# when the typed values agree.
+_F5_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12, 2)) AS VARCHAR) AS price_dec_str,
+  CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+  CAST(o_orderkey AS DOUBLE) AS key_dbl,
+  CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS reparsed_ts,
+  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date_str
+FROM orders
+"""
+
+
+@register("fn_cast", oracle=_F5_ORACLE)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.round("o_totalprice", 2)
+        .cast("decimal(12,2)")
+        .cast("string")
+        .alias("price_dec_str"),
+        F.expr("CAST(o_totalprice - (o_totalprice % 1) AS BIGINT)").alias("price_int"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        .cast("timestamp_ntz")
+        .alias("reparsed_ts"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date_str"),
+    )

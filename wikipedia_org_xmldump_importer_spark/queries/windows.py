@@ -1,0 +1,207 @@
+"""SURVEY.md §2.5 — window functions w1-w7.
+
+100 TB notes: every window here partitions by a real key (custkey / user_id)
+— no global windows except o1's judged sequence. Shuffle cost is one exchange
+on the partition key; frames are streaming (running) or bounded (moving avg),
+so state per key is O(frame), not O(group). Skewed partition keys behave like
+join skew: salt + two-phase if one user dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_W1_ORACLE = """
+SELECT
+  o_custkey, o_orderkey,
+  RANK()       OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+"""
+
+
+@register("win_rank", oracle=_W1_ORACLE)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w_rn = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w_rn).cast("long").alias("rn"),
+    )
+
+
+_W2_ORACLE = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register("win_topk_per_group", oracle=_W2_ORACLE)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. 100 TB: rank-filter windows push the rn<=k
+    predicate into the window operator (WindowGroupLimit in Spark 3.5+) so
+    per-key heaps never materialize the full partition sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+_W3_ORACLE = """
+SELECT
+  event_id, user_id,
+  CAST(date_diff('microsecond',
+                 lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS BIGINT) AS us_since_prev,
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+@register("win_lag_lead", oracle=_W3_ORACLE)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user deltas between consecutive events. Integer µs arithmetic on
+    the ts_us convenience column — identical across engines (no float)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+_W4_ORACLE = """
+SELECT
+  o_custkey, o_orderkey,
+  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+"""
+
+
+@register("win_running", oracle=_W4_ORACLE)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = Window.partitionBy("o_custkey").orderBy(*order_cols).rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg3"),
+    )
+
+
+# Trailing 1 hour inclusive, expressed as integer microseconds on both sides.
+_W5_ORACLE = """
+SELECT
+  event_id, user_id,
+  ROUND(SUM(value) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS trailing_1h_value
+FROM events
+"""
+
+
+@register("win_range_frame", oracle=_W5_ORACLE)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame: per-user trailing-1h value sum. The RANGE frame runs
+    on epoch-µs longs (ts_us), so frame boundaries are exact integers on both
+    engines — float-free and DST-free."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+    )
+
+
+_W6_ORACLE = """
+SELECT
+  c_custkey, c_mktsegment,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  ROUND(cume_dist() OVER w, 6) AS cdist,
+  ROUND(percent_rank() OVER w, 6) AS prank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("win_ntile_cume", oracle=_W6_ORACLE)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+_W7_ORACLE = """
+SELECT
+  user_id,
+  arg_max(event_type, ts) AS last_type,
+  arg_min(event_type, ts) AS first_type,
+  max(ts) AS last_ts,
+  min(ts) AS first_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("win_first_last", oracle=_W7_ORACLE)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest/earliest event per user via max_by/min_by — the aggregate
+    spelling of first/last-value frames (the 'latest revision per page'
+    pattern from the importer's destination schema, SURVEY §1.2). ts is
+    unique per user at µs precision, so arg extremes are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+    )
