@@ -55,6 +55,11 @@ def norm_cell(v):
         return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
+    tolist = getattr(v, "tolist", None)
+    if tolist is not None and getattr(v, "ndim", 0):  # numpy array (Spark array col)
+        return tuple(norm_cell(x) for x in tolist())
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     # numpy scalars -> python
     item = getattr(v, "item", None)
     if item is not None and not isinstance(v, (int, str, bool, bytes)):

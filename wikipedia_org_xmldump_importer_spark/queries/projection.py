@@ -18,11 +18,15 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry import register
 
+# boosted_bal rounds at 3 dp, not 2: acctbal is a 2-decimal value, so ×1.1 is
+# an EXACT 3-decimal value — rounding at 2 dp sits exactly on the .xx5
+# boundary where Spark (shortest-decimal-repr HALF_UP) and DuckDB (binary
+# round) systematically disagree. Rounding at the value's own grid is stable.
 _P1_ORACLE = """
 SELECT
   c_custkey AS custkey,
   c_name AS name,
-  ROUND(c_acctbal * 1.1, 2) AS boosted_bal,
+  ROUND(c_acctbal * 1.1, 3) AS boosted_bal,
   c_mktsegment AS segment
 FROM customer
 """
@@ -34,7 +38,7 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         F.col("c_custkey").alias("custkey"),
         F.col("c_name").alias("name"),
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("boosted_bal"),
+        F.round(F.col("c_acctbal") * 1.1, 3).alias("boosted_bal"),
         F.col("c_mktsegment").alias("segment"),
     )
 

@@ -199,3 +199,148 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reparsed_ts"),
         F.col("o_orderdate").cast("date").cast("string").alias("order_date_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M3 — nested / array / map / JSON / hash (f6-f10)
+# ---------------------------------------------------------------------------
+
+# posexplode oracle: DuckDB zips multiple unnest()s in one SELECT, and
+# scalar generate_series(1, len(l)) yields the ordinality list.
+_F6_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(embedding) AS INTEGER) AS dim,
+  CAST(unnest(generate_series(1, len(list_slice(embedding, 1, 8)))) - 1 AS INTEGER) AS pos,
+  round(CAST(unnest(list_slice(embedding, 1, 8)) AS DOUBLE), 4) AS val,
+  round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+  round(list_sort(list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4)))[1], 4) AS min_head3
+FROM embeddings
+"""
+
+
+@register("fn_array", oracle=_F6_ORACLE)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops: size/slice/sort/max + posexplode (the revision-array
+    flattening analog from the MediaWiki model, SURVEY §1.3). 100 TB:
+    posexplode multiplies row count by slice length — always slice/prune the
+    array *before* exploding so the shuffle carries the narrow form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head8 = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    head3r = F.transform(
+        F.slice(F.col("embedding").cast("array<double>"), 1, 3),
+        lambda x: F.round(x, 4),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.posexplode(head8).alias("pos", "raw_val"),
+        F.round(F.array_max(F.col("embedding").cast("array<double>")), 4).alias("vmax"),
+        F.round(F.array_sort(head3r).getItem(0), 4).alias("min_head3"),
+    ).select(
+        "vec_id", "dim", "pos", F.round("raw_val", 4).alias("val"), "vmax", "min_head3"
+    )
+
+
+_F7_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
+  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+  list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE) * 2 + 1, 4)) AS scaled_head
+FROM embeddings
+"""
+
+
+@register("fn_array_hof", oracle=_F7_ORACLE)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambdas (transform/filter/aggregate) — all JVM-side
+    Catalyst expressions; this is the no-UDF vector math path that the
+    similarity operators (l3/l4) build on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x), 4).alias("sum_all"),
+        F.round(
+            F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2"),
+        F.transform(F.slice(dvec, 1, 3), lambda x: F.round(x * 2 + 1, 4)).alias(
+            "scaled_head"
+        ),
+    )
+
+
+@register("fn_map", oracle=None)  # map ordering is not canonical across engines
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map build/inspect. Rows-only per SURVEY §2.8 f8 (map key order is
+    engine-dependent); the *derived* scalar columns are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return docs.select(
+        "doc_id",
+        m.alias("meta"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, F.lit("lang")).alias("lang_val"),
+    )
+
+
+_F9_ORACLE = """
+SELECT
+  event_id,
+  json_extract_string(props, '$.k') AS k_str,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+       THEN 'high' ELSE 'low' END AS k_bucket
+FROM events
+"""
+
+
+@register("fn_json", oracle=_F9_ORACLE)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props — both the stringly
+    get_json_object path and the schema-ized from_json path."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.when(parsed.getField("k") >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+_F10_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+FROM documents
+"""
+
+
+@register("fn_hash", oracle=_F10_ORACLE)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashes (the revision sha1 analog, SURVEY §1.1).
+    DuckDB 1.0 lacks sha1 — it lives in fn_hash_noncrypto (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@register("fn_hash_noncrypto", oracle=None)  # xxhash64/crc32/sha1 absent in DuckDB 1.0
+def fn_hash_noncrypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-portable hashes: sha1, xxhash64, crc32 (Spark-native). 100 TB:
+    xxhash64 is the cheap partitioning/fingerprint hash of choice — it's
+    what Spark's own shuffle hashing uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha1("text").alias("text_sha1"),
+        F.xxhash64("text").alias("text_xx64"),
+        F.crc32("text").alias("text_crc32"),
+    )

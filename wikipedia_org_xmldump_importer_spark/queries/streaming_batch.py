@@ -1,1 +1,212 @@
-"""Placeholder — filled in a later milestone (SURVEY.md §7)."""
+"""SURVEY.md §2.9 — batch twins of the Structured Streaming operators
+(st1-st7).
+
+Each entry here runs the SAME transformation the streaming module
+(streaming/) runs over a file-replayed stream; tests/test_streaming.py
+asserts stream-result == batch-result (SURVEY §5.3), and the DuckDB oracle
+checks the batch semantics. window()/session_window() work identically in
+batch mode, so these are true twins, not re-implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# Spark's window() aligns tumbling windows to the epoch, as does DuckDB's
+# time_bucket for sub-day intervals.
+_ST1_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stream_tumbling", oracle=_ST1_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tumbling windows × event_type. 100 TB streaming notes: with a
+    watermark this is incremental per-window partial aggregation; state =
+    open windows only. In batch: a plain group-by on the bucketed ts."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# Sliding windows: each event belongs to window starts
+# time_bucket(15m, ts) - {0,15,30,45}m; all four satisfy wstart <= ts < wstart+1h.
+_ST2_ORACLE = """
+SELECT wstart, wstart + INTERVAL '1 hour' AS wend, COUNT(*) AS n
+FROM (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+         - unnest([INTERVAL '0 minutes', INTERVAL '15 minutes',
+                   INTERVAL '30 minutes', INTERVAL '45 minutes']) AS wstart
+  FROM events
+)
+GROUP BY wstart
+"""
+
+
+@register("stream_sliding", oracle=_ST2_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 15m (each event in 4 windows). 100 TB: state
+    and output scale ×(window/slide) — keep the ratio small; Spark's window()
+    expands via Expand, still one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"), "n")
+    )
+
+
+# Gaps-and-islands reconstruction of session_window semantics:
+# new session when ts - prev_ts > 30min; session end = last ts + gap.
+_ST3_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
+@register("stream_session", oracle=_ST3_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30m gap) per user via session_window(). 100 TB
+    streaming: state = one open session per key; batch mode merges via
+    the same Expand+aggregate plan. The oracle is the classic
+    gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw.alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_ST5_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_dedup", oracle=_ST5_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on event_id — batch twin of
+    dropDuplicatesWithinWatermark (exercised with a duplicated-id replay
+    chunk in tests/test_streaming.py). 100 TB streaming: the watermark
+    bounds the dedup state to the lateness horizon instead of all-time."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+# st6 batch twin: per-user funnel — views strictly before first purchase.
+_ST6_ORACLE = """
+WITH first_p AS (
+  SELECT user_id, MIN(ts) AS first_purchase_ts
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT e.user_id,
+       f.first_purchase_ts,
+       COUNT(*) FILTER (e.event_type = 'view' AND e.ts < f.first_purchase_ts)
+         AS views_before_purchase
+FROM events e JOIN first_p f ON e.user_id = f.user_id
+GROUP BY e.user_id, f.first_purchase_ts
+"""
+
+
+@register("stream_funnel", oracle=_ST6_ORACLE)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel state machine (views → first purchase) — batch twin of the
+    transformWithStateInPandas/applyInPandasWithState operator in
+    streaming/stateful.py. 100 TB: the batch form is join+conditional-agg
+    (one shuffle on user_id); the streaming form keeps O(1) state per user."""
+    ev = load_table(spark, sf_dir, "events")
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        ev.join(first_p, "user_id")
+        .groupBy("user_id", "first_purchase_ts")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ts") < F.col("first_purchase_ts")),
+                    1,
+                )
+            ).alias("views_before_purchase")
+        )
+    )
+
+
+_ST7_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("stream_static_join", oracle=_ST7_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (events × customer dim) — batch twin of
+    streaming/join.py. 100 TB streaming: the static side is broadcast per
+    micro-batch (refreshable dim); never shuffle the stream for a bounded
+    dim."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

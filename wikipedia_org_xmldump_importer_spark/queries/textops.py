@@ -1,1 +1,425 @@
-"""Placeholder — filled in a later milestone (SURVEY.md §7)."""
+"""Text-analysis + dedup extensions beyond SURVEY §2.11's l-rows, plus the
+multimodal binary-column plumbing (driver mandate: language-ID, quality
+scoring, token counting, document fingerprinting, SimHash / n-gram-Jaccard
+dedup, opaque binary columns with typed metadata).
+
+Everything here except the mapInPandas decode stub is pure Catalyst — and
+even the hash-heavy SimHash is exact-integer math with a full SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# corpus term frequencies (token explode — the l5 companion)
+# --------------------------------------------------------------------------
+
+_TF_ORACLE = """
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+@register("text_tf", oracle=_TF_ORACLE)
+def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency. 100 TB: explode-then-aggregate with
+    map-side combine; token skew (stopwords) is absorbed by partial aggs —
+    the shuffle carries one row per (partition, token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprint: min-hash over 3-token shingles
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+  CASE WHEN len(string_split(text, ' ')) < 3 THEN md5(text)
+       ELSE list_min(list_transform(
+              generate_series(1, len(string_split(text, ' ')) - 2),
+              i -> md5(string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2])))
+  END AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling shingle fingerprint: lexicographic min of md5(3-gram). Two
+    docs sharing any minimal shingle collide — a one-column near-dup key.
+    100 TB: narrow map, no shuffle; fingerprint is groupable downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) < 3, F.md5(F.col("text")))
+        .otherwise(F.array_min(shingle_hashes))
+        .alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (48-bit, md5-derived) — exact integer parity with DuckDB
+# --------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(token), 1, 12))::BIGINT AS th
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash48
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document (token hashes = first 12 hex of md5 — the
+    portable stand-in for xxhash64, which DuckDB lacks). Near-dups differ in
+    few bits; pairing = group by bands of the simhash.
+
+    100 TB notes: tokens×48 intermediate rows, but partial aggregation
+    collapses to doc×48 before the shuffle and doc×1 after; integer-only
+    math stays in whole-stage codegen end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long").alias("th"),
+    )
+    bits = (
+        h.select("doc_id", "th", F.explode(F.sequence(F.lit(0), F.lit(47))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(th >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash48")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (within-source candidates)
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                coalesce(string_split(text, ' ')[i+1], '') || ' ' ||
+                coalesce(string_split(text, ' ')[i+2], ''))) AS shingles
+  FROM documents
+),
+flat AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS n_common
+  FROM flat a JOIN flat b
+    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard
+FROM inter
+WHERE n_common * 1.0 / (na + nb - n_common) >= 0.05
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for same-source candidate pairs.
+
+    100 TB notes: the shingle equi-join IS the LSH-free candidate generator —
+    pairs only materialize when they share a shingle (and a source bucket),
+    so the quadratic blowup is bounded by shingle collision counts, not n².
+    Hot shingles (boilerplate) are the skew risk: drop top-frequency shingles
+    first at scale (stopword-shingle filter), or band by minhash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+            ),
+        )
+    )
+    sh = docs.select("doc_id", "source", shingles.alias("shingles")).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    flat = sh.select("doc_id", "source", "n_sh", F.explode("shingles").alias("s"))
+    a = flat.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_sh").alias("na"),
+        F.col("s"),
+    )
+    b = flat.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("s"),
+    )
+    inter = (
+        a.join(b, (a.s == b.s) & (a.src_a == b.src_b) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# language-ID heuristic (stopword voting)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "que"],
+}
+
+
+def _langid_sql() -> str:
+    score_cols = ",\n  ".join(
+        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], t))) AS s_{lang}"
+        for lang, ws in _STOPWORDS.items()
+    )
+    langs = list(_STOPWORDS)
+    pred = "CASE "
+    pred += " ".join(
+        f"WHEN s_{lang} >= greatest({', '.join('s_' + o for o in langs)}) "
+        f"AND s_{lang} > 0 THEN '{lang}'"
+        for lang in langs
+    )
+    pred += " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+  {score_cols}
+  FROM documents
+)
+SELECT doc_id, actual_lang, {pred} AS pred_lang,
+       CAST(s_en AS INTEGER) AS s_en
+FROM scored
+"""
+
+
+@register("text_langid", oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: per-language stopword hit
+    counts, argmax with first-match tie-break (CASE order = dict order on
+    both engines). 100 TB: narrow map, constant word lists, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def stopword_hits(ws: list[str]):
+        # closure factory: a default-arg lambda would be parsed by PySpark as
+        # the two-arg (element, index) HOF form
+        wlist = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda t: F.array_contains(wlist, t)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[stopword_hits(ws).alias(f"s_{lang}") for lang, ws in _STOPWORDS.items()],
+    )
+    langs = list(_STOPWORDS)
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        cond = (F.col(f"s_{lang}") > 0) & (
+            F.col(f"s_{lang}") >= F.greatest(*[F.col(f"s_{o}") for o in langs])
+        )
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    # CASE order: earliest lang in dict order wins ties -> build reversed
+    return scored.select("doc_id", "actual_lang", pred.alias("pred_lang"), "s_en")
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  ROUND(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  ROUND(len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','of','and','value','table'], t))) * 1.0
+        / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+  CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500
+        AND length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0
+            / greatest(length(text), 1) > 0.8
+       THEN 1 ELSE 0 END AS quality_pass
+FROM documents
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / character-class / stopword-ratio quality gates — the classic
+    pre-training corpus filter. 100 TB: narrow map; the quality_pass flag is
+    the partition-pruning key for the downstream sink."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+        / F.greatest(F.length("text"), F.lit(1)),
+        6,
+    )
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "value", "table"]])
+    stopword_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    quality_pass = F.when(
+        n_tokens.between(20, 500)
+        & (
+            F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+            > 0.8
+        ),
+        1,
+    ).otherwise(0)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality_pass.alias("quality_pass"),
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal: opaque binary column + typed metadata + mapInPandas decode stub
+# --------------------------------------------------------------------------
+
+_MM_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST((octet_length(encode(text)) // 640) + 1 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+@register("mm_binary_meta", oracle=_MM_ORACLE)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns: payloads as opaque binary + typed metadata.
+
+    The binary column here is the utf-8 encoding of text (the sandbox has no
+    image/audio libs — TESTDATA has no real media), but the plumbing is the
+    real thing: binary type, length/hash metadata, derived shape fields.
+    100 TB notes: binary payloads ride Parquet as byte arrays; metadata
+    columns let every filter run WITHOUT touching payload bytes (column
+    pruning keeps the scan narrow until decode time)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    byte_len = F.octet_length(blob).cast("long")
+    return docs.select(
+        "doc_id",
+        byte_len.alias("byte_len"),
+        F.md5("text").alias("content_md5"),
+        (byte_len % 640).alias("fake_width"),
+        (F.expr("octet_length(encode(text, 'utf-8')) div 640") + 1).alias("fake_height"),
+    )
+
+
+@register("mm_decode_stub", oracle=None)  # exercises mapInPandas plumbing
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract stub over binary media columns via
+    mapInPandas (Arrow batches). The decode itself is a deterministic fake —
+    real image/audio libs are absent in this container (clearly marked
+    below) — but the Spark-side plumbing (binary column in, struct-ish
+    feature columns out, arrow batching, partition preservation) is real and
+    tested in tests/test_llm_ops.py.
+
+    100 TB notes: decode is the one legitimately-Python stage in a media
+    pipeline; mapInPandas streams Arrow record batches (no per-row pickling)
+    and keeps partitioning intact, so the expensive stage parallelizes to
+    exactly the input partition count — repartition upstream to size batches
+    to decoder memory."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            # STUB: a real implementation would call PIL / torchaudio /
+            # pyav here. Deterministic fake: derive "decoded" shape stats
+            # from the payload bytes themselves.
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.str.len().astype("int64"),
+                    "first_byte": payload.str[0].apply(
+                        lambda b: int(b) if b is not None else -1
+                    ),
+                    "decoded_ok": True,
+                }
+            )
+
+    return blobs.mapInPandas(
+        decode_batch, schema="doc_id long, n_bytes long, first_byte int, decoded_ok boolean"
+    )

@@ -1,1 +1,117 @@
-"""Placeholder — filled in a later milestone (SURVEY.md §7)."""
+"""SURVEY.md §2.10 — the UDF/UDAF/UDTF surface (ud1-ud3).
+
+Engine policy (SURVEY §3.3): Python touches data ONLY here and in the
+multimodal decode stub — always through Arrow batches (pandas UDF /
+mapInPandas / arrow-optimized UDTF), never row-at-a-time pickling. Each
+operator's logic is deliberately SQL-replicable so the DuckDB oracle can
+verify the Arrow round-trip end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import load_table
+from ..registry import register
+
+_UD1_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+@register("udf_scalar_arrow", oracle=_UD1_ORACLE)
+def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: text normalization (lower, strip
+    non-alnum, collapse whitespace).
+
+    100 TB notes: Arrow-batched transfer amortizes the JVM↔Python hop to
+    ~free per row; still ~10× slower than the equivalent Catalyst regexp
+    chain (the oracle shows the built-in spelling) — UDFs are for logic
+    Catalyst can't express, and this one exists to *verify the plumbing*."""
+
+    @pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return (
+            s.str.lower()
+            .str.replace(r"[^a-z0-9 ]", "", regex=True)
+            .str.replace(r" +", " ", regex=True)
+            .str.strip()
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize(F.col("text")).alias("norm_text"))
+
+
+_UD2_ORACLE = """
+SELECT c_nationkey,
+       ROUND(SUM(c_acctbal * ((c_custkey % 5) + 1)) / SUM((c_custkey % 5) + 1), 6)
+         AS weighted_bal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("udaf_grouped_agg", oracle=_UD2_ORACLE)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: weighted mean of account balance.
+
+    100 TB notes: GROUPED_AGG materializes each group as one pandas Series
+    in a Python worker — group sizes must fit worker memory. For unbounded
+    groups prefer the two-sum Catalyst spelling (the oracle's form) or a
+    partial-aggregating applyInPandas."""
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "weight", (F.col("c_custkey") % 5 + 1).cast("double")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.round(wmean(F.col("c_acctbal"), F.col("weight")), 6).alias("weighted_bal")
+    )
+
+
+_UD3_ORACLE = """
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+"""
+
+
+@register("udtf_table", oracle=_UD3_ORACLE)
+def udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) exploding documents into (pos, token) rows via
+    a LATERAL join.
+
+    100 TB notes: UDTFs run per-row in Python workers — fine for fan-out
+    transforms whose output dwarfs the compute (tokenization), wrong for
+    hot scalar math. The built-in posexplode spelling is preferred when the
+    split logic is expressible (here it is; the UDTF exists to exercise the
+    surface, and the oracle checks it row-for-row)."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_udtf_v d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
