@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract + BASELINE.md operational plan).
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized JVM-side via the ``noop`` sink so the timing
+covers the full physical plan (scan → shuffle → result) without paying
+driver-side collect/Arrow costs that a real pipeline wouldn't pay.
+
+Usage:
+    python bench.py                  # all queries, warm timing
+    python bench.py q1 q2 ...        # subset
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikipedia_org_xmldump_importer_spark.registry import (  # noqa: E402
+    REGISTRY,
+    _ensure_loaded,
+)
+from wikipedia_org_xmldump_importer_spark.session import build_session  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    """Execute the full plan without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _ensure_loaded()
+    names = sys.argv[1:] or list(REGISTRY)
+    spark = build_session(app_name="bench")
+
+    # Warm the JVM + parquet footer caches once so per-query numbers measure
+    # the plan, not session startup (cold-start is a constant, not a rate).
+    REGISTRY["scan_parquet"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        qd = REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            materialize(qd.fn(spark, sf_dir))
+        except Exception as e:  # keep the sweep alive; surface in stderr
+            print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+                "n_queries": len(names),
+                "n_failed": len(timings) - len(ok),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Property tests for the LLM-pipeline operators (SURVEY §5.5): LSH recall
+vs brute force, sketch accuracy, metamorphic invariants, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+from conftest import SF_SMOKE
+
+from wikipedia_org_xmldump_importer_spark.io import load_table
+from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _run(spark, name: str, sf=SF_SMOKE):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Multi-probe LSH top-5 must recover a meaningful share of the exact
+    top-5 (random gaussian vectors are a worst case for LSH — the bar is
+    deliberately modest; the operator's contract is the mechanism)."""
+    exact = _run(spark, "sim_topk_bruteforce").toPandas()
+    approx = _run(spark, "sim_ann_lsh").toPandas()
+    exact_pairs = set(zip(exact.qid, exact.vec_id))
+    approx_pairs = set(zip(approx.qid, approx.vec_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.15, f"LSH recall collapsed: {recall:.3f}"
+    # every approx candidate must carry the same similarity the exact kernel
+    # computes (same kernel, same rounding)
+    merged = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
+    assert (merged.cos_sim_e == merged.cos_sim_a).all()
+
+
+def test_minhash_finds_planted_near_dups(spark, tmp_path):
+    """Plant exact near-duplicates; MinHashLSH must surface them."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    dups = docs.selectExpr("doc_id + 100000 AS doc_id", "text", "lang", "source", "n_chars")
+    staged = docs.unionByName(dups)
+    out_dir = str(tmp_path / "plant")
+    staged.write.mode("overwrite").parquet(out_dir + "/documents.parquet")
+
+    pairs = _run(spark, "dedup_near_minhash", out_dir).toPandas()
+    planted = set()
+    for doc_id in [r.doc_id for r in docs.select("doc_id").collect()]:
+        planted.add((doc_id, doc_id + 100000))
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"planted-dup recall {recall:.2f}"
+    exact_dup_dists = pairs.merge(
+        pd.DataFrame(list(planted), columns=["doc_a", "doc_b"]),
+        on=["doc_a", "doc_b"],
+    )["jaccard_dist"]
+    assert (exact_dup_dists == 0.0).all()
+
+
+def test_approx_distinct_accuracy(spark):
+    row = _run(spark, "agg_approx_distinct").collect()[0]
+    rel_err = abs(row.approx_users - row.exact_users) / row.exact_users
+    assert rel_err < 0.05, f"HLL rel err {rel_err:.3f}"
+
+
+def test_dedup_exact_partitions_rows(spark):
+    """Metamorphic: dedup groups partition the corpus — group sizes sum to
+    the row count."""
+    docs_n = load_table(spark, SF_SMOKE, "documents").count()
+    groups = _run(spark, "dedup_exact").toPandas()
+    assert groups.n_copies.sum() == docs_n
+
+
+def test_simhash_near_dup_property(spark):
+    """A document is Hamming-identical to itself; distinct random docs have
+    simhashes spread across the 48-bit space (mean pairwise distance well
+    above the near-dup threshold)."""
+    sh = _run(spark, "dedup_simhash").toPandas().set_index("doc_id")["simhash48"]
+    sample = sh.head(40).tolist()
+    dists = [
+        bin(a ^ b).count("1")
+        for i, a in enumerate(sample)
+        for b in sample[i + 1 :]
+    ]
+    # Word-soup docs share vocab, so the occasional near-dup pair (small
+    # Hamming distance) is legitimate signal — assert the *distribution* is
+    # spread out, not that no pair is close.
+    near = sum(1 for d in dists if d <= 4)
+    assert near / len(dists) < 0.05, f"{near}/{len(dists)} pairs within 4 bits"
+    assert sum(dists) / len(dists) > 15
+
+
+def test_union_count_invariant(spark):
+    """Metamorphic (SURVEY §5.5): |A union_all B| = |A| + |B|."""
+    cust = load_table(spark, SF_SMOKE, "customer").count()
+    supp = load_table(spark, SF_SMOKE, "supplier").count()
+    u = _run(spark, "set_union").toPandas()
+    assert u[u["mode"] == "all"]["n"].sum() == cust + supp
+
+
+def test_mm_decode_stub_plumbing(spark):
+    """mapInPandas decode stub: full coverage, stable schema, payload byte
+    counts agree with the relational metadata op."""
+    decoded = _run(spark, "mm_decode_stub").toPandas()
+    meta = _run(spark, "mm_binary_meta").toPandas()
+    assert decoded.decoded_ok.all()
+    merged = decoded.merge(meta, on="doc_id")
+    assert len(merged) == len(meta)
+    assert (merged.n_bytes == merged.byte_len).all()
+
+
+def test_knn_predicts_valid_labels(spark):
+    labels = {
+        r.label
+        for r in load_table(spark, SF_SMOKE, "embeddings").select("label").distinct().collect()
+    }
+    pred = _run(spark, "classify_knn").toPandas()
+    assert set(pred.pred_label).issubset(labels)
+    assert len(pred) == 20  # one prediction per probe vector
+    assert (pred.votes >= 1).all() and (pred.votes <= 10).all()

@@ -1,0 +1,178 @@
+"""Batch-equivalence harness for the Structured Streaming surface
+(SURVEY §5.3): replay events as ordered micro-batches with availableNow,
+assert stream result == batch result, plus targeted late-event and
+duplicate-id fixtures for st4/st5."""
+
+from __future__ import annotations
+
+import pandas as pd
+from conftest import SF_SMOKE
+
+from wikipedia_org_xmldump_importer_spark.io import load_table
+from wikipedia_org_xmldump_importer_spark.sources.stream_events import (
+    read_event_stream,
+    run_to_completion,
+    stage_event_chunks,
+)
+from wikipedia_org_xmldump_importer_spark.streaming import ops
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _assert_stream_equals_batch(stream_result, batch_result):
+    s, b = _sorted_pdf(stream_result), _sorted_pdf(batch_result)
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
+def _staged(spark, tmp_path) -> str:
+    out = str(tmp_path / "chunks")
+    stage_event_chunks(spark, SF_SMOKE, out, n_chunks=6)
+    return out
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    staged = _staged(spark, tmp_path)
+    stream = ops.tumbling_counts(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_tumbling", "complete")
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    want = REGISTRY["stream_tumbling"].fn(spark, SF_SMOKE)
+    _assert_stream_equals_batch(got, want)
+
+
+def test_sliding_stream_equals_batch(spark, tmp_path):
+    staged = _staged(spark, tmp_path)
+    stream = ops.sliding_counts(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_sliding", "complete")
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    want = REGISTRY["stream_sliding"].fn(spark, SF_SMOKE)
+    _assert_stream_equals_batch(got, want)
+
+
+def test_session_stream_equals_batch(spark, tmp_path):
+    staged = _staged(spark, tmp_path)
+    stream = ops.session_counts(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_session", "complete")
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    want = REGISTRY["stream_session"].fn(spark, SF_SMOKE)
+    _assert_stream_equals_batch(got, want)
+
+
+def test_stream_static_join_equals_batch(spark, tmp_path):
+    staged = _staged(spark, tmp_path)
+    cust = load_table(spark, SF_SMOKE, "customer")
+    stream = ops.stream_static_join(read_event_stream(spark, staged), cust)
+    got = run_to_completion(stream, "t_ssj", "complete")
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    want = REGISTRY["stream_static_join"].fn(spark, SF_SMOKE)
+    _assert_stream_equals_batch(got, want)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """st4: a chunk far older than the watermark horizon arrives last; its
+    events must NOT reopen finalized windows in append mode."""
+    staged = str(tmp_path / "late_chunks")
+    stage_event_chunks(spark, SF_SMOKE, staged, n_chunks=4)
+    # hand-written late chunk: events 10 days before the stream's start,
+    # arriving after everything else (lexicographically-last dir name)
+    ev = load_table(spark, SF_SMOKE, "events")
+    late = ev.limit(5).selectExpr(
+        "event_id + 1000000 AS event_id",
+        "ts - INTERVAL 10 DAYS AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "ts_us - 864000000000 AS ts_us",
+    )
+    late.coalesce(1).write.mode("overwrite").parquet(staged + "/chunk_99_late")
+
+    stream = ops.watermark_late_filter(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_late", "append").toPandas()
+    late_starts = {
+        r.wstart
+        for r in late.selectExpr(
+            "date_trunc('quarter', ts) AS q", "window(ts, '15 minutes').start AS wstart"
+        ).collect()
+    }
+    finalized = set(got["wstart"])
+    # none of the late-chunk windows may appear in the finalized output
+    assert not (late_starts & finalized), (late_starts, finalized)
+    assert len(got) > 0
+
+
+def test_stateful_dedup_removes_duplicates(spark, tmp_path):
+    """st5: replay a chunk of duplicated event_ids; dedup keeps one copy."""
+    staged = str(tmp_path / "dup_chunks")
+    stage_event_chunks(spark, SF_SMOKE, staged, n_chunks=4)
+    ev = load_table(spark, SF_SMOKE, "events")
+    # duplicate the 20 newest events (same ids, same ts -> inside watermark)
+    dup = ev.orderBy("ts", ascending=False).limit(20)
+    dup.coalesce(1).write.mode("overwrite").parquet(staged + "/chunk_98_dup")
+
+    stream = ops.stateful_dedup(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_dedup", "append")
+    total = got.count()
+    uniq = got.select("event_id").distinct().count()
+    assert total == uniq, f"{total} rows but {uniq} unique ids"
+    assert uniq == ev.count()
+
+
+def test_funnel_state_machine(spark, tmp_path):
+    """st6: applyInPandasWithState funnel — closed funnels must agree with
+    the relational batch twin."""
+    staged = _staged(spark, tmp_path)
+    stream = ops.funnel_state_machine(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_funnel", "update").toPandas()
+    # update-mode memory sink keeps every emitted row; take the final row
+    # per user (last emit wins)
+    final = got.groupby("user_id").tail(1)
+    closed = final[final["purchased"]]
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    batch = REGISTRY["stream_funnel"].fn(spark, SF_SMOKE).toPandas()
+    merged = closed.merge(batch, on="user_id", how="inner")
+    assert len(merged) == len(closed) == len(batch)
+    assert (
+        merged["views_before_purchase_x"] == merged["views_before_purchase_y"]
+    ).all()
+
+
+def test_stream_stream_join_runs(spark, tmp_path):
+    """st7b: time-bounded stream-stream join executes and matches the batch
+    range-join on the same data."""
+    staged = _staged(spark, tmp_path)
+    events = read_event_stream(spark, staged)
+    views = events.filter("event_type = 'view'")
+    purchases = events.filter("event_type = 'purchase'")
+    got = run_to_completion(
+        ops.stream_stream_join(views, purchases), "t_ssjoin", "append"
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    bv = ev.filter("event_type = 'view'").selectExpr(
+        "user_id AS v_user", "ts AS v_ts"
+    )
+    bp = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "ts AS p_ts", "event_id"
+    )
+    want = bp.join(
+        bv,
+        (bp.user_id == bv.v_user)
+        & (bv.v_ts <= bp.p_ts)
+        & (bv.v_ts >= bp.p_ts - __import__("pyspark").sql.functions.expr("INTERVAL 1 HOUR")),
+    ).select("event_id", "user_id", "p_ts", "v_ts")
+    _assert_stream_equals_batch(got, want)

@@ -1,0 +1,111 @@
+"""Golden-file tests for the MediaWiki XML ingestion slice (SURVEY §5.2,
+FIXTURES.md §2) — the reference's own capability surface."""
+
+from __future__ import annotations
+
+from conftest import FIXTURES
+
+from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+    filter_namespace,
+    flatten_contributors,
+    flatten_pages,
+    flatten_revisions,
+    flatten_text,
+    import_dump,
+    scan_xml_pages,
+)
+
+
+def test_basic_page(spark):
+    pages = scan_xml_pages(spark, str(FIXTURES / "basic_page.xml"))
+    row = pages.collect()[0]
+    assert row.id == 101
+    assert row.ns == 0
+    assert row.title == "Apache Spark"
+    assert row.redirect is None
+    rev = row.revision[0]
+    assert rev.id == 5001
+    assert rev.parentid == 4990
+    assert rev.contributor.username == "DataEngineer"
+    assert rev.contributor.id == 777
+    assert rev.contributor.ip is None
+    assert rev.text._VALUE == "Apache Spark is a distributed engine."
+    assert rev.text._bytes == 43
+    assert rev.timestamp.year == 2024
+
+
+def test_redirect_anon_minor(spark):
+    pages = scan_xml_pages(spark, str(FIXTURES / "redirect_anon.xml"))
+    flat = flatten_pages(pages).orderBy("page_id").collect()
+    assert [r.page_id for r in flat] == [102, 103]
+    assert flat[0].page_is_redirect is True
+    assert flat[0].redirect_title == "Apache Spark"
+    assert flat[1].page_is_redirect is False
+
+    contrib = {r.rev_id: r for r in flatten_contributors(pages).collect()}
+    assert contrib[5002].user_ip == "192.0.2.55"
+    assert contrib[5002].is_anonymous is True
+    assert contrib[5002].user_name is None
+    assert contrib[5003].user_name == "Reviewer"
+    assert contrib[5003].is_anonymous is False
+
+    revs = {r.rev_id: r for r in flatten_revisions(pages).collect()}
+    assert revs[5002].rev_minor is True
+    assert revs[5003].rev_minor is False
+
+
+def test_namespace_filter(spark):
+    pages = scan_xml_pages(spark, str(FIXTURES / "redirect_anon.xml"))
+    articles = filter_namespace(pages, 0, drop_redirects=True)
+    assert articles.count() == 0  # only page in ns 0 is a redirect
+    with_redirects = filter_namespace(pages, 0, drop_redirects=False)
+    assert [r.id for r in with_redirects.collect()] == [102]
+
+
+def test_multi_revision_explode_order(spark):
+    pages = scan_xml_pages(spark, str(FIXTURES / "multi_revision.xml"))
+    revs = flatten_revisions(pages).orderBy("rev_seq").collect()
+    assert [r.rev_id for r in revs] == [6001, 6002, 6003]
+    assert [r.rev_seq for r in revs] == [0, 1, 2]
+    assert revs[0].rev_parent_id is None
+    assert revs[2].rev_parent_id == 6002
+    page = flatten_pages(pages).collect()[0]
+    assert page.page_latest == 6003
+    assert page.page_len == 26
+
+
+def test_empty_optionals_and_deleted_text(spark):
+    pages = scan_xml_pages(spark, str(FIXTURES / "empty_optionals.xml"))
+    revs = flatten_revisions(pages).collect()
+    assert revs[0].rev_comment is None
+    assert revs[0].rev_parent_id is None
+    assert revs[0].rev_sha1 is None
+    text = flatten_text(pages).collect()[0]
+    assert text.content is None
+    assert text.content_deleted is True
+
+
+def test_import_dump_end_to_end(spark, tmp_path):
+    out = import_dump(
+        spark,
+        str(FIXTURES / "multi_revision.xml"),
+        str(tmp_path / "imported"),
+        namespace=0,
+    )
+    assert set(out) == {"page", "revision", "contributor", "text"}
+    reread = spark.read.parquet(str(tmp_path / "imported" / "revision.parquet"))
+    assert reread.count() == 3
+
+
+def test_column_pruning_drops_revision_payload(spark):
+    """A scan that only needs id/title must not read the revision payload
+    (SURVEY §4.2 — at 100 TB the text blobs dominate the dump)."""
+    pages = scan_xml_pages(spark, str(FIXTURES / "multi_revision.xml"))
+    physical = (
+        pages.select("id", "title")._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"ReadSchema: (struct<[^>]*>)", physical)
+    assert m, physical
+    assert m.group(1) == "struct<id:bigint,title:string>"

