@@ -53,39 +53,95 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("dedup_near_minhash", oracle=None)  # LSH randomized even when seeded
+@register("dedup_near_minhash", oracle=None)  # banding prune not SQL-expressible
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (Jaccard distance ≤ 0.9 on
-    2-shingle sets). Recall vs the brute-force oracle is property-tested in
-    tests/test_llm_ops.py (SURVEY §5.5).
+    """MinHash-LSH near-dup pairs (Jaccard distance ≤ 0.9 on 2-shingle sets),
+    banded-signature form — pure Catalyst, fully deterministic. Recall vs
+    brute force is property-tested in tests/test_llm_ops.py (SURVEY §5.5).
 
-    100 TB notes: approxSimilarityJoin hash-partitions by LSH band — the
-    candidate join is equi on (band, bucket), never all-pairs. numHashTables
-    trades recall for candidate volume; 8 tables ≈ 95% recall at 0.5 sim."""
-    from pyspark.ml.feature import (  # noqa: PLC0415
-        HashingTF,
-        MinHashLSH,
-        NGram,
-        RegexTokenizer,
-    )
+    Pipeline: shingle → 16 seeded-xxhash64 min-signatures → 8 bands × 2 rows
+    → equi-group on (band, band_hash) → candidate pairs from >1-doc buckets →
+    exact Jaccard verify on the shingle sets (array_intersect/array_union).
 
+    100 TB notes: the only shuffles are the (band, band_hash) groupBy and the
+    verify joins — candidates materialize per shared band bucket, never
+    all-pairs, exactly the LSH band-join shape. Skew guard: cap bucket size
+    (a boilerplate bucket with 10⁵ docs would emit 10¹⁰ pairs); raise bands /
+    rows-per-band to sharpen the similarity threshold the bands admit."""
+    # r = 4 rows/band, b = 4 bands → s-curve threshold (1/b)^(1/r) ≈ 0.71:
+    # buckets admit the near-dup regime, not the long tail of
+    # share-a-little-vocabulary pairs (which explode candidate volume
+    # quadratically on a common-vocabulary corpus). True dups (s≈1) are
+    # caught by every band; the exact-Jaccard verify then scores survivors.
+    n_sig, n_bands = 16, 4
     docs = load_table(spark, sf_dir, "documents")
-    tok = RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+")
-    ng = NGram(n=2, inputCol="tokens", outputCol="shingles")
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    staged = tf.transform(ng.transform(tok.transform(docs)))
-    # drop empty-feature docs (MinHash requires ≥1 non-zero entry)
-    staged = staged.filter(F.expr("size(shingles) > 0")).cache()
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = mh.fit(staged)
-    pairs = model.approxSimilarityJoin(staged, staged, 0.9, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 3).alias("jaccard_dist"),
+    # Shingles live as 8-byte integer hashes end-to-end (hash each token
+    # once, combine consecutive pairs with xxhash64) — no per-shingle string
+    # allocation. The token-hash array is materialized as a named column
+    # first: inlining an expression into a transform() lambda re-evaluates
+    # it per element (O(tokens²) per doc).
+    staged = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.xxhash64(t)
+        ).alias("th"),
+    )
+    th = F.col("th")
+    empty_h = F.xxhash64(F.lit(""))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(th) - 1, F.lit(1))),
+            lambda i: F.xxhash64(
+                F.element_at(th, i), F.coalesce(F.element_at(th, i + 1), empty_h)
+            ),
         )
+    )
+    # Explode straight out of the shingle projection: no size() filter (the
+    # sequence lower bound guarantees ≥1 element, and explode drops empty
+    # arrays anyway) — a filter or withColumn referencing the array would
+    # collapse into the same projection and re-evaluate the whole expression.
+    # One explode + one groupBy computes every signature as a codegen'd MIN
+    # aggregate over seeded rehashes of the shingle hash; the hashed shingle
+    # set rides along (collect_set) for the exact-Jaccard verify. Cached:
+    # reused by the band explode AND both sides of the verify join.
+    flat = staged.select("doc_id", F.explode(shingles).alias("h"))
+    sig_df = flat.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"sig{i}") for i in range(n_sig)],
+        F.collect_set("h").alias("hset"),
+    ).cache()
+    r = n_sig // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"sig{j * r + k}") for k in range(r)], F.lit(j)
+                ).alias("bh"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    exploded = sig_df.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band", "b.bh"
+    )
+    pairs = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    sh_a = sig_df.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
+    sh_b = sig_df.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard_dist", F.round(1 - jac, 3))
+        .filter(F.col("jaccard_dist") <= 0.9)
+        .select("doc_a", "doc_b", "jaccard_dist")
     )
 
 
@@ -166,32 +222,52 @@ WHERE a.vec_id < b.vec_id
 
 @register("sim_threshold_join", oracle=_L4_ORACLE)
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.3).
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3), block-matrix form.
 
-    100 TB notes: the all-pairs form is O(n²) — correct only for bounded
-    corpora. The scale path is sim_ann_lsh's bucketed variant (hyperplane
-    LSH prunes candidates to same-bucket pairs) with this kernel as the
-    per-bucket scorer; same results for pairs the buckets retain."""
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        as_double(F.col("embedding")).alias("va"),
-        F.col("norm").alias("na"),
+    One side of the self-join is collected and broadcast as a dense
+    normalized float64 matrix; the other side streams through executors in
+    Arrow batches, and each batch scores itself against the broadcast matrix
+    with a single BLAS GEMM (`V @ M.T`) inside ``mapInPandas``. This replaces
+    the BroadcastNestedLoopJoin + interpreted-HOF kernel, which evaluated the
+    64-term fold per pair outside codegen (~25s → ~1s at sf0.1).
+
+    100 TB notes: the broadcast side must fit in executor memory (~1 GB per
+    2M × 64-dim float64 vectors). Beyond that, chunk the broadcast side and
+    union the chunk results, or prune candidates first with sim_ann_lsh's
+    hyperplane buckets and use this same GEMM kernel per bucket."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        as_double(F.col("embedding")).alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
-        .select("vec_a", "vec_b", "cos_sim")
-    )
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def score(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = np.round(v @ all_mat.T, 6)
+            rid = pdf["vec_id"].to_numpy()
+            ii, jj = np.nonzero((sims >= 0.3) & (rid[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": rid[ii],
+                    "vec_b": all_ids[jj],
+                    "cos_sim": sims[ii, jj],
+                }
+            )
+
+    return emb.mapInPandas(score, schema="vec_a bigint, vec_b bigint, cos_sim double")
 
 
 # --------------------------------------------------------------------------

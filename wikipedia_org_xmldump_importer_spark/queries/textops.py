@@ -62,7 +62,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing any minimal shingle collide — a one-column near-dup key.
     100 TB: narrow map, no shuffle; fingerprint is groupable downstream."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Materialize the token array as a named column FIRST: referencing the
+    # raw split() expression inside the transform() lambda would inline (and
+    # re-evaluate) the full split per element access — O(tokens²) per doc.
+    staged = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("toks")
+    )
+    toks = F.col("toks")
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.md5(
@@ -74,7 +80,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.when(F.size(toks) < 3, F.md5(F.col("text")))
         .otherwise(F.array_min(shingle_hashes))
@@ -179,36 +185,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot shingles (boilerplate) are the skew risk: drop top-frequency shingles
     first at scale (stopword-shingle filter), or band by minhash."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Shingles are represented as 8-byte integer hashes end-to-end: hash each
+    # token once, then combine consecutive token-hash triples with xxhash64.
+    # Collision-equivalent to the oracle's string shingles (~n²/2⁶⁴ odds;
+    # tokens are space-free so triple→string is injective, and the missing
+    # trailing token is identified with '' exactly as the oracle's coalesce
+    # does). Avoids per-shingle string allocation, and the token-hash array
+    # is materialized as a named column first — inlining an expression into
+    # a transform() lambda re-evaluates it per element (O(tokens²) per doc).
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    th = F.col("th")
+    empty_h = F.xxhash64(F.lit(""))
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
-                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+            F.sequence(F.lit(1), F.greatest(F.size(th) - 2, F.lit(1))),
+            lambda i: F.xxhash64(
+                F.element_at(th, i),
+                F.coalesce(F.element_at(th, i + 1), empty_h),
+                F.coalesce(F.element_at(th, i + 2), empty_h),
             ),
         )
     )
-    sh = docs.select("doc_id", "source", shingles.alias("shingles")).withColumn(
+    sh = staged.select("doc_id", "source", shingles.alias("shingles")).withColumn(
         "n_sh", F.size("shingles")
     )
-    flat = sh.select("doc_id", "source", "n_sh", F.explode("shingles").alias("s"))
+    flat = sh.select(
+        "doc_id", "source", "n_sh", F.explode("shingles").alias("sh")
+    ).cache()  # reused by both sides of the self-join — compute once
     a = flat.select(
         F.col("doc_id").alias("doc_a"),
         F.col("source").alias("src_a"),
         F.col("n_sh").alias("na"),
-        F.col("s"),
+        F.col("sh").alias("sh_a"),
     )
     b = flat.select(
         F.col("doc_id").alias("doc_b"),
         F.col("source").alias("src_b"),
         F.col("n_sh").alias("nb"),
-        F.col("s"),
+        F.col("sh").alias("sh_b"),
     )
     inter = (
-        a.join(b, (a.s == b.s) & (a.src_a == b.src_b) & (a.doc_a < b.doc_b))
+        a.join(
+            b,
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("src_a") == F.col("src_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
