@@ -540,3 +540,43 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= 5
     )
+
+
+# --------------------------------------------------------------------------
+# l9 — scalar int8 quantization of embeddings (storage-side vector op)
+# --------------------------------------------------------------------------
+
+_L9_ORACLE = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+sc AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM s
+)
+SELECT vec_id,
+       round(mx, 6) AS scale,
+       list_transform(e, x -> CAST(round(x / mx * 127) AS INTEGER)) AS codes
+FROM sc
+"""
+
+
+@register("vec_quantize_int8", oracle=_L9_ORACLE)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (max-abs) int8 quantization per embedding — the standard
+    storage/ANN compression step: 4× smaller than float32, 8× than float64.
+
+    100 TB notes: narrow per-row projection, no shuffle; at scale this is
+    the write-side transform before the vector index build, and the scale
+    column is what the search side needs to dequantize scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    e = F.col("e")
+    with_scale = staged.select(
+        "vec_id", "e", F.array_max(F.transform(e, F.abs)).alias("mx")
+    )
+    mx = F.col("mx")
+    return with_scale.select(
+        "vec_id",
+        F.round(mx, 6).alias("scale"),
+        F.transform(e, lambda x: F.round(x / mx * 127, 0).cast("int")).alias("codes"),
+    )

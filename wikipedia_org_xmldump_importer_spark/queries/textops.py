@@ -449,3 +449,99 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         decode_batch, schema="doc_id long, n_bytes long, first_byte int, decoded_ok boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (the training-data pipeline's cost estimator)
+# --------------------------------------------------------------------------
+
+_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKCOUNT_ORACLE = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_TOKEN_REGEX}')) AS INTEGER) AS n_bpe_pieces,
+  CAST(list_sum(list_transform(
+         regexp_extract_all(text, '{_TOKEN_REGEX}'),
+         t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+FROM documents
+"""
+
+
+@register("text_token_regex", oracle=_TOKCOUNT_ORACLE)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways a data pipeline needs it: whitespace tokens
+    (shell-cheap) and a BPE-ish pre-tokenizer regex (letter runs / digit
+    runs / single punctuation — the GPT-2 pre-tokenizer shape) plus a
+    subword estimate (≈4 chars per merged piece), the standard proxy for
+    "how many LLM tokens does this corpus cost".
+
+    100 TB notes: pure per-row narrow projection — no shuffle, fully
+    codegen'd, pushdown-friendly. The regex runs once per row (top-level
+    projection, not per-element lambda)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("ws"),
+        F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_REGEX), F.lit(0)).alias("bpe"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("ws").alias("n_ws_tokens"),
+        F.size("bpe").alias("n_bpe_pieces"),
+        F.aggregate(
+            F.transform("bpe", lambda t: F.ceil(F.length(t) / 4.0)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_subwords"),
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal: deterministic frame sampling over "video" payloads
+# --------------------------------------------------------------------------
+
+_FRAME_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         md5(text) AS content_md5,
+         CAST((octet_length(encode(text)) // 1000) + 1 AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, n_frames,
+       CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx,
+       md5(content_md5 || ':' || CAST(unnest(generate_series(0, n_frames - 1, 4)) AS VARCHAR)) AS frame_key
+FROM v
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads: every 4th frame of a
+    payload treated as 1000-bytes-per-frame video. The decode is a
+    deterministic fake (no media libs in this container — frame_key stands
+    in for decoded frame bytes); the PLUMBING is the real pattern: compute
+    per-row frame counts from metadata, explode a bounded sequence, and key
+    each sampled frame for the downstream (Python) decode stage.
+
+    100 TB notes: explode multiplies rows by sampled-frame count — sample
+    BEFORE decode (this op), never after; the sequence is bounded by
+    metadata so no payload bytes are touched until the Python stage, and
+    partition sizing stays metadata-driven."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        (F.expr("octet_length(encode(text, 'utf-8')) div 1000") + 1).alias("n_frames"),
+    )
+    return v.select(
+        "doc_id",
+        "content_md5",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        F.md5(F.concat_ws(":", "content_md5", "frame_idx")).alias("frame_key"),
+    )
