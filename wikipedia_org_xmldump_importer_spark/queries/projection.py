@@ -78,3 +78,36 @@ _P4_ORACLE = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return cust.select("c_nationkey", "c_mktsegment").distinct()
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, ROUND(l_quantity, 2) AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 2) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2) FROM lineitem
+"""
+
+
+@register("reshape_unpivot", oracle=_UNPIVOT_ORACLE)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of a7's pivot): melt three measure
+    columns into (measure, val) rows via the native unpivot operator.
+
+    100 TB notes: unpivot is a narrow map-side Expand (row count ×
+    n_measures, no shuffle) — strictly cheaper than the UNION ALL spelling,
+    which would scan the fact table once per measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("l_quantity"),
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        F.round("l_discount", 2).alias("l_discount"),
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
