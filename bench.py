@@ -51,13 +51,23 @@ def main() -> None:
     names = sys.argv[1:] or list(REGISTRY)
     spark = build_session(app_name="bench")
 
-    # Warm the JVM + parquet footer caches once so per-query numbers measure
-    # the plan, not session startup (cold-start is a constant, not a rate).
-    REGISTRY["scan_parquet"].fn(spark, sf_dir).count()
+    # Warm the JVM + parquet footer caches + whole-stage-codegen compiler +
+    # Python UDF workers once, so per-query numbers measure the plan, not
+    # session startup (cold-start is a constant, not a rate). The warm-up
+    # runs at the smallest SF — it compiles the machinery, not the data.
+    warm_sf = "/root/testdata/sf0.001"
+    for warm_q in ("scan_parquet", "flagship_star_revenue", "udf_scalar_arrow"):
+        try:
+            materialize(REGISTRY[warm_q].fn(spark, warm_sf))
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:
         qd = REGISTRY[name]
+        # Isolate queries: drop any cached sub-plans a previous query left
+        # behind so later timings don't pay its GC/heap pressure.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             materialize(qd.fn(spark, sf_dir))

@@ -74,7 +74,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratically on a common-vocabulary corpus). True dups (s≈1) are
     # caught by every band; the exact-Jaccard verify then scores survivors.
     n_sig, n_bands = 16, 4
-    docs = load_table(spark, sf_dir, "documents")
+    # Repartition up front: few input splits would otherwise serialize the
+    # CPU-heavy shingle/signature hashing onto as few tasks (see textops).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # Shingles live as 8-byte integer hashes end-to-end (hash each token
     # once, combine consecutive pairs with xxhash64) — no per-shingle string
     # allocation. The token-hash array is materialized as a named column
@@ -104,7 +108,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate over seeded rehashes of the shingle hash; the hashed shingle
     # set rides along (collect_set) for the exact-Jaccard verify. Cached:
     # reused by the band explode AND both sides of the verify join.
-    flat = staged.select("doc_id", F.explode(shingles).alias("h"))
+    # explode_outer: plain explode would make Catalyst infer a size>0 filter
+    # and push the whole shingle expression below the repartition exchange,
+    # re-evaluating it serially in the scan stage (see textops counterpart).
+    flat = staged.select("doc_id", F.explode_outer(shingles).alias("h"))
     sig_df = flat.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"sig{i}") for i in range(n_sig)],
         F.collect_set("h").alias("hset"),
@@ -490,23 +497,34 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-partitioned — the corpus is never broadcast or crossed), cosine
     kernel only within candidate buckets. Dense-region bucket skew → AQE
     skew split; recall knob = more probes (flip 2 bits) or more tables."""
-    planes = _hyperplanes()
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
-    dvec = as_double(F.col("embedding"))
+    import numpy as np  # noqa: PLC0415
 
-    def bit(p: int):
-        w = F.array(*[F.lit(x) for x in planes[p]])
-        proj = F.aggregate(
-            F.zip_with(dvec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+    planes_np = np.array(_hyperplanes(), dtype=np.float64)  # P×d, tiny
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
 
-    bucket = bit(0)
-    for p in range(1, _N_PLANES):
-        bucket = bucket + bit(p) * F.lit(1 << p)
+    def signature(batches):
+        """Arrow-batched signature stage: one GEMM against the P×d plane
+        matrix per batch replaces P interpreted HOF dot products per row."""
+        import pandas as pd  # noqa: PLC0415
 
-    sig = emb.select(
-        "vec_id", "label", dvec.alias("v"), "norm", bucket.alias("bucket")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bits = (vecs @ planes_np.T) > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "norm": np.linalg.norm(vecs, axis=1),
+                    "bucket": (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype("int32"),
+                }
+            )
+
+    sig = emb.mapInPandas(
+        signature, schema="vec_id bigint, v array<double>, norm double, bucket int"
     )
     # multi-probe: probe's bucket plus each 1-bit flip
     probe = (

@@ -184,7 +184,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quadratic blowup is bounded by shingle collision counts, not n².
     Hot shingles (boilerplate) are the skew risk: drop top-frequency shingles
     first at scale (stopword-shingle filter), or band by minhash."""
-    docs = load_table(spark, sf_dir, "documents")
+    # Repartition up front: the corpus may arrive as few (here: one) input
+    # splits, and every downstream stage before the first shuffle inherits
+    # that parallelism — the CPU-heavy shingle hashing must spread across
+    # cores/executors, not run on one task.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # Shingles are represented as 8-byte integer hashes end-to-end: hash each
     # token once, then combine consecutive token-hash triples with xxhash64.
     # Collision-equivalent to the oracle's string shingles (~n²/2⁶⁴ odds;
@@ -213,8 +219,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = staged.select("doc_id", "source", shingles.alias("shingles")).withColumn(
         "n_sh", F.size("shingles")
     )
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # size(shingles) > 0 filter (InferFiltersFromGenerate) and push it below
+    # the repartition exchange — serially re-evaluating the whole shingle
+    # pipeline in the narrow scan stage. The arrays here are never empty
+    # (sequence lower bound 1), so outer semantics are identical.
     flat = sh.select(
-        "doc_id", "source", "n_sh", F.explode("shingles").alias("sh")
+        "doc_id", "source", "n_sh", F.explode_outer("shingles").alias("sh")
     ).cache()  # reused by both sides of the self-join — compute once
     a = flat.select(
         F.col("doc_id").alias("doc_a"),
@@ -228,9 +239,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sh").alias("nb"),
         F.col("sh").alias("sh_b"),
     )
+    # SHUFFLE_HASH hint: the exploded shingle table is big (|docs| × ~50 at
+    # any real scale) — broadcasting one side would bottleneck on the driver
+    # here and be impossible at 100 TB; hash-partitioning both sides on the
+    # shingle key is the plan that survives the scale-up.
     inter = (
         a.join(
-            b,
+            b.hint("SHUFFLE_HASH"),
             (F.col("sh_a") == F.col("sh_b"))
             & (F.col("src_a") == F.col("src_b"))
             & (F.col("doc_a") < F.col("doc_b")),
