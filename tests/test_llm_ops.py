@@ -116,3 +116,16 @@ def test_knn_predicts_valid_labels(spark):
     assert set(pred.pred_label).issubset(labels)
     assert len(pred) == 20  # one prediction per probe vector
     assert (pred.votes >= 1).all() and (pred.votes <= 10).all()
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=3 of 16 cells must recover a meaningful share of the
+    exact top-5; candidate similarities must match the exact kernel."""
+    exact = _run(spark, "sim_topk_bruteforce").toPandas()
+    approx = _run(spark, "sim_ann_ivf").toPandas()
+    exact_pairs = set(zip(exact.qid, exact.vec_id))
+    approx_pairs = set(zip(approx.qid, approx.vec_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
+    merged = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
+    assert (merged.cos_sim_e == merged.cos_sim_a).all()

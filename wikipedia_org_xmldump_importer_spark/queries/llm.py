@@ -598,3 +598,99 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx, 6).alias("scale"),
         F.transform(e, lambda x: F.round(x / mx * 127, 0).cast("int")).alias("codes"),
     )
+
+
+# --------------------------------------------------------------------------
+# l10 — IVF (inverted-file) ANN: coarse quantizer + nprobe cell search
+# --------------------------------------------------------------------------
+
+_N_IVF_CELLS = 16
+_IVF_NPROBE = 3
+
+
+@register("sim_ann_ivf", oracle=None)  # cell assignment engine-specific; recall tested
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF: assign every vector to its nearest coarse-centroid
+    cell, then search each probe's nprobe closest cells only — the other
+    classic scale path next to sim_ann_lsh's hyperplane buckets.
+
+    The coarse quantizer here is deterministic (centroids = the first
+    _N_IVF_CELLS corpus vectors; a production build would k-means them —
+    IVF mechanics are identical either way): one GEMM assigns cells, the
+    candidate join is equi on cell id, and the exact cosine kernel scores
+    within cells. Recall vs brute force is property-tested.
+
+    100 TB notes: the centroid table is tiny and broadcast; the corpus is
+    hash-partitioned by cell (bounded skew: cells ≈ balanced after k-means);
+    per-probe work is |corpus| × nprobe / n_cells instead of |corpus|.
+    Recall knob = nprobe; cost knob = n_cells (√n is the classic choice)."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = emb.filter(F.col("vec_id") < _N_IVF_CELLS).collect()
+    cents = np.array([r.v for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        """Cell = argmax cosine vs the broadcast centroids (one GEMM)."""
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            sims = (vecs / norms[:, None]) @ b_cents.value.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "norm": norms,
+                    "cell": sims.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    def probe_cells(batches):
+        """Each probe expands to its _IVF_NPROBE closest cells."""
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            sims = (vecs / norms[:, None]) @ b_cents.value.T
+            top = np.argsort(-sims, axis=1)[:, :_IVF_NPROBE]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["vec_id"].to_numpy().repeat(_IVF_NPROBE),
+                    "qv": pdf["v"].to_numpy().repeat(_IVF_NPROBE),
+                    "qnorm": norms.repeat(_IVF_NPROBE),
+                    "qcell": top.reshape(n * _IVF_NPROBE).astype("int32"),
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, schema="vec_id bigint, v array<double>, norm double, cell int"
+    )
+    probes = emb.filter(F.col("vec_id") < 20).mapInPandas(
+        probe_cells, schema="qid bigint, qv array<double>, qnorm double, qcell int"
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(
+            cosine(F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return cand.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 5
+    )
