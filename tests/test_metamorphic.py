@@ -77,3 +77,17 @@ def test_quantize_roundtrip_error_bounded(spark):
         .collect()[0]
     )
     assert row.worst <= 1e-6, f"quantization error exceeds half-step by {row.worst}"
+
+
+def test_hll_sketch_merge_is_lossless(spark):
+    """Partition-wise HLL sketches unioned must estimate exactly what the
+    single-pass sketch estimates, and land within HLL error of exact."""
+    row = REGISTRY["agg_hll_mergeable"].fn(spark, SF_SMOKE).collect()[0]
+    assert row.merge_lossless
+    exact = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(row.merged_users - exact) / exact < 0.05

@@ -293,3 +293,32 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
     )
+
+
+@register("agg_hll_mergeable", oracle=None)  # sketch bytes engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (DataSketches): build one sketch per
+    event_type partition, union the sketches, estimate the global distinct
+    user count — the re-aggregatable form a 100 TB rollup store needs
+    (per-partition sketches persist; any slice re-aggregates without
+    touching raw data).
+
+    Property-tested: merged estimate == the single-pass estimate, and both
+    within HLL error of the exact count. Rows-only (DuckDB has no
+    DataSketches HLL; estimates are engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.approx_count_distinct("user_id").alias("type_approx_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_users")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_users")
+    )
+    return merged.crossJoin(direct).select(
+        "merged_users",
+        "direct_users",
+        (F.col("merged_users") == F.col("direct_users")).alias("merge_lossless"),
+    )

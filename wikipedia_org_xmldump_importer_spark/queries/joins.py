@@ -247,3 +247,45 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.o_orderkey").alias("ok1"),
         F.col("b.o_orderkey").alias("ok2"),
     )
+
+
+_SALT_ORACLE = """
+SELECT n.n_name AS nation_name,
+       COUNT(*) AS n_cust,
+       ROUND(SUM(c.c_acctbal), 2) AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+_N_SALTS = 8
+
+
+@register("join_skew_salted", oracle=_SALT_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side adds a random-ish salt
+    (deterministic here: pmod(xxhash64(row-id), N)), the dim side explodes
+    ×N, and the join key becomes (key, salt) — splitting any hot key's rows
+    across N tasks. Result provably identical to the plain join (the SQL
+    oracle IS the unsalted join).
+
+    100 TB notes: this is the manual fallback when AQE's skew-join split
+    can't help (e.g. skewed key feeding a groupBy on the same key, or
+    pre-AQE engines). Costs: dim side ×N rows (fine for dims), fact side
+    unchanged. N sizes to worst-key-rows / target-partition-rows."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.pmod(F.xxhash64("c_custkey"), F.lit(_N_SALTS)).cast("int")
+    )
+    nation = load_table(spark, sf_dir, "nation").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1)))
+    )
+    return (
+        cust.join(
+            nation,
+            (cust.c_nationkey == nation.n_nationkey) & (cust.salt == nation.salt),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
