@@ -30,8 +30,11 @@ GROUP BY token
 def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term/document frequency. 100 TB: explode-then-aggregate with
     map-side combine; token skew (stopwords) is absorbed by partial aggs —
-    the shuffle carries one row per (partition, token)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the shuffle carries one row per (partition, token). Repartition first:
+    few input splits would serialize the explode + partial agg."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
@@ -121,8 +124,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB notes: tokens×48 intermediate rows, but partial aggregation
     collapses to doc×48 before the shuffle and doc×1 after; integer-only
-    math stays in whole-stage codegen end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
+    math stays in whole-stage codegen end-to-end. Repartition first: few
+    input splits would serialize the tokens×48 expansion."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     h = tok.select(
         "doc_id",
