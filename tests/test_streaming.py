@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 from conftest import SF_SMOKE
+from pyspark.sql import functions as F
 
 from wikipedia_org_xmldump_importer_spark.io import load_table
 from wikipedia_org_xmldump_importer_spark.sources.stream_events import (
@@ -176,3 +177,33 @@ def test_stream_stream_join_runs(spark, tmp_path):
         & (bv.v_ts >= bp.p_ts - __import__("pyspark").sql.functions.expr("INTERVAL 1 HOUR")),
     ).select("event_id", "user_id", "p_ts", "v_ts")
     _assert_stream_equals_batch(got, want)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """st6b: transformWithStateInPandas end-state == batch groupBy agg.
+
+    Requires google.protobuf at runtime (the state-server protocol);
+    unavailable in this container, so the test self-skips there — the
+    applyInPandasWithState funnel (st6) stays the always-tested path."""
+    import pytest  # noqa: PLC0415
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+    except ImportError:
+        pytest.skip("google.protobuf unavailable — transformWithState needs it")
+    staged = _staged(spark, tmp_path)
+    stream = ops.running_user_totals(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "twstate", output_mode="update").toPandas()
+    # update mode emits one row per (user, micro-batch); the LAST row per
+    # user is the end state
+    final = got.groupby("user_id").last().reset_index()
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (abs(merged.total_value_s - merged.total_value_b) < 1e-6).all()

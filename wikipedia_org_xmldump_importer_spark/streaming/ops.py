@@ -174,3 +174,51 @@ def stream_stream_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
         & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
     )
     return p.join(v, cond, "inner").select("event_id", "user_id", "p_ts", "v_ts")
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """st6b: per-user running (count, total value) via Spark 4's
+    transformWithStateInPandas — the successor API to applyInPandasWithState
+    (typed per-key state handles, timers, TTL). Emits the updated running
+    state for each user every micro-batch; the end state equals the batch
+    groupBy count/sum (asserted in tests).
+
+    100 TB notes: state = one (long, double) per active user in the state
+    store (RocksDB in production); no watermark needed for monotone running
+    totals, add handle timers/TTL to reap idle users.
+
+    Runtime requirement: google.protobuf (the transformWithState state-server
+    protocol) — absent in some environments; the test self-skips there and
+    funnel_state_machine (applyInPandasWithState) is the fallback API."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
