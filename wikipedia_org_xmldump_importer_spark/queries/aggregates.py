@@ -322,3 +322,29 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "direct_users",
         (F.col("merged_users") == F.col("direct_users")).alias("merge_lossless"),
     )
+
+
+_ARGMINMAX_ORACLE = """
+SELECT c_nationkey,
+       arg_max(c_name, c_acctbal) AS richest,
+       arg_min(c_name, c_acctbal) AS poorest,
+       ROUND(max(c_acctbal), 2) AS max_bal,
+       ROUND(min(c_acctbal), 2) AS min_bal
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_argminmax", oracle=_ARGMINMAX_ORACLE)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by): the latest-revision-per-page lookup
+    shape (SURVEY §2.5 w7) as a single aggregate instead of a window — one
+    shuffle, no sort. Values are continuous doubles, so the argmax is
+    tie-free (hash-verified against DuckDB's arg_max)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )

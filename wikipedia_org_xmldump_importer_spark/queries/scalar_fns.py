@@ -344,3 +344,64 @@ def fn_hash_noncrypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("text").alias("text_xx64"),
         F.crc32("text").alias("text_crc32"),
     )
+
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, o_custkey) AS keys_xor,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+"""
+
+
+@register("fn_bitwise", oracle=_BITWISE_ORACLE)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops — flags, shards, bloom/bitmap arithmetic. Narrow
+    codegen'd projection, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("keys_xor"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+_DATEPART_ORACLE = """
+SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS VARCHAR) AS plus_3mo,
+       CAST(o_orderdate - INTERVAL 90 DAY AS VARCHAR) AS minus_90d
+FROM orders
+"""
+
+
+@register("fn_datepart", oracle=_DATEPART_ORACLE)
+def fn_datepart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar parts + interval arithmetic (f2 companion): quarter / ISO
+    week / day-of-year extraction and month-granular interval shifts, the
+    partition-key derivations a time-partitioned lake uses."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(d + F.expr("INTERVAL 3 MONTH"), "yyyy-MM-dd HH:mm:ss").alias(
+            "plus_3mo"
+        ),
+        F.date_format(d - F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd HH:mm:ss").alias(
+            "minus_90d"
+        ),
+    )
