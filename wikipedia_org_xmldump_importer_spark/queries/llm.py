@@ -431,25 +431,70 @@ SELECT qid, label AS pred_label, votes FROM (
 @register("classify_knn", oracle=_L8_ORACLE)
 def classify_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-NN majority label per probe vector (ties → smallest label).
-    Composes the l3 kernel + group-count + argmax window."""
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
-    probe = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"),
-        as_double(F.col("embedding")).alias("qv"),
-        F.col("norm").alias("qnorm"),
+
+    Scoring is the block-nested GEMM kernel (SURVEY §4.3): the probe matrix
+    is broadcast once, the train corpus streams through executors in Arrow
+    batches, each batch scores itself with one `V @ Q.T` and emits only its
+    LOCAL top-10 per probe — so the shuffle into the global re-rank window
+    carries ≤ 10·|probes| rows per batch, never the n×|probes| score matrix.
+    Batch-local then global top-k by the same (rounded cos desc, vec_id asc)
+    ordering is exact: every global top-10 row is top-10 within its batch.
+
+    100 TB notes: identical plan shape at scale — corpus scanned once, no
+    all-pairs shuffle; for large probe sets chunk the broadcast probe matrix
+    and union. Replaces a BroadcastNestedLoopJoin + interpreted-HOF fold
+    (~10-100× slower per NOTES.md trap #5)."""
+    import numpy as np  # noqa: PLC0415
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_rows = (
+        emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .collect()
     )
-    train = emb.filter(F.col("vec_id") >= 20)
-    scored = train.join(F.broadcast(probe)).select(
-        "qid",
-        "vec_id",
-        "label",
-        F.round(
-            cosine(as_double(F.col("embedding")), F.col("qv"), F.col("norm"), F.col("qnorm")),
-            6,
-        ).alias("cos_sim"),
+    qids = np.array([r.vec_id for r in probe_rows], dtype=np.int64)
+    qmat = np.array([r.v for r in probe_rows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    b_probe = spark.sparkContext.broadcast((qids, qmat))
+
+    train = emb.filter(F.col("vec_id") >= 20).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+
+    def batch_topk(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        qi, qm = b_probe.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = np.round(v @ qm.T, 6)
+            cid = pdf["vec_id"].to_numpy()
+            lab = pdf["label"].to_numpy()
+            frames = []
+            for j in range(len(qi)):
+                # lexsort: primary rounded-sim desc, tiebreak vec_id asc
+                order = np.lexsort((cid, -sims[:, j]))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qi[j],
+                            "vec_id": cid[order],
+                            "label": lab[order],
+                            "cos_sim": sims[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    scored = train.mapInPandas(
+        batch_topk, schema="qid bigint, vec_id bigint, label int, cos_sim double"
     )
     w_knn = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    knn = scored.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= 10)
+    knn = scored.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= k)
     votes = knn.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
     w_vote = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label").asc())
     return (
