@@ -106,8 +106,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse into the same projection and re-evaluate the whole expression.
     # One explode + one groupBy computes every signature as a codegen'd MIN
     # aggregate over seeded rehashes of the shingle hash; the hashed shingle
-    # set rides along (collect_set) for the exact-Jaccard verify. Cached:
-    # reused by the band explode AND both sides of the verify join.
+    # set rides along (collect_set) for the exact-Jaccard verify. The band
+    # explode AND both sides of the verify join consume this sub-plan, but no
+    # .cache() is needed: all three consumers sit above the same
+    # canonicalized Exchange(hash(doc_id)), so ReuseExchange shares the
+    # shuffle files (2 ReusedExchange nodes in the executed plan); caching
+    # on top only added block-manager writes + GC pressure (NOTES.md #7).
     # explode_outer: plain explode would make Catalyst infer a size>0 filter
     # and push the whole shingle expression below the repartition exchange,
     # re-evaluating it serially in the scan stage (see textops counterpart).
@@ -115,7 +119,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_df = flat.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"sig{i}") for i in range(n_sig)],
         F.collect_set("h").alias("hset"),
-    ).cache()
+    )
     r = n_sig // n_bands
     bands = F.array(
         *[
@@ -651,6 +655,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_IVF_CELLS = 16
 _IVF_NPROBE = 3
+_IVF_KMEANS_ITERS = 5
 
 
 @register("sim_ann_ivf", oracle=None)  # cell assignment engine-specific; recall tested
@@ -659,24 +664,44 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, then search each probe's nprobe closest cells only — the other
     classic scale path next to sim_ann_lsh's hyperplane buckets.
 
-    The coarse quantizer here is deterministic (centroids = the first
-    _N_IVF_CELLS corpus vectors; a production build would k-means them —
-    IVF mechanics are identical either way): one GEMM assigns cells, the
-    candidate join is equi on cell id, and the exact cosine kernel scores
-    within cells. Recall vs brute force is property-tested.
+    The coarse quantizer is a deterministic spherical k-means: init = the
+    first _N_IVF_CELLS corpus vectors (stable ids, no RNG), then
+    _IVF_KMEANS_ITERS Lloyd rounds on a driver-side training sample —
+    assign by cosine, re-center by mean, renormalize, keep the old centroid
+    for empty cells. Same inputs → bit-identical centroids on every run and
+    engine. One GEMM then assigns cells, the candidate join is equi on cell
+    id, and the exact cosine kernel scores within cells. Recall vs brute
+    force is property-tested.
 
-    100 TB notes: the centroid table is tiny and broadcast; the corpus is
-    hash-partitioned by cell (bounded skew: cells ≈ balanced after k-means);
-    per-probe work is |corpus| × nprobe / n_cells instead of |corpus|.
-    Recall knob = nprobe; cost knob = n_cells (√n is the classic choice)."""
+    100 TB notes: the centroid table is tiny and broadcast; training needs
+    only a bounded sample (vec_id-hash sampled here — at web scale train on
+    ~256k sampled vectors driver-side or via spark.ml KMeans, mechanics
+    unchanged); the corpus is hash-partitioned by cell (k-means balances
+    cells far better than arbitrary seed vectors); per-probe work is
+    |corpus| × nprobe / n_cells instead of |corpus|. Recall knob = nprobe;
+    cost knob = n_cells (√n is the classic choice)."""
     import numpy as np  # noqa: PLC0415
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    cent_rows = emb.filter(F.col("vec_id") < _N_IVF_CELLS).collect()
-    cents = np.array([r.v for r in cent_rows], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # Deterministic bounded training sample: xxhash64-style modulus on
+    # vec_id, not .sample() (RNG) and not .limit() (partition-order
+    # dependent). ≤ ~4k vectors train fine for 16 cells.
+    train_rows = emb.filter(F.col("vec_id") % 4 == 0).collect()
+    tmat = np.array([r.v for r in train_rows], dtype=np.float64)
+    tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
+    tids = np.array([r.vec_id for r in train_rows])
+    cents = tmat[np.argsort(tids)[:_N_IVF_CELLS]].copy()
+    for _ in range(_IVF_KMEANS_ITERS):
+        assign_t = (tmat @ cents.T).argmax(axis=1)
+        for c in range(_N_IVF_CELLS):
+            members = tmat[assign_t == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cents[c] = m / nrm
     b_cents = spark.sparkContext.broadcast(cents)
 
     def assign(batches):

@@ -210,3 +210,46 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+_ST7B_ORACLE = """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
+@register("stream_stream_join", oracle=_ST7B_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded stream-stream join (purchases × views within the
+    preceding hour, per user) — batch twin of streaming/ops.py
+    stream_stream_join, which runs the same predicate with watermarks on
+    both sides so each side's join state stays bounded.
+
+    Timestamps are emitted as epoch-microsecond longs (ts_us rides along
+    from io.load_table) — integer-exact across engines.
+
+    100 TB notes: Catalyst plans this as an equi-join on user_id with the
+    interval predicate as a join-level filter — one shuffle per side on the
+    join key; the time band never becomes a nested-loop. In streaming the
+    same shape is incremental: watermark + interval bound ⇒ each view row
+    is dropped from state one hour past its event time."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("ts_us").alias("v_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), F.col("ts_us").alias("p_us")
+    )
+    cond = (
+        (p.user_id == v.v_user)
+        & (v.v_ts <= p.p_ts)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    return p.join(v, cond, "inner").select("event_id", "user_id", "p_us", "v_us")

@@ -9,7 +9,7 @@ even the hash-heavy SimHash is exact-integer math with a full SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -230,9 +230,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the repartition exchange — serially re-evaluating the whole shingle
     # pipeline in the narrow scan stage. The arrays here are never empty
     # (sequence lower bound 1), so outer semantics are identical.
+    # No .cache() for the self-join reuse: both sides shuffle on the same
+    # canonicalized plan, so ReuseExchange computes the shingle pipeline ONCE
+    # and the build side reads the same shuffle files (verified in the
+    # executed plan). Caching on top of that only added block-manager writes
+    # and GC pressure (NOTES.md trap #7).
     flat = sh.select(
         "doc_id", "source", "n_sh", F.explode_outer("shingles").alias("sh")
-    ).cache()  # reused by both sides of the self-join — compute once
+    )
     a = flat.select(
         F.col("doc_id").alias("doc_a"),
         F.col("source").alias("src_a"),
@@ -565,4 +570,172 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "frame_idx",
         F.md5(F.concat_ws(":", "content_md5", "frame_idx")).alias("frame_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# document chunking with overlap (the pre-tokenization training-data step)
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST(off / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       off AS char_start,
+       substring(text, off + 1, {_CHUNK_SIZE}) AS chunk,
+       CAST(length(substring(text, off + 1, {_CHUNK_SIZE})) AS INTEGER) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), {_CHUNK_STRIDE})) AS off
+  FROM documents
+)
+"""
+
+
+@register("doc_chunk_overlap", oracle=_CHUNK_ORACLE)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size character chunking with overlap — the standard step that
+    turns long documents into training/RAG windows (chunk 200, stride 150,
+    so consecutive chunks share 50 chars and no byte is lost at borders).
+
+    100 TB notes: pure narrow explode — zero shuffles; output rows ≈
+    total_chars/stride, so the op is scan-bound and parallelism = input
+    splits. The offset sequence is bounded by the row's own length (no
+    driver-side max), and substring on the JVM never copies the whole text
+    per chunk. Downstream tokenizer stages consume (doc_id, chunk_id) as
+    the stable chunk key."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    off = F.explode(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE))
+    ).alias("char_start")
+    staged = docs.select("doc_id", "text", off)
+    chunk = F.substring(F.col("text"), F.col("char_start") + 1, _CHUNK_SIZE)
+    return staged.select(
+        "doc_id",
+        (F.col("char_start") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        "char_start",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus TF-IDF, top terms per document
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("text_tfidf", oracle=_TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic relevance/quality
+    signal over a corpus (text_tf's df output composed into a per-doc
+    ranking).
+
+    100 TB notes: two aggregations + one join, all on the token key. The
+    document-frequency side collapses to |vocab| rows before the join, so
+    Catalyst broadcast it here (vocab ≪ corpus); at web scale the tf⋈df
+    join falls back to shuffle-on-token, where stopword skew is absorbed by
+    partial aggs upstream and AQE skew-split at the join. The per-doc top-5
+    runs as a rank-filtered window (WindowGroupLimit keeps a 5-heap per
+    doc, never a full sort)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    n_docs = docs.count()  # one cheap count job; a literal keeps ln() foldable
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII masking (regex scrub before training)
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_NUM_RE = "[0-9]{6,}"
+
+_PII_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ref '
+              || CAST(doc_id * 7919 + 1000000 AS VARCHAR) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_NUM_RE}', '<NUM>', 'g') AS masked,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_NUM_RE}')) AS INTEGER) AS n_nums
+FROM staged
+"""
+
+
+@register("pii_mask", oracle=_PII_ORACLE)
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, long digit runs) + per-doc match counts —
+    the mandatory pre-training redaction pass. The corpus is word-soup, so
+    a deterministic synthetic email/number tail is appended first (both
+    engines compute the same tail) to make the masking observable.
+
+    100 TB notes: narrow projection, no shuffle; regexes are RE2/Java-
+    compatible (no lookbehind). At scale this runs fused with the scan —
+    the regex cost is the whole cost, so anchor patterns and avoid
+    catastrophic-backtracking constructs (both patterns are linear)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919 + 1000000).cast("string"),
+    )
+    staged = docs.select("doc_id", raw.alias("raw"))
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return staged.select(
+        "doc_id",
+        masked.alias("masked"),
+        F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_NUM_RE), F.lit(0))).alias("n_nums"),
     )
