@@ -129,3 +129,33 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.15, f"IVF recall collapsed: {recall:.3f}"
     merged = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
     assert (merged.cos_sim_e == merged.cos_sim_a).all()
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation resolves a 10-node path to one component (the
+    worst diameter case for plain propagation) and leaves an isolated
+    vertex alone."""
+    from wikipedia_org_xmldump_importer_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "a long, b long")
+    verts = spark.createDataFrame(
+        [(i,) for i in [*range(10), 100]], "id long"
+    )
+    got = {r.id: r.comp for r in connected_components(verts, edges).collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[100] == 100
+
+
+def test_dedup_cluster_partitions_corpus(spark):
+    """Clusters partition the corpus: sizes sum to |docs|, every doc appears
+    once, and cluster_id is the min doc_id of its cluster."""
+    from wikipedia_org_xmldump_importer_spark.io import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    cc = _run(spark, "dedup_cluster_cc").toPandas()
+    assert len(cc) == n_docs
+    assert cc.doc_id.is_unique
+    assert (cc.groupby("cluster_id").size() == cc.groupby("cluster_id").cluster_size.first()).all()
+    assert (cc.groupby("cluster_id").doc_id.min() == cc.groupby("cluster_id").cluster_id.first()).all()

@@ -739,3 +739,117 @@ def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("raw", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all("raw", F.lit(_NUM_RE), F.lit(0))).alias("n_nums"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup cluster resolution: fingerprint star edges + connected components
+# --------------------------------------------------------------------------
+
+_CC_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN md5(text)
+         ELSE list_min(list_transform(generate_series(1, len(t) - 2),
+                i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+    END AS fp_min,
+    CASE WHEN len(t) < 3 THEN md5(text)
+         ELSE list_max(list_transform(generate_series(1, len(t) - 2),
+                i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+    END AS fp_max
+  FROM toks
+),
+e1 AS (SELECT doc_id AS a, MIN(doc_id) OVER (PARTITION BY fp_min) AS b FROM fp),
+e2 AS (SELECT doc_id AS a, MIN(doc_id) OVER (PARTITION BY fp_max) AS b FROM fp),
+edges AS (
+  SELECT a, b FROM e1 WHERE a <> b
+  UNION
+  SELECT a, b FROM e2 WHERE a <> b
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lab FROM fp
+  UNION
+  SELECT s.a AS doc, r.lab FROM sym s JOIN reach r ON r.doc = s.b
+),
+lab AS (SELECT doc, MIN(lab) AS cluster_id FROM reach GROUP BY doc)
+SELECT doc AS doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
+@register("dedup_cluster_cc", oracle=_CC_ORACLE)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: the union-find step that turns
+    fingerprint collisions into clusters so one keeper survives per cluster
+    — pairs alone (dedup_near_minhash etc.) can't dedup A≈B≈C without it.
+
+    Candidate edges come from TWO fingerprints per doc (min- and max-md5
+    3-gram — the same kernel as text_fingerprint), so clusters genuinely
+    chain across hops: A~B via the min-shingle, B~C via the max-shingle ⇒
+    {A,B,C} is one cluster. Each fingerprint group contributes STAR edges
+    (every doc → the group's min doc), never pairwise — |group| edges, no
+    quadratic blowup on boilerplate groups. Components are resolved by
+    operators/graph.py min-label propagation run to fixpoint; the DuckDB
+    oracle recomputes them independently with a recursive CTE, so the
+    iterative Spark machinery is hash-checked end-to-end.
+
+    100 TB notes: fingerprints are a narrow scan-fused map; the star-edge
+    build is one window (or group-join) per fingerprint; each CC round is
+    one equi-join + partial-agg groupBy with lineage cut by
+    localCheckpoint. Diameter (= rounds) stays small because star edges
+    flatten every group to depth 1; see graph.py for the O(log n)
+    large-star variant at web scale."""
+    from ..operators.graph import connected_components  # noqa: PLC0415
+
+    # Repartition: the md5-shingle hashing is the CPU-heavy stage and must
+    # spread across cores, not inherit one input split (NOTES.md trap #3).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    staged = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    # Name the shingle array so min AND max read ONE evaluation —
+    # CollapseProject keeps the alias because it is referenced twice
+    # (trap #4 would otherwise hash every shingle twice).
+    hashed = staged.select(
+        "doc_id", "text", F.size(toks).alias("n_toks"), shingle_hashes.alias("sh")
+    )
+    short = F.col("n_toks") < 3
+    fps = hashed.select(
+        "doc_id",
+        F.when(short, F.md5(F.col("text"))).otherwise(F.array_min("sh")).alias("fp_min"),
+        F.when(short, F.md5(F.col("text"))).otherwise(F.array_max("sh")).alias("fp_max"),
+    )
+    edges = None
+    for fp_col in ("fp_min", "fp_max"):
+        grp_min = F.min("doc_id").over(Window.partitionBy(fp_col))
+        e = (
+            fps.select(F.col("doc_id").alias("a"), grp_min.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        edges = e if edges is None else edges.union(e)
+    edges = edges.distinct()
+    labels = connected_components(
+        fps.select(F.col("doc_id").alias("id")), edges
+    )
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
