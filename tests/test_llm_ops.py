@@ -5,6 +5,7 @@ plumbing."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from conftest import SF_SMOKE
 
 from wikipedia_org_xmldump_importer_spark.io import load_table
@@ -131,10 +132,12 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert (merged.cos_sim_e == merged.cos_sim_a).all()
 
 
-def test_connected_components_chain(spark):
-    """Min-label propagation resolves a 10-node path to one component (the
-    worst diameter case for plain propagation) and leaves an isolated
-    vertex alone."""
+@pytest.mark.parametrize("small_graph_edges", [1_000_000, 0])
+def test_connected_components_chain(spark, small_graph_edges):
+    """A 10-node path (the worst diameter case) resolves to one component
+    and an isolated vertex stays alone — on BOTH kernels: the single-task
+    union-find (threshold 1M) and the iterative min-label propagation
+    (threshold 0 forces the at-scale join loop)."""
     from wikipedia_org_xmldump_importer_spark.operators.graph import (
         connected_components,
     )
@@ -143,7 +146,12 @@ def test_connected_components_chain(spark):
     verts = spark.createDataFrame(
         [(i,) for i in [*range(10), 100]], "id long"
     )
-    got = {r.id: r.comp for r in connected_components(verts, edges).collect()}
+    got = {
+        r.id: r.comp
+        for r in connected_components(
+            verts, edges, small_graph_edges=small_graph_edges
+        ).collect()
+    }
     assert all(got[i] == 0 for i in range(10))
     assert got[100] == 100
 

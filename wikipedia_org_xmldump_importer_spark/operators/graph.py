@@ -27,9 +27,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this many edges the whole graph fits ONE task (two long columns at
+# 1M edges ≈ 16 MB), and the iterative join loop's cost is pure scheduling:
+# each round is ~7 exchanges × AQE stage latency regardless of data size.
+# Solve those single-task graphs with in-partition union-find instead —
+# same result, one shuffle + one Arrow batch. This mirrors AQE's own
+# adaptivity (e.g. SMJ→BHJ on observed size), which cannot see across the
+# rounds of a driver loop, so the operator must adapt itself.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _solve_single_task(vertices: DataFrame, edges_mat: DataFrame) -> DataFrame:
+    """Union-find (path compression) inside one applyInPandas task.
+
+    Correct only because the caller guarantees edges_mat fits a single
+    group; the groupBy(lit(0)) shuffles every edge into that one group.
+    Vertices absent from every edge are isolated → comp = own id, via the
+    left join + coalesce (keeps the vertex side fully distributed).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[ra] = rb
+        nodes = set(map(int, pdf["a"])) | set(map(int, pdf["b"]))
+        root_min: dict[int, int] = {}
+        roots = {n: find(n) for n in nodes}
+        for n, r in roots.items():
+            root_min[r] = min(root_min.get(r, n), n)
+        return pd.DataFrame(
+            {"id": list(roots), "comp": [root_min[r] for r in roots.values()]}
+        )
+
+    found = (
+        edges_mat.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(lambda pdf: _uf(pdf), "id long, comp long")
+    )
+    return (
+        vertices.select("id")
+        .join(found, "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+    )
+
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Min-label propagation to fixpoint.
 
@@ -40,9 +97,12 @@ def connected_components(
     # Materialize the (possibly expensive) edge pipeline ONCE — without this
     # every propagation round replays the upstream plan that produced the
     # edges (fingerprint hashing, windows, ...), which dominated the loop.
+    edges_mat = edges.select("a", "b").localCheckpoint(eager=True)
+    if edges_mat.count() <= small_graph_edges:
+        return _solve_single_task(vertices, edges_mat)
     sym = (
-        edges.select("a", "b")
-        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges_mat
+        .union(edges_mat.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)
     )
     # Right-size the loop's parallelism to the materialized graph: a few

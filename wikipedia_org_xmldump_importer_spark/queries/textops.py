@@ -830,11 +830,16 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", F.size(toks).alias("n_toks"), shingle_hashes.alias("sh")
     )
     short = F.col("n_toks") < 3
+    # Materialize the fingerprints ONCE: the two star-edge windows partition
+    # by DIFFERENT keys (fp_min vs fp_max), so ReuseExchange cannot share
+    # them and each would replay the full md5-shingle pipeline — as would
+    # the vertex list. One narrow (doc_id, fp_min, fp_max) frame is tiny
+    # relative to the hashing it saves, at any scale.
     fps = hashed.select(
         "doc_id",
         F.when(short, F.md5(F.col("text"))).otherwise(F.array_min("sh")).alias("fp_min"),
         F.when(short, F.md5(F.col("text"))).otherwise(F.array_max("sh")).alias("fp_max"),
-    )
+    ).localCheckpoint(eager=True)
     edges = None
     for fp_col in ("fp_min", "fp_max"):
         grp_min = F.min("doc_id").over(Window.partitionBy(fp_col))
