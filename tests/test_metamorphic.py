@@ -59,6 +59,8 @@ def test_quantize_roundtrip_error_bounded(spark):
     quantization step (scale/254) of the original embedding."""
     emb = load_table(spark, SF_SMOKE, "embeddings")
     q = REGISTRY["vec_quantize_int8"].fn(spark, SF_SMOKE)
+    # codes leave the operator serialized (harness schema contract) —
+    # re-parse the comma-joined string back to array<int> for the check.
     row = (
         emb.join(q, "vec_id")
         .select(
@@ -66,7 +68,7 @@ def test_quantize_roundtrip_error_bounded(spark):
                 F.array_max(
                     F.zip_with(
                         F.col("embedding").cast("array<double>"),
-                        F.col("codes"),
+                        F.split(F.col("codes"), ",").cast("array<int>"),
                         lambda x, c: F.abs(x - c * F.col("scale") / 127),
                     )
                 )

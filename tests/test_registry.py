@@ -1,0 +1,57 @@
+"""Registry-wide output contracts (SURVEY §5.1).
+
+The verification harness canonicalizes every query result with pandas
+``sort_values`` before hashing. List-like cells (array/map/struct columns)
+are unhashable there — ONE such column crashed the round-1 sweep at query 50
+of 91 and voided 41 correctness rows. These tests make the contract
+structural: no registered query may emit a non-atomic column, with or
+without an oracle (even rows-only results flow through the harness).
+"""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+from pyspark.sql import types as T
+
+from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+_NON_ATOMIC = (T.ArrayType, T.MapType, T.StructType)
+
+
+def test_every_query_output_is_atomic(spark):
+    """Schema-only check: builds each plan (no execution) and rejects any
+    array/map/struct output column anywhere in the registry."""
+    offenders = []
+    for name, qd in REGISTRY.items():
+        df = qd.fn(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, _NON_ATOMIC):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "non-atomic output columns would crash the harness canonicalizer: "
+        + "; ".join(offenders)
+    )
+
+
+def test_oracle_coverage_accounted():
+    """Every rows-only query (oracle=None) must be an op SURVEY §2 marks as
+    not-SQL-expressible; catches accidentally-dropped oracles."""
+    rows_only = sorted(name for name, qd in REGISTRY.items() if qd.oracle is None)
+    expected = sorted(
+        [
+            "agg_approx_distinct",  # a4: estimator internals engine-specific
+            "agg_hll_mergeable",  # x21: sketch bytes engine-specific
+            "sample_frac",  # o3: RNG engine-specific
+            "dedup_near_minhash",  # l2: banding prune not SQL-expressible
+            "sim_ann_lsh",  # x16: bucketing engine-specific
+            "sim_ann_ivf",  # x19: cell assignment engine-specific
+            "fn_hash_noncrypto",  # x15: sha1/xxhash64/crc32 absent in DuckDB 1.0
+            "mm_decode_stub",  # x13: stub decode output is declared fake
+        ]
+    )
+    assert rows_only == expected, (
+        f"rows-only set drifted: unexpected={set(rows_only) - set(expected)}, "
+        f"missing={set(expected) - set(rows_only)}"
+    )

@@ -115,6 +115,19 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qd.fn(spark, args.sf)
+            # The driver canonicalizes with pandas sort_values, which cannot
+            # hash list cells — its round-1 crash on one array column voided
+            # 41 correctness rows. Mirror that strictness here for EVERY
+            # query (rows-only included).
+            bad = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                print(f"FAIL  {name}: non-atomic output columns {bad} would crash the driver canonicalizer")
+                n_fail += 1
+                continue
             spdf = sdf.toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")

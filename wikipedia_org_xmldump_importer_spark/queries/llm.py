@@ -233,52 +233,85 @@ WHERE a.vec_id < b.vec_id
 
 @register("sim_threshold_join", oracle=_L4_ORACLE)
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.3), block-matrix form.
+    """Embedding-cosine near-dup pairs (cos ≥ 0.3), distributed block-matrix
+    self-join — EXACT all-pairs, nothing ever collected to the driver.
 
-    One side of the self-join is collected and broadcast as a dense
-    normalized float64 matrix; the other side streams through executors in
-    Arrow batches, and each batch scores itself against the broadcast matrix
-    with a single BLAS GEMM (`V @ M.T`) inside ``mapInPandas``. This replaces
-    the BroadcastNestedLoopJoin + interpreted-HOF kernel, which evaluated the
-    64-term fold per pair outside codegen (~25s → ~1s at sf0.1).
+    Every row lands in one of B hash blocks; each unordered block pair
+    (i ≤ j) becomes one cogroup, and inside the group a single BLAS GEMM
+    scores block i against block j (`A @ B.T`), emitting only the pairs over
+    the threshold in canonical (min_id, max_id) orientation. Each unordered
+    row pair is examined in exactly one group, so the result is exact —
+    identical semantics to the CROSS JOIN oracle without materializing n²
+    rows anywhere.
 
-    100 TB notes: the broadcast side must fit in executor memory (~1 GB per
-    2M × 64-dim float64 vectors). Beyond that, chunk the broadcast side and
-    union the chunk results, or prune candidates first with sim_ann_lsh's
-    hyperplane buckets and use this same GEMM kernel per bucket."""
+    100 TB notes: each row is shuffled B+1 times (its row in blocks i==j
+    plus one copy per partner block) — with B ≈ √parallelism that is the
+    textbook communication-optimal all-pairs schedule; no executor ever
+    holds more than two blocks (2·n/B rows), so memory is tunable by B
+    alone, and no driver-side state exists. Earlier form collected + torched
+    the whole corpus driver-side (fine at sf≤10, driver OOM at scale); the
+    cogroup GEMM keeps the same vectorized kernel (~10-100× over
+    interpreted HOF folds, NOTES.md trap #5) with bounded memory."""
     import numpy as np  # noqa: PLC0415
 
+    n_blocks = 6  # B+1 = 7 shuffle copies; B²/2 = 21 GEMM tasks at local[32]
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    rows = emb.collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    blocked = emb.withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    # A-side: row of block p participates in groups (p, j) for j >= p;
+    # B-side: groups (i, p) for i <= p. sequence() fans each row out to its
+    # partner blocks JVM-side — no driver-built pair table needed.
+    side_a = blocked.select(
+        "vec_id",
+        "v",
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    side_b = blocked.select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
 
-    def score(batches):
+    def block_gemm(left, right):
         import pandas as pd  # noqa: PLC0415
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf["v"].tolist(), dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            sims = np.round(v @ all_mat.T, 6)
-            rid = pdf["vec_id"].to_numpy()
-            ii, jj = np.nonzero((sims >= 0.3) & (rid[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": rid[ii],
-                    "vec_b": all_ids[jj],
-                    "cos_sim": sims[ii, jj],
-                }
+        if not len(left) or not len(right):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
             )
+        a = np.array(left["v"].tolist(), dtype=np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b = np.array(right["v"].tolist(), dtype=np.float64)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        sims = np.round(a @ b.T, 6)
+        aid = left["vec_id"].to_numpy()
+        bid = right["vec_id"].to_numpy()
+        mask = sims >= 0.3
+        if left["bi"].iat[0] == left["bj"].iat[0]:
+            # diagonal block: left and right hold the SAME rows, so each
+            # unordered pair appears twice — keep the aid<bid orientation.
+            # Off-diagonal blocks are disjoint: every cross pair appears
+            # exactly once and must be kept whatever its id order.
+            mask &= aid[:, None] < bid[None, :]
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(aid[ii], bid[jj]),
+                "vec_b": np.maximum(aid[ii], bid[jj]),
+                "cos_sim": sims[ii, jj],
+            }
+        )
 
-    return emb.mapInPandas(score, schema="vec_a bigint, vec_b bigint, cos_sim double")
+    return (
+        side_a.groupby("bi", "bj")
+        .cogroup(side_b.groupby("bi", "bj"))
+        .applyInPandas(block_gemm, schema="vec_a bigint, vec_b bigint, cos_sim double")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -622,7 +655,9 @@ sc AS (
 )
 SELECT vec_id,
        round(mx, 6) AS scale,
-       list_transform(e, x -> CAST(round(x / mx * 127) AS INTEGER)) AS codes
+       array_to_string(
+         list_transform(e, x -> CAST(round(x / mx * 127) AS INTEGER)), ','
+       ) AS codes
 FROM sc
 """
 
@@ -631,6 +666,12 @@ FROM sc
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar (max-abs) int8 quantization per embedding — the standard
     storage/ANN compression step: 4× smaller than float32, 8× than float64.
+
+    The code vector leaves the operator as a comma-joined STRING: integer
+    text renders identically on both engines, and the harness canonicalizer
+    cannot hash raw array cells (see fn_array_hof). A real pipeline would
+    sink the array<tinyint> column directly; the serialization is
+    verification plumbing only.
 
     100 TB notes: narrow per-row projection, no shuffle; at scale this is
     the write-side transform before the vector index build, and the scale
@@ -645,7 +686,9 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_scale.select(
         "vec_id",
         F.round(mx, 6).alias("scale"),
-        F.transform(e, lambda x: F.round(x / mx * 127, 0).cast("int")).alias("codes"),
+        F.array_join(
+            F.transform(e, lambda x: F.round(x / mx * 127, 0).cast("int")), ","
+        ).alias("codes"),
     )
 
 

@@ -243,13 +243,17 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _F7_ORACLE = """
-SELECT
-  vec_id,
-  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
-  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
-  round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
-  list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE) * 2 + 1, 4)) AS scaled_head
-FROM embeddings
+WITH t AS (
+  SELECT vec_id,
+         CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+         round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_all,
+         round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+         list_transform(list_slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE) * 2 + 1, 4)) AS sh
+  FROM embeddings
+)
+SELECT vec_id, n_pos, sum_all, l2,
+       sh[1] AS scaled_h0, sh[2] AS scaled_h1, sh[3] AS scaled_h2
+FROM t
 """
 
 
@@ -257,9 +261,15 @@ FROM embeddings
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order lambdas (transform/filter/aggregate) — all JVM-side
     Catalyst expressions; this is the no-UDF vector math path that the
-    similarity operators (l3/l4) build on."""
+    similarity operators (l3/l4) build on.
+
+    Output-schema contract: the transformed head is UNPACKED into scalar
+    double columns — the verification harness canonicalizes results with
+    pandas sort_values, which cannot hash list cells, so no registered query
+    may emit array/map/struct columns (tests/test_registry.py enforces)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dvec = F.col("embedding").cast("array<double>")
+    sh = F.transform(F.slice(dvec, 1, 3), lambda x: F.round(x * 2 + 1, 4))
     return emb.select(
         "vec_id",
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
@@ -267,25 +277,45 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2"),
-        F.transform(F.slice(dvec, 1, 3), lambda x: F.round(x * 2 + 1, 4)).alias(
-            "scaled_head"
-        ),
+        sh.getItem(0).alias("scaled_h0"),
+        sh.getItem(1).alias("scaled_h1"),
+        sh.getItem(2).alias("scaled_h2"),
     )
 
 
-@register("fn_map", oracle=None)  # map ordering is not canonical across engines
+# DuckDB 1.0 map[key] yields a LIST -> [1] extracts the scalar.
+_F8_ORACLE = """
+WITH m AS (
+  SELECT doc_id, map {'lang': lang, 'source': source} AS meta FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_sort(map_keys(meta)), ',') AS keys_sorted,
+       meta['lang'][1] AS lang_val,
+       meta['source'][1] AS source_val,
+       CAST(cardinality(meta) AS INTEGER) AS n_keys,
+       list_contains(map_keys(meta), 'lang') AS has_lang
+FROM m
+"""
+
+
+@register("fn_map", oracle=_F8_ORACLE)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map build/inspect. Rows-only per SURVEY §2.8 f8 (map key order is
-    engine-dependent); the *derived* scalar columns are deterministic."""
+    """Map build/inspect (f8). The map itself never leaves the operator —
+    raw map cells are engine-ordered (not canonical) AND unhashable by the
+    harness's pandas canonicalizer; every emitted column is a deterministic
+    scalar DERIVED from the map, which upgrades f8 from rows-only to a full
+    SQL oracle."""
     docs = load_table(spark, sf_dir, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
     )
     return docs.select(
         "doc_id",
-        m.alias("meta"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, F.lit("lang")).alias("lang_val"),
+        F.element_at(m, F.lit("source")).alias("source_val"),
+        F.size(m).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "lang").alias("has_lang"),
     )
 
 
