@@ -56,6 +56,31 @@ def test_minhash_finds_planted_near_dups(spark, tmp_path):
     assert (exact_dup_dists == 0.0).all()
 
 
+def test_minhash_hot_bucket_pair_output_is_bounded(spark):
+    """Skew cap (SURVEY §2 l2 100TB note): a degenerate bucket with far more
+    docs than _MINHASH_BUCKET_CAP must emit at most cap·(cap-1)/2 pairs —
+    the smallest doc_ids, deterministically — instead of the full quadratic
+    blowup a boilerplate bucket would otherwise produce."""
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        _MINHASH_BUCKET_CAP,
+        _bucket_pairs,
+    )
+
+    n_docs = 500  # one hot bucket with 500 members (≫ cap)
+    hot = spark.createDataFrame(
+        [(i, 0, 12345) for i in range(n_docs)], "doc_id long, band int, bh long"
+    )
+    pairs = _bucket_pairs(hot).toPandas()
+    cap = _MINHASH_BUCKET_CAP
+    assert len(pairs) == cap * (cap - 1) // 2  # bounded, not 500·499/2
+    assert pairs.doc_a.max() < cap and pairs.doc_b.max() < cap  # smallest ids kept
+    # a healthy small bucket is untouched
+    small = spark.createDataFrame(
+        [(i, 1, 777) for i in range(5)], "doc_id long, band int, bh long"
+    )
+    assert _bucket_pairs(small).count() == 5 * 4 // 2
+
+
 def test_approx_distinct_accuracy(spark):
     row = _run(spark, "agg_approx_distinct").collect()[0]
     rel_err = abs(row.approx_users - row.exact_users) / row.exact_users

@@ -76,11 +76,24 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Each carry value rides inside a struct whose outer nullability marks
+    # "is this a reference row", so last(..., ignorenulls) skips PROBE rows
+    # only — a legitimately-NULL carry value on the latest reference row is
+    # preserved (a bare last(when(...), ignorenulls) would skip that row and
+    # silently carry an older one, diverging from ASOF semantics on nullable
+    # carry columns).
     carried = unioned.select(
         "*",
         *[
-            F.last(F.when(F.col("__side") == 0, F.col(f"__carry_{a}")), ignorenulls=True)
+            F.last(
+                F.when(
+                    F.col("__side") == 0,
+                    F.struct(F.col(f"__carry_{a}").alias("v")),
+                ),
+                ignorenulls=True,
+            )
             .over(w)
+            .getField("v")
             .alias(a)
             for a in carry.values()
         ],

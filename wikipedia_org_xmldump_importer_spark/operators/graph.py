@@ -164,4 +164,13 @@ def connected_components(
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
+    else:
+        # Pointer jumping doubles label distance per round, so max_iter=25
+        # covers diameters up to ~2^25 — reaching here means the graph (or a
+        # bug) defeated that bound. Returning partial labels would silently
+        # merge/split clusters downstream; fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or check the edge pipeline for pathological input"
+        )
     return labels

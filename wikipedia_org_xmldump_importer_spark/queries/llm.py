@@ -17,6 +17,69 @@ from ..io import load_table
 from ..registry import register
 
 # --------------------------------------------------------------------------
+# Shared brute-force similarity kernel (l3 sim_topk_bruteforce + l8
+# classify_knn): broadcast probe matrix, Arrow-batched corpus GEMM with
+# batch-LOCAL top-k, then a global rank-filtered window re-rank. The local
+# top-k is exact for the global top-k because both rank by the same
+# (rounded cos desc, vec_id asc) order: any global top-k row is necessarily
+# top-k within its own batch.
+# --------------------------------------------------------------------------
+
+
+def _collect_probe_matrix(spark: SparkSession, emb: DataFrame, pred):
+    """Collect the bounded probe side (20 rows by construction here; chunk +
+    union for large probe sets at scale) and L2-normalize driver-side."""
+    import numpy as np  # noqa: PLC0415
+
+    rows = (
+        emb.filter(pred)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    qmat = np.array([r.v for r in rows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    return spark.sparkContext.broadcast((qids, qmat))
+
+
+def _gemm_local_topk(b_probe, k: int, carry_cols=(), exclude_self=False):
+    """mapInPandas kernel factory: per Arrow batch, one ``V @ Q.T`` GEMM
+    scores the whole batch against every probe, then a numpy lexsort keeps
+    the batch-local top-k per probe — the shuffle into the global re-rank
+    carries ≤ k·|probes| rows per batch, never the n×|probes| score matrix."""
+
+    def batch_topk(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        qi, qm = b_probe.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = np.round(v @ qm.T, 6)
+            cid = pdf["vec_id"].to_numpy()
+            carry = {c: pdf[c].to_numpy() for c in carry_cols}
+            frames = []
+            for j in range(len(qi)):
+                col = sims[:, j]
+                if exclude_self:
+                    idx = np.nonzero(cid != qi[j])[0]
+                    # lexsort: primary rounded-sim desc, tiebreak vec_id asc
+                    order = idx[np.lexsort((cid[idx], -col[idx]))[:k]]
+                else:
+                    order = np.lexsort((cid, -col))[:k]
+                out = {"qid": qi[j], "vec_id": cid[order]}
+                for c in carry_cols:
+                    out[c] = carry[c][order]
+                out["cos_sim"] = col[order]
+                frames.append(pd.DataFrame(out))
+            yield pd.concat(frames)
+
+    return batch_topk
+
+# --------------------------------------------------------------------------
 # l1 — exact dedup by normalized-content hash
 # --------------------------------------------------------------------------
 
@@ -53,20 +116,43 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_MINHASH_BUCKET_CAP = 64  # max docs per (band, bh) bucket; ≤ cap²/2 pairs each
+
+
+def _bucket_pairs(exploded: DataFrame, cap: int = _MINHASH_BUCKET_CAP) -> DataFrame:
+    """(doc_id, band, bh) → candidate pairs, with the skew cap: keep the
+    ``cap`` smallest doc_ids per bucket (sort_array + slice — deterministic
+    across runs/engines) so one degenerate bucket cannot emit an unbounded
+    quadratic pair set. Factored out so the hot-bucket bound is testable."""
+    return (
+        exploded.groupBy("band", "bh")
+        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1, cap).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
 @register("dedup_near_minhash", oracle=None)  # banding prune not SQL-expressible
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (Jaccard distance ≤ 0.9 on 2-shingle sets),
     banded-signature form — pure Catalyst, fully deterministic. Recall vs
     brute force is property-tested in tests/test_llm_ops.py (SURVEY §5.5).
 
-    Pipeline: shingle → 16 seeded-xxhash64 min-signatures → 8 bands × 2 rows
+    Pipeline: shingle → 16 seeded-xxhash64 min-signatures → 4 bands × 4 rows
     → equi-group on (band, band_hash) → candidate pairs from >1-doc buckets →
     exact Jaccard verify on the shingle sets (array_intersect/array_union).
 
     100 TB notes: the only shuffles are the (band, band_hash) groupBy and the
     verify joins — candidates materialize per shared band bucket, never
-    all-pairs, exactly the LSH band-join shape. Skew guard: cap bucket size
-    (a boilerplate bucket with 10⁵ docs would emit 10¹⁰ pairs); raise bands /
+    all-pairs, exactly the LSH band-join shape. Skew guard: bucket
+    membership is CAPPED at _MINHASH_BUCKET_CAP docs (smallest doc_ids kept,
+    deterministic) — a degenerate boilerplate bucket with 10⁵ docs emits at
+    most cap²/2 pairs instead of 10¹⁰ (bounded-pairs property-tested on a
+    synthetic hot bucket, tests/test_llm_ops.py). Truncation only loses
+    pairs whose docs share no OTHER un-capped band; raise bands /
     rows-per-band to sharpen the similarity threshold the bands admit."""
     # r = 4 rows/band, b = 4 bands → s-curve threshold (1/b)^(1/r) ≈ 0.71:
     # buckets admit the near-dup regime, not the long tail of
@@ -135,15 +221,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sig_df.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", "b.band", "b.bh"
     )
-    pairs = (
-        exploded.groupBy("band", "bh")
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode("ids").alias("doc_a"), F.col("ids"))
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    pairs = _bucket_pairs(exploded)
     sh_a = sig_df.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("sh_a"))
     sh_b = sig_df.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -186,32 +264,30 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking is on the ROUNDED similarity with vec_id tiebreak, so the top-k
     frontier is deterministic across engines (SURVEY §4.3).
 
-    100 TB notes: probe side is broadcast (small by construction); corpus
-    streams through executors once; per-query top-k runs as a rank-filtered
-    window (WindowGroupLimit keeps a k-heap, never the full sort). For large
-    probe sets: chunk the probe side and union — each chunk stays under the
-    broadcast threshold. This brute-force kernel is also the recall oracle
-    for the ANN variants (sim_ann_lsh, dedup_near_minhash)."""
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
-    probe = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"),
-        as_double(F.col("embedding")).alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
-    cand = (
-        emb.join(F.broadcast(probe), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                cosine(as_double(F.col("embedding")), F.col("qv"), F.col("norm"), F.col("qnorm")),
-                6,
-            ).alias("cos_sim"),
-        )
+    Scoring is the shared batch-GEMM kernel (same as classify_knn): the
+    probe matrix is broadcast once, the corpus streams through executors in
+    Arrow batches, each batch scores itself with one ``V @ Q.T`` and emits
+    only its LOCAL top-5 per probe; a rank-filtered window then takes the
+    global top-5 (WindowGroupLimit keeps a k-heap, never the full sort).
+
+    100 TB notes: corpus scanned exactly once, no all-pairs shuffle — the
+    exchange into the re-rank carries ≤ 5·|probes| rows per batch. For
+    large probe sets chunk the broadcast probe matrix and union. Replaces a
+    BroadcastNestedLoopJoin + interpreted-HOF cosine fold, the last
+    non-vectorized similarity kernel in the repo (~10-100× slower per
+    NOTES.md trap #5 — it was the slowest query in BENCH_r02). This
+    brute-force kernel is also the recall oracle for the ANN variants
+    (sim_ann_lsh, sim_ann_ivf, dedup_near_minhash)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b_probe = _collect_probe_matrix(spark, emb, F.col("vec_id") < 20)
+    corpus = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    scored = corpus.mapInPandas(
+        _gemm_local_topk(b_probe, 5, exclude_self=True),
+        schema="qid bigint, vec_id bigint, cos_sim double",
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
-        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
 
@@ -254,7 +330,7 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted HOF folds, NOTES.md trap #5) with bounded memory."""
     import numpy as np  # noqa: PLC0415
 
-    n_blocks = 6  # B+1 = 7 shuffle copies; B²/2 = 21 GEMM tasks at local[32]
+    n_blocks = 6  # B+1 = 7 shuffle copies; B(B+1)/2 = 21 GEMM tasks at local[32]
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
@@ -481,54 +557,15 @@ def classify_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs shuffle; for large probe sets chunk the broadcast probe matrix
     and union. Replaces a BroadcastNestedLoopJoin + interpreted-HOF fold
     (~10-100× slower per NOTES.md trap #5)."""
-    import numpy as np  # noqa: PLC0415
-
     k = 10
     emb = load_table(spark, sf_dir, "embeddings")
-    probe_rows = (
-        emb.filter(F.col("vec_id") < 20)
-        .select("vec_id", as_double(F.col("embedding")).alias("v"))
-        .collect()
-    )
-    qids = np.array([r.vec_id for r in probe_rows], dtype=np.int64)
-    qmat = np.array([r.v for r in probe_rows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    b_probe = spark.sparkContext.broadcast((qids, qmat))
-
+    b_probe = _collect_probe_matrix(spark, emb, F.col("vec_id") < 20)
     train = emb.filter(F.col("vec_id") >= 20).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-
-    def batch_topk(batches):
-        import pandas as pd  # noqa: PLC0415
-
-        qi, qm = b_probe.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf["v"].tolist(), dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            sims = np.round(v @ qm.T, 6)
-            cid = pdf["vec_id"].to_numpy()
-            lab = pdf["label"].to_numpy()
-            frames = []
-            for j in range(len(qi)):
-                # lexsort: primary rounded-sim desc, tiebreak vec_id asc
-                order = np.lexsort((cid, -sims[:, j]))[:k]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "qid": qi[j],
-                            "vec_id": cid[order],
-                            "label": lab[order],
-                            "cos_sim": sims[order, j],
-                        }
-                    )
-                )
-            yield pd.concat(frames)
-
     scored = train.mapInPandas(
-        batch_topk, schema="qid bigint, vec_id bigint, label int, cos_sim double"
+        _gemm_local_topk(b_probe, k, carry_cols=("label",)),
+        schema="qid bigint, vec_id bigint, label int, cos_sim double",
     )
     w_knn = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     knn = scored.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= k)
@@ -655,9 +692,9 @@ sc AS (
 )
 SELECT vec_id,
        round(mx, 6) AS scale,
-       array_to_string(
+       CASE WHEN mx <> 0 THEN array_to_string(
          list_transform(e, x -> CAST(round(x / mx * 127) AS INTEGER)), ','
-       ) AS codes
+       ) ELSE '' END AS codes
 FROM sc
 """
 
@@ -682,13 +719,21 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_scale = staged.select(
         "vec_id", "e", F.array_max(F.transform(e, F.abs)).alias("mx")
     )
+    # Zero-vector guard: mx=0 would make x/mx NaN, where Spark's int cast
+    # yields 0 but DuckDB errors — emit '' codes for the degenerate case in
+    # BOTH engines instead (scale 0 + empty codes is the honest encoding).
     mx = F.col("mx")
     return with_scale.select(
         "vec_id",
         F.round(mx, 6).alias("scale"),
-        F.array_join(
-            F.transform(e, lambda x: F.round(x / mx * 127, 0).cast("int")), ","
-        ).alias("codes"),
+        F.when(
+            mx != 0,
+            F.array_join(
+                F.transform(e, lambda x: F.round(x / mx * 127, 0).cast("int")), ","
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("codes"),
     )
 
 
@@ -699,6 +744,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_IVF_CELLS = 16
 _IVF_NPROBE = 3
 _IVF_KMEANS_ITERS = 5
+_IVF_TRAIN_TARGET = 4096  # sandbox-sized; ~256k at web scale
 
 
 @register("sim_ann_ivf", oracle=None)  # cell assignment engine-specific; recall tested
@@ -716,22 +762,32 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, and the exact cosine kernel scores within cells. Recall vs brute
     force is property-tested.
 
-    100 TB notes: the centroid table is tiny and broadcast; training needs
-    only a bounded sample (vec_id-hash sampled here — at web scale train on
-    ~256k sampled vectors driver-side or via spark.ml KMeans, mechanics
-    unchanged); the corpus is hash-partitioned by cell (k-means balances
-    cells far better than arbitrary seed vectors); per-probe work is
-    |corpus| × nprobe / n_cells instead of |corpus|. Recall knob = nprobe;
-    cost knob = n_cells (√n is the classic choice)."""
+    100 TB notes: the centroid table is tiny and broadcast; training input
+    is a CONSTANT-size sample at any corpus size — a data-derived modulus
+    on xxhash64(vec_id) targets ≈ _IVF_TRAIN_TARGET rows, so the driver
+    collect is O(target·d) bytes whether the corpus is 4k or 40B vectors
+    (at web scale raise the target to ~256k or swap in spark.ml KMeans,
+    mechanics unchanged); the corpus is hash-partitioned by cell (k-means
+    balances cells far better than arbitrary seed vectors); per-probe work
+    is |corpus| × nprobe / n_cells instead of |corpus|. Recall knob =
+    nprobe; cost knob = n_cells (√n is the classic choice)."""
+    import math  # noqa: PLC0415
+
     import numpy as np  # noqa: PLC0415
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    # Deterministic bounded training sample: xxhash64-style modulus on
-    # vec_id, not .sample() (RNG) and not .limit() (partition-order
-    # dependent). ≤ ~4k vectors train fine for 16 cells.
-    train_rows = emb.filter(F.col("vec_id") % 4 == 0).collect()
+    # Deterministic bounded training sample: data-derived modulus on
+    # xxhash64(vec_id) — not .sample() (RNG), not .limit() (partition-order
+    # dependent), and NOT a fixed divisor (a fixed `% 4` collects 25% of
+    # the corpus: linear in n, a driver OOM at scale). One columnless
+    # count() job sizes the modulus so the collect stays ≈ target rows.
+    n_corpus = emb.count()
+    modulus = max(1, math.ceil(n_corpus / _IVF_TRAIN_TARGET))
+    train_rows = emb.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(modulus)) == 0
+    ).collect()
     tmat = np.array([r.v for r in train_rows], dtype=np.float64)
     tmat /= np.linalg.norm(tmat, axis=1, keepdims=True)
     tids = np.array([r.vec_id for r in train_rows])

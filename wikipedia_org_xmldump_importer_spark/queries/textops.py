@@ -167,10 +167,12 @@ WITH sh AS (
   FROM documents
 ),
 flat AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+hot AS (SELECT s FROM flat GROUP BY s HAVING COUNT(*) > 256),
+pruned AS (SELECT * FROM flat WHERE s NOT IN (SELECT s FROM hot)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS n_common
-  FROM flat a JOIN flat b
+  FROM pruned a JOIN pruned b
     ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
 )
@@ -181,6 +183,9 @@ WHERE n_common * 1.0 / (na + nb - n_common) >= 0.05
 """
 
 
+_JACCARD_DF_CAP = 256  # shingles in more docs than this are boilerplate
+
+
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for same-source candidate pairs.
@@ -188,8 +193,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB notes: the shingle equi-join IS the LSH-free candidate generator —
     pairs only materialize when they share a shingle (and a source bucket),
     so the quadratic blowup is bounded by shingle collision counts, not n².
-    Hot shingles (boilerplate) are the skew risk: drop top-frequency shingles
-    first at scale (stopword-shingle filter), or band by minhash."""
+    Hot shingles (boilerplate) are the skew risk, and they are DROPPED here:
+    shingles with document frequency > _JACCARD_DF_CAP are excluded from the
+    join on BOTH engines (mirrored HAVING clause in the oracle), so one
+    boilerplate shingle shared by 10⁵ docs contributes 0 pairs instead of
+    ~10¹⁰. Union sizes (na/nb) still count all shingles, so jaccard is
+    biased DOWN for boilerplate-heavy pairs — the conservative direction
+    for dedup. The df pass is one extra partial-agg'd shuffle on the
+    already-exploded frame (same shape as text_tfidf's df side)."""
     # Repartition up front: the corpus may arrive as few (here: one) input
     # splits, and every downstream stage before the first shuffle inherits
     # that parallelism — the CPU-heavy shingle hashing must spread across
@@ -238,6 +249,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = sh.select(
         "doc_id", "source", "n_sh", F.explode_outer("shingles").alias("sh")
     )
+    # Hot-shingle (boilerplate) drop: left_anti against the >cap-df shingle
+    # set. No broadcast hint — the hot list is tiny on real corpora and AQE
+    # will broadcast it when it is, but nothing breaks if it isn't.
+    hot = (
+        flat.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _JACCARD_DF_CAP)
+        .select("sh")
+    )
+    flat = flat.join(hot, "sh", "left_anti")
     a = flat.select(
         F.col("doc_id").alias("doc_a"),
         F.col("source").alias("src_a"),
