@@ -25,6 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from wikipedia_org_xmldump_importer_spark.cbo import (  # noqa: E402
+    register_tables_with_stats,
+)
 from wikipedia_org_xmldump_importer_spark.registry import (  # noqa: E402
     REGISTRY,
     _ensure_loaded,
@@ -61,6 +64,14 @@ def main() -> None:
             materialize(REGISTRY[warm_q].fn(spark, warm_sf))
         except Exception:
             pass
+
+    # CBO (SURVEY §4.2): register the parquet files as external catalog
+    # tables + ANALYZE so every timed query plans with rowCount/size/column
+    # stats — join reordering and stats-based broadcasts fire exactly as
+    # they would on a stats-maintained production catalog. One-time setup,
+    # deliberately outside the per-query timings (production amortizes
+    # ANALYZE over the table's whole read life).
+    register_tables_with_stats(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -49,11 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The legacy conf is set on the *runtime* conf so this works on any caller
     session (incl. the driver's); it only affects how NANOS columns read.
+
+    When ``cbo.register_tables_with_stats`` has registered this (session,
+    sf_dir), the scan resolves to the stats-bearing catalog table instead of
+    the bare path — same files, same schema, but Catalyst sees rowCount /
+    size / column stats, so CBO join reordering and stats-based broadcast
+    decisions fire. Unregistered sessions (the driver's harness) take the
+    path branch — plans unchanged.
     """
+    from .cbo import registered_dir  # noqa: PLC0415 — io<->cbo cycle at import
+
     path = f"{sf_dir}/{name}.parquet"
+    from_catalog = registered_dir(spark, name) == sf_dir
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = spark.table(name) if from_catalog else spark.read.parquet(path)
         df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts",
             F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
@@ -61,6 +71,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props", "ts_us"
         )
+    if from_catalog:
+        return spark.table(name)
     return spark.read.parquet(path)
 
 
