@@ -179,6 +179,60 @@ def test_stream_stream_join_runs(spark, tmp_path):
     _assert_stream_equals_batch(got, want)
 
 
+def test_processing_time_trigger_live_microbatches(spark, tmp_path):
+    """Live-trigger soak: a processingTime trigger (real micro-batch clock,
+    not availableNow replay) consumes chunks that arrive WHILE the query
+    runs, and the final windowed counts still equal the batch twin.
+
+    This is the only streaming surface the availableNow equivalence tests
+    never exercise — the wall-clock scheduling path a production job runs
+    on. Chunks are staged elsewhere and moved in one at a time (atomic
+    rename, like hourly drops landing in a lake)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    pre = str(tmp_path / "pre")
+    live = str(tmp_path / "live")
+    stage_event_chunks(spark, SF_SMOKE, pre, n_chunks=4)
+    os.makedirs(live)
+
+    stream = ops.tumbling_counts(read_event_stream(spark, live))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rate_soak")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    total = load_table(spark, SF_SMOKE, "events").count()
+    try:
+        for d in sorted(os.listdir(pre)):
+            shutil.move(os.path.join(pre, d), os.path.join(live, d))
+            time.sleep(0.6)  # spread arrivals across trigger ticks
+
+        def rows_seen() -> int:
+            return sum(p["numInputRows"] for p in q.recentProgress)
+
+        deadline = time.time() + 120
+        while time.time() < deadline and rows_seen() < total:
+            time.sleep(0.5)
+        assert rows_seen() == total, f"consumed {rows_seen()} of {total} rows"
+        # the clock trigger must have split the work into several real
+        # micro-batches (availableNow replay can't produce this evidence)
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(data_batches) >= 2, [p["numInputRows"] for p in q.recentProgress]
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT * FROM t_rate_soak")
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    want = REGISTRY["stream_tumbling"].fn(spark, SF_SMOKE)
+    _assert_stream_equals_batch(got, want)
+
+
 def test_transform_with_state_running_totals(spark, tmp_path):
     """st6b: transformWithStateInPandas end-state == batch groupBy agg.
 

@@ -97,6 +97,54 @@ def test_import_dump_end_to_end(spark, tmp_path):
     assert reread.count() == 3
 
 
+def test_meta_schema_prunes_text_payload(spark):
+    """Catalyst's nestedSchemaPruning is Parquet/ORC-only — for XML the
+    pruning must live in the read schema. include_text=False must drop
+    revision.text._VALUE while keeping the _bytes/_deleted attributes, and
+    the page flatten must produce identical rows either way."""
+    import re
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    full = scan_xml_pages(spark, str(FIXTURES / "multi_revision.xml"))
+    meta = scan_xml_pages(
+        spark, str(FIXTURES / "multi_revision.xml"), include_text=False
+    )
+    physical = flatten_pages(meta)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (struct<.*>)", physical)
+    assert m, physical
+    assert "_VALUE" not in m.group(1)
+    assert "_bytes" in m.group(1)
+    assert sorted(map(tuple, flatten_pages(meta).collect())) == sorted(
+        map(tuple, flatten_pages(full).collect())
+    )
+
+
+def test_import_dump_meta_only_skips_text(spark, tmp_path):
+    out = import_dump(
+        spark,
+        str(FIXTURES / "multi_revision.xml"),
+        str(tmp_path / "meta_imported"),
+        namespace=0,
+        tables=("page", "revision", "contributor"),
+    )
+    assert set(out) == {"page", "revision", "contributor"}
+    reread = spark.read.parquet(str(tmp_path / "meta_imported" / "revision.parquet"))
+    assert reread.count() == 3
+
+
+def test_synthetic_dump_generator_roundtrip(spark, tmp_path):
+    """The bench generator's dump must parse under the pinned PAGE_SCHEMA
+    with every page accounted for (the bench's own precondition)."""
+    from tools.bench_xml import generate_dump
+
+    gen = generate_dump(str(tmp_path / "synth"), total_mb=1.0, n_files=2)
+    pages = scan_xml_pages(spark, str(tmp_path / "synth"))
+    assert pages.count() == gen["pages"]
+    assert pages.filter("id IS NULL OR title IS NULL").count() == 0
+    rev_rows = flatten_revisions(pages)
+    assert rev_rows.filter("rev_timestamp IS NULL").count() == 0
+
+
 def test_column_pruning_drops_revision_payload(spark):
     """A scan that only needs id/title must not read the revision payload
     (SURVEY §4.2 — at 100 TB the text blobs dominate the dump)."""

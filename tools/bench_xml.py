@@ -1,0 +1,205 @@
+"""XML ingestion bench: the reference's own surface (dump import) at size.
+
+Generates a deterministic multi-file synthetic MediaWiki export dump
+(export-0.11 shape, same as tests/fixtures/*.xml), times the full
+``import_dump`` pipeline (parallel XML parse → four flattened Parquet
+tables), and prints ONE JSON line::
+
+    {"metric": "xml_import_mb_per_s", "value": ..., "mb": ..., "sec": ...,
+     "files": ..., "pages": ..., "revisions": ...}
+
+It also verifies the two scale properties the plan must keep at 100 TB:
+
+  * multi-file parallelism — the page scan covers >1 input file, so the
+    parse distributes across executors (a .bz2 dump additionally splits
+    WITHIN a file at block boundaries);
+  * nested-schema pruning — a metadata-only scan never parses the
+    ``revision.text._VALUE`` payload (the dominant byte share of any real
+    dump). Catalyst's nestedSchemaPruning rule is Parquet/ORC-only, so for
+    XML this pruning lives in the read schema (``include_text=False``);
+    asserted on the executed plan's ReadSchema at this size, and its cost
+    win is measured (full vs metadata-only import).
+
+Usage::
+
+    python tools/bench_xml.py                # ~100 MB over 8 files
+    python tools/bench_xml.py --mb 10 --files 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_WORDS = (
+    "spark catalyst tungsten shuffle partition parquet arrow executor task "
+    "stage plan codegen broadcast window aggregate join stream watermark "
+    "wikipedia article revision contributor namespace redirect template "
+    "history diff edit rollback patrol sitemap category infobox citation"
+).split()
+
+
+def _page_xml(rng: random.Random, page_id: int) -> str:
+    """One <page> element with 1-3 revisions and a ~2-6 KB text payload."""
+    n_rev = rng.randint(1, 3)
+    title = f"Article {page_id} ({rng.choice(_WORDS)})"
+    ns = 0 if rng.random() < 0.9 else 1
+    redirect = (
+        f'<redirect title="Article {rng.randrange(page_id + 1)}" />'
+        if rng.random() < 0.05
+        else ""
+    )
+    revs = []
+    for r in range(n_rev):
+        body = " ".join(rng.choices(_WORDS, k=rng.randint(300, 900)))
+        if rng.random() < 0.3:
+            contributor = f"<contributor><ip>10.0.{rng.randrange(256)}.{rng.randrange(256)}</ip></contributor>"
+        else:
+            uid = rng.randrange(5000)
+            contributor = (
+                f"<contributor><username>user{uid}</username><id>{uid}</id></contributor>"
+            )
+        minor = "<minor />" if rng.random() < 0.2 else ""
+        ts = f"2024-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}T{rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}Z"
+        revs.append(
+            f"""    <revision>
+      <id>{page_id * 10 + r}</id>
+      <parentid>{page_id * 10 + r - 1}</parentid>
+      <timestamp>{ts}</timestamp>
+      {contributor}
+      {minor}
+      <comment>{rng.choice(_WORDS)} edit</comment>
+      <model>wikitext</model>
+      <format>text/x-wiki</format>
+      <text bytes="{len(body)}" xml:space="preserve">{body}</text>
+      <sha1>{rng.getrandbits(128):032x}</sha1>
+    </revision>"""
+        )
+    return f"""  <page>
+    <title>{title}</title>
+    <ns>{ns}</ns>
+    <id>{page_id}</id>
+    {redirect}
+{os.linesep.join(revs)}
+  </page>
+"""
+
+
+def generate_dump(out_dir: str, total_mb: float = 100.0, n_files: int = 8, seed: int = 7) -> dict:
+    """Write ``n_files`` dump files totalling ≈ ``total_mb`` MB. Deterministic
+    for a given (total_mb, n_files, seed). Returns {files, bytes, pages}."""
+    os.makedirs(out_dir, exist_ok=True)
+    per_file = total_mb * 1024 * 1024 / n_files
+    n_pages = 0
+    total_bytes = 0
+    page_id = 0
+    for i in range(n_files):
+        rng = random.Random(f"{seed}:{i}")
+        path = os.path.join(out_dir, f"dump_{i:02d}.xml")
+        with open(path, "w") as f:
+            written = f.write(
+                '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/" '
+                'version="0.11" xml:lang="en">\n'
+            )
+            while written < per_file:
+                page_id += 1
+                written += f.write(_page_xml(rng, page_id))
+                n_pages += 1
+            written += f.write("</mediawiki>\n")
+        total_bytes += written
+    return {"files": n_files, "bytes": total_bytes, "pages": n_pages}
+
+
+def assert_scale_properties(spark, dump_glob: str) -> None:
+    """Plan checks at bench size: multi-file parallel scan + nested pruning."""
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        flatten_pages,
+        scan_xml_pages,
+    )
+
+    # plan prints truncate ReadSchema at 100 chars by default — widen so the
+    # nested struct is inspectable
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    pages = scan_xml_pages(spark, dump_glob)
+    # parallelism: the scan's input covers every generated file
+    n_parts = pages.rdd.getNumPartitions()
+    assert n_parts > 1, f"single-partition scan ({n_parts}) — no parallel parse"
+    # pruning: the metadata-only scan must not parse the text payload but
+    # must keep its attributes (page_len comes from text._bytes)
+    meta = scan_xml_pages(spark, dump_glob, include_text=False)
+    physical = flatten_pages(meta)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (struct<.*>)", physical)
+    assert m, physical
+    assert "_VALUE" not in m.group(1), f"text payload in page scan: {m.group(1)}"
+    assert "_bytes" in m.group(1)  # the length field IS needed
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=100.0)
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--workdir", default="/tmp/xmlbench")
+    args = ap.parse_args()
+
+    from wikipedia_org_xmldump_importer_spark.session import build_session
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import import_dump
+
+    dump_dir = os.path.join(args.workdir, "dump")
+    out_dir = os.path.join(args.workdir, "out")
+    shutil.rmtree(args.workdir, ignore_errors=True)
+
+    gen = generate_dump(dump_dir, args.mb, args.files)
+    spark = build_session("xml-bench")
+    assert_scale_properties(spark, dump_dir)
+
+    t0 = time.perf_counter()
+    tables = import_dump(spark, dump_dir, out_dir, namespace=None)
+    sec = time.perf_counter() - t0
+    n_pages = spark.read.parquet(f"{out_dir}/page.parquet").count()
+    n_revs = spark.read.parquet(f"{out_dir}/revision.parquet").count()
+    assert n_pages == gen["pages"], (n_pages, gen["pages"])
+
+    # metadata-only import: same scan minus the text payload — the pruning
+    # win a page/revision/contributor-only pipeline gets at 100 TB
+    spark.catalog.clearCache()
+    meta_out = os.path.join(args.workdir, "out_meta")
+    t0 = time.perf_counter()
+    import_dump(
+        spark,
+        dump_dir,
+        meta_out,
+        namespace=None,
+        tables=("page", "revision", "contributor"),
+    )
+    meta_sec = time.perf_counter() - t0
+
+    mb = gen["bytes"] / 1024 / 1024
+    print(
+        json.dumps(
+            {
+                "metric": "xml_import_mb_per_s",
+                "value": round(mb / sec, 2),
+                "unit": "MB/s",
+                "mb": round(mb, 1),
+                "sec": round(sec, 2),
+                "meta_only_sec": round(meta_sec, 2),
+                "meta_only_mb_per_s": round(mb / meta_sec, 2),
+                "files": gen["files"],
+                "pages": n_pages,
+                "revisions": n_revs,
+                "tables": sorted(tables),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

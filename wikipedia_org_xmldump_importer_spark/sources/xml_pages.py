@@ -13,9 +13,13 @@ lands in DataFrames → Parquet (or the JDBC sink, io.sink_jdbc).
     block-splittable, so a 100 TB dump parallelizes across executors with no
     pre-splitting step.
   * The explicit PAGE_SCHEMA matters twice: schema inference on XML is a
-    full extra pass over 100 TB, and a pinned schema lets Catalyst prune the
-    giant revision.text payload out of scans that don't need it
-    (spark.sql.optimizer.nestedSchemaPruning, asserted in tests).
+    full extra pass over 100 TB, and the read schema is the ONLY nested
+    pruning the XML source gets — Catalyst's nestedSchemaPruning rule
+    applies to Parquet/ORC alone, so a metadata-only scan must pass
+    ``include_text=False`` to keep the giant ``revision.text`` payload
+    (the dominant byte share of a real dump) out of the parsed rows.
+    Top-level column pruning DOES reach the XML scan (asserted in tests);
+    the bench (tools/bench_xml.py) asserts the nested case at size.
   * Multi-revision pages arrive as ARRAY<STRUCT> → posexplode preserves
     in-page revision order without a window.
 """
@@ -69,26 +73,53 @@ _REVISION = StructType(
     ]
 )
 
-PAGE_SCHEMA = StructType(
-    [
-        StructField("id", LongType()),
-        StructField("ns", LongType()),
-        StructField("title", StringType()),
-        StructField(
-            "redirect", StructType([StructField("_title", StringType())])
-        ),
-        StructField("restrictions", StringType()),
-        StructField("revision", ArrayType(_REVISION)),
-    ]
-)
+def _page_schema(text_struct: StructType) -> StructType:
+    return StructType(
+        [
+            StructField("id", LongType()),
+            StructField("ns", LongType()),
+            StructField("title", StringType()),
+            StructField(
+                "redirect", StructType([StructField("_title", StringType())])
+            ),
+            StructField("restrictions", StringType()),
+            StructField(
+                "revision",
+                ArrayType(
+                    StructType(
+                        [
+                            f if f.name != "text" else StructField("text", text_struct)
+                            for f in _REVISION.fields
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
 
 
-def scan_xml_pages(spark: SparkSession, path: str) -> DataFrame:
-    """s2: stream <page> rows from a MediaWiki dump (xml[.bz2/.gz])."""
+PAGE_SCHEMA = _page_schema(_TEXT)
+
+# Metadata-only twin: revision.text keeps its attributes (_bytes for page_len
+# / rev_len, _deleted for the tombstone flag) but drops the _VALUE payload —
+# the XML parser then never materializes the article content string.
+_TEXT_META = StructType([f for f in _TEXT.fields if f.name != "_VALUE"])
+PAGE_SCHEMA_META = _page_schema(_TEXT_META)
+
+
+def scan_xml_pages(
+    spark: SparkSession, path: str, include_text: bool = True
+) -> DataFrame:
+    """s2: stream <page> rows from a MediaWiki dump (xml[.bz2/.gz]).
+
+    ``include_text=False`` reads with the metadata-only schema — the nested
+    pruning Catalyst cannot do for XML (nestedSchemaPruning is Parquet/ORC
+    only), done where it must be: at the parser. Use it for any pipeline
+    that doesn't build the ``text`` table."""
     return (
         spark.read.format("xml")
         .option("rowTag", "page")
-        .schema(PAGE_SCHEMA)
+        .schema(PAGE_SCHEMA if include_text else PAGE_SCHEMA_META)
         .load(path)
     )
 
@@ -188,33 +219,40 @@ def flatten_text(pages: DataFrame) -> DataFrame:
     )
 
 
+_FLATTENS = {
+    "page": flatten_pages,
+    "revision": flatten_revisions,
+    "contributor": flatten_contributors,
+    "text": flatten_text,
+}
+
+
 def import_dump(
     spark: SparkSession,
     dump_path: str,
     out_dir: str,
     namespace: int | None = 0,
     drop_redirects: bool = False,
+    tables: tuple[str, ...] = ("page", "revision", "contributor", "text"),
 ) -> dict[str, DataFrame]:
     """The reference's whole pipeline as one call: dump → four Parquet
     tables (BASELINE.json: 'Spark XML reader + DataFrame write to JDBC' —
     swap sink_parquet for io.sink_jdbc when a DB DSN is configured).
 
-    100 TB notes: one XML scan feeds all four flattens; caching the filtered
-    page DF avoids re-parsing (XML parse dominates cost). Output partitioned
-    by namespace — the standard pruning key for downstream article queries.
+    100 TB notes: one XML scan feeds all requested flattens; caching the
+    filtered page DF avoids re-parsing (XML parse dominates cost). A
+    metadata-only import (``tables`` without "text") scans with the pruned
+    schema so the article payload is never parsed into rows. Output
+    partitioned by namespace — the standard pruning key for downstream
+    article queries.
     """
     from ..io import sink_parquet  # noqa: PLC0415
 
-    pages = scan_xml_pages(spark, dump_path)
+    pages = scan_xml_pages(spark, dump_path, include_text="text" in tables)
     if namespace is not None:
         pages = filter_namespace(pages, namespace, drop_redirects)
     pages = pages.cache()
-    out = {
-        "page": flatten_pages(pages),
-        "revision": flatten_revisions(pages),
-        "contributor": flatten_contributors(pages),
-        "text": flatten_text(pages),
-    }
+    out = {name: _FLATTENS[name](pages) for name in tables}
     for name, df in out.items():
         sink_parquet(df, f"{out_dir}/{name}.parquet")
     return out
