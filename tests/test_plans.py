@@ -67,8 +67,12 @@ def test_semi_anti_are_semi_anti(spark):
     assert "LeftAnti" in plan
 
 
-def test_ngram_jaccard_join_is_shuffle_hash_not_broadcast(spark):
-    # The exploded shingle table must never be broadcast (driver bottleneck
-    # locally, impossible at 100 TB) — the SHUFFLE_HASH hint must hold.
+def test_ngram_jaccard_is_bucket_emission_no_join(spark):
+    # Bucket-emission shape: pairs come from a groupBy(shingle) posting
+    # list + bounded double-explode — there must be NO join (the former
+    # self-join recomputed the shingle pipeline per branch) and no
+    # broadcast of the exploded shingle table (driver bottleneck locally,
+    # impossible at 100 TB).
     plan = executed_plan(_q(spark, "dedup_ngram_jaccard"), materialize=True)
-    assert "ShuffledHashJoin" in plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan

@@ -194,13 +194,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only materialize when they share a shingle (and a source bucket),
     so the quadratic blowup is bounded by shingle collision counts, not n².
     Hot shingles (boilerplate) are the skew risk, and they are DROPPED here:
-    shingles with document frequency > _JACCARD_DF_CAP are excluded from the
-    join on BOTH engines (mirrored HAVING clause in the oracle), so one
-    boilerplate shingle shared by 10⁵ docs contributes 0 pairs instead of
-    ~10¹⁰. Union sizes (na/nb) still count all shingles, so jaccard is
-    biased DOWN for boilerplate-heavy pairs — the conservative direction
-    for dedup. The df pass is one extra partial-agg'd shuffle on the
-    already-exploded frame (same shape as text_tfidf's df side)."""
+    shingles with document frequency > _JACCARD_DF_CAP are excluded on BOTH
+    engines (mirrored HAVING clause in the oracle), so one boilerplate
+    shingle shared by 10⁵ docs contributes 0 pairs instead of ~10¹⁰. Union
+    sizes (na/nb) still count all shingles, so jaccard is biased DOWN for
+    boilerplate-heavy pairs — the conservative direction for dedup.
+
+    Shape: ONE groupBy(shingle) builds the per-shingle posting list, whose
+    size IS the document frequency — the df cap is a post-agg filter, not a
+    second pass — and surviving (2..cap)-doc buckets emit their pairs via a
+    bounded double-explode (same bucket-emission shape as
+    dedup_near_minhash's _bucket_pairs). Two shuffles total (bucket agg,
+    pair agg); the CPU-heavy shingle pipeline is computed exactly once. A
+    first cut spelled the cap as a df-aggregate + left_anti join — that
+    recomputed the shingle explode per join branch and tripled the wall
+    clock. Memory: a hot bucket's collect_list buffer is O(df) ≈ 2.6 MB at
+    df=10⁵ before the filter drops it — acceptable; a corpus where hot df
+    rivals executor memory needs a pre-pass df sketch instead."""
     # Repartition up front: the corpus may arrive as few (here: one) input
     # splits, and every downstream stage before the first shuffle inherits
     # that parallelism — the CPU-heavy shingle hashing must spread across
@@ -249,40 +259,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = sh.select(
         "doc_id", "source", "n_sh", F.explode_outer("shingles").alias("sh")
     )
-    # Hot-shingle (boilerplate) drop: left_anti against the >cap-df shingle
-    # set. No broadcast hint — the hot list is tiny on real corpora and AQE
-    # will broadcast it when it is, but nothing breaks if it isn't.
-    hot = (
+    # Per-shingle posting list. size(docs) == document frequency, so the
+    # boilerplate drop (df > cap) and the no-pair skip (df < 2) are one
+    # post-agg filter. Struct field order (doc_id first) makes the pair
+    # inequality below a plain field comparison.
+    grp = (
         flat.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _JACCARD_DF_CAP)
-        .select("sh")
+        .agg(F.collect_list(F.struct("doc_id", "source", "n_sh")).alias("docs"))
+        .filter(F.size("docs").between(2, _JACCARD_DF_CAP))
     )
-    flat = flat.join(hot, "sh", "left_anti")
-    a = flat.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("source").alias("src_a"),
-        F.col("n_sh").alias("na"),
-        F.col("sh").alias("sh_a"),
-    )
-    b = flat.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("source").alias("src_b"),
-        F.col("n_sh").alias("nb"),
-        F.col("sh").alias("sh_b"),
-    )
-    # SHUFFLE_HASH hint: the exploded shingle table is big (|docs| × ~50 at
-    # any real scale) — broadcasting one side would bottleneck on the driver
-    # here and be impossible at 100 TB; hash-partitioning both sides on the
-    # shingle key is the plan that survives the scale-up.
+    # Bucket pair emission: double-explode of a ≤cap-element array — bounded
+    # ≤ cap²/2 rows per bucket, all JVM-side. n_common for a pair is the
+    # number of surviving buckets both docs appear in.
     inter = (
-        a.join(
-            b.hint("SHUFFLE_HASH"),
-            (F.col("sh_a") == F.col("sh_b"))
-            & (F.col("src_a") == F.col("src_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+        grp.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") == F.col("b.source"))
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
