@@ -261,3 +261,27 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     assert len(merged) == len(batch)
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (abs(merged.total_value_s - merged.total_value_b) < 1e-6).all()
+
+
+def test_foreach_batch_parquet_upsert_idempotent_sink(spark, tmp_path):
+    """st8: the foreachBatch dynamic-partition-overwrite sink, replayed in
+    micro-batches, must leave a parquet table equal to the batch twin —
+    update-mode re-emissions of the same window overwrite (not duplicate)
+    their partition, which is the idempotence the exactly-once effect
+    rests on."""
+    staged = str(tmp_path / "staged")
+    stage_event_chunks(spark, SF_SMOKE, staged, n_chunks=4)
+    out = str(tmp_path / "upsert_out")
+    q = ops.start_parquet_upsert(
+        ops.tumbling_counts(read_event_stream(spark, staged)),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = spark.read.parquet(out).drop("wstart_s")
+    want = REGISTRY["stream_tumbling"].fn(spark, SF_SMOKE)
+    _assert_stream_equals_batch(got, want)

@@ -21,6 +21,8 @@ MODULES = (
     "udfs",
     "llm",
     "textops",
+    "timeseries",
+    "subqueries",
 )
 
 # The driver's correctness sweep checks only the FIRST 50 entries of

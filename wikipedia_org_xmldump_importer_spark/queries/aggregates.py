@@ -348,3 +348,77 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
     )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 25000) AS INT) AS bin,
+       ROUND(CAST(FLOOR(o_totalprice / 25000) AS INT) * 25000.0, 2) AS bin_lo,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS bin_min,
+       ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders
+GROUP BY bin
+"""
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x41: fixed-width histogram of order totals (25k bins).
+
+    Binning is integer FLOOR arithmetic rather than ``width_bucket`` so the
+    oracle is portable (DuckDB 1.0 lacks width_bucket; FLOOR yields an
+    integral double on both engines, so the int cast is exact — the
+    round-vs-truncate CAST divergence never applies). 100 TB: a histogram
+    is the textbook partial-agg query — the shuffle carries |bins| rows per
+    map task regardless of input size; this exact shape (bounded key
+    domain) is also what drives the skew/salt decisions elsewhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 25000).cast("int")
+    return (
+        orders.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * 25000.0, 2).alias("bin_lo"),
+            "n",
+            "bin_min",
+            "bin_max",
+        )
+    )
+
+
+_HEAVY_ORACLE = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS n_users FROM c)
+SELECT c.user_id, c.n, ROUND(c.n * 1.0 / t.total, 6) AS frac
+FROM c, t
+WHERE c.n * t.n_users > 1.2 * t.total
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HEAVY_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x42: users with event volume > 1.2× the per-user average — the hot-key
+    detector that feeds join salting / skew handling decisions.
+
+    The threshold is self-normalizing (relative to the dataset's own mean),
+    so the query is scale-factor-free. Shape: one groupBy(user_id) with
+    map-side partials, then the 1-row totals frame broadcast-crossed back —
+    no second scan of events, no driver-side action at plan time. At 100 TB
+    the per-key count table is |users| rows — if even THAT is too big, the
+    same contract is served by count-min sketch + a candidate pass; this
+    exact version is the oracle for such a sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_users"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("n") * F.col("n_users") > 1.2 * F.col("total"))
+        .select(
+            "user_id", "n", F.round(F.col("n") / F.col("total"), 6).alias("frac")
+        )
+    )

@@ -863,3 +863,43 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= 5
     )
+
+
+# --------------------------------------------------------------------------
+# x43 — embedding-cosine near-dup DEDUP (keeper assignment over l4 pairs)
+# --------------------------------------------------------------------------
+
+_EMBED_DEDUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cs
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+)
+SELECT vb AS dup_id, MIN(va) AS keeper_id, ROUND(MAX(cs), 6) AS max_cos
+FROM pairs GROUP BY vb
+"""
+
+
+@register("dedup_embed_cosine", oracle=_EMBED_DEDUP_ORACLE)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x43: embedding-cosine near-dup DEDUP decision — completes the dedup
+    taxonomy (exact → minhash → simhash → n-gram jaccard → embedding
+    cosine): each vector similar (cos ≥ 0.4) to a lower-id vector is
+    dropped, keeper = the smallest such id (deterministic; for full
+    transitive clusters feed these pairs to dedup_cluster_cc instead).
+
+    Pairs come from sim_threshold_join's distributed block-GEMM self-join —
+    zero new kernel code, the threshold filter rides on its already-rounded
+    cos_sim — then one groupBy(dup_id) folds each dup's candidates into the
+    keeper choice. 100 TB notes inherit from l4 (B+1 shuffle copies,
+    bounded executor memory); the keeper agg touches only over-threshold
+    pairs, a vanishing fraction of n²."""
+    pairs = sim_threshold_join(spark, sf_dir).filter(F.col("cos_sim") >= 0.4)
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("keeper_id"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )

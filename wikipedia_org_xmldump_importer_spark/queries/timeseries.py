@@ -1,0 +1,183 @@
+"""SURVEY.md §2.13 — time-series operators over ``events`` (x36-x38).
+
+The destination-database side of the reference class (MediaWiki revision
+history in an RDBMS) and any 100 TB event lake both need the same three
+time-series primitives: downsample (bars), densify + forward-fill, and
+hierarchical rollup from partials (the hypertable / continuous-aggregate
+pattern). All three are pure Catalyst — bucketing is ``window()`` /
+``date_trunc`` arithmetic, fills are frame-bounded window functions, and
+the rollup is mergeable partial aggregation re-aggregated.
+
+100 TB notes shared by all three: the only shuffles are on
+(bucket, event_type) — low-cardinality keys with uniform volume, so no
+skew; buckets are epoch-aligned integer arithmetic on the scan (no
+pre-sort); and each op's output is ~|buckets| × |types| rows, orders of
+magnitude smaller than its input (the right direction for a pipeline
+stage). Gap-fill's axis explode is bounded by (max-min)/step per group —
+generate the axis from the data's own bounds, never a driver-side range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# Open/close via ROW_NUMBER in the oracle mirrors Spark's min_by/max_by on
+# the (ts_us, event_id) struct — event_id is unique, so both pick the same
+# deterministic row even on equal timestamps.
+_OHLC_ORACLE = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '6 hours', ts),
+                            event_type ORDER BY ts, event_id) AS rn_o,
+         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '6 hours', ts),
+                            event_type ORDER BY ts DESC, event_id DESC) AS rn_c
+  FROM events
+)
+SELECT bucket, event_type,
+       ROUND(MAX(CASE WHEN rn_o = 1 THEN value END), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(MAX(CASE WHEN rn_c = 1 THEN value END), 2) AS close,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS vol
+FROM b
+GROUP BY bucket, event_type
+"""
+
+
+@register("ts_resample_ohlc", oracle=_OHLC_ORACLE)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x36: downsample events to 6-hour OHLC bars per event_type.
+
+    Open/close are ``min_by``/``max_by`` on the (ts_us, event_id) struct —
+    ONE hash aggregation, no window sort (the same one-shuffle shape as
+    agg_argminmax). The oracle spells the identical pick with ROW_NUMBER
+    because DuckDB's arg_min is not guaranteed struct-ordered. At 100 TB
+    this is the standard lake downsampling stage: partial min_by/max_by
+    combine map-side, so the shuffle carries one row per (bucket, type)
+    per map task."""
+    ev = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours").start.alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.round(F.min_by("value", order_key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", order_key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("vol"),
+        )
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+         COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_v
+  FROM events GROUP BY event_type, h
+),
+bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY event_type),
+axis AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+  FROM bounds
+)
+SELECT a.event_type, a.h,
+       CAST(COALESCE(hr.n, 0) AS BIGINT) AS n,
+       LAST_VALUE(hr.avg_v IGNORE NULLS) OVER (
+         PARTITION BY a.event_type ORDER BY a.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM axis a LEFT JOIN hourly hr ON a.event_type = hr.event_type AND a.h = hr.h
+"""
+
+
+@register("ts_gapfill", oracle=_GAPFILL_ORACLE)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x37: densify hourly buckets per event_type and forward-fill (LOCF).
+
+    Axis generation is data-driven and distributed: per-type min/max bounds
+    (one tiny agg) explode into the dense hour axis via ``sequence()`` —
+    bounded by the type's own span, no driver-side range materialization.
+    The fill is ``last(ignorenulls)`` over an unbounded-preceding frame —
+    frame-bounded, single pass after one shuffle on (event_type).
+
+    The first axis row per type is always an observed bucket (the min), so
+    filled_avg is never NULL — the LOCF has a seed by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.window("ts", "1 hour").start.alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_v")
+    )
+    axis = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return axis.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg"),
+    )
+
+
+# The oracle aggregates events DIRECTLY at the day grain — it never sees the
+# hourly level — so a hash match proves the partial-rollup arithmetic
+# (merging hourly sums/counts into daily ones) is lossless.
+_ROLLUP2_ORACLE = """
+SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+       ROUND(SUM(value), 2) AS total,
+       COUNT(*) AS n,
+       ROUND(ROUND(SUM(value), 2) / COUNT(*), 6) AS avg_v
+FROM events
+GROUP BY event_type, d
+"""
+
+
+@register("ts_rollup_two_level", oracle=_ROLLUP2_ORACLE)
+def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x38: hierarchical rollup — daily aggregates derived FROM hourly
+    partials, never from raw rows (the hypertable / continuous-aggregate
+    pattern: the hourly layer is what a streaming job maintains
+    incrementally; coarser grains re-aggregate it).
+
+    Only mergeable state crosses levels: (sum, count) — avg is finalized
+    as sum/count at the top, never averaged-of-averages. The oracle
+    computes the daily grain directly from raw events, so the hash match
+    IS the losslessness proof. 100 TB: the second rollup touches
+    |hours|×|types| rows, ~10⁴× smaller than the event scan it replaces
+    for every daily query."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.window("ts", "1 hour").start.alias("h")
+    ).agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        hourly.groupBy(
+            F.col("event_type"), F.date_trunc("DAY", F.col("h")).alias("d")
+        )
+        .agg(
+            F.round(F.sum("s"), 2).alias("total"),
+            F.sum("cnt").alias("n"),
+            # avg finalized from the ROUNDED total: cross-engine summation
+            # order differs below 2dp, so dividing the pinned total (not the
+            # raw sum) keeps the 6dp quotient engine-identical.
+            F.round(F.round(F.sum("s"), 2) / F.sum("cnt"), 6).alias("avg_v"),
+        )
+    )
