@@ -109,3 +109,20 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_cust_t")
         spark.sql("DROP TABLE IF EXISTS b_orders_t")
+
+
+def test_correlated_scalar_subquery_is_decorrelated(spark):
+    """x39 must optimize to an aggregate-on-nation-grain + join — no
+    per-row subquery re-execution survives Catalyst's decorrelation."""
+    plan = executed_plan(_q(spark, "sub_correlated_scalar"), materialize=True)
+    assert "HashAggregate" in plan
+    assert "Join" in plan
+    assert "Subquery" not in plan, plan
+
+
+def test_exists_notexists_rewrites_to_semi_anti(spark):
+    """x40's EXISTS / NOT EXISTS pair must become a semi + anti join chain
+    with the price predicates pushed into the orders scans."""
+    plan = executed_plan(_q(spark, "sub_exists_notexists"), materialize=True)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
