@@ -91,14 +91,18 @@ def udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4) exploding documents into (pos, token) rows via
     a LATERAL join.
 
-    100 TB notes: UDTFs run per-row in Python workers — fine for fan-out
-    transforms whose output dwarfs the compute (tokenization), wrong for
-    hot scalar math. The built-in posexplode spelling is preferred when the
-    split logic is expressible (here it is; the UDTF exists to exercise the
-    surface, and the oracle checks it row-for-row)."""
+    100 TB notes: UDTFs evaluate per-row in Python workers — fine for
+    fan-out transforms whose output dwarfs the compute (tokenization),
+    wrong for hot scalar math. ``useArrow=True`` moves the executor↔worker
+    transfer onto Arrow batches (ArrowEvalPythonUDTF, asserted by the plan
+    audit) instead of pickled rows — the eval loop is still Python, but
+    serialization stops dominating. The built-in posexplode spelling is
+    preferred when the split logic is expressible (here it is; the UDTF
+    exists to exercise the surface, and the oracle checks it
+    row-for-row)."""
     from pyspark.sql.functions import udtf  # noqa: PLC0415
 
-    @udtf(returnType="pos int, token string")
+    @udtf(returnType="pos int, token string", useArrow=True)
     class Tokenize:
         def eval(self, text: str):  # noqa: ANN001
             if text is None:
