@@ -157,3 +157,49 @@ def test_column_pruning_drops_revision_payload(spark):
     m = re.search(r"ReadSchema: (struct<[^>]*>)", physical)
     assert m, physical
     assert m.group(1) == "struct<id:bigint,title:string>"
+
+
+def test_siteinfo_scan_and_namespace_dim(spark):
+    """s8: the dump header parses under the pinned SITEINFO_SCHEMA and
+    flattens into the namespace dimension; the main namespace keeps its
+    wire-format NULL name."""
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        namespaces_dim,
+        scan_xml_siteinfo,
+    )
+
+    si = scan_xml_siteinfo(spark, str(FIXTURES / "siteinfo_dump.xml"))
+    row = si.collect()[0]
+    assert row["sitename"] == "Testpedia"
+    assert row["dbname"] == "testwiki"
+    ns = {r["ns_key"]: r for r in namespaces_dim(si).collect()}
+    assert set(ns) == {-1, 0, 1, 2, 14}
+    assert ns[0]["ns_name"] is None
+    assert ns[1]["ns_name"] == "Talk"
+    assert ns[14]["ns_case"] == "first-letter"
+
+
+def test_resolve_namespaces_broadcasts_dim(spark):
+    """Pages x namespace-names join must broadcast the dim (the page scan
+    never shuffles) and label every page."""
+    from wikipedia_org_xmldump_importer_spark.plans.inspect import (
+        has_broadcast_hash_join,
+    )
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        namespaces_dim,
+        resolve_namespaces,
+        scan_xml_siteinfo,
+    )
+
+    path = str(FIXTURES / "siteinfo_dump.xml")
+    pages = scan_xml_pages(spark, path)
+    labeled = resolve_namespaces(
+        pages, namespaces_dim(scan_xml_siteinfo(spark, path))
+    )
+    assert has_broadcast_hash_join(labeled)
+    got = {r["title"]: r["ns_name"] for r in labeled.collect()}
+    assert got == {
+        "Main Article": None,
+        "Talk:Main Article": "Talk",
+        "Category:Things": "Category",
+    }

@@ -124,14 +124,73 @@ def scan_xml_pages(
     )
 
 
+# <siteinfo> is one element per dump: site metadata + the namespace map
+# (key="N" attribute, name as element text; the main namespace (key 0) is an
+# empty element → NULL name). Explicit schema for the same reasons as
+# PAGE_SCHEMA: no inference pass, no drift.
+SITEINFO_SCHEMA = StructType(
+    [
+        StructField("sitename", StringType()),
+        StructField("dbname", StringType()),
+        StructField("base", StringType()),
+        StructField("generator", StringType()),
+        StructField("case", StringType()),
+        StructField(
+            "namespaces",
+            StructType(
+                [
+                    StructField(
+                        "namespace",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("_key", LongType()),
+                                    StructField("_case", StringType()),
+                                    StructField("_VALUE", StringType()),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
 def scan_xml_siteinfo(spark: SparkSession, path: str) -> DataFrame:
-    """The one-per-dump <siteinfo> header (namespaces map) — read separately
-    and broadcast as a dimension (SURVEY §1.3)."""
+    """The one-per-dump <siteinfo> header — read separately with rowTag
+    switched to siteinfo and broadcast as a dimension (SURVEY §1.3). One
+    row per dump file; at 100 TB the read still touches every split (the
+    XML source can't know which file region holds the header), so scan it
+    once and persist/broadcast the result, never per-query."""
     return (
         spark.read.format("xml")
         .option("rowTag", "siteinfo")
+        .schema(SITEINFO_SCHEMA)
         .load(path)
     )
+
+
+def namespaces_dim(siteinfo: DataFrame) -> DataFrame:
+    """Flatten <siteinfo> into the namespace dimension (ns_key, ns_case,
+    ns_name). The main namespace (key 0) keeps a NULL ns_name exactly as
+    the wire format has it (empty element)."""
+    return (
+        siteinfo.select(F.explode("namespaces.namespace").alias("n"))
+        .select(
+            F.col("n._key").alias("ns_key"),
+            F.col("n._case").alias("ns_case"),
+            F.col("n._VALUE").alias("ns_name"),
+        )
+    )
+
+
+def resolve_namespaces(pages: DataFrame, ns_dim: DataFrame) -> DataFrame:
+    """Attach ns_name to pages via an explicit broadcast of the (≤ few
+    hundred row) namespace dimension — the canonical small-dim join: the
+    100 TB page scan never shuffles."""
+    return pages.join(F.broadcast(ns_dim), pages["ns"] == ns_dim["ns_key"], "left")
 
 
 def filter_namespace(
