@@ -1,6 +1,8 @@
 """Fleet-wide physical-plan audit: no query may introduce a scale
 red flag (cartesian, BNLJ, row-at-a-time Python UDF) unless its SURVEY §2
-row declares it bounded and plans/audit.py's ALLOWLIST records why."""
+row declares it bounded and plans/audit.py's ALLOWLIST records why. One
+sweep also proves every allowlist entry still fires — a stale entry
+(pattern fixed, query renamed) fails rather than silently waiving."""
 
 from __future__ import annotations
 
@@ -9,21 +11,10 @@ from conftest import SF_SMOKE
 from wikipedia_org_xmldump_importer_spark.plans.audit import ALLOWLIST, audit_all
 
 
-def test_no_undeclared_scale_red_flags(spark):
-    hits = audit_all(spark, SF_SMOKE)
+def test_no_undeclared_red_flags_and_no_stale_waivers(spark):
+    hits, waived = audit_all(spark, SF_SMOKE)
     assert not hits, "\n".join(
         f"{h.query}: {h.flag} ({h.why_flagged})" for h in hits
     )
-
-
-def test_allowlist_entries_still_exist(spark):
-    # a stale allowlist entry (query renamed/removed) would silently waive
-    # the audit for nothing — keep it in sync with the registry
-    from wikipedia_org_xmldump_importer_spark.registry import (
-        REGISTRY,
-        _ensure_loaded,
-    )
-
-    _ensure_loaded()
-    for query, _flag in ALLOWLIST:
-        assert query in REGISTRY, f"stale allowlist entry: {query}"
+    stale = set(ALLOWLIST) - waived
+    assert not stale, f"allowlist entries that no longer fire: {stale}"

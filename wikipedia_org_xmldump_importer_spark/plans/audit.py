@@ -32,17 +32,9 @@ RED_FLAGS: dict[str, str] = {
 #: SURVEY row / docstring gives. Keep justifications honest — this list is
 #: audited by humans, not just tests.
 ALLOWLIST: dict[tuple[str, str], str] = {
-    ("join_cross", "CartesianProduct"): (
-        "j6 IS the cartesian operator; both inputs are bounded dims "
-        "(region x nation) by contract"
-    ),
     ("join_theta_range", "BroadcastNestedLoopJoin"): (
         "j5 is a non-equi band join against a broadcast-size bounded "
         "band table; BNLJ over the broadcast side is the intended plan"
-    ),
-    ("join_interval", "BroadcastNestedLoopJoin"): (
-        "j8 overlap join: the date-dim side is bounded; at true scale "
-        "the documented path is interval binning to an equi-join"
     ),
     ("join_cross", "BroadcastNestedLoopJoin"): (
         "j6 spells crossJoin; Catalyst compiles it to BNLJ when one side "
@@ -68,9 +60,12 @@ class AuditHit:
 
 def audit_all(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
-) -> list[AuditHit]:
+) -> tuple[list[AuditHit], set[tuple[str, str]]]:
     """Build every registered query's plan against ``sf_dir`` and return
-    the non-allowlisted red-flag hits (empty list == fleet is clean).
+    ``(hits, waived)``: the non-allowlisted red-flag hits (empty ==
+    fleet is clean) and the allowlist entries that actually fired — a
+    listed entry that never fires is stale and waives nothing, so the
+    test requires ``waived == set(ALLOWLIST)``.
 
     Plans are inspected WITHOUT materialization — join strategy, python
     eval mode, and cartesian nodes are all visible pre-execution, so the
@@ -78,9 +73,14 @@ def audit_all(
     plan-build time, e.g. IVF training, still pay those)."""
     _ensure_loaded()
     hits: list[AuditHit] = []
+    waived: set[tuple[str, str]] = set()
     for name in names or list(REGISTRY):
         plan = executed_plan(REGISTRY[name].fn(spark, sf_dir))
         for flag, why in RED_FLAGS.items():
-            if flag in plan and (name, flag) not in ALLOWLIST:
+            if flag not in plan:
+                continue
+            if (name, flag) in ALLOWLIST:
+                waived.add((name, flag))
+            else:
                 hits.append(AuditHit(name, flag, why))
-    return hits
+    return hits, waived
