@@ -126,3 +126,15 @@ def test_exists_notexists_rewrites_to_semi_anti(spark):
     plan = executed_plan(_q(spark, "sub_exists_notexists"), materialize=True)
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_range_binned_join_has_no_bnlj(spark):
+    """j10 must execute the band join as an equi join on the bin key —
+    no BroadcastNestedLoopJoin, no per-pair predicate evaluation."""
+    plan = executed_plan(_q(spark, "join_range_binned"), materialize=True)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )

@@ -289,3 +289,69 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# j10: the same band-join RESULT as join_theta_range, but via interval
+# binning — the shape that survives when BOTH sides are unbounded and
+# broadcast is off the table. Oracle = the plain range join.
+_J10_ORACLE = """
+SELECT r.r_name AS band, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
+FROM events e
+JOIN region r
+  ON e.value >= r.r_regionkey * 100.0 AND e.value < (r.r_regionkey + 1) * 100.0
+GROUP BY r.r_name
+"""
+
+_BIN_W = 50.0  # bin width; bands are width-100 so each explodes to 2 bins
+
+
+@register("join_range_binned", oracle=_J10_ORACLE)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j10: range join via interval binning — hash-identical to
+    join_theta_range's BNLJ result, but executed as an EQUI join on a
+    discretized bin key (plan-asserted: no BroadcastNestedLoopJoin).
+
+    Shape: each interval explodes to the fixed-width bins it overlaps
+    (blow-up = interval_width / bin_width per row, here 2×); each fact row
+    lands in exactly ONE bin, so the equi-join on bin plus the residual
+    range predicate reproduces the θ-join without any per-pair evaluation
+    — and because a fact row has one bin, no post-join dedup is needed.
+
+    100 TB notes: this is THE scalable range-join recipe — shuffle both
+    sides on bin (or broadcast the exploded interval side if it's still
+    small), pick bin_width ≈ median interval width so the explode factor
+    stays ~2. join_theta_range documents the broadcast-BNLJ shortcut for
+    a tiny band table; this row proves the unbounded-case plan."""
+    events = load_table(spark, sf_dir, "events")
+    region = load_table(spark, sf_dir, "region")
+    bands = region.select(
+        F.col("r_name"),
+        (F.col("r_regionkey") * 100.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 100.0).alias("hi"),
+    )
+    # bins covered by [lo, hi): floor(lo/W) .. floor((hi - epsilon)/W);
+    # the half-open upper end must not spill into the next bin when hi is
+    # bin-aligned, hence the tiny epsilon inside the floor.
+    binned_bands = bands.select(
+        "r_name",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN_W).cast("long"),
+                F.floor((F.col("hi") - F.lit(1e-9)) / _BIN_W).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    binned_events = events.withColumn(
+        "bin", F.floor(F.col("value") / _BIN_W).cast("long")
+    )
+    return (
+        binned_events.join(binned_bands, "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy(F.col("r_name").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

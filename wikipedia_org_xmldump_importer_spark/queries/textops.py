@@ -880,3 +880,88 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# --------------------------------------------------------------------------
+# x44 — end-to-end curation pipeline composite (quality gate → dedup →
+# chunk accounting), per-language report
+# --------------------------------------------------------------------------
+
+_CURATION_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS words,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS dup_rn
+  FROM documents
+),
+gated AS (
+  SELECT *,
+         (n_chars >= 200 AND words >= 30) AS passes_quality,
+         (dup_rn = 1) AS is_canonical
+  FROM scored
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped,
+       CAST(SUM(CASE WHEN is_canonical AND NOT passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+       CAST(SUM(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_canonical AND passes_quality THEN words ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN is_canonical AND passes_quality
+                THEN CAST(CEIL(GREATEST(n_chars - 500, 0) / 400.0) AS BIGINT) + 1
+                ELSE 0 END) AS BIGINT) AS kept_chunks
+FROM gated
+GROUP BY lang
+"""
+
+
+@register("curation_pipeline", oracle=_CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x44: the training-data curation funnel as ONE composed plan —
+    exact-dedup canonical choice (dedup_exact's hash + keep-first), quality
+    gate (text_quality's length/word thresholds), token accounting
+    (text_token_regex's whitespace count) and chunk-count arithmetic
+    (doc_chunk_overlap's 500/400 stride, closed-form instead of explode) —
+    reported per language.
+
+    The point of the row: the §2.11-2.12 operators COMPOSE into the real
+    pipeline a 100 TB corpus runs nightly, inside one Catalyst plan (one
+    shuffle for the dedup window on the hash, one for the lang rollup) —
+    not as N materialized intermediate tables. Counts are disjoint stages
+    of the funnel (docs = dups + quality-dropped + kept), so the oracle
+    also cross-checks the funnel's accounting."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("words"),
+        F.row_number().over(w).alias("dup_rn"),
+    )
+    gated = scored.select(
+        "lang",
+        "words",
+        "n_chars",
+        ((F.col("n_chars") >= 200) & (F.col("words") >= 30)).alias("passes_quality"),
+        (F.col("dup_rn") == 1).alias("is_canonical"),
+    )
+    keep = F.col("is_canonical") & F.col("passes_quality")
+    chunks = (
+        F.ceil(F.greatest(F.col("n_chars") - 500, F.lit(0)) / 400.0) + 1
+    ).cast("long")
+    zero = F.lit(0).cast("long")
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).alias("n_dups_dropped"),
+        F.sum(
+            F.when(F.col("is_canonical") & ~F.col("passes_quality"), 1).otherwise(0)
+        ).alias("n_quality_dropped"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("words").cast("long")).otherwise(zero)).alias(
+            "kept_tokens"
+        ),
+        F.sum(F.when(keep, chunks).otherwise(zero)).alias("kept_chunks"),
+    )
