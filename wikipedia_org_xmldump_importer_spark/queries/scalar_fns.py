@@ -435,3 +435,31 @@ def fn_datepart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minus_90d"
         ),
     )
+
+
+_F11_ORACLE = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS members,
+       COUNT(*) AS n
+FROM customer
+WHERE c_custkey <= 300
+GROUP BY c_nationkey
+"""
+
+
+@register("fn_string_agg", oracle=_F11_ORACLE)
+def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f11: ordered string aggregation (LISTAGG / string_agg) — spelled as
+    array_sort(collect_list) + array_join so the concatenation order is
+    pinned (collect order is partition-dependent, SURVEY §4.3).
+
+    100 TB notes: string aggregation is only sane over BOUNDED groups (the
+    filter keeps ≤300 members here); an unbounded group concatenates a
+    partition's worth of text into one row — use collect with slice caps
+    or explode-side processing instead. The agg itself is one shuffle with
+    map-side partial collect."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
+        F.count(F.lit(1)).alias("n"),
+    )

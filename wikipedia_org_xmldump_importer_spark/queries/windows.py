@@ -205,3 +205,49 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.min("ts").alias("first_ts"),
     )
+
+
+# w8: IGNORE NULLS window navigation. The fixtures are null-free, so NULLs
+# are derived deterministically (error events have no usable value) — same
+# rule on both engines.
+_W8_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                        IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS carried,
+       ROUND(NTH_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 2
+                       IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_seen
+FROM events
+"""
+
+
+@register("win_ignore_nulls", oracle=_W8_ORACLE)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w8: IGNORE NULLS navigation — last non-null carried forward (the
+    sensor-reading LOCF idiom) and the 2nd non-null seen so far, per user
+    in event order. NULLs derive from a deterministic rule (error events)
+    so both engines mask identically.
+
+    100 TB notes: same cost envelope as any per-user window — one shuffle
+    on user_id, a frame-bounded scan per partition; IGNORE NULLS adds no
+    extra pass (the runner tracks the last non-null as it walks)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 2).alias("carried"),
+        F.round(F.nth_value(v, 2, ignoreNulls=True).over(w), 2).alias(
+            "second_seen"
+        ),
+    )
