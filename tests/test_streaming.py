@@ -285,3 +285,20 @@ def test_foreach_batch_parquet_upsert_idempotent_sink(spark, tmp_path):
     got = spark.read.parquet(out).drop("wstart_s")
     want = REGISTRY["stream_tumbling"].fn(spark, SF_SMOKE)
     _assert_stream_equals_batch(got, want)
+
+
+def test_ohlc_stream_equals_batch(spark, tmp_path):
+    """st9: incrementally-maintained OHLC bars == the batch downsample
+    (ts_resample_ohlc). min_by/max_by state must survive micro-batch
+    splits — an open/close picked inside one chunk must lose to a better
+    candidate arriving in a later chunk."""
+    staged = _staged(spark, tmp_path)
+    stream = ops.ohlc_bars(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_ohlc", "complete")
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    want = REGISTRY["ts_resample_ohlc"].fn(spark, SF_SMOKE)
+    # batch emits NTZ bucket, stream emits ltz under the UTC session — align
+    got = got.withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
+    _assert_stream_equals_batch(got, want)

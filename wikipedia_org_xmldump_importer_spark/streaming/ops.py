@@ -267,3 +267,41 @@ def start_parquet_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ohlc_bars(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """st9: streaming twin of queries.timeseries.ts_resample_ohlc — 6h OHLC
+    bars per event_type maintained incrementally (the continuous-aggregate
+    half of the hypertable-rollup pattern; ts_rollup_two_level then derives
+    coarser grains from THIS layer's (sum, count) state offline).
+
+    min_by/max_by on the (ts_us, event_id) struct are incrementally
+    maintainable aggregates, so state per open (window, type) is O(1) —
+    watermark closes bars 10 minutes after their window passes."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.round(
+                F.min_by("value", F.struct(F.col("ts_us"), F.col("event_id"))), 2
+            ).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(
+                F.max_by("value", F.struct(F.col("ts_us"), F.col("event_id"))), 2
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("vol"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "vol",
+        )
+    )
