@@ -16,15 +16,17 @@ from wikipedia_org_xmldump_importer_spark.plans import executed_plan
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, tmp_path_factory):
     # warehouse.dir is a static conf — use explicit per-table external paths
+    from wikipedia_org_xmldump_importer_spark.io import sink_bucketed
+
     wh = tmp_path_factory.mktemp("warehouse")
     for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        (
-            load_table(spark, SF_SMOKE, name)
-            .write.mode("overwrite")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .option("path", str(wh / f"b_{name}"))
-            .saveAsTable(f"b_{name}")
+        sink_bucketed(
+            load_table(spark, SF_SMOKE, name),
+            f"b_{name}",
+            [key],
+            n_buckets=8,
+            sort_cols=[key],
+            path=str(wh / f"b_{name}"),
         )
     yield
     for name in ("b_lineitem", "b_orders"):

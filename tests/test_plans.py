@@ -78,39 +78,6 @@ def test_ngram_jaccard_is_bucket_emission_no_join(spark):
     assert "Generate explode" in plan
 
 
-def test_bucketed_join_is_shuffle_free(spark):
-    """Co-located join: two tables bucketed the same way on the join key
-    must sort-merge-join with ZERO shuffle exchange — the pay-the-shuffle-
-    once-at-ingest contract that makes a daily 100 TB fact⋈fact join
-    affordable. Broadcast is disabled for the check so the plan can't
-    cheat the assertion with a BroadcastExchange."""
-    from wikipedia_org_xmldump_importer_spark.io import sink_bucketed
-
-    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
-    orders = load_table(spark, SF_SMOKE, "orders").select(
-        "o_custkey", "o_orderkey", "o_totalprice"
-    )
-    sink_bucketed(cust, "b_cust_t", ["c_custkey"], 8, sort_cols=["c_custkey"])
-    sink_bucketed(orders, "b_orders_t", ["o_custkey"], 8, sort_cols=["o_custkey"])
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        a, b = spark.table("b_cust_t"), spark.table("b_orders_t")
-        joined = a.join(b, a.c_custkey == b.o_custkey)
-        plan = executed_plan(joined, materialize=True)
-        assert "Exchange hashpartitioning" not in plan, plan
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        # same join WITHOUT bucketing shuffles both sides — the contrast
-        # proves the bucket metadata (not size heuristics) removed them
-        plain = cust.join(orders, cust.c_custkey == orders.o_custkey)
-        assert "Exchange hashpartitioning" in executed_plan(plain, materialize=True)
-        assert joined.count() == plain.count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS b_cust_t")
-        spark.sql("DROP TABLE IF EXISTS b_orders_t")
-
-
 def test_correlated_scalar_subquery_is_decorrelated(spark):
     """x39 must optimize to an aggregate-on-nation-grain + join — no
     per-row subquery re-execution survives Catalyst's decorrelation."""

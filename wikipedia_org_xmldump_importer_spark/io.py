@@ -129,6 +129,7 @@ def sink_bucketed(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed-table sink: pre-shuffles rows into ``n_buckets``
     hash buckets on ``bucket_cols`` at WRITE time, so every later join or
@@ -147,4 +148,6 @@ def sink_bucketed(
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
