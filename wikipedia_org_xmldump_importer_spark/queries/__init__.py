@@ -23,6 +23,7 @@ MODULES = (
     "textops",
     "timeseries",
     "subqueries",
+    "pipeline",
 )
 
 # The driver's correctness sweep checks only the FIRST 50 entries of
@@ -40,27 +41,28 @@ MODULES = (
 # join_broadcast, agg_grouping_sets, win_range_frame, set_intersect,
 # fn_json) rotate out so the round-3 extensions (time series, correlated
 # subquery, embedding dedup, heavy hitters) get driver-attested; every §2
-# section keeps at least one in-window representative.
+# section keeps at least one in-window representative. Round-3b rotation:
+# four more r1+r2-attested rows (scan_parquet, join_skew_salted,
+# agg_argminmax, fn_string) make room for the §2.15 training-pipeline
+# stages (decontaminate/pack/split/stratify); §2.1 scans stay repped by
+# the three flagship composites, §2.3/2.4/2.8 by join_asof/agg_groupby/
+# fn_array_hof.
 DRIVER_PRIORITY = (
     # flagship / scans (§2.1, composites x1-x3)
     "flagship_star_revenue",
     "tpch_q3_shipping",
     "tpch_q5_local_volume",
-    "scan_parquet",
     # §2.2 projection
     "filter_pred",
     # §2.3 joins — custom as-of composite, plan-asserted broadcast, skew salt
     "join_asof",
-    "join_skew_salted",
     # §2.4 aggregation
     "agg_groupby",
-    "agg_argminmax",
     # §2.5 windows
     "win_topk_per_group",
     # §2.6-2.7 sort/limit + set ops
     "limit_topk",
     # §2.8 scalar functions (fn_array_hof = the round-1 canonicalizer crasher)
-    "fn_string",
     "fn_array_hof",
     # §2.9 streaming batch twins
     "stream_tumbling",
@@ -104,6 +106,11 @@ DRIVER_PRIORITY = (
     "sub_correlated_scalar",
     "dedup_embed_cosine",
     "agg_heavy_hitters",
+    # §2.15 training-data pipeline stages
+    "decontaminate_ngram",
+    "pack_sequences",
+    "split_train_hash",
+    "sample_stratified",
 )
 
 

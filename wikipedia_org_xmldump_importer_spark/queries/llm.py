@@ -328,9 +328,15 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus driver-side (fine at sf≤10, driver OOM at scale); the
     cogroup GEMM keeps the same vectorized kernel (~10-100× over
     interpreted HOF folds, NOTES.md trap #5) with bounded memory."""
+    import math  # noqa: PLC0415
+
     import numpy as np  # noqa: PLC0415
 
-    n_blocks = 6  # B+1 = 7 shuffle copies; B(B+1)/2 = 21 GEMM tasks at local[32]
+    # B ≈ √parallelism keeps B(B+1)/2 GEMM groups ≥ the core count while
+    # holding shuffle amplification at B+1 copies/row: local[32] → B=6
+    # (21 groups, 7 copies); a 1000-core cluster → B=32 (528 groups, 33
+    # copies, each block n/32 rows — still two blocks per task in memory).
+    n_blocks = max(2, round(math.sqrt(spark.sparkContext.defaultParallelism)))
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )

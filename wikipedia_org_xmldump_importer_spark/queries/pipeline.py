@@ -1,0 +1,290 @@
+"""SURVEY.md §2.15 — training-data pipeline operators (x45-x48).
+
+The four curation stages every large-scale pretraining pipeline runs after
+dedup/quality (which §2.11-2.12 already cover): benchmark decontamination
+(drop training docs that leak eval n-grams), deterministic train/val/test
+splitting, per-stratum mixture re-sampling, and packing documents into
+fixed token-budget training sequences.
+
+All four are deterministic (hash- or order-derived, no RNG) so — unlike
+o3's engine-specific sampler — every one carries a full DuckDB SQL oracle.
+
+100 TB notes shared: the hash ops (x47, x48) are pure narrow maps — zero
+shuffles, trivially resumable because membership is a pure function of the
+row; decontamination (x45) broadcasts the eval-set n-grams (benchmarks are
+MBs even when the corpus is 100 TB); packing (x46) windows inside
+(lang, source) shards so no global sort ever exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# x45 — eval-set decontamination by word n-gram overlap
+# --------------------------------------------------------------------------
+
+# Production decontamination uses 8-13-gram windows; the fixture corpus is
+# a small-vocabulary word soup where 5-grams almost never recur (1 hit at
+# sf0.01), so the registered query uses 3-grams to keep the oracle check
+# discriminating (171 flagged docs at sf0.01). The operator is N-generic.
+_NGRAM_N = 3
+_EVAL_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" set (~1%)
+
+_DECON_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {_NGRAM_N - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {_NGRAM_N - 1}, 0))) AS i
+    FROM tok
+  )
+),
+ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM grams
+       WHERE doc_id % {_EVAL_MOD} = 0),
+tr AS (SELECT DISTINCT doc_id, gram FROM grams
+       WHERE doc_id % {_EVAL_MOD} <> 0)
+SELECT tr.doc_id, COUNT(DISTINCT tr.gram) AS n_shared_grams,
+       COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.gram = ev.gram
+GROUP BY tr.doc_id
+"""
+
+
+@register("decontaminate_ngram", oracle=_DECON_ORACLE)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x45: benchmark decontamination — flag every training document that
+    shares a word 5-gram with the held-out eval set (doc_id % 97 == 0 here;
+    in production the eval side is the benchmark suite). Output per
+    contaminated doc: distinct leaked grams + distinct eval docs hit; a
+    curation pipeline drops or audits these rows before training.
+
+    100 TB notes: the eval side is tiny (benchmarks are MBs) → its distinct
+    gram set is explicitly broadcast, so the corpus-side scan is one narrow
+    pass: shingle, hash-join against the broadcast set, partial-agg per
+    doc. No corpus-vs-corpus shuffle exists; cost is O(corpus tokens).
+    Token array is materialized as a named column before the transform()
+    lambda (NOTES.md trap #1) and the gram array uses explode_outer +
+    null-filter so Catalyst can't infer a size()-filter that re-evaluates
+    the shingling below the exchange (trap #2)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs.
+    grams_arr = F.when(
+        F.size(t) >= _NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_NGRAM_N - 1)),
+            lambda i: F.array_join(F.slice(t, i, _NGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks.select("doc_id", grams_arr.alias("grams"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    ev = F.broadcast(
+        grams.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+        .distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).distinct()
+    return (
+        tr.join(ev, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x46 — pack documents into fixed token-budget training sequences
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT doc_id, lang, source, n_tok,
+       (cum - n_tok) // {_PACK_BUDGET} AS seq_id,
+       (cum - n_tok) % {_PACK_BUDGET} AS seq_offset
+FROM c
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x46: sequence packing — lay documents head-to-tail in doc_id order
+    within each (lang, source) shard and assign each to the 2048-token
+    training sequence its first token lands in (seq_id + offset). The
+    contiguous-fill strategy wastes zero tokens (docs straddle sequence
+    boundaries, the standard causal-LM packing choice) and is fully
+    deterministic, so the map is reproducible and SQL-oracle-checkable.
+
+    100 TB notes: the window is PARTITIONED BY (lang, source) — packing is
+    per-shard exactly as production pipelines do it (a global document
+    order would serialize the sort and create one unbounded partition).
+    One shuffle on the shard key; within a shard the running sum is a
+    single sort + linear pass. Skewed shards split further by salting the
+    shard key into (shard, doc_id div K) ranges if a shard outgrows a
+    task."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tok",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("seq_id"),
+        (start % _PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x47 — deterministic hash-based train/valid/test split
+# --------------------------------------------------------------------------
+
+# First 3 md5 hex chars → uniform 0..4095 → ‰ bucket. Spark's conv() and
+# DuckDB's '0x'-cast read the same hex, so membership is engine-portable —
+# the property that makes the split stable across reruns AND across engines
+# (no RNG, no sampler state; re-ingesting a doc can never flip its split).
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT
+           % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("split_train_hash", oracle=_SPLIT_ORACLE)
+def split_train_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x47: 90/5/5 train/valid/test assignment from a content-key hash —
+    split = f(md5(doc_id)), no RNG. Unlike sample_frac (o3, rows-only),
+    this is exactly reproducible in any engine, so it carries a full SQL
+    oracle.
+
+    100 TB notes: pure narrow map over the scan — zero shuffles, zero
+    state; the split survives re-partitioning, incremental ingest, and
+    engine migration because membership depends only on the key. This is
+    the only split strategy that stays consistent when the corpus is
+    rebuilt from scratch."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    b = docs.select("doc_id", bucket.alias("bucket"))
+    return b.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 900, "train")
+        .when(F.col("bucket") < 950, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x48 — stratified mixture re-sampling (per-language keep rates)
+# --------------------------------------------------------------------------
+
+# Keep-rates in ‰ per stratum: down-weight the dominant language, keep the
+# rest — the "data mixing" step that turns raw crawl proportions into the
+# training mixture. Salted hash ("strata:" prefix) decorrelates this
+# decision from the x47 split buckets.
+_STRATA_RATES = {"en": 250, "de": 600, "fr": 600, "es": 600, "zh": 600}
+_STRATA_DEFAULT = 500
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in _STRATA_RATES.items()
+)
+
+_SAMPLE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 1000 AS bucket,
+         CASE {_STRATA_CASE} ELSE {_STRATA_DEFAULT} END AS keep_rate
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket, keep_rate
+FROM b WHERE bucket < keep_rate
+"""
+
+
+@register("sample_stratified", oracle=_SAMPLE_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x48: deterministic stratified sampling — each language keeps a
+    configured fraction (en down-weighted to 25%, others 50-60%), chosen by
+    a salted content hash rather than RNG so the mixture is reproducible
+    and engine-portable (full SQL oracle; contrast o3's rows-only
+    sampler).
+
+    100 TB notes: narrow map + filter on the scan — no shuffle, no
+    coordination; per-stratum rates are a broadcast-free CASE expression.
+    Changing the mixture re-runs as a pure filter over the same corpus
+    with bit-identical membership for unchanged strata (bucket is
+    rate-independent), which makes mixture sweeps cheap and diffable."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strata:"), F.col("doc_id").cast("string"))),
+                1,
+                3,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 1000
+    )
+    rate = F.lit(_STRATA_DEFAULT)
+    for lang, r in reversed(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    staged = docs.select(
+        "doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("keep_rate")
+    )
+    return staged.filter(F.col("bucket") < F.col("keep_rate"))
