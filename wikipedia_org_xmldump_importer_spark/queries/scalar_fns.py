@@ -463,3 +463,56 @@ def fn_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# f12: timezone conversions. Both engines carry full IANA tzdata (Spark via
+# the JVM, DuckDB via bundled ICU), so wall-clock strings hash-match exactly
+# — including across DST boundaries (the -300 vs -240 minute offsets below).
+# DuckDB spelling: `ts AT TIME ZONE 'UTC'` pins the naive timestamp to the
+# UTC instant; `timezone(tz, tstz)` re-reads that instant as tz wall time.
+_F12_ORACLE = """
+SELECT o_orderkey,
+  strftime(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC'),
+           '%Y-%m-%d %H:%M:%S') AS ny_wall,
+  strftime(timezone('Asia/Tokyo', o_orderdate AT TIME ZONE 'UTC'),
+           '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+  CAST(hour(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC'))
+       AS INTEGER) AS ny_hour,
+  strftime(CAST(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC')
+                AS DATE), '%Y-%m-%d') AS ny_date,
+  CAST((epoch(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC'))
+        - epoch(o_orderdate)) // 60 AS INTEGER) AS ny_off_min,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS roundtrip
+FROM orders
+"""
+
+
+@register("fn_timezone", oracle=_F12_ORACLE)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f12: timezone conversion matrix — UTC instants rendered as
+    America/New_York and Asia/Tokyo wall clocks (`from_utc_timestamp`),
+    the local hour/date they land in (date shifts across midnight), the
+    UTC-offset in minutes (DST-aware: NY flips -300/-240), and the
+    to_utc_timestamp round-trip proving the conversion is lossless.
+
+    100 TB notes: pure narrow projection, zero shuffles; timezone math is
+    JVM-side whole-stage codegen (no Python). This is the ingestion-time
+    normalization step for any multi-region event lake: store UTC, derive
+    local wall fields at query time — never store local wall clocks."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    ny = F.from_utc_timestamp(ts, "America/New_York")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
+        F.date_format(F.from_utc_timestamp(ts, "Asia/Tokyo"), "yyyy-MM-dd HH:mm:ss")
+        .alias("tokyo_wall"),
+        F.hour(ny).alias("ny_hour"),
+        F.date_format(ny.cast("date"), "yyyy-MM-dd").alias("ny_date"),
+        ((F.unix_timestamp(ny.cast("timestamp")) - F.unix_timestamp(ts)) / 60)
+        .cast("int")
+        .alias("ny_off_min"),
+        F.date_format(
+            F.to_utc_timestamp(ny, "America/New_York"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("roundtrip"),
+    )
