@@ -203,3 +203,39 @@ def test_resolve_namespaces_broadcasts_dim(spark):
         "Talk:Main Article": "Talk",
         "Category:Things": "Category",
     }
+
+
+def test_multi_dump_lake_resolves_namespaces_per_wiki(tmp_path, spark):
+    """Mixed-wiki dump directory (NOTES.md round-4 item): namespace ids are
+    wiki-local, so resolution must join on (dump_id, ns) — an en page with
+    ns=1 gets 'Talk', a de page with ns=1 gets 'Diskussion', never
+    crossed."""
+    import shutil
+
+    from wikipedia_org_xmldump_importer_spark.plans.inspect import (
+        has_broadcast_hash_join,
+    )
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        namespaces_dim,
+        resolve_namespaces,
+        scan_xml_siteinfo,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    shutil.copy(FIXTURES / "siteinfo_dump.xml", lake / "enwiki.xml")
+    shutil.copy(FIXTURES / "siteinfo_dump_de.xml", lake / "dewiki.xml")
+
+    pages = scan_xml_pages(spark, str(lake), with_dump_id=True)
+    dim = namespaces_dim(scan_xml_siteinfo(spark, str(lake), with_dump_id=True))
+    # one header per file, each with its own namespace map
+    assert dim.select("dump_id").distinct().count() == 2
+    labeled = resolve_namespaces(pages, dim)
+    assert has_broadcast_hash_join(labeled)
+    got = {r["title"]: r["ns_name"] for r in labeled.collect()}
+    assert got["Talk:Main Article"] == "Talk"
+    assert got["Diskussion:Hauptartikel"] == "Diskussion"
+    assert got["Category:Things"] == "Category"
+    assert got["Main Article"] is None and got["Hauptartikel"] is None
+    # every page labeled exactly once (the per-dump join can't fan out)
+    assert labeled.count() == pages.count() == 5

@@ -108,20 +108,32 @@ PAGE_SCHEMA_META = _page_schema(_TEXT_META)
 
 
 def scan_xml_pages(
-    spark: SparkSession, path: str, include_text: bool = True
+    spark: SparkSession,
+    path: str,
+    include_text: bool = True,
+    with_dump_id: bool = False,
 ) -> DataFrame:
     """s2: stream <page> rows from a MediaWiki dump (xml[.bz2/.gz]).
 
     ``include_text=False`` reads with the metadata-only schema — the nested
     pruning Catalyst cannot do for XML (nestedSchemaPruning is Parquet/ORC
     only), done where it must be: at the parser. Use it for any pipeline
-    that doesn't build the ``text`` table."""
-    return (
+    that doesn't build the ``text`` table.
+
+    ``with_dump_id=True`` stamps each page with the source file it came
+    from (``input_file_name()``, evaluated at scan time — zero cost) so a
+    directory of dumps from DIFFERENT wikis stays joinable to the right
+    per-dump <siteinfo> header (namespace ids are wiki-local: ns=1 is
+    "Talk" on enwiki, "Diskussion" on dewiki)."""
+    df = (
         spark.read.format("xml")
         .option("rowTag", "page")
         .schema(PAGE_SCHEMA if include_text else PAGE_SCHEMA_META)
         .load(path)
     )
+    if with_dump_id:
+        df = df.withColumn("dump_id", F.input_file_name())
+    return df
 
 
 # <siteinfo> is one element per dump: site metadata + the namespace map
@@ -158,27 +170,38 @@ SITEINFO_SCHEMA = StructType(
 )
 
 
-def scan_xml_siteinfo(spark: SparkSession, path: str) -> DataFrame:
+def scan_xml_siteinfo(
+    spark: SparkSession, path: str, with_dump_id: bool = False
+) -> DataFrame:
     """The one-per-dump <siteinfo> header — read separately with rowTag
     switched to siteinfo and broadcast as a dimension (SURVEY §1.3). One
     row per dump file; at 100 TB the read still touches every split (the
     XML source can't know which file region holds the header), so scan it
-    once and persist/broadcast the result, never per-query."""
-    return (
+    once and persist/broadcast the result, never per-query.
+
+    ``with_dump_id=True``: stamp each header with its source file — the
+    join key for a mixed-wiki dump lake (see ``scan_xml_pages``)."""
+    df = (
         spark.read.format("xml")
         .option("rowTag", "siteinfo")
         .schema(SITEINFO_SCHEMA)
         .load(path)
     )
+    if with_dump_id:
+        df = df.withColumn("dump_id", F.input_file_name())
+    return df
 
 
 def namespaces_dim(siteinfo: DataFrame) -> DataFrame:
     """Flatten <siteinfo> into the namespace dimension (ns_key, ns_case,
     ns_name). The main namespace (key 0) keeps a NULL ns_name exactly as
-    the wire format has it (empty element)."""
+    the wire format has it (empty element). A ``dump_id`` column (multi-wiki
+    lake) is carried through, making the dim key (dump_id, ns_key)."""
+    carry = ["dump_id"] if "dump_id" in siteinfo.columns else []
     return (
-        siteinfo.select(F.explode("namespaces.namespace").alias("n"))
+        siteinfo.select(*carry, F.explode("namespaces.namespace").alias("n"))
         .select(
+            *carry,
             F.col("n._key").alias("ns_key"),
             F.col("n._case").alias("ns_case"),
             F.col("n._VALUE").alias("ns_name"),
@@ -188,9 +211,16 @@ def namespaces_dim(siteinfo: DataFrame) -> DataFrame:
 
 def resolve_namespaces(pages: DataFrame, ns_dim: DataFrame) -> DataFrame:
     """Attach ns_name to pages via an explicit broadcast of the (≤ few
-    hundred row) namespace dimension — the canonical small-dim join: the
-    100 TB page scan never shuffles."""
-    return pages.join(F.broadcast(ns_dim), pages["ns"] == ns_dim["ns_key"], "left")
+    hundred row per wiki) namespace dimension — the canonical small-dim
+    join: the 100 TB page scan never shuffles. When both sides carry
+    ``dump_id``, the join is per-dump, so namespace names from one wiki
+    never label another wiki's pages."""
+    cond = pages["ns"] == ns_dim["ns_key"]
+    if "dump_id" in pages.columns and "dump_id" in ns_dim.columns:
+        ns_dim = ns_dim.withColumnRenamed("dump_id", "ns_dump_id")
+        cond = cond & (pages["dump_id"] == ns_dim["ns_dump_id"])
+        return pages.join(F.broadcast(ns_dim), cond, "left").drop("ns_dump_id")
+    return pages.join(F.broadcast(ns_dim), cond, "left")
 
 
 def filter_namespace(
