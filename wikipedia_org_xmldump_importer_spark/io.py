@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -34,9 +35,13 @@ _EPOCH_NTZ = "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the ten driver tables from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot
-    map to a Catalyst type (PARQUET_TYPE_ILLEGAL). We read it as epoch-nanos
-    int64 via ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild:
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    generations and TIMESTAMP(MICROS) in others, so the branch below is
+    type-driven. NANOS cannot map to a Catalyst type (PARQUET_TYPE_ILLEGAL);
+    we read it as epoch-nanos int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild. MICROS reads
+    natively as TIMESTAMP_NTZ and only needs the companion long. Either way
+    callers see the same two columns:
 
       * ``ts``    — TIMESTAMP_NTZ at microsecond precision, truncated exactly
                     like DuckDB truncates ns->us (integer ``div``, no float
@@ -64,10 +69,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.table(name) if from_catalog else spark.read.parquet(path)
-        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "ts",
-            F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # TIMESTAMP(NANOS) footer → epoch-nanos long; truncate ns→us
+            # exactly like DuckDB (integer div, no float rounding).
+            df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+                "ts",
+                F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
+            )
+        else:
+            # TIMESTAMP(MICROS) footer → native TIMESTAMP_NTZ; derive the
+            # epoch-µs long by pure integer arithmetic on the NTZ epoch
+            # (timezone-independent, exact on both engines).
+            df = df.withColumn(
+                "ts_us", F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)")
+            )
         return df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props", "ts_us"
         )

@@ -24,6 +24,8 @@ MODULES = (
     "timeseries",
     "subqueries",
     "pipeline",
+    "merge_ops",
+    "index_ops",
 )
 
 # The driver's correctness sweep checks only the FIRST 50 entries of
