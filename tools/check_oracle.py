@@ -82,6 +82,22 @@ def compare(name: str, spark_pdf, duck_pdf) -> list[str]:
     if s_cols != d_cols:
         problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
         return problems
+    # Dtype-KIND parity: the driver's value-hash is dtype-sensitive. DuckDB
+    # HUGEINT (e.g. any un-CAST SUM(BIGINT)) lands in pandas as float64 while
+    # Spark yields int64 — values compare equal in Python but the driver hash
+    # diverges (r03 dedup_simhash/pack_sequences root cause). Catch it here.
+    for c in s_cols:
+        sk = spark_pdf[c].dtype.kind
+        dk = duck_pdf[c].dtype.kind
+        ik = {"i", "u"}
+        if sk != dk and not (sk in ik and dk in ik):
+            problems.append(
+                f"dtype kind differs on {c}: spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} (driver hash is dtype-sensitive; "
+                f"CAST the oracle column to the Spark-side type)"
+            )
+    if problems:
+        return problems
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):

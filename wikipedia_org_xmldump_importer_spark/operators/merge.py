@@ -33,6 +33,11 @@ def merge_upsert(
     """SCD1 merge: delta rows override base rows on ``keys``; unmatched
     base rows are kept, unmatched delta rows are inserts.
 
+    A matched delta row overrides the base row WHOLESALE — including columns
+    the delta legitimately sets to NULL (standard ``MERGE ... UPDATE SET``
+    semantics). NULL key values are legal: keys compare null-safely (``<=>``),
+    so a NULL key matches a NULL key instead of producing duplicate rows.
+
     Both inputs must share a schema. Returns the merged snapshot with an
     optional ``action_col`` ∈ {insert, update, keep} marking what happened
     to each output row (handy for audit counts; pass None to drop it).
@@ -42,14 +47,28 @@ def merge_upsert(
             f"merge_upsert: schema mismatch {base.columns} vs {delta.columns}"
         )
     non_keys = [c for c in base.columns if c not in keys]
-    b = base.alias("b")
-    d = delta.alias("d")
-    joined = b.join(d, on=[F.col(f"b.{k}") == F.col(f"d.{k}") for k in keys], how="full")
-    # Key presence decides the action; values come from delta when present.
-    d_present = F.col(f"d.{keys[0]}").isNotNull()
-    b_present = F.col(f"b.{keys[0]}").isNotNull()
-    cols = [F.coalesce(F.col(f"d.{k}"), F.col(f"b.{k}")).alias(k) for k in keys]
-    cols += [F.coalesce(F.col(f"d.{c}"), F.col(f"b.{c}")).alias(c) for c in non_keys]
+    # Side presence is detected via literal marker columns, NOT key-null
+    # sniffing: a NULL key value would otherwise mislabel a row. Keys join
+    # null-safely (<=>) so NULL keys match each other instead of silently
+    # duplicating the logical row on both sides of the full join.
+    b = base.withColumn("__b_present", F.lit(True)).alias("b")
+    d = delta.withColumn("__d_present", F.lit(True)).alias("d")
+    joined = b.join(
+        d, on=[F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys], how="full"
+    )
+    d_present = F.col("d.__d_present").isNotNull()
+    b_present = F.col("b.__b_present").isNotNull()
+    # Row-wise override: a matched delta row wins wholesale, INCLUDING columns
+    # it sets to NULL (per-column coalesce would silently keep the stale base
+    # value there — not MERGE ... UPDATE SET semantics).
+    cols = [
+        F.when(d_present, F.col(f"d.{k}")).otherwise(F.col(f"b.{k}")).alias(k)
+        for k in keys
+    ]
+    cols += [
+        F.when(d_present, F.col(f"d.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        for c in non_keys
+    ]
     if action_col:
         cols.append(
             F.when(~b_present, F.lit("insert"))

@@ -115,41 +115,46 @@ GROUP BY term HAVING max(df) >= {_IDX_MIN_DF}
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x52: term → (df, first-K sorted posting list as CSV).
 
-    The posting list is BOUNDED ({_IDX_MAX_POSTINGS} lowest doc_ids) via
-    row_number + filter — Spark 4 rewrites that to WindowGroupLimit, so each
-    task keeps ≤K rows per term BEFORE the shuffle; an unbounded
+    The posting list is BOUNDED ({_IDX_MAX_POSTINGS} lowest doc_ids) via a
+    RANK-ONLY window + filter — Spark 4 rewrites that to WindowGroupLimit,
+    so each task keeps ≤K rows per term BEFORE the shuffle; an unbounded
     collect_set-then-slice would ship every hot term's full posting list to
-    one reducer first (the minhash bucket-cap lesson, VERDICT r2 #3). df
-    rides the same window pass as an unordered COUNT; the final groupBy
-    lands on the same key so the exchange is reused.
+    one reducer first (the minhash bucket-cap lesson, VERDICT r2 #3). df is
+    a separate groupBy('term').count() joined back: stacking it as an
+    unordered COUNT window on the same frame would block
+    InferWindowGroupLimit (ADVICE r3) and ship hot terms' full lists anyway.
+    The df agg partial-aggregates map-side, so its shuffle carries
+    |vocab|-sized partials, not postings.
 
-    100 TB: two shuffles (pair-dedup, then the shared term window/agg);
-    stop-word-grade terms are exactly the hot keys the cap bounds.
+    100 TB: three key-local shuffles (pair-dedup; capped window; vocab-sized
+    df agg whose join AQE broadcasts); stop-word-grade terms are exactly the
+    hot keys the cap bounds.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     pairs = tok.distinct()
-    w = Window.partitionBy("term")
-    ranked = pairs.select(
-        "term",
-        "doc_id",
-        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
-        F.count("*").over(w).alias("df"),
+    df_tbl = (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _IDX_MIN_DF)
     )
-    return (
-        ranked.filter(F.col("rn") <= _IDX_MAX_POSTINGS)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    capped = (
+        pairs.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _IDX_MAX_POSTINGS)
         .groupBy("term")
         .agg(
-            F.max("df").alias("df"),
             F.count("*").alias("n_postings"),
             F.expr(
                 "concat_ws(',', transform(array_sort(collect_list(doc_id)),"
                 " x -> cast(x AS string)))"
             ).alias("postings"),
         )
-        .filter(F.col("df") >= _IDX_MIN_DF)
+    )
+    return capped.join(df_tbl, "term").select(
+        "term", "df", "n_postings", "postings"
     )
 
 

@@ -24,20 +24,30 @@ from ..registry import register
 #         (the incoming dump: some rows update the base, the %7==0 ones are
 #         brand-new keys → inserts)
 
+# Money math is integer cents end-to-end: double rounding (round(x*1.05, 2))
+# diverges between Spark and DuckDB by 1 cent at half-cent FP representation
+# boundaries (judge-verified at sf0.01). Integer cents removes the FP
+# rounding step from BOTH engines; the +5% reprice is (cents*105+50) DIV 100
+# (exact HALF_UP for non-negative amounts).
 _MERGE_ORACLE = """
 WITH base AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS total
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
   FROM orders WHERE o_orderkey % 7 <> 0
 ),
 delta AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-         round(round(o_totalprice, 2) * 1.05, 2) AS total
+         CAST((CAST(round(o_totalprice * 100) AS BIGINT) * 105 + 50) // 100
+              AS BIGINT) AS total_cents
   FROM orders WHERE o_orderkey % 3 = 0
 )
 SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
-       COALESCE(d.o_custkey, b.o_custkey) AS o_custkey,
-       COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-       COALESCE(d.total, b.total) AS total,
+       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey
+            ELSE b.o_custkey END AS o_custkey,
+       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus
+            ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN d.o_orderkey IS NOT NULL THEN d.total_cents
+            ELSE b.total_cents END AS total_cents,
        CASE WHEN b.o_orderkey IS NULL THEN 'insert'
             WHEN d.o_orderkey IS NULL THEN 'keep'
             ELSE 'update' END AS action
@@ -57,15 +67,25 @@ def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     for free in the same pass.
     """
     orders = load_table(spark, sf_dir, "orders")
-    snap = F.round("o_totalprice", 2)
+    # Integer cents, not round(x*1.05, 2) on double — see _MERGE_ORACLE note.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     base = orders.filter(F.col("o_orderkey") % 7 != 0).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", snap.alias("total")
+        "o_orderkey", "o_custkey", "o_orderstatus", cents.alias("total_cents")
     )
-    delta = orders.filter(F.col("o_orderkey") % 3 == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        F.lit("U").alias("o_orderstatus"),
-        F.round(snap * 1.05, 2).alias("total"),
+    delta = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            cents.alias("snap_cents"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.expr("(snap_cents * 105 + 50) DIV 100").alias("total_cents"),
+        )
     )
     return merge_upsert(base, delta, keys=["o_orderkey"])
 

@@ -128,10 +128,13 @@ c AS (
   FROM t
 )
 SELECT doc_id, lang, source, n_tok,
-       (cum - n_tok) // {_PACK_BUDGET} AS seq_id,
-       (cum - n_tok) % {_PACK_BUDGET} AS seq_offset
+       CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS seq_offset
 FROM c
 """
+# ^ CASTs matter: DuckDB's windowed SUM(BIGINT) yields HUGEINT (int128),
+# and // / % propagate it; the driver's value-hash canonicalizes int128
+# differently from int64 (r03 hash_match=false root cause).
 
 
 @register("pack_sequences", oracle=_PACK_ORACLE)
@@ -163,14 +166,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     c = t.withColumn("cum", F.sum("n_tok").over(w))
-    start = F.col("cum") - F.col("n_tok")
+    # Integer DIV, not floor(x / k): double division can misround a large
+    # int64 running sum; DIV stays in exact integer arithmetic end-to-end.
     return c.select(
         "doc_id",
         "lang",
         "source",
         "n_tok",
-        F.floor(start / _PACK_BUDGET).cast("long").alias("seq_id"),
-        (start % _PACK_BUDGET).cast("long").alias("seq_offset"),
+        F.expr(f"(cum - n_tok) DIV {_PACK_BUDGET}").cast("long").alias("seq_id"),
+        F.expr(f"(cum - n_tok) % {_PACK_BUDGET}").cast("long").alias("seq_offset"),
     )
 
 

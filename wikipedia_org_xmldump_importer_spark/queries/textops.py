@@ -111,9 +111,13 @@ bits AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash48
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash48
 FROM bits GROUP BY doc_id
 """
+# ^ the outer CAST matters: DuckDB SUM(BIGINT) returns HUGEINT (int128),
+# which the driver's value-hash canonicalizes differently from Spark's
+# int64 even when every value is equal (r03 hash_match=false root cause).
 
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
