@@ -38,17 +38,24 @@ MODULES = (
 # All 50 carry full SQL oracles (rows-only entries would burn a hash-check
 # slot on a weaker check). Queries not listed keep module order after these;
 # ALL registered queries still run under the local replica gate
-# (tools/check_oracle.py). Round-3 rotation: six relational rows that the
-# driver already hash-attested in CORRECTNESS_r02 (distinct_rows,
-# join_broadcast, agg_grouping_sets, win_range_frame, set_intersect,
-# fn_json) rotate out so the round-3 extensions (time series, correlated
-# subquery, embedding dedup, heavy hitters) get driver-attested; every §2
-# section keeps at least one in-window representative. Round-3b rotation:
-# four more r1+r2-attested rows (scan_parquet, join_skew_salted,
-# agg_argminmax, fn_string) make room for the §2.15 training-pipeline
-# stages (decontaminate/pack/split/stratify); §2.1 scans stay repped by
-# the three flagship composites, §2.3/2.4/2.8 by join_asof/agg_groupby/
-# fn_array_hof.
+# (tools/check_oracle.py). Rotation history: r3 rotated six r2-attested
+# relational rows out for the time-series/subquery/dedup extensions; r3b
+# rotated four more for the §2.15 training-pipeline stages. Round-5
+# rotation (r4 verdict task 1): after CORRECTNESS_r04 every slot was
+# driver-attested, so the window was pure re-confirmation. Seventeen
+# r4-attested rows (stream_sliding/session/dedup/static_join,
+# udaf_grouped_agg, udtf_table, sim_topk_bruteforce, sim_threshold_join,
+# text_stats, lang_partition, embed_norm_centroid, vec_quantize_int8,
+# text_tf, text_fingerprint, text_langid, text_quality, mm_binary_meta)
+# rotate out so the 17 SQL-oracle queries the driver has NEVER attested
+# (the scalar-fn tail, join_range_binned, win_ignore_nulls, agg_histogram,
+# curation_pipeline, sub_exists_notexists, merge/SCD2, index_ops, plus
+# fn_json re-rotating from its r2 attestation) each get a hard
+# CORRECTNESS row. Union of all rounds' windows then covers every
+# SQL-oracle registry entry. Section representation after rotation:
+# §2.9 keeps tumbling/funnel/stream_stream_join, §2.10 keeps
+# udf_scalar_arrow, §2.11 keeps dedup_exact/classify_knn, §2.12 keeps
+# eight rows.
 DRIVER_PRIORITY = (
     # flagship / scans (§2.1, composites x1-x3)
     "flagship_star_revenue",
@@ -56,56 +63,51 @@ DRIVER_PRIORITY = (
     "tpch_q5_local_volume",
     # §2.2 projection
     "filter_pred",
-    # §2.3 joins — custom as-of composite, plan-asserted broadcast, skew salt
+    # §2.3 joins — custom as-of composite + binned range join (first window)
     "join_asof",
-    # §2.4 aggregation
+    "join_range_binned",
+    # §2.4 aggregation (+ first-window histogram)
     "agg_groupby",
-    # §2.5 windows
+    "agg_histogram",
+    # §2.5 windows (+ first-window ignore-nulls frame)
     "win_topk_per_group",
+    "win_ignore_nulls",
     # §2.6-2.7 sort/limit + set ops
     "limit_topk",
-    # §2.8 scalar functions (fn_array_hof = the round-1 canonicalizer crasher)
+    # §2.8 scalar functions — the never-attested tail rotates in
     "fn_array_hof",
-    # §2.9 streaming batch twins
+    "fn_json",
+    "fn_map",
+    "fn_hash",
+    "fn_bitwise",
+    "fn_datepart",
+    "fn_string_agg",
+    "fn_timezone",
+    # §2.9 streaming batch twins (tumbling + the two hardest composites)
     "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup",
     "stream_funnel",
-    "stream_static_join",
     "stream_stream_join",
     # §2.10 UDF surface
     "udf_scalar_arrow",
-    "udaf_grouped_agg",
-    "udtf_table",
     # §2.11 LLM-pipeline operators (SQL-oracle rows)
     "dedup_exact",
-    "sim_topk_bruteforce",
-    "sim_threshold_join",
-    "text_stats",
-    "lang_partition",
-    "embed_norm_centroid",
     "classify_knn",
-    "vec_quantize_int8",
     # §2.12 text/multimodal/composite extensions (SQL-oracle rows)
-    "text_tf",
-    "text_fingerprint",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "text_langid",
-    "text_quality",
-    "mm_binary_meta",
     "text_token_regex",
     "mm_frame_sample",
     "doc_chunk_overlap",
     "text_tfidf",
     "pii_mask",
     "dedup_cluster_cc",
-    # §2.13-2.14 + round-3 extensions
+    "curation_pipeline",
+    # §2.13-2.14 + round-3 extensions (+ first-window EXISTS/NOT EXISTS)
     "ts_resample_ohlc",
     "ts_gapfill",
     "ts_rollup_two_level",
     "sub_correlated_scalar",
+    "sub_exists_notexists",
     "dedup_embed_cosine",
     "agg_heavy_hitters",
     # §2.15 training-data pipeline stages
@@ -113,6 +115,12 @@ DRIVER_PRIORITY = (
     "pack_sequences",
     "split_train_hash",
     "sample_stratified",
+    # §2.16 merge/SCD + index ops — never driver-attested before r5
+    "merge_scd1",
+    "scd2_history",
+    "ngram_lm_counts",
+    "inverted_index",
+    "sample_reservoir_group",
 )
 
 
