@@ -50,6 +50,52 @@ def test_driver_window_is_priority_ordered():
     assert all(REGISTRY[n].oracle is not None for n in names[:50])
 
 
+def test_survey_registry_sync():
+    """SURVEY.md §2 is the declared contract; REGISTRY is the machine-checked
+    mirror. Parse the §2 tables and fail on drift in either direction
+    (r3/r4 verdicts both caught the registry running ahead of the doc)."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
+    start = text.index("## §2")
+    end = text.index("## §3")
+    names: set[str] = set()
+    for line in text[start:end].splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = line.split("|")
+        if len(cells) < 3:
+            continue
+        names.update(re.findall(r"`([a-z][a-z0-9_]*)`", cells[2]))
+    # §2 rows exercised only via entry()/tests (oracle column `n/a`), never
+    # registered in queries(): sources/sinks without oracle views and the
+    # live-streaming halves whose batch twins carry the registry entry.
+    test_only = {
+        "scan_xml_pages",
+        "scan_csv_json",
+        "sink_parquet",
+        "sink_jdbc",
+        "source_stream_events",
+        "sink_bucketed",
+        "scan_xml_siteinfo",
+        "namespaces_dim",
+        "resolve_namespaces",
+        "filter_namespace",
+        "stream_watermark_late",
+        "stream_stateful_custom",
+        "stream_upsert_sink",
+        "stream_ohlc_bars",
+    }
+    declared = names - test_only
+    registered = set(REGISTRY)
+    assert declared == registered, (
+        f"SURVEY §2 vs registry drift: survey-only={sorted(declared - registered)}, "
+        f"registry-only={sorted(registered - declared)}"
+    )
+    assert test_only <= names, f"stale test_only allowlist: {sorted(test_only - names)}"
+
+
 def test_oracle_coverage_accounted():
     """Every rows-only query (oracle=None) must be an op SURVEY §2 marks as
     not-SQL-expressible; catches accidentally-dropped oracles."""
