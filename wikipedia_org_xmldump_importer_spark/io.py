@@ -119,9 +119,10 @@ def sink_jdbc(
     """s5: the reference's DB-load step re-expressed as Spark's JDBC sink
     (BASELINE.json "Spark XML reader + DataFrame write to JDBC").
 
-    No database server nor JDBC driver jar exists in this sandbox, so this
-    code path is exercised only by a unit test asserting the writer is
-    configured (not executed). On a real cluster:
+    No database *server* exists in this sandbox, but Spark's distribution
+    ships the Derby embedded engine, so tests/test_jdbc_sink.py executes a
+    real round-trip through this function (write → in-memory Derby table →
+    read.jdbc → value equality). On a real cluster:
 
     100 TB notes: ``numPartitions`` bounds concurrent connections (each task
     opens one); ``batchsize`` amortizes per-row round trips (10k is the
