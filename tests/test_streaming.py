@@ -130,6 +130,157 @@ def test_stateful_dedup_removes_duplicates(spark, tmp_path):
     assert uniq == ev.count()
 
 
+def _write_synth_chunk(spark, staged_dir: str, name: str, rows) -> None:
+    """Write one hand-placed micro-batch chunk. ``rows`` is a list of
+    (event_id, 'YYYY-MM-DD HH:MM:SS', user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(e, ts, u, t, v, "{}") for e, ts, u, t, v in rows],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts_s AS TIMESTAMP_NTZ) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ),"
+        " CAST(ts_s AS TIMESTAMP_NTZ)) AS ts_us",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{staged_dir}/{name}")
+
+
+def test_watermark_boundary_window_semantics(spark, tmp_path):
+    """st4 adversarial: pin Spark's EXACT late-data rules for watermarked
+    windowed aggregation in append mode, empirically established on this
+    engine (the micro-batch watermark protocol makes them subtler than
+    "older than watermark is dropped"):
+
+      * A window is EMITTED AT MOST ONCE, in the first batch whose
+        start-of-batch watermark passes its end; a late row arriving in any
+        LATER batch cannot re-open it and is dropped.
+      * A late row arriving in that SAME emission batch still counts: the
+        late filter uses the previous batch's watermark while eviction uses
+        the current one, so Spark errs toward including boundary data
+        rather than dropping it (drops are best-effort per the Spark docs;
+        finalization is the hard guarantee).
+      * Rows older than the watermark whose window is still open (end >
+        watermark) are always aggregated — lateness is judged per window,
+        not per row.
+    """
+    staged = str(tmp_path / "boundary_chunks")
+    # batch 0: occupants + a head event -> watermark 11:50 for batch 1
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_01",
+        [
+            (1, "2024-01-01 10:40:00", 1, "view", 1.0),
+            (2, "2024-01-01 11:31:00", 1, "view", 1.0),
+            (3, "2024-01-01 11:46:00", 1, "view", 1.0),
+            (4, "2024-01-01 12:00:00", 1, "view", 1.0),  # max -> wm 11:50
+        ],
+    )
+    # batch 1 runs with watermark 11:50: window [11:30,11:45) finalizes at
+    # the END of this batch, so its late row 5 is still included
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_02",
+        [
+            # 10 min late, window end 11:45 <= wm — included (same batch)
+            (5, "2024-01-01 11:40:00", 1, "view", 1.0),
+            # exactly at the watermark; window [11:45, 12:00) open -> kept
+            (6, "2024-01-01 11:50:00", 1, "view", 1.0),
+            # OLDER than the watermark but window [11:45, 12:00) open -> kept
+            (7, "2024-01-01 11:45:00", 1, "view", 1.0),
+        ],
+    )
+    # batch 2: row 10 targets the ALREADY-EMITTED window [11:30,11:45) — it
+    # must be dropped (append emitted the window in batch 1; re-opening
+    # would double-report); row 8 advances the watermark past 12:00
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_03",
+        [
+            (10, "2024-01-01 11:41:00", 1, "view", 1.0),
+            (8, "2024-01-01 13:00:00", 1, "view", 1.0),
+        ],
+    )
+    # batch 3: watermark 12:50 >= 12:00 finalizes [11:45, 12:00) while
+    # batches still run (no reliance on a post-stream flush)
+    _write_synth_chunk(spark, staged, "chunk_04", [(9, "2024-01-01 14:00:00", 1, "view", 1.0)])
+
+    stream = ops.watermark_late_filter(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_boundary", "append").toPandas()
+    # append mode: every window appears at most once
+    assert got["wstart"].is_unique, got
+    counts = {str(r.wstart): int(r.n) for r in got.itertuples()}
+    assert counts["2024-01-01 10:30:00"] == 1
+    # row 2 (on time) + row 5 (late, emission batch) — row 10 (late, post-
+    # emission batch) excluded
+    assert counts["2024-01-01 11:30:00"] == 2
+    # on-time row 3 + at-watermark row 6 + older-than-watermark row 7
+    assert counts["2024-01-01 11:45:00"] == 3
+
+
+def test_dedup_duplicates_straddling_state_expiry(spark, tmp_path):
+    """st5 adversarial: dropDuplicatesWithinWatermark keeps per-id state only
+    for the watermark delay (30 min). A duplicate arriving while the state
+    is alive is dropped; the SAME id arriving after its state expired is
+    re-emitted — the documented at-least-once boundary of bounded-state
+    dedup. Also pins the row-level late filter boundary: ts == watermark is
+    kept (the duplicate id=1 row arrives exactly AT the watermark and still
+    re-emits), ts < watermark is dropped."""
+    staged = str(tmp_path / "expiry_chunks")
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_01",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:05:00", 1, "view", 1.0),
+            (100, "2024-01-01 10:20:00", 1, "view", 1.0),  # max -> wm 09:50
+        ],
+    )
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_02",
+        [
+            # duplicate id=2 while its state is alive (expiry 10:35) -> drop
+            (2, "2024-01-01 10:18:00", 1, "view", 1.0),
+            (101, "2024-01-01 11:40:00", 1, "view", 1.0),  # max -> wm 11:10
+        ],
+    )
+    # spacer batch: id=1's state (expiry 10:30 < wm 11:10) is evicted at
+    # this batch's cleanup; max 11:45 -> wm 11:15 for the final batch
+    _write_synth_chunk(
+        spark, staged, "chunk_03", [(102, "2024-01-01 11:45:00", 1, "view", 1.0)]
+    )
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_04",
+        [
+            # id=1 again: state expired AND ts exactly == watermark (11:15)
+            # -> not late, no state -> RE-EMITTED
+            (1, "2024-01-01 11:15:00", 1, "view", 1.0),
+            # new id but ts < watermark -> dropped as late, never emitted
+            (4, "2024-01-01 10:00:00", 1, "view", 1.0),
+        ],
+    )
+
+    stream = ops.stateful_dedup(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_expiry", "append").toPandas()
+    by_id = got.groupby("event_id").size().to_dict()
+    assert by_id[1] == 2, f"straddling duplicate not re-emitted: {by_id}"
+    assert by_id[2] == 1, f"within-delay duplicate not dropped: {by_id}"
+    assert 4 not in by_id, f"older-than-watermark row not dropped: {by_id}"
+    assert by_id[100] == 1 and by_id[101] == 1 and by_id[102] == 1
+
+
 def test_funnel_state_machine(spark, tmp_path):
     """st6: applyInPandasWithState funnel — closed funnels must agree with
     the relational batch twin."""

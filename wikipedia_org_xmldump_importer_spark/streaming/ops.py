@@ -73,7 +73,18 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def watermark_late_filter(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     """st4: watermark + append-mode window counts — events later than the
     watermark are DROPPED from finalized windows (asserted with a
-    hand-written late chunk in tests)."""
+    hand-written late chunk in tests).
+
+    Exact boundary semantics (empirically pinned in
+    tests/test_streaming.py::test_watermark_boundary_window_semantics):
+    each window is emitted AT MOST ONCE, in the first batch whose
+    start-of-batch watermark passes its end; late rows arriving in that
+    same emission batch still count (the late filter lags the eviction
+    watermark by one batch — Spark errs toward inclusion; dropping is
+    best-effort, finalization is the guarantee); late rows in any later
+    batch are dropped and cannot re-open the window. Lateness is judged
+    per WINDOW (end <= watermark), not per row — a row older than the
+    watermark whose window is still open is aggregated normally."""
     return (
         _with_event_time(events).withWatermark("ts", lateness)
         .groupBy(F.window("ts", "15 minutes").alias("w"))
