@@ -87,3 +87,17 @@ def test_pack_respects_budget_and_covers_all_docs(spark):
     for members in shards.values():
         seq_ids = {m.seq_id for m in members}
         assert min(seq_ids) == 0
+
+
+def test_merge_upsert_rejects_reserved_marker_columns(spark):
+    """The presence markers __b_present/__d_present are appended to the
+    inputs; an identically-named input column would be silently
+    overwritten, corrupting presence detection (r4 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wikipedia_org_xmldump_importer_spark.operators.merge import merge_upsert
+
+    df = spark.range(3).withColumn("__b_present", F.lit(1))
+    with pytest.raises(ValueError, match="reserved column"):
+        merge_upsert(df, df, keys=["id"])

@@ -46,6 +46,13 @@ def merge_upsert(
         raise ValueError(
             f"merge_upsert: schema mismatch {base.columns} vs {delta.columns}"
         )
+    # The presence markers are appended to the inputs; an identically-named
+    # input column would land in non_keys and be silently overwritten by
+    # withColumn, corrupting both presence detection and that column's
+    # output values.
+    clash = {"__b_present", "__d_present"} & set(base.columns)
+    if clash:
+        raise ValueError(f"merge_upsert: reserved column names in input: {sorted(clash)}")
     non_keys = [c for c in base.columns if c not in keys]
     # Side presence is detected via literal marker columns, NOT key-null
     # sniffing: a NULL key value would otherwise mislabel a row. Keys join

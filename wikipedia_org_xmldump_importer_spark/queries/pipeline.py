@@ -168,6 +168,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.withColumn("cum", F.sum("n_tok").over(w))
     # Integer DIV, not floor(x / k): double division can misround a large
     # int64 running sum; DIV stays in exact integer arithmetic end-to-end.
+    # INVARIANT: cum - n_tok >= 0 (a running sum of non-negative token
+    # counts minus its last addend). That non-negativity is load-bearing
+    # for cross-engine parity: Spark's DIV truncates toward zero while
+    # DuckDB's // floors, and % signs differ likewise — the two only agree
+    # on non-negative operands. If this expression could ever go negative,
+    # both sides would need explicit floor-division semantics.
     return c.select(
         "doc_id",
         "lang",
