@@ -153,7 +153,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     most cap²/2 pairs instead of 10¹⁰ (bounded-pairs property-tested on a
     synthetic hot bucket, tests/test_llm_ops.py). Truncation only loses
     pairs whose docs share no OTHER un-capped band; raise bands /
-    rows-per-band to sharpen the similarity threshold the bands admit."""
+    rows-per-band to sharpen the similarity threshold the bands admit.
+
+    Cluster retune knobs (defaults are sf0.1-tuned): the banding s-curve
+    admits pairs near (1/bands)^(1/rows_per_band) — the 4×4 default ≈ 0.71
+    Jaccard. Chasing fainter duplicates (0.5): more bands of fewer rows
+    (8×2 ⇒ ≈0.35 threshold, more candidates); stricter near-exact dedup:
+    fewer bands of more rows (2×8 ⇒ ≈0.92). Candidate volume scales with
+    bucket collision mass, so pair _MINHASH_BUCKET_CAP upward only with
+    executor memory (pairs per bucket ≤ cap²/2); n_sig = bands ×
+    rows_per_band is the signature cost per doc (one xxhash64 each)."""
     # r = 4 rows/band, b = 4 bands → s-curve threshold (1/b)^(1/r) ≈ 0.71:
     # buckets admit the near-dup regime, not the long tail of
     # share-a-little-vocabulary pairs (which explode candidate volume
@@ -589,6 +598,12 @@ def classify_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# CLUSTER RETUNE KNOB: _N_PLANES is sized for the sandbox corpus (~4k
+# vectors -> 2^6 = 64 buckets ~= 64 vectors each). The sizing rule is
+# P ~= log2(n_corpus / target_bucket_size) with target_bucket_size picked
+# so one bucket's candidate scan fits a task (10^3-10^4 vectors): a 1B-row
+# corpus wants P ~= 17-20, plus 2-bit multi-probe or 2-4 independent plane
+# tables (union of candidates) to hold recall at the finer partitioning.
 _N_PLANES = 6
 _N_DIMS = 64
 
@@ -621,7 +636,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB notes: one narrow map for signatures, one equi-join on bucket id
     (hash-partitioned — the corpus is never broadcast or crossed), cosine
     kernel only within candidate buckets. Dense-region bucket skew → AQE
-    skew split; recall knob = more probes (flip 2 bits) or more tables."""
+    skew split. Cluster retune knobs (defaults are sf0.1-tuned): bucket
+    granularity = _N_PLANES (see the sizing rule at its definition); recall
+    = probe expansion (1-bit flips here ⇒ P+1 buckets/probe; add 2-bit
+    flips for P(P+1)/2 more) or several independent plane tables unioned;
+    cost per probe ≈ |corpus| · probes / 2^P candidate rows."""
     import numpy as np  # noqa: PLC0415
 
     planes_np = np.array(_hyperplanes(), dtype=np.float64)  # P×d, tiny
@@ -903,7 +922,12 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_sim — then one groupBy(dup_id) folds each dup's candidates into the
     keeper choice. 100 TB notes inherit from l4 (B+1 shuffle copies,
     bounded executor memory); the keeper agg touches only over-threshold
-    pairs, a vanishing fraction of n²."""
+    pairs, a vanishing fraction of n². Retune knobs: the 0.4 cosine
+    threshold is corpus-dependent (near-dup text embeddings usually sit
+    ≥0.9; 0.4 suits the sandbox's synthetic vectors) — raise it to shrink
+    pair volume linearly in the similarity tail; at web scale swap the l4
+    exact kernel for sim_ann_lsh buckets as the pair source (same
+    downstream fold) to avoid the full block-GEMM."""
     pairs = sim_threshold_join(spark, sf_dir).filter(F.col("cos_sim") >= 0.4)
     return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
         F.min("vec_a").alias("keeper_id"),

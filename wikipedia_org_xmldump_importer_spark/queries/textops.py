@@ -129,7 +129,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB notes: tokens×48 intermediate rows, but partial aggregation
     collapses to doc×48 before the shuffle and doc×1 after; integer-only
     math stays in whole-stage codegen end-to-end. Repartition first: few
-    input splits would serialize the tokens×48 expansion."""
+    input splits would serialize the tokens×48 expansion. Retune knobs:
+    48 bits balances collision rate against the tokens×bits expansion —
+    64 bits halves random collisions at +33% map-side rows; downstream
+    pairing groups on simhash BANDS (e.g. 4×12-bit), where wider bands
+    admit fewer Hamming-distance neighbors (stricter) and narrower bands
+    more (fuzzier) — the same s-curve trade as dedup_near_minhash."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
