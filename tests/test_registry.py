@@ -86,6 +86,7 @@ def test_survey_registry_sync():
         "stream_stateful_custom",
         "stream_upsert_sink",
         "stream_ohlc_bars",
+        "content_dedup",
     }
     declared = names - test_only
     registered = set(REGISTRY)

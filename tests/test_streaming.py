@@ -281,6 +281,72 @@ def test_dedup_duplicates_straddling_state_expiry(spark, tmp_path):
     assert by_id[100] == 1 and by_id[101] == 1 and by_id[102] == 1
 
 
+def test_content_dedup_stream_equals_batch(spark, tmp_path):
+    """st10: the streaming content-hash dedup (dedup_exact's streaming twin)
+    must emit exactly one row per distinct content — the first seen — even
+    when the duplicate arrives under a DIFFERENT event_id in a later
+    micro-batch, matching the batch keep-first dedup on the same data."""
+    staged = str(tmp_path / "content_chunks")
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_01",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:01:00", 2, "view", 1.0),
+            (3, "2024-01-01 10:02:00", 1, "purchase", 5.0),
+        ],
+    )
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_02",
+        [
+            # same content as event 1 under a fresh id -> dropped
+            (4, "2024-01-01 10:05:00", 1, "view", 1.0),
+            (5, "2024-01-01 10:06:00", 3, "view", 2.0),
+        ],
+    )
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_03",
+        [
+            # same content as event 3 -> dropped
+            (6, "2024-01-01 10:10:00", 1, "purchase", 5.0),
+            (7, "2024-01-01 10:12:00", 2, "click", 3.0),
+        ],
+    )
+
+    stream = ops.content_dedup(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_content_dedup", "append").toPandas()
+
+    # batch twin: keep-first per content hash over the union of all chunks
+    batch = spark.read.parquet(f"{staged}/chunk_*")
+    from pyspark.sql import Window
+
+    h = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+            F.col("props"),
+        ),
+        256,
+    )
+    w = Window.partitionBy("content_hash").orderBy("ts", "event_id")
+    want = (
+        batch.withColumn("content_hash", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .toPandas()
+    )
+    assert set(got["event_id"]) == set(want["event_id"]) == {1, 2, 3, 5, 7}
+    assert got["content_hash"].is_unique
+    assert len(got) == len(want) == 5
+
+
 def test_funnel_state_machine(spark, tmp_path):
     """st6: applyInPandasWithState funnel — closed funnels must agree with
     the relational batch twin."""

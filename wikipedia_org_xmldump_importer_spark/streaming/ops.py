@@ -102,6 +102,39 @@ def stateful_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFram
     )
 
 
+def content_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """st10: streaming twin of the exact-dedup surface (l1 dedup_exact) —
+    dedup on a normalized CONTENT hash (user, type, value, props; NOT the
+    event_id) with watermark-bounded state, closing the loop between the
+    streaming and dedup surfaces: the same payload re-sent under a fresh
+    event_id within the horizon is dropped.
+
+    100 TB notes: state is one sha-256 per distinct content inside the
+    lateness horizon — the horizon IS the dedup window, so state is
+    bounded by content arrival rate × horizon, not stream length.
+    Production pairs this cheap online pass with a periodic batch
+    dedup_exact sweep for cross-horizon duplicates (the at-least-once
+    boundary pinned in test_dedup_duplicates_straddling_state_expiry)."""
+    e = _with_event_time(events).withColumn(
+        "content_hash",
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.col("value").cast("string"),
+                F.col("props"),
+            ),
+            256,
+        ),
+    )
+    return (
+        e.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("event_id", "ts", "user_id", "event_type", "value", "content_hash")
+    )
+
+
 def funnel_state_machine(events: DataFrame) -> DataFrame:
     """st6: per-user view→purchase funnel via applyInPandasWithState —
     running count of views until the first purchase closes the funnel.
