@@ -195,3 +195,197 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RES_K)
         .withColumn("rnk", F.col("rnk").cast("long"))
     )
+
+
+# --------------------------------------------------------------------------
+# x54 — LM-based document quality score (perplexity proxy)
+# --------------------------------------------------------------------------
+
+# -log2 penalty for bigrams absent from the (min-count-filtered) LM, in
+# integer micro-units. Fixed-point per-bigram scores make the per-doc SUM
+# exact integer arithmetic on both engines — only the final single division
+# is float, so cross-engine summation order cannot flip the rounded result.
+_PPLX_OOV_U = 20_000_000
+
+_PPLX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM tok WHERE len(t) >= 2
+  )
+),
+cnt AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2),
+lm AS (
+  SELECT w1, w2, p_cond FROM (
+    SELECT w1, w2, n_bigram,
+           round(n_bigram / SUM(n_bigram) OVER (PARTITION BY w1), 6) AS p_cond
+    FROM cnt
+  ) WHERE n_bigram >= {_LM_MIN_COUNT}
+),
+scored AS (
+  SELECT b.doc_id,
+         CASE WHEN lm.p_cond IS NOT NULL
+              THEN CAST(round(-log2(lm.p_cond) * 1000000) AS BIGINT)
+              ELSE {_PPLX_OOV_U} END AS u,
+         CASE WHEN lm.p_cond IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bg b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(oov) AS BIGINT) AS n_oov,
+       round(CAST(SUM(u) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_neg_log2
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("doc_lm_perplexity", oracle=_PPLX_ORACLE)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x54: per-document LM quality score — average -log2 P(w2|w1) over the
+    doc's bigrams under the corpus bigram LM (x51), with a fixed penalty
+    for out-of-LM bigrams. THE classic perplexity-based training-data
+    quality filter (docs scoring far above the corpus mean are boilerplate,
+    noise, or wrong-language; far below are repetition).
+
+    Determinism across engines: each bigram's score is fixed-point integer
+    micro-units (round(-log2(p)*1e6), or the OOV penalty), the per-doc SUM
+    is exact integer math, and only the final division is float — so the
+    result is independent of summation order on both engines.
+
+    100 TB: the LM table is |vocab²-observed| — orders of magnitude smaller
+    than the corpus bigram stream it joins; AQE broadcasts it when it fits,
+    else the join shuffles on (w1,w2) with map-side partials on the doc agg.
+    Retune knobs: _LM_MIN_COUNT trades LM size vs OOV rate; the OOV penalty
+    should sit above the max in-LM surprisal (20 bits here ⇒ p < 1e-6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    lm = ngram_lm_counts(spark, sf_dir).select("w1", "w2", "p_cond")
+    scored = bg.join(lm, ["w1", "w2"], "left").select(
+        "doc_id",
+        F.when(
+            F.col("p_cond").isNotNull(),
+            F.round(-F.log2("p_cond") * F.lit(1_000_000.0)).cast("long"),
+        )
+        .otherwise(F.lit(_PPLX_OOV_U))
+        .alias("u"),
+        F.col("p_cond").isNull().cast("int").alias("oov"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(F.sum("u") / (F.count("*") * F.lit(1_000_000.0)), 6).alias(
+            "avg_neg_log2"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x56 — pointwise mutual information over bigrams (collocation strength)
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tok),
+ucnt AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM tok WHERE len(t) >= 2
+  )
+),
+cnt AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM uni) AS n_uni, (SELECT COUNT(*) FROM bg) AS n_bg
+)
+SELECT c.w1, c.w2, c.n_bigram, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       round(log2(CAST(c.n_bigram AS DOUBLE) * t.n_uni * t.n_uni /
+                  (CAST(t.n_bg AS DOUBLE) * u1.n_w * u2.n_w)), 6) AS pmi
+FROM cnt c
+CROSS JOIN tot t
+JOIN ucnt u1 ON c.w1 = u1.w
+JOIN ucnt u2 ON c.w2 = u2.w
+WHERE c.n_bigram >= {_PMI_MIN_COUNT}
+"""
+
+
+@register("ngram_pmi", oracle=_PMI_ORACLE)
+def ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x56: PMI(w1,w2) = log2(P(w1,w2) / (P(w1)·P(w2))) over corpus bigrams —
+    collocation strength, the standard statistic behind phrase mining and
+    tokenizer-merge candidates (high PMI = the pair co-occurs far above
+    chance).
+
+    All probabilities come from exact integer counts; the single log2 input
+    is built with an identical association order on both engines, so the
+    rounded result is reproducible. Min-count filter applies to the PAIR
+    only — unigram denominators keep full counts.
+
+    100 TB: three vocab-keyed hash aggs (unigrams, bigrams, pair filter) +
+    two joins that AQE broadcasts when the vocabulary fits; the two 1-row
+    totals ride a broadcast cross join. No window, no sort anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_bigram"))
+        .filter(F.col("n_bigram") >= _PMI_MIN_COUNT)
+    )
+    tot = uni.agg(F.count("*").alias("n_uni")).crossJoin(
+        bg.agg(F.count("*").alias("n_bg"))
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.log2(
+                    F.col("n_bigram").cast("double")
+                    * F.col("n_uni")
+                    * F.col("n_uni")
+                    / (
+                        F.col("n_bg").cast("double")
+                        * F.col("n_w1")
+                        * F.col("n_w2")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

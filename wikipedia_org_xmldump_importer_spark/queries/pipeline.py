@@ -298,3 +298,85 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", bucket.alias("bucket"), rate.alias("keep_rate")
     )
     return staged.filter(F.col("bucket") < F.col("keep_rate"))
+
+
+# --------------------------------------------------------------------------
+# x55 — temperature-based mixture resampling
+# --------------------------------------------------------------------------
+
+# Target corpus size for the resampled mixture and the temperature alpha.
+# alpha = 0.5 is applied as sqrt(): sqrt is IEEE-correctly-rounded on both
+# engines (a general pow(x, alpha) need not be), so the per-lang keep rates
+# are bit-reproducible cross-engine. Retune knobs: alpha -> 1 approaches
+# natural proportions, alpha -> 0 approaches uniform-per-lang; _TEMP_TARGET
+# scales the overall sample size (rates clamp at 1.0 per lang).
+_TEMP_TARGET = 200
+
+_TEMP_ORACLE = f"""
+WITH lc AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+tot AS (SELECT SUM(sqrt(CAST(n_l AS DOUBLE))) AS sum_w FROM lc),
+rates AS (
+  SELECT lang,
+         CAST(floor(least(1.0,
+                {_TEMP_TARGET} * sqrt(CAST(n_l AS DOUBLE)) / t.sum_w / n_l)
+              * 1000) AS INTEGER) AS keep_permille
+  FROM lc CROSS JOIN tot t
+),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT
+           % 1000 AS bucket
+  FROM documents
+)
+SELECT b.doc_id, b.lang, b.bucket, r.keep_permille
+FROM b JOIN rates r ON b.lang = r.lang
+WHERE b.bucket < r.keep_permille
+"""
+
+
+@register("sample_temperature", oracle=_TEMP_ORACLE)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x55: temperature-based mixture resampling — per-language keep rates
+    proportional to n_lang^alpha / n_lang (alpha = 0.5), the standard LLM
+    pre-training recipe for up-weighting low-resource languages without
+    flattening the mixture entirely (contrast x48's hand-set per-stratum
+    rates: here the rates DERIVE from the corpus counts).
+
+    Membership is the same md5-permille trick as x47/x48 — no RNG, so the
+    sample is reproducible across engines and runs, and a doc's membership
+    only changes if its language's rate crosses its bucket. Rates are
+    floored to integer permille so the final membership comparison is
+    integer-vs-integer on both engines.
+
+    100 TB: one tiny groupBy(lang) count, rates broadcast back, then a
+    narrow hash filter on the scan — the corpus is never shuffled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = lc.agg(F.sum(F.sqrt(F.col("n_l").cast("double"))).alias("sum_w"))
+    rates = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(_TEMP_TARGET)
+                * F.sqrt(F.col("n_l").cast("double"))
+                / F.col("sum_w")
+                / F.col("n_l"),
+            )
+            * 1000
+        )
+        .cast("int")
+        .alias("keep_permille"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("keep_permille"))
+        .select("doc_id", "lang", "bucket", "keep_permille")
+    )
