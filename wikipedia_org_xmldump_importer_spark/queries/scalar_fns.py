@@ -516,3 +516,60 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_utc_timestamp(ny, "America/New_York"), "yyyy-MM-dd HH:mm:ss"
         ).alias("roundtrip"),
     )
+
+
+# --------------------------------------------------------------------------
+# x57 — URL parsing (the importer's interwiki/external-link handling analog)
+# --------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || lang || '.wikipedia.org/wiki/' || source || '_' ||
+           CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) ||
+           '&ref=' || source AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]id=([^&#]*)', 1) AS q_id,
+       regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS q_ref
+FROM u
+"""
+
+
+@register("fn_url_parse", oracle=_URL_ORACLE)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x57: URL decomposition with Spark's native ``parse_url`` — protocol /
+    host / path / individual query parameters. The MediaWiki importer's
+    external-link and interwiki handling analog (SURVEY §1.1 [SPEC]): link
+    tables store parsed components, not raw strings. The oracle replicates
+    each component with anchored regexes, proving the parse is portable.
+
+    100 TB: narrow codegen'd projection, no shuffle; parse_url is JVM-side
+    (no Python hop), so link extraction rides the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("lang"),
+        F.lit(".wikipedia.org/wiki/"),
+        F.col("source"),
+        F.lit("_"),
+        F.col("doc_id").cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref="),
+        F.col("source"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("q_id"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("q_ref"),
+    )
