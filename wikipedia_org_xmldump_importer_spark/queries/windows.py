@@ -251,3 +251,83 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_seen"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x58 — batch sessionization (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, integer microseconds
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("win_sessionize", oracle=_SESSIONIZE_ORACLE)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x58: batch sessionization — the gaps-and-islands idiom. A session
+    breaks when a user's inter-event gap exceeds 30 minutes; session_id is
+    the running count of break flags, then one aggregate per (user,
+    session). The per-event-ID twin of st3's session_window aggregation
+    (which only yields window bounds — this yields stable per-session ids
+    an events pipeline can join on).
+
+    Ordering is (ts_us, event_id) — the tiebreaker makes lag() and the
+    running sum deterministic under equal timestamps on both engines; all
+    arithmetic is integer microseconds, no float anywhere.
+
+    100 TB: ONE shuffle on user_id serves both windows and the final
+    aggregate (same partitioning, Catalyst reuses the exchange); per-key
+    state is O(1) (lag + running sum are streaming frames). Skewed users
+    salt like any window key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("new_sess").over(run).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
