@@ -78,3 +78,50 @@ def test_static_partition_pruning_reads_one_directory(spark, partitioned_orders)
         .count()
     )
     assert q.count() == want
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The row-level sibling of DPP (SURVEY §4.2): for a shuffle join with
+    a selective build side, Catalyst injects a bloom-filter aggregate on
+    the build side and rewrites the probe side scan with might_contain —
+    runtime pruning of shuffle input that partition layout can't give.
+    Thresholds are lowered because the sandbox tables are far below the
+    production 10 GB application-side default; the mechanism is identical."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+        # bloom filtering is advisory (false positives allowed) — results
+        # must equal the plain join
+        want = (
+            li.join(
+                load_table(spark, SF_SMOKE, "orders").filter(
+                    "o_orderpriority = '1-URGENT'"
+                ),
+                li.l_orderkey == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .count()
+            .collect()
+        )
+        got = {r.l_returnflag: r["count"] for r in j.collect()}
+        assert got == {r.l_returnflag: r["count"] for r in want}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
