@@ -974,3 +974,65 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(keep, chunks).otherwise(zero)).alias("kept_chunks"),
     )
+
+
+# --------------------------------------------------------------------------
+# x60 — fuzzy adjacent-pair screen (edit distance)
+# --------------------------------------------------------------------------
+
+_FUZZY_PREFIX_LEN = 24
+_FUZZY_NEAR_DIST = 8
+
+_FUZZY_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, lang, source, substring(text, 1, {_FUZZY_PREFIX_LEN}) AS pfx
+  FROM documents
+),
+paired AS (
+  SELECT doc_id, lang, source, pfx,
+         lead(doc_id) OVER w AS next_doc_id,
+         lead(pfx) OVER w AS next_pfx
+  FROM p WINDOW w AS (PARTITION BY lang, source ORDER BY doc_id)
+)
+SELECT doc_id, next_doc_id,
+       CAST(levenshtein(pfx, next_pfx) AS INTEGER) AS lev_dist,
+       levenshtein(pfx, next_pfx) <= {_FUZZY_NEAR_DIST} AS near_dup
+FROM paired WHERE next_doc_id IS NOT NULL
+"""
+
+
+@register("fn_fuzzy_levenshtein", oracle=_FUZZY_ORACLE)
+def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x60: edit-distance fuzzy screen — Levenshtein distance between each
+    document's prefix and its (lang, source)-shard successor's. The
+    bounded-pair pattern for fuzzy matching: comparing ADJACENT rows in a
+    deterministic order is O(n) pairs (contrast an all-pairs fuzzy join's
+    n²); production pipelines sort by a clustering key (URL, title,
+    simhash) so near-identical rows land adjacent, then screen with edit
+    distance exactly like this.
+
+    100 TB: one shuffle on the shard key for the lead() window; levenshtein
+    on fixed {_FUZZY_PREFIX_LEN}-char prefixes bounds per-row cost to
+    O(prefix²) JVM-side. Retune knobs: prefix length trades discrimination
+    vs cost; the near threshold is domain-calibrated (8/24 chars here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, _FUZZY_PREFIX_LEN).alias("pfx"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    paired = p.select(
+        "doc_id",
+        "pfx",
+        F.lead("doc_id").over(w).alias("next_doc_id"),
+        F.lead("pfx").over(w).alias("next_pfx"),
+    ).filter(F.col("next_doc_id").isNotNull())
+    dist = F.levenshtein("pfx", "next_pfx")
+    return paired.select(
+        "doc_id",
+        "next_doc_id",
+        dist.alias("lev_dist"),
+        (dist <= _FUZZY_NEAR_DIST).alias("near_dup"),
+    )

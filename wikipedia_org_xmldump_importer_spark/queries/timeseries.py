@@ -181,3 +181,58 @@ def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.round(F.sum("s"), 2) / F.sum("cnt"), 6).alias("avg_v"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x59 — cohort retention matrix
+# --------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+),
+f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id),
+r AS (
+  SELECT DISTINCT f.cohort, date_diff('day', f.cohort, e.day) AS offset_d,
+         e.user_id
+  FROM e JOIN f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(offset_d AS INTEGER) AS offset_d,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM r GROUP BY cohort, offset_d
+"""
+
+
+@register("events_cohort_retention", oracle=_COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x59: cohort retention — users grouped by first-activity day, counted
+    at each day offset they return (the classic product-analytics retention
+    matrix, here over the events lake).
+
+    100 TB: the user-keyed first-event aggregate and the events⋈firsts join
+    share the user_id hash partitioning, and the per-(cohort, offset, user)
+    dedup is clustered by the same key — so the heavy stages ride ONE
+    user_id exchange; only the final tiny (cohort × offset) aggregate
+    reshuffles. Dates are emitted as strings (DATE cells hash differently
+    across engines' pandas bridges)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    ret = (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort",
+            F.datediff("day", "cohort").alias("offset_d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return ret.groupBy("cohort", "offset_d").agg(
+        F.count("*").alias("n_users")
+    ).select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        "offset_d",
+        "n_users",
+    )
