@@ -236,3 +236,102 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset_d",
         "n_users",
     )
+
+
+# --------------------------------------------------------------------------
+# x61 — funnel attribution (view → click → purchase, last-touch)
+# --------------------------------------------------------------------------
+
+# 48h per hop: sized to the synthetic event cadence (median nearest
+# click-before-purchase gap is ~36h at sf0.01 — a 1h window would match
+# nothing). Production picks the domain attribution window (1h-7d).
+_ATTR_WINDOW_US = 172_800_000_000
+
+_ATTR_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+  FROM events
+),
+p AS (SELECT user_id, event_id AS p_id, ts_us AS p_ts FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS c_id, ts_us AS c_ts FROM e WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id AS v_id, ts_us AS v_ts FROM e WHERE event_type = 'view'),
+pc AS (
+  SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - {_ATTR_WINDOW_US}
+),
+bc AS (SELECT user_id, p_id, p_ts, c_id, c_ts FROM pc WHERE rn = 1),
+cv AS (
+  SELECT bc.user_id, bc.p_id, bc.p_ts, bc.c_id, bc.c_ts, v.v_id, v.v_ts,
+         row_number() OVER (PARTITION BY bc.p_id
+                            ORDER BY v.v_ts DESC, v.v_id DESC) AS rn2
+  FROM bc JOIN v ON bc.user_id = v.user_id
+   AND v.v_ts < bc.c_ts AND v.v_ts >= bc.c_ts - {_ATTR_WINDOW_US}
+)
+SELECT user_id, p_id AS purchase_id, c_id AS click_id, v_id AS view_id,
+       p_ts - c_ts AS click_to_purchase_us,
+       c_ts - v_ts AS view_to_click_us
+FROM cv WHERE rn2 = 1
+"""
+
+
+@register("events_funnel_attribution", oracle=_ATTR_ORACLE)
+def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x61: last-touch funnel attribution — for each purchase, the latest
+    click within the preceding attribution window, and for that click the
+    latest view within ITS preceding window. The two-hop interval-join + keep-latest
+    composite every attribution pipeline runs (st6's funnel counts
+    conversions; this yields the attributed event CHAIN with hop latencies).
+
+    Each hop is an equi-join on user_id with the interval as a residual
+    predicate — hash/sort-merge joinable, never BNLJ — and the keep-latest
+    is max(struct(ts_us, event_id)): one aggregate, no sort, deterministic
+    under equal timestamps (same (ts DESC, id DESC) pick as the oracle's
+    row_number). All arithmetic integer microseconds.
+
+    100 TB: both hops shuffle on user_id and REUSE that partitioning (the
+    groupBy keys include user_id transitively via p_id co-location); state
+    per purchase is one struct. Hot users are interval-bounded: a user's
+    candidate pairs are (their purchases x their clicks within 1h), not
+    |events|². Retune: the per-hop window bounds candidate volume."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us", "event_type")
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id AS p_id", "ts_us AS p_ts"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "user_id AS c_user", "event_id AS c_id", "ts_us AS c_ts"
+    )
+    v = ev.filter("event_type = 'view'").selectExpr(
+        "user_id AS v_user", "event_id AS v_id", "ts_us AS v_ts"
+    )
+    pc = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - _ATTR_WINDOW_US),
+    )
+    bc = (
+        pc.groupBy("user_id", "p_id", "p_ts")
+        .agg(F.max(F.struct("c_ts", "c_id")).alias("mc"))
+        .select("user_id", "p_id", "p_ts", "mc.c_ts", "mc.c_id")
+    )
+    cv = bc.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - _ATTR_WINDOW_US),
+    )
+    return (
+        cv.groupBy("user_id", "p_id", "p_ts", "c_id", "c_ts")
+        .agg(F.max(F.struct("v_ts", "v_id")).alias("mv"))
+        .select(
+            "user_id",
+            F.col("p_id").alias("purchase_id"),
+            F.col("c_id").alias("click_id"),
+            F.col("mv.v_id").alias("view_id"),
+            (F.col("p_ts") - F.col("c_ts")).alias("click_to_purchase_us"),
+            (F.col("c_ts") - F.col("mv.v_ts")).alias("view_to_click_us"),
+        )
+    )
