@@ -335,3 +335,77 @@ def events_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_ts") - F.col("mv.v_ts")).alias("view_to_click_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x62 — anomaly detection: trailing z-score on hourly event volumes
+# --------------------------------------------------------------------------
+
+_ZS_TRAIL = 24  # trailing window (hours) behind the scored hour
+_ZS_FLAG = 3.0  # |z| threshold
+
+_ZSCORE_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+),
+s AS (
+  SELECT event_type, hour, n,
+         avg(n)         OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma,
+         count(*)       OVER w AS n_trail
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_ZS_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n,
+       round(mu, 6) AS mu,
+       round((n - mu) / sigma, 6) AS z,
+       abs((n - mu) / sigma) > {_ZS_FLAG} AS is_anomaly
+FROM s WHERE n_trail >= 12 AND sigma > 0
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x62: volume anomaly detection — each (event_type, hour)'s count
+    scored against the mean/stddev of its own trailing {_ZS_TRAIL}-hour
+    window (current hour excluded so a spike can't mask itself). The
+    monitoring primitive every event pipeline alerts on; warm-up hours
+    (fewer than 12 trailing points) and zero-variance windows are skipped.
+
+    100 TB: the hourly pre-aggregation collapses the corpus to
+    |types| x |hours| rows BEFORE the window — the trailing-frame sort runs
+    on the tiny rollup, never the raw events (the x38 two-level lesson).
+    One shuffle for the rollup, one |types|-keyed window. Retune: trailing
+    width trades seasonality adaptation vs alert latency; production
+    layers day-of-week seasonal baselines the same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_ZS_TRAIL, -1)
+    )
+    s = h.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_trail"),
+    ).filter((F.col("n_trail") >= 12) & (F.col("sigma") > 0))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return s.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        F.round("mu", 6).alias("mu"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > _ZS_FLAG).alias("is_anomaly"),
+    )
