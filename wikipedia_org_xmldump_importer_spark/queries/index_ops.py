@@ -55,14 +55,20 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: materialize the token array in its own projection (NOTES trap #1),
     explode index-paired bigrams, ONE hash agg (map-side partial) for the
-    counts, then a JOIN against the per-w1 totals instead of a window —
-    a windowed SUM OVER (PARTITION BY w1) would sort every w1 partition and
-    cannot partial-aggregate, while the totals table is |vocab|-sized and
-    hash-joins with partial aggs on both sides. The denominator is computed
-    BEFORE the min-count filter (rare continuations still weigh in P).
+    counts, then the per-w1 denominator as a WINDOW over the aggregated
+    counts — not a join against a separately-aggregated totals table. The
+    window runs on the |observed-vocab²| cnt output (already tiny relative
+    to the corpus), whereas the totals-join approach duplicates the whole
+    scan→explode→agg lineage per join branch: Catalyst plans each branch
+    independently and (measured, round 5) performs SIX corpus scans with
+    zero exchange reuse for the join form vs ONE scan for the window form.
+    A full re-scan of 100 TB to build a megabyte-scale totals table is the
+    wrong trade in every regime. The denominator is computed BEFORE the
+    min-count filter (rare continuations still weigh in P).
 
-    100 TB: explode is narrow; the two aggs shuffle (w1,w2) then w1; AQE
-    picks broadcast for the totals side when the vocabulary fits.
+    100 TB: explode is narrow; one (w1,w2) shuffle for the agg, one
+    |vocab|-keyed exchange for the window frame. Hot w1 partitions (stop
+    words) hold at most |vocab| rows after aggregation — no skew risk.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
@@ -72,14 +78,15 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
-    totals = cnt.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    w1_frame = Window.partitionBy("w1")
     return (
-        cnt.join(totals, "w1")
-        .select(
+        cnt.select(
             "w1",
             "w2",
             "n_bigram",
-            F.round(F.col("n_bigram") / F.col("n_w1"), 6).alias("p_cond"),
+            F.round(
+                F.col("n_bigram") / F.sum("n_bigram").over(w1_frame), 6
+            ).alias("p_cond"),
         )
         .filter(F.col("n_bigram") >= _LM_MIN_COUNT)
     )
