@@ -48,6 +48,15 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row totals frame broadcast-crossed onto per-key counts — "
         "bounded by construction"
     ),
+    ("sample_temperature", "BroadcastNestedLoopJoin"): (
+        "1-row sum-of-weights frame broadcast-crossed onto the per-lang "
+        "counts (|langs| rows) to derive keep rates — bounded by "
+        "construction; the corpus side is a hash join on lang"
+    ),
+    ("ngram_pmi", "BroadcastNestedLoopJoin"): (
+        "1-row (n_uni, n_bg) totals frame broadcast-crossed onto the "
+        "min-count-filtered bigram table — bounded by construction"
+    ),
 }
 
 
