@@ -10,11 +10,12 @@ Each query is materialized JVM-side via the ``noop`` sink so the timing
 covers the full physical plan (scan → shuffle → result) without paying
 driver-side collect/Arrow costs that a real pipeline wouldn't pay.
 
-Each query is timed ``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3) and
-the reported number is the per-query MEDIAN: at 0.3 s granularity a single
-shot carries ±50% scheduler/GC noise (r4 verdict flagged two sub-second
-queries breaching their 2x budget on exactly that), and the median of 3
-discards the cold outlier while keeping the timing honest.
+Sub-second queries are timed up to ``$SPARK_GRAFT_BENCH_REPEATS`` times
+(default 3) and report their MEDIAN: at 0.3 s granularity a single shot
+carries ±50% scheduler/GC noise (r4 verdict flagged two sub-second queries
+breaching their 2x budget on exactly that). Queries at >= 1 s keep their
+single measurement — noise is proportionally small there, and repeating
+the slow tail would triple the sweep's wall clock for nothing.
 
 Usage:
     python bench.py                  # all queries, warm timing
@@ -94,6 +95,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(qd.fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
+                if samples[0] >= 1.0:
+                    break  # slow query: noise is proportionally small
         except Exception as e:  # keep the sweep alive; surface in stderr
             print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
