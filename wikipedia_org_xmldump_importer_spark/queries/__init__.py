@@ -26,6 +26,7 @@ MODULES = (
     "pipeline",
     "merge_ops",
     "index_ops",
+    "graph_ops",
 )
 
 # The driver's correctness sweep checks only the FIRST 50 entries of
