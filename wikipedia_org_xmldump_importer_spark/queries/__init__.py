@@ -56,7 +56,14 @@ MODULES = (
 # SQL-oracle registry entry. Section representation after rotation:
 # §2.9 keeps tumbling/funnel/stream_stream_join, §2.10 keeps
 # udf_scalar_arrow, §2.11 keeps dedup_exact/classify_knn, §2.12 keeps
-# eight rows.
+# eight rows. Round-5b swap: five more r4-attested §2.12 rows
+# (text_token_regex, mm_frame_sample, doc_chunk_overlap, text_tfidf,
+# pii_mask) make room for five of the ten round-5 operators
+# (doc_lm_perplexity, sample_temperature, win_sessionize,
+# events_cohort_retention, graph_pagerank_iter — all vanilla-session
+# verified); the other five (ngram_pmi, fn_url_parse,
+# fn_fuzzy_levenshtein, events_anomaly_zscore,
+# events_funnel_attribution) rotate in round 6.
 DRIVER_PRIORITY = (
     # flagship / scans (§2.1, composites x1-x3)
     "flagship_star_revenue",
@@ -70,9 +77,10 @@ DRIVER_PRIORITY = (
     # §2.4 aggregation (+ first-window histogram)
     "agg_groupby",
     "agg_histogram",
-    # §2.5 windows (+ first-window ignore-nulls frame)
+    # §2.5 windows (+ first-window ignore-nulls frame + sessionization)
     "win_topk_per_group",
     "win_ignore_nulls",
+    "win_sessionize",
     # §2.6-2.7 sort/limit + set ops
     "limit_topk",
     # §2.8 scalar functions — the never-attested tail rotates in
@@ -96,21 +104,21 @@ DRIVER_PRIORITY = (
     # §2.12 text/multimodal/composite extensions (SQL-oracle rows)
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "text_token_regex",
-    "mm_frame_sample",
-    "doc_chunk_overlap",
-    "text_tfidf",
-    "pii_mask",
     "dedup_cluster_cc",
     "curation_pipeline",
+    "graph_pagerank_iter",
     # §2.13-2.14 + round-3 extensions (+ first-window EXISTS/NOT EXISTS)
     "ts_resample_ohlc",
     "ts_gapfill",
     "ts_rollup_two_level",
+    "events_cohort_retention",
     "sub_correlated_scalar",
     "sub_exists_notexists",
     "dedup_embed_cosine",
     "agg_heavy_hitters",
+    # §2.17 corpus statistics / mixture
+    "doc_lm_perplexity",
+    "sample_temperature",
     # §2.15 training-data pipeline stages
     "decontaminate_ngram",
     "pack_sequences",
