@@ -239,3 +239,26 @@ def test_multi_dump_lake_resolves_namespaces_per_wiki(tmp_path, spark):
     assert got["Main Article"] is None and got["Hauptartikel"] is None
     # every page labeled exactly once (the per-dump join can't fan out)
     assert labeled.count() == pages.count() == 5
+
+
+def test_incremental_dump_merge_upsert(spark):
+    """The reference class's incremental-dump story end-to-end: a base dump
+    snapshot merged with an adds-changes delta dump via the distributed
+    SCD1 merge (operators/merge.py) — page 101 is superseded by its newer
+    revision, page 104 is a fresh insert, nothing else is touched."""
+    from wikipedia_org_xmldump_importer_spark.operators.merge import merge_upsert
+
+    base = flatten_pages(scan_xml_pages(spark, str(FIXTURES / "basic_page.xml")))
+    delta = flatten_pages(
+        scan_xml_pages(spark, str(FIXTURES / "incremental_delta.xml"))
+    )
+    merged = merge_upsert(base, delta, keys=["page_id"])
+    rows = {r.page_id: r for r in merged.collect()}
+
+    assert set(rows) == {101, 104}
+    assert rows[101].action == "update"
+    assert rows[101].page_latest == 5099  # delta's newer revision wins
+    assert rows[101].page_len == 71
+    assert rows[104].action == "insert"
+    assert rows[104].page_title == "Catalyst Optimizer"
+    assert rows[104].page_latest == 5100
