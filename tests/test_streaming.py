@@ -322,16 +322,20 @@ def test_content_dedup_stream_equals_batch(spark, tmp_path):
     got = run_to_completion(stream, "t_content_dedup", "append").toPandas()
 
     # batch twin: keep-first per content hash over the union of all chunks
+    # (same NULL-sentinel tokens as ops.content_dedup)
     batch = spark.read.parquet(f"{staged}/chunk_*")
     from pyspark.sql import Window
+
+    def _tok(c):
+        return F.coalesce(c.cast("string"), F.lit("\x00NULL"))
 
     h = F.sha2(
         F.concat_ws(
             "\x1f",
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.col("value").cast("string"),
-            F.col("props"),
+            _tok(F.col("user_id")),
+            _tok(F.col("event_type")),
+            _tok(F.col("value")),
+            _tok(F.col("props")),
         ),
         256,
     )

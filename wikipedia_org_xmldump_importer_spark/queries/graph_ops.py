@@ -20,7 +20,10 @@ from ..registry import register
 _PR_ITERS = 5
 _PR_DAMP = 0.85
 _PR_ITER_DP = 10  # per-iteration rounding: pins float state cross-engine
-_SUPP_OFFSET = 1_000_000  # supplier node ids live in a disjoint range
+# Supplier node ids are NEGATED (and shifted by 1 so suppkey 0 cannot
+# collide with custkey 0): sign-disjointness holds at ANY scale,
+# unlike a fixed additive offset which silently merges customer and
+# supplier nodes once custkeys outgrow it.
 
 
 def _pr_iter_sql(k: int) -> str:
@@ -40,7 +43,7 @@ p{k} AS (
 _PR_ORACLE = (
     f"""
 WITH eb AS (
-  SELECT DISTINCT o_custkey AS src, {_SUPP_OFFSET} + l_suppkey AS dst
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
@@ -58,8 +61,9 @@ SELECT node, round(p, 6) AS pagerank FROM p{_PR_ITERS}
 @register("graph_pagerank_iter", oracle=_PR_ORACLE)
 def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x63: {_PR_ITERS}-iteration PageRank (damping {_PR_DAMP}) over the
-    bipartite customer↔supplier graph from orders⋈lineitem, symmetrized so
-    every node has out-edges (no dangling-mass term needed).
+    bipartite customer↔supplier graph from orders⋈lineitem (supplier ids
+    negated for scale-proof disjointness), symmetrized so every node has
+    out-edges (no dangling-mass term needed).
 
     Cross-engine float discipline: rank state is re-rounded to
     {_PR_ITER_DP} dp after EVERY iteration on both engines, so
@@ -81,7 +85,7 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("dst"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
     )

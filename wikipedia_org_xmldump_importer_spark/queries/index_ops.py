@@ -236,7 +236,8 @@ lm AS (
 scored AS (
   SELECT b.doc_id,
          CASE WHEN lm.p_cond IS NOT NULL
-              THEN CAST(round(-log2(lm.p_cond) * 1000000) AS BIGINT)
+              THEN CAST(round(-log2(greatest(lm.p_cond, 9.5367431640625e-07))
+                         * 1000000) AS BIGINT)
               ELSE {_PPLX_OOV_U} END AS u,
          CASE WHEN lm.p_cond IS NULL THEN 1 ELSE 0 END AS oov
   FROM bg b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
@@ -258,7 +259,11 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism across engines: each bigram's score is fixed-point integer
     micro-units (round(-log2(p)*1e6), or the OOV penalty), the per-doc SUM
     is exact integer math, and only the final division is float — so the
-    result is independent of summation order on both engines.
+    result is independent of summation order on both engines. p_cond is
+    clamped to 2^-20 before the log: a hot w1 with > ~2M continuations
+    rounds rare pairs' p_cond to 0.000000, where Spark's log2 yields NULL
+    (silently under-counting) but DuckDB's RAISES — the clamp caps in-LM
+    surprisal at exactly the 20-bit OOV penalty on both engines instead.
 
     100 TB: the LM table is |vocab²-observed| — orders of magnitude smaller
     than the corpus bigram stream it joins; AQE broadcasts it when it fits,
@@ -283,7 +288,10 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(
             F.col("p_cond").isNotNull(),
-            F.round(-F.log2("p_cond") * F.lit(1_000_000.0)).cast("long"),
+            F.round(
+                -F.log2(F.greatest(F.col("p_cond"), F.lit(2.0**-20)))
+                * F.lit(1_000_000.0)
+            ).cast("long"),
         )
         .otherwise(F.lit(_PPLX_OOV_U))
         .alias("u"),

@@ -639,7 +639,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew split. Cluster retune knobs (defaults are sf0.1-tuned): bucket
     granularity = _N_PLANES (see the sizing rule at its definition); recall
     = probe expansion (1-bit flips here ⇒ P+1 buckets/probe; add 2-bit
-    flips for P(P+1)/2 more) or several independent plane tables unioned;
+    flips for C(P,2) = P(P-1)/2 more) or several independent plane tables
+    unioned;
     cost per probe ≈ |corpus| · probes / 2^P candidate rows."""
     import numpy as np  # noqa: PLC0415
 

@@ -115,15 +115,22 @@ def content_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame
     Production pairs this cheap online pass with a periodic batch
     dedup_exact sweep for cross-horizon duplicates (the at-least-once
     boundary pinned in test_dedup_duplicates_straddling_state_expiry)."""
+    # NULL fields must stay distinct tokens: concat_ws SKIPS nulls, so
+    # (value=NULL, props='2.0') and (value=2.0, props=NULL) would collide
+    # to the same pre-image and one row would be wrongly dropped. Coalesce
+    # each field to an explicit sentinel that no real value contains.
+    def _tok(c):
+        return F.coalesce(c.cast("string"), F.lit("\x00NULL"))
+
     e = _with_event_time(events).withColumn(
         "content_hash",
         F.sha2(
             F.concat_ws(
                 "\x1f",
-                F.col("user_id").cast("string"),
-                F.col("event_type"),
-                F.col("value").cast("string"),
-                F.col("props"),
+                _tok(F.col("user_id")),
+                _tok(F.col("event_type")),
+                _tok(F.col("value")),
+                _tok(F.col("props")),
             ),
             256,
         ),
