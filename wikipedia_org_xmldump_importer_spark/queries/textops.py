@@ -1036,3 +1036,106 @@ def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("lev_dist"),
         (dist <= _FUZZY_NEAR_DIST).alias("near_dup"),
     )
+
+
+# --------------------------------------------------------------------------
+# x64 — SimHash band pairing + Hamming verify (closes the x6 dedup loop)
+# --------------------------------------------------------------------------
+
+_SH_BANDS = 4  # 4 bands x 12 bits over the 48-bit simhash
+_SH_BAND_BITS = 12
+_SH_MAX_HAMMING = 6
+_SH_BUCKET_CAP = 64  # same skew bound as the minhash/jaccard bucket caps
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(token), 1, 12))::BIGINT AS th
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash48
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash48, band,
+         (simhash48 >> ({_SH_BAND_BITS} * band)) & {(1 << _SH_BAND_BITS) - 1}
+           AS bv
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_SH_BANDS - 1})) AS band)
+),
+ok AS (
+  SELECT band, bv FROM bands GROUP BY band, bv
+  HAVING COUNT(*) BETWEEN 2 AND {_SH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.simhash48 AS ha, c.simhash48 AS hb
+  FROM bands a
+  JOIN ok ON a.band = ok.band AND a.bv = ok.bv
+  JOIN bands c ON c.band = ok.band AND c.bv = ok.bv AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= {_SH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x64: the pairing half x6's docstring promises — near-dup candidate
+    pairs from {_SH_BANDS}x{_SH_BAND_BITS}-bit bands of the 48-bit SimHash
+    (two docs within Hamming distance {_SH_MAX_HAMMING} of each other must
+    agree exactly on at least one band when up to {_SH_BANDS - 1} band
+    boundaries are crossed — the pigeonhole guarantee behind band LSH),
+    then an exact popcount-of-XOR verify.
+
+    100 TB: candidates materialize per shared band bucket, never all-pairs;
+    buckets are CAPPED at {_SH_BUCKET_CAP} docs (mirrored HAVING in the
+    oracle) so a degenerate boilerplate bucket is bounded exactly like the
+    minhash/jaccard caps; the Hamming verify is two integer ops in
+    whole-stage codegen. Retune: wider bands admit fewer false candidates
+    but tolerate fewer bit flips (threshold ~ bands-1 boundaries crossed);
+    raise the cap only with executor memory (pairs <= cap^2/2 per bucket)."""
+    sh = dedup_simhash(spark, sf_dir)
+    band_vals = F.explode(
+        F.expr(
+            f"transform(sequence(0, {_SH_BANDS - 1}), band -> struct(band, "
+            f"shiftright(simhash48, {_SH_BAND_BITS} * band) & {(1 << _SH_BAND_BITS) - 1} AS bv))"
+        )
+    )
+    bands = sh.select("doc_id", "simhash48", band_vals.alias("bb")).select(
+        "doc_id", "simhash48", "bb.band", "bb.bv"
+    )
+    ok = (
+        bands.groupBy("band", "bv")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _SH_BUCKET_CAP))
+        .select("band", "bv")
+    )
+    eligible = bands.join(ok, ["band", "bv"])
+    a = eligible.select(
+        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("ha")
+    )
+    c = eligible.select(
+        "band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash48").alias("hb")
+    )
+    pairs = (
+        a.join(c, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= _SH_MAX_HAMMING)
