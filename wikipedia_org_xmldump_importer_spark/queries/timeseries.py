@@ -409,3 +409,61 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > _ZS_FLAG).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# x65 — first-order Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS dst
+  FROM e
+),
+cnt AS (
+  SELECT src, dst, COUNT(*) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(n / SUM(n) OVER (PARTITION BY src), 6) AS p_trans
+FROM cnt
+"""
+
+
+@register("events_markov_transition", oracle=_MARKOV_ORACLE)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x65: first-order Markov chain of user behavior — P(next event type |
+    current type) from per-user time-ordered sequences. The sequence
+    statistic behind behavioral modeling, anomalous-flow detection, and
+    funnel design (x61 attributes one path; this summarizes them all).
+
+    Ordering ties broken by event_id so lead() is deterministic on both
+    engines; the denominator is a window over the aggregated |types|²
+    transition counts (the x51 lesson — a totals join would re-plan the
+    corpus-sized sequence scan per branch).
+
+    100 TB: one user_id shuffle for the lead() window, one (src,dst)
+    partial-agg shuffle that collapses to |types|² rows, then a window on
+    that tiny matrix. Nothing downstream of the first agg ever touches
+    corpus-sized data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    src_frame = Window.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(src_frame), 6).alias("p_trans"),
+    )
