@@ -422,3 +422,40 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "n", F.round(F.col("n") / F.col("total"), 6).alias("frac")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x66 — linear-regression aggregates (OLS slope/intercept/R² per group)
+# --------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_regression", oracle=_REGR_ORACLE)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x66: OLS regression aggregates — slope/intercept/R² of extended
+    price against quantity per return flag, via the SQL-standard
+    regr_* family both engines implement natively (price ≈ unit price ×
+    quantity, so slope approximates mean unit price and R² is high —
+    a built-in sanity anchor).
+
+    100 TB: regr_* are single-pass mergeable moment aggregates
+    (sum/sum²/cross-product partials combine associatively), so this is
+    one partial+final hash agg — the same shuffle profile as a10's
+    stddev/corr, no second pass over the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

@@ -78,3 +78,38 @@ def sub_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sub_orders_v")
     return spark.sql(_EXISTS_SQL.format(cust="sub_customer_v", orders="sub_orders_v"))
+
+
+# --------------------------------------------------------------------------
+# j11 — LATERAL correlated table subquery (top-k per row without a window)
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS totalprice
+FROM {cust} c, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "join_lateral",
+    oracle=_LATERAL_SQL.format(cust="customer", orders="orders"),
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j11: LATERAL correlated table subquery — each customer's top-2
+    orders, spelled as the SQL-standard LATERAL join both engines support
+    natively. Catalyst decorrelates it into the same
+    rank-filtered-window/join shape as w2's top-k (DecorrelateInnerQuery +
+    RewriteLateralSubquery), so the per-row-subquery SEMANTICS never
+    survive to execution — the safe property at 100 TB.
+
+    100 TB: post-rewrite this is one orders-side shuffle on o_custkey with
+    a WindowGroupLimit-capped rank — identical cost to the hand-written
+    window form; inner-join semantics drop customers with no orders."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders_v")
+    return spark.sql(_LATERAL_SQL.format(cust="lat_customer_v", orders="lat_orders_v"))
