@@ -64,6 +64,14 @@ MODULES = (
 # verified); the other five (ngram_pmi, fn_url_parse,
 # fn_fuzzy_levenshtein, events_anomaly_zscore,
 # events_funnel_attribution) rotate in round 6.
+# Round-6 rotation (r5 verdict task 1): the NINE SQL-oracle queries the
+# driver has never attested (the five above plus dedup_simhash_pairs,
+# events_markov_transition, and the late-r5 join_lateral/agg_regression)
+# rotate in; nine r5-attested rows rotate out (fn_map, fn_hash,
+# fn_bitwise, fn_datepart, fn_string_agg, fn_timezone, scd2_history,
+# inverted_index, sample_reservoir_group — §2.8 keeps fn_array_hof +
+# fn_json as reps, §2.16 keeps merge_scd1 + ngram_lm_counts). After
+# CORRECTNESS_r06 every SQL-oracle registry entry has a hard driver row.
 DRIVER_PRIORITY = (
     # flagship / scans (§2.1, composites x1-x3)
     "flagship_star_revenue",
@@ -71,27 +79,26 @@ DRIVER_PRIORITY = (
     "tpch_q5_local_volume",
     # §2.2 projection
     "filter_pred",
-    # §2.3 joins — custom as-of composite + binned range join (first window)
+    # §2.3 joins — as-of composite, binned range join, LATERAL (never attested)
     "join_asof",
     "join_range_binned",
-    # §2.4 aggregation (+ first-window histogram)
+    "join_lateral",
+    # §2.4 aggregation (+ histogram + OLS regression, never attested)
     "agg_groupby",
     "agg_histogram",
+    "agg_regression",
     # §2.5 windows (+ first-window ignore-nulls frame + sessionization)
     "win_topk_per_group",
     "win_ignore_nulls",
     "win_sessionize",
     # §2.6-2.7 sort/limit + set ops
     "limit_topk",
-    # §2.8 scalar functions — the never-attested tail rotates in
+    # §2.8 scalar functions — r5-attested tail rotates out; the two
+    # never-attested round-5 fns rotate in
     "fn_array_hof",
     "fn_json",
-    "fn_map",
-    "fn_hash",
-    "fn_bitwise",
-    "fn_datepart",
-    "fn_string_agg",
-    "fn_timezone",
+    "fn_url_parse",
+    "fn_fuzzy_levenshtein",
     # §2.9 streaming batch twins (tumbling + the two hardest composites)
     "stream_tumbling",
     "stream_funnel",
@@ -101,35 +108,39 @@ DRIVER_PRIORITY = (
     # §2.11 LLM-pipeline operators (SQL-oracle rows)
     "dedup_exact",
     "classify_knn",
-    # §2.12 text/multimodal/composite extensions (SQL-oracle rows)
+    # §2.12 text/multimodal/composite extensions (SQL-oracle rows;
+    # dedup_simhash_pairs never attested)
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
     "curation_pipeline",
     "graph_pagerank_iter",
-    # §2.13-2.14 + round-3 extensions (+ first-window EXISTS/NOT EXISTS)
+    # §2.13-2.14 + round-3/5 extensions (the three never-attested events_*
+    # composites rotate in alongside first-window EXISTS/NOT EXISTS)
     "ts_resample_ohlc",
     "ts_gapfill",
     "ts_rollup_two_level",
     "events_cohort_retention",
+    "events_anomaly_zscore",
+    "events_funnel_attribution",
+    "events_markov_transition",
     "sub_correlated_scalar",
     "sub_exists_notexists",
     "dedup_embed_cosine",
     "agg_heavy_hitters",
-    # §2.17 corpus statistics / mixture
+    # §2.17 corpus statistics / mixture (+ never-attested PMI)
     "doc_lm_perplexity",
     "sample_temperature",
+    "ngram_pmi",
     # §2.15 training-data pipeline stages
     "decontaminate_ngram",
     "pack_sequences",
     "split_train_hash",
     "sample_stratified",
-    # §2.16 merge/SCD + index ops — never driver-attested before r5
+    # §2.16 merge/SCD + index ops — section reps (rest attested r5)
     "merge_scd1",
-    "scd2_history",
     "ngram_lm_counts",
-    "inverted_index",
-    "sample_reservoir_group",
 )
 
 
