@@ -97,6 +97,54 @@ def test_survey_registry_sync():
     assert test_only <= names, f"stale test_only allowlist: {sorted(test_only - names)}"
 
 
+def test_survey_oracle_mode_sync():
+    """r5 verdict task 5: §2's per-row `oracle` cell must agree with the
+    registry's oracle MODE, not just the row's existence — a row declared
+    `SQL` must be registered with an oracle, one declared `rows` must be
+    registered without, and an `n/a` row must not be registered at all
+    (it lives in tests). Every §2 table carries the oracle column (the
+    §2.9 streaming table gained per-row modes in round 6 after its blanket
+    n/a header drifted below what the batch twins actually provide)."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
+    start = text.index("## §2")
+    end = text.index("## §3")
+    modes: dict[str, str] = {}
+    for line in text[start:end].splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) < 7:
+            continue
+        name_cell, oracle_cell = cells[2], cells[-2]
+        if oracle_cell in ("oracle", "") or set(oracle_cell) == {"-"}:
+            continue
+        if oracle_cell.startswith("SQL"):
+            mode = "sql"
+        elif oracle_cell.startswith("rows"):
+            mode = "rows"
+        else:
+            mode = "na"
+        for n in re.findall(r"`([a-z][a-z0-9_]*)`", name_cell):
+            modes[n] = mode
+    assert len(modes) > 100, "oracle-mode parse collapsed — check §2 table shape"
+    for name, qd in REGISTRY.items():
+        assert name in modes, f"{name} registered but no §2 row has an oracle cell for it"
+        actual = "sql" if qd.oracle is not None else "rows"
+        assert modes[name] == actual, (
+            f"{name}: SURVEY declares oracle mode '{modes[name]}', registry has '{actual}'"
+        )
+    unregistered_claiming_checks = [
+        n for n, m in modes.items() if n not in REGISTRY and m != "na"
+    ]
+    assert not unregistered_claiming_checks, (
+        f"§2 rows declare SQL/rows oracles but are not registered: "
+        f"{sorted(unregistered_claiming_checks)}"
+    )
+
+
 def test_oracle_coverage_accounted():
     """Every rows-only query (oracle=None) must be an op SURVEY §2 marks as
     not-SQL-expressible; catches accidentally-dropped oracles."""

@@ -321,24 +321,12 @@ def test_content_dedup_stream_equals_batch(spark, tmp_path):
     stream = ops.content_dedup(read_event_stream(spark, staged))
     got = run_to_completion(stream, "t_content_dedup", "append").toPandas()
 
-    # batch twin: keep-first per content hash over the union of all chunks
-    # (same NULL-sentinel tokens as ops.content_dedup)
+    # batch twin: keep-first per content hash over the union of all chunks,
+    # using the SAME shared hash helper as the streaming op
     batch = spark.read.parquet(f"{staged}/chunk_*")
     from pyspark.sql import Window
 
-    def _tok(c):
-        return F.coalesce(c.cast("string"), F.lit("\x00NULL"))
-
-    h = F.sha2(
-        F.concat_ws(
-            "\x1f",
-            _tok(F.col("user_id")),
-            _tok(F.col("event_type")),
-            _tok(F.col("value")),
-            _tok(F.col("props")),
-        ),
-        256,
-    )
+    h = ops.content_hash_col("user_id", "event_type", "value", "props")
     w = Window.partitionBy("content_hash").orderBy("ts", "event_id")
     want = (
         batch.withColumn("content_hash", h)
@@ -349,6 +337,24 @@ def test_content_dedup_stream_equals_batch(spark, tmp_path):
     assert set(got["event_id"]) == set(want["event_id"]) == {1, 2, 3, 5, 7}
     assert got["content_hash"].is_unique
     assert len(got) == len(want) == 5
+
+
+def test_content_hash_injective_on_adversarial_fields(spark):
+    """The hash pre-image must not collide when a field CONTAINS the
+    separator or the NULL sentinel (length-prefixed tokens): 'a\\x1fb' in
+    one field vs ('a','b') split across adjacent fields, and '' vs NULL."""
+    rows = [
+        ("a\x1fb", "c"),  # separator inside field 1
+        ("a", "b\x1fc"),  # same bytes, boundary shifted
+        ("", "c"),  # empty string field
+        (None, "c"),  # NULL field — must differ from empty
+        ("N", "c"),  # literal sentinel text as a real value
+    ]
+    df = spark.createDataFrame(rows, "f1 string, f2 string").select(
+        ops.content_hash_col("f1", "f2").alias("h")
+    )
+    hashes = [r.h for r in df.collect()]
+    assert len(set(hashes)) == len(hashes), hashes
 
 
 def test_funnel_state_machine(spark, tmp_path):

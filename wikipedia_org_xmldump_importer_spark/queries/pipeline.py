@@ -306,15 +306,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Target corpus size for the resampled mixture and the temperature alpha.
 # alpha = 0.5 is applied as sqrt(): sqrt is IEEE-correctly-rounded on both
-# engines (a general pow(x, alpha) need not be), so the per-lang keep rates
-# are bit-reproducible cross-engine. Retune knobs: alpha -> 1 approaches
-# natural proportions, alpha -> 0 approaches uniform-per-lang; _TEMP_TARGET
-# scales the overall sample size (rates clamp at 1.0 per lang).
+# engines (a general pow(x, alpha) need not be). The denominator
+# sum_w = SUM(sqrt(n_l)) is summation-ORDER-dependent, so it is pinned to
+# 6 dp on BOTH sides before the division — otherwise a 1-ulp difference
+# could flip floor(rate*1000) for a language whose rate lands exactly on a
+# permille boundary and silently change row membership. Retune knobs:
+# alpha -> 1 approaches natural proportions, alpha -> 0 approaches
+# uniform-per-lang; _TEMP_TARGET scales the overall sample size (rates
+# clamp at 1.0 per lang).
 _TEMP_TARGET = 200
 
 _TEMP_ORACLE = f"""
 WITH lc AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
-tot AS (SELECT SUM(sqrt(CAST(n_l AS DOUBLE))) AS sum_w FROM lc),
+tot AS (SELECT round(SUM(sqrt(CAST(n_l AS DOUBLE))), 6) AS sum_w FROM lc),
 rates AS (
   SELECT lang,
          CAST(floor(least(1.0,
@@ -353,7 +357,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     lc = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
-    tot = lc.agg(F.sum(F.sqrt(F.col("n_l").cast("double"))).alias("sum_w"))
+    tot = lc.agg(F.round(F.sum(F.sqrt(F.col("n_l").cast("double"))), 6).alias("sum_w"))
     rates = lc.crossJoin(F.broadcast(tot)).select(
         "lang",
         F.floor(

@@ -14,7 +14,7 @@ after executor loss do not duplicate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -102,6 +102,25 @@ def stateful_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFram
     )
 
 
+def content_hash_col(*cols) -> Column:
+    """Injective sha-256 pre-image over a tuple of columns.
+
+    Two subtleties make a naive ``sha2(concat_ws(sep, ...))`` non-injective:
+    NULL fields (concat_ws SKIPS nulls, so (NULL, '2.0') and ('2.0', NULL)
+    collide) and separator-bearing values (props 'a<sep>b' re-splits as two
+    adjacent fields). Each token is therefore LENGTH-PREFIXED — ``len:value``
+    — so field boundaries parse unambiguously regardless of content, and
+    NULL becomes the tag ``N`` which no length prefix can produce (lengths
+    are digits). Shared by the streaming op and its batch twin test so the
+    two surfaces can never drift."""
+
+    def _tok(c):
+        s = c.cast("string")
+        return F.coalesce(F.concat(F.length(s).cast("string"), F.lit(":"), s), F.lit("N"))
+
+    return F.sha2(F.concat_ws("\x1f", *[_tok(F.col(c) if isinstance(c, str) else c) for c in cols]), 256)
+
+
 def content_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """st10: streaming twin of the exact-dedup surface (l1 dedup_exact) —
     dedup on a normalized CONTENT hash (user, type, value, props; NOT the
@@ -115,25 +134,9 @@ def content_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame
     Production pairs this cheap online pass with a periodic batch
     dedup_exact sweep for cross-horizon duplicates (the at-least-once
     boundary pinned in test_dedup_duplicates_straddling_state_expiry)."""
-    # NULL fields must stay distinct tokens: concat_ws SKIPS nulls, so
-    # (value=NULL, props='2.0') and (value=2.0, props=NULL) would collide
-    # to the same pre-image and one row would be wrongly dropped. Coalesce
-    # each field to an explicit sentinel that no real value contains.
-    def _tok(c):
-        return F.coalesce(c.cast("string"), F.lit("\x00NULL"))
-
     e = _with_event_time(events).withColumn(
         "content_hash",
-        F.sha2(
-            F.concat_ws(
-                "\x1f",
-                _tok(F.col("user_id")),
-                _tok(F.col("event_type")),
-                _tok(F.col("value")),
-                _tok(F.col("props")),
-            ),
-            256,
-        ),
+        content_hash_col("user_id", "event_type", "value", "props"),
     )
     return (
         e.withWatermark("ts", watermark)
