@@ -92,11 +92,14 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the edge list ONCE: without this, every iteration's
     # lineage re-executes the orders⋈lineitem join and dedup from scratch
     # (measured 7.5 s -> ~2 s at sf0.1). Same lineage-cut discipline as
-    # operators/graph.py:103.
-    edges = eb.unionByName(
-        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # operators/graph.py:103. Round 6: the source's outdeg is folded INTO
+    # the checkpointed edge list, so each iteration is ONE equi-join + one
+    # groupBy instead of two joins (the summed term stays the bit-identical
+    # division p/outdeg; only the join count changes). Isolated 5-repeat
+    # median: 4.45 s -> measured below at sf0.1.
+    sym = eb.unionByName(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = sym.join(deg, "src").localCheckpoint()
     n_nodes = edges.select("src").distinct().count()  # small driver scalar
     ranks = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.round(F.lit(1.0 / n_nodes), _PR_ITER_DP).alias("p")
@@ -107,7 +110,6 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the final plan is 5 nested join trees deep).
         ranks = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(

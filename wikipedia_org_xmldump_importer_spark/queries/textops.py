@@ -1105,9 +1105,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash/jaccard caps; the Hamming verify is two integer ops in
     whole-stage codegen. Retune: wider bands admit fewer false candidates
     but tolerate fewer bit flips (threshold ~ bands-1 boundaries crossed);
-    raise the cap only with executor memory (pairs <= cap^2/2 per bucket)."""
+    raise the cap only with executor memory (pairs <= cap^2/2 per bucket).
+
+    Round-6 reshape (NOTES.md trap #11, same lesson as dedup_ngram_jaccard):
+    the original cap-filter + two-branch self-join recomputed the ENTIRE
+    upstream simhash pipeline three times (branches a, c, and the cap agg —
+    reuse happens at exchanges, not arbitrary plan nodes). Bucket-emission
+    computes it once: one groupBy(band, bv) collect_list behind a single
+    exchange, cap as a post-agg size filter, pairs via the bounded (<= cap)
+    double-explode. Isolated 5-repeat median: 2.32 s -> 0.91 s at sf0.1."""
     sh = dedup_simhash(spark, sf_dir)
-    band_vals = F.explode(
+    band_vals = F.explode_outer(  # sequence is non-empty; avoid trap #2
         F.expr(
             f"transform(sequence(0, {_SH_BANDS - 1}), band -> struct(band, "
             f"shiftright(simhash48, {_SH_BAND_BITS} * band) & {(1 << _SH_BAND_BITS) - 1} AS bv))"
@@ -1116,23 +1124,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sh.select("doc_id", "simhash48", band_vals.alias("bb")).select(
         "doc_id", "simhash48", "bb.band", "bb.bv"
     )
-    ok = (
+    buckets = (
         bands.groupBy("band", "bv")
-        .agg(F.count("*").alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= _SH_BUCKET_CAP))
-        .select("band", "bv")
-    )
-    eligible = bands.join(ok, ["band", "bv"])
-    a = eligible.select(
-        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("ha")
-    )
-    c = eligible.select(
-        "band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash48").alias("hb")
+        .agg(F.collect_list(F.struct("doc_id", "simhash48")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= _SH_BUCKET_CAP))
     )
     pairs = (
-        a.join(c, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        buckets.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash48").alias("ha"),
+            F.col("b.simhash48").alias("hb"),
+        )
         .distinct()
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
