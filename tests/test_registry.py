@@ -87,6 +87,7 @@ def test_survey_registry_sync():
         "stream_upsert_sink",
         "stream_ohlc_bars",
         "content_dedup",
+        "match_steps_stream",
     }
     declared = names - test_only
     registered = set(REGISTRY)

@@ -357,6 +357,76 @@ def test_content_hash_injective_on_adversarial_fields(spark):
     assert len(set(hashes)) == len(hashes), hashes
 
 
+def test_pattern_match_stream_equals_batch(spark, tmp_path):
+    """st11/x67: the live applyInPandasWithState pattern matcher must emit
+    exactly the registered batch query's matches on replayed real data."""
+    from wikipedia_org_xmldump_importer_spark.operators.patterns import (
+        match_steps_stream,
+    )
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    staged = _staged(spark, tmp_path)
+    stream = match_steps_stream(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_pattern", "append")
+    want = REGISTRY["events_pattern_match"].fn(spark, SF_SMOKE)
+    _assert_stream_equals_batch(got, want)
+
+
+def test_pattern_match_cross_batch_straddle(spark, tmp_path):
+    """st11 adversarial: a match whose view/click runs end in one
+    micro-batch and whose closing purchase arrives in the NEXT batch must
+    still be emitted (state carries prev symbol + run counts across
+    batches); a breaker event must reset; skip-past-last-row must prevent
+    a second purchase from double-emitting."""
+    from wikipedia_org_xmldump_importer_spark.operators.patterns import (
+        match_steps,
+        match_steps_stream,
+    )
+
+    staged = str(tmp_path / "pattern_chunks")
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_01",
+        [
+            # user 1: V V K | (K P in chunk 2) -> one match, n_view=2 n_click=2
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:01:00", 1, "view", 1.0),
+            (3, "2024-01-01 10:02:00", 1, "click", 1.0),
+            # user 2: V K error P -> breaker kills the match
+            (4, "2024-01-01 10:00:00", 2, "view", 1.0),
+            (5, "2024-01-01 10:01:00", 2, "click", 1.0),
+            (6, "2024-01-01 10:02:00", 2, "error", 0.0),
+        ],
+    )
+    _write_synth_chunk(
+        spark,
+        staged,
+        "chunk_02",
+        [
+            (7, "2024-01-01 10:03:00", 1, "click", 1.0),
+            (8, "2024-01-01 10:04:00", 1, "purchase", 9.0),
+            # second purchase right after the match: skip-past-last-row
+            (9, "2024-01-01 10:05:00", 1, "purchase", 9.0),
+            (10, "2024-01-01 10:03:00", 2, "purchase", 9.0),
+            # user 2 then completes a clean V K P -> exactly one match
+            (11, "2024-01-01 10:04:00", 2, "view", 1.0),
+            (12, "2024-01-01 10:05:00", 2, "click", 1.0),
+            (13, "2024-01-01 10:06:00", 2, "purchase", 9.0),
+        ],
+    )
+    stream = match_steps_stream(read_event_stream(spark, staged))
+    got = _sorted_pdf(run_to_completion(stream, "t_pattern_straddle", "append"))
+    batch = spark.read.parquet(f"{staged}/chunk_*")
+    want = _sorted_pdf(match_steps(batch))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 2
+    by_user = got.set_index("user_id")
+    assert by_user.loc[1, "n_view"] == 2 and by_user.loc[1, "n_click"] == 2
+    assert by_user.loc[2, "n_view"] == 1 and by_user.loc[2, "n_click"] == 1
+
+
 def test_funnel_state_machine(spark, tmp_path):
     """st6: applyInPandasWithState funnel — closed funnels must agree with
     the relational batch twin."""

@@ -467,3 +467,67 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(src_frame), 6).alias("p_trans"),
     )
+
+
+# --------------------------------------------------------------------------
+# x67 — MATCH_RECOGNIZE-style sequence pattern (view+ click+ purchase)
+# --------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+o AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id)
+                   = event_type THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+r AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS run_id
+  FROM o
+),
+runs AS (
+  SELECT user_id, run_id, event_type, COUNT(*) AS n, MIN(ts_us) AS start_us
+  FROM r GROUP BY user_id, run_id, event_type
+),
+seq AS (
+  SELECT user_id, event_type AS t0, n AS n0, start_us AS s0,
+         lead(event_type, 1) OVER w2 AS t1, lead(n, 1) OVER w2 AS n1,
+         lead(event_type, 2) OVER w2 AS t2, lead(start_us, 2) OVER w2 AS s2
+  FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+)
+SELECT user_id, s0 AS match_start_us, s2 AS match_end_us,
+       n0 AS n_view, n1 AS n_click, s2 - s0 AS span_us
+FROM seq WHERE t0 = 'view' AND t1 = 'click' AND t2 = 'purchase'
+"""
+
+
+@register("events_pattern_match", oracle=_PATTERN_ORACLE)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x67: MATCH_RECOGNIZE-style sequence pattern over per-user event
+    streams — PATTERN (view+ click+ purchase), strict contiguity, match
+    closed by the FIRST purchase event, AFTER MATCH SKIP PAST LAST ROW.
+    Generalizes stream_funnel's single hardcoded funnel into a declarative
+    steps tuple (operators/patterns.py); the live twin
+    (patterns.match_steps_stream, §2.9 st11) emits the same rows
+    incrementally via applyInPandasWithState and is equivalence-tested.
+
+    Relational encoding is gaps-and-islands: lag-break + running sum
+    assigns run ids, one groupBy collapses runs, two lead()s scan the run
+    sequence for the (view, click, purchase) triple. The oracle unrolls
+    the identical algebra in DuckDB SQL.
+
+    100 TB: one user_id shuffle for the order window, one run-collapse
+    groupBy on the same key (AQE reuses the partitioning), lead()s run on
+    the collapsed |runs| table. Integer-microsecond arithmetic end-to-end;
+    no Python, no explode. Retune: swap the steps tuple for any k-step
+    pattern — cost is k-1 lead()s over the already-collapsed runs."""
+    from ..operators.patterns import match_steps  # noqa: PLC0415
+
+    return match_steps(load_table(spark, sf_dir, "events"))
