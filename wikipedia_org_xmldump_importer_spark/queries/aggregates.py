@@ -459,3 +459,46 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# x70 — higher statistical moments with cross-engine definition mapping
+# --------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+SELECT event_type,
+       COUNT(value) AS n,
+       ROUND(AVG(value), 6) AS mean_v,
+       ROUND(stddev_samp(value), 6) AS stddev_v,
+       ROUND(skewness(value) * (COUNT(value) - 2)
+             / sqrt(COUNT(value) * (COUNT(value) - 1.0)), 6) AS skew_pop,
+       ROUND(kurtosis_pop(value), 6) AS kurt_excess
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_moments", oracle=_MOMENTS_ORACLE)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x70: 3rd/4th statistical moments per group — the distribution-shape
+    profile (skew, excess kurtosis) that a9's percentiles and a10's
+    variance miss, e.g. spotting heavy-tailed spend before picking a
+    clipping threshold. Single partial-aggregable pass (moment sketches
+    merge), same scale shape as a2.
+
+    Cross-engine definition mapping, established empirically (round 6):
+    Spark's skewness/kurtosis are POPULATION moments (g1 = m3/m2^1.5,
+    excess g2 = m4/m2^2 - 3); DuckDB's skewness is the bias-corrected
+    SAMPLE statistic G1 = g1*sqrt(n(n-1))/(n-2) and its kurtosis the
+    sample G2 — but kurtosis_pop matches Spark exactly. The oracle
+    converts G1 back (×(n-2)/√(n(n-1))) and uses kurtosis_pop, so both
+    engines compare the same population definition at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count("value")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_v"),
+        F.round(F.skewness("value"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("value"), 6).alias("kurt_excess"),
+    )

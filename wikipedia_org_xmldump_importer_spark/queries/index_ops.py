@@ -404,3 +404,65 @@ def ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x69 — positional phrase search (the inverted_index story completed)
+# --------------------------------------------------------------------------
+
+_PHRASE_W1, _PHRASE_W2 = "table", "hash"
+
+_PHRASE_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+hits AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 2 THEN []
+              ELSE list_filter(generate_series(1, len(w) - 1),
+                               i -> w[i] = '{_PHRASE_W1}'
+                                AND w[i + 1] = '{_PHRASE_W2}') END AS idx
+  FROM t
+)
+SELECT doc_id, len(idx) AS n_hits, idx[1] AS first_pos
+FROM hits WHERE len(idx) > 0
+"""
+
+
+@register("phrase_search", oracle=_PHRASE_ORACLE)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x69: exact phrase query ("{_PHRASE_W1} {_PHRASE_W2}") with POSITIONS
+    — the capability x52's document-level inverted index cannot answer
+    (it knows WHICH docs contain both words, not whether they are
+    adjacent). Per-doc positional scan via a filter() HOF over the token
+    array: one pass, integer compares, whole-stage codegen, no explode
+    and no join.
+
+    The classic IR shape (positional postings for w1 ⋈ w2 on doc_id and
+    pos+1) is what a precomputed index serves; for a single ad-hoc phrase
+    over a corpus the direct scan does strictly less work — the join form
+    would explode EVERY doc's tokens and shuffle two full postings lists
+    to answer one phrase. Build the positional index (x52 + pos arrays)
+    when amortizing over many queries.
+
+    100 TB: embarrassingly parallel scan, predicate-prunable by any doc
+    metadata, zero shuffle; 1-based positions match the oracle's
+    generate_series. The match-index array is named in its own projection
+    so the two downstream refs (count, first) read one evaluation
+    (NOTES.md trap #4). Expression shape matters 10x here (trap #15):
+    iterating the token array itself with transform(w, (tok, i) -> ...)
+    and ONE try_element_at peek runs 0.19 s at sf0.1, while the
+    index-space form filter(sequence(1, n), i -> element_at(w, i) ...)
+    measured 1.84 s — per-lambda element_at lookups against a sibling
+    array dominate; keep the lambda iterating the data array."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split("text", " ").alias("w"))
+    idx = F.expr(
+        f"filter(transform(w, (tok, i) -> "
+        f"IF(tok = '{_PHRASE_W1}' AND try_element_at(w, i + 2) <=> '{_PHRASE_W2}', "
+        f"i + 1, -1)), p -> p > 0)"
+    )
+    hits = staged.select("doc_id", idx.alias("idx"))
+    return hits.filter(F.size("idx") > 0).select(
+        "doc_id",
+        F.size("idx").alias("n_hits"),
+        F.element_at("idx", 1).alias("first_pos"),
+    )

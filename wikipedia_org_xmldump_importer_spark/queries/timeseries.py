@@ -531,3 +531,88 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.patterns import match_steps  # noqa: PLC0415
 
     return match_steps(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# x68 — RFM customer segmentation over orders
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT custkey,
+         date_diff('day', last_order, MAX(last_order) OVER ()) AS recency_days,
+         frequency, monetary
+  FROM cust
+),
+ranked AS (
+  SELECT *,
+         ntile(4) OVER (ORDER BY recency_days DESC, custkey) AS r_q,
+         ntile(4) OVER (ORDER BY frequency ASC, custkey) AS f_q,
+         ntile(4) OVER (ORDER BY monetary ASC, custkey) AS m_q
+  FROM scored
+)
+SELECT custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+       CASE WHEN r_q = 4 AND f_q = 4 AND m_q = 4 THEN 'champion'
+            WHEN r_q <= 2 AND f_q >= 3 THEN 'at_risk_loyal'
+            WHEN r_q >= 3 AND f_q <= 2 THEN 'new_or_promising'
+            ELSE 'regular' END AS segment
+FROM ranked
+"""
+
+
+@register("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x68: RFM (recency/frequency/monetary) customer segmentation — the
+    product-analytics staple: per-customer aggregates quartile-scored
+    against the whole base, with named segments for the corners every
+    retention team acts on. Reference date is data-derived (max order
+    date), so the query is reproducible on any snapshot.
+
+    Determinism: quartile assignment ties are broken by custkey, and the
+    monetary ordering uses the ALREADY-2dp-rounded sum so a sub-cent
+    cross-engine ulp can never flip a tile boundary.
+
+    100 TB: the corpus-sized work is ONE groupBy(custkey); the ntile
+    windows run on the collapsed |customers| frame. A global ntile is a
+    single-partition sort — fine for per-customer aggregates (orders of
+    magnitude smaller than orders); at billions of customers swap ntile
+    for approx-percentile cutoffs broadcast-joined back (the x42 heavy-
+    hitters pattern), trading exact tile edges for full parallelism."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = cust.select(
+        "custkey",
+        F.datediff(
+            F.max("last_order").over(Window.partitionBy()), F.col("last_order")
+        ).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_q = F.ntile(4).over(Window.orderBy(F.col("recency_days").desc(), "custkey"))
+    f_q = F.ntile(4).over(Window.orderBy(F.col("frequency").asc(), "custkey"))
+    m_q = F.ntile(4).over(Window.orderBy(F.col("monetary").asc(), "custkey"))
+    ranked = scored.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_q") == 4) & (F.col("f_q") == 4) & (F.col("m_q") == 4),
+            "champion",
+        )
+        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 3), "at_risk_loyal")
+        .when((F.col("r_q") >= 3) & (F.col("f_q") <= 2), "new_or_promising")
+        .otherwise("regular")
+    )
+    return ranked.withColumn("segment", segment)
