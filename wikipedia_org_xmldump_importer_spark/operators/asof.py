@@ -36,19 +36,31 @@ def asof_join(
     ref_ts: str,
     carry: dict[str, str],
     ref_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each probe row, attach the reference row with the greatest
-    ``ref_ts <= probe_ts`` within the same ``key`` group (left-outer: probe
-    rows with no earlier reference row get nulls).
+    ``ref_ts <= probe_ts`` (``direction="backward"``, the default) or the
+    smallest ``ref_ts >= probe_ts`` (``direction="forward"``) within the
+    same ``key`` group (left-outer: probe rows with no match get nulls).
+
+    Forward mode mirrors the backward carry exactly: the reference side
+    sorts AFTER a tied probe row (side flag), the frame flips to
+    [currentRow, unboundedFollowing], and ``first(..., ignorenulls)``
+    replaces ``last`` — so ``ref_ts == probe_ts`` matches in both modes,
+    matching DuckDB's ``ASOF JOIN ... ON r.ts >= p.ts``. Same one-shuffle
+    / linear-window cost shape in either direction.
 
     ``carry`` maps reference column -> output alias.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     probe_cols = probe.columns
 
     ref_sel: list[Column] = [
         F.col(key).alias("__key"),
         F.col(ref_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(1 if fwd else 0).alias("__side"),
     ]
     for src, _alias in carry.items():
         ref_sel.append(F.col(src).alias(f"__carry_{_alias}"))
@@ -59,7 +71,7 @@ def asof_join(
     probe_sel: list[Column] = [
         F.col(key).alias("__key"),
         F.col(probe_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(0 if fwd else 1).alias("__side"),
         *[F.lit(None).cast(ref_side.schema[f"__carry_{a}"].dataType).alias(f"__carry_{a}")
           for a in carry.values()],
         F.lit(0).cast("long").alias("__tb"),
@@ -71,23 +83,28 @@ def asof_join(
     )
     unioned = ref_side.unionByName(probe.select(*probe_sel))
 
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy("__key").orderBy(
+        F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc()
     )
+    w = (
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        if fwd
+        else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref_side_flag = 1 if fwd else 0
+    pick = F.first if fwd else F.last
     # Each carry value rides inside a struct whose outer nullability marks
-    # "is this a reference row", so last(..., ignorenulls) skips PROBE rows
-    # only — a legitimately-NULL carry value on the latest reference row is
-    # preserved (a bare last(when(...), ignorenulls) would skip that row and
-    # silently carry an older one, diverging from ASOF semantics on nullable
+    # "is this a reference row", so pick(..., ignorenulls) skips PROBE rows
+    # only — a legitimately-NULL carry value on the nearest reference row is
+    # preserved (a bare pick(when(...), ignorenulls) would skip that row and
+    # silently carry a farther one, diverging from ASOF semantics on nullable
     # carry columns).
     carried = unioned.select(
         "*",
         *[
-            F.last(
+            pick(
                 F.when(
-                    F.col("__side") == 0,
+                    F.col("__side") == ref_side_flag,
                     F.struct(F.col(f"__carry_{a}").alias("v")),
                 ),
                 ignorenulls=True,
@@ -98,4 +115,6 @@ def asof_join(
             for a in carry.values()
         ],
     )
-    return carried.filter(F.col("__side") == 1).select(*probe_cols, *carry.values())
+    return carried.filter(F.col("__side") == (1 - ref_side_flag)).select(
+        *probe_cols, *carry.values()
+    )

@@ -185,6 +185,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_J7F_ORACLE = """
+SELECT v.event_id, v.user_id, v.ts, p.ts AS next_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND p.ts >= v.ts
+"""
+
+
+@register("join_asof_forward", oracle=_J7F_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x71: forward as-of join — for each view, the NEXT purchase at-or-after
+    it by the same user (the time-to-convert primitive; j7 looks backward,
+    this is the same operators/asof.py composite with direction="forward":
+    flipped frame + first() instead of last(), identical one-shuffle cost)."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        probe=views,
+        reference=purchases,
+        key="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        carry={"ts": "next_purchase_ts"},
+        ref_tiebreak="event_id",
+        direction="forward",
+    )
+
+
 _J8_ORACLE = """
 SELECT o.o_orderstatus, COUNT(*) AS n_lines, ROUND(SUM(l.l_extendedprice), 2) AS total_price
 FROM lineitem l

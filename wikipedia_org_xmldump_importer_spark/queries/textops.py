@@ -1145,3 +1145,139 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= _SH_MAX_HAMMING)
+
+
+# --------------------------------------------------------------------------
+# x72 — within-doc repetition score (3-gram duplication ratio)
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS s
+  FROM t
+)
+SELECT doc_id,
+       len(s) AS n_shingles,
+       len(list_distinct(s)) AS n_distinct,
+       CASE WHEN len(s) > 0
+            THEN round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM sh
+"""
+
+
+@register("text_repetition_score", oracle=_REP_ORACLE)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x72: within-document repetition — duplicate-3-gram ratio per doc,
+    the curation signal behind "remove documents that repeat themselves"
+    quality rules (boilerplate, keyword stuffing, decoding loops score
+    high; x7's Jaccard finds CROSS-doc near-dups, this finds INTERNAL
+    redundancy). rep_ratio = 1 - distinct/total shingles.
+
+    Single narrow pass: shingle array built by iterating the token array
+    (trap #15 shape — lambda subject IS the data array, neighbor peeks via
+    try_element_at), counted with size/array_distinct; no explode, no
+    shuffle, embarrassingly parallel.
+
+    100 TB: scan-bound and prunable; pairs with x9/x73 as pushdown-able
+    per-doc quality predicates ahead of any shuffle-heavy dedup stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split("text", " ").alias("w"))
+    shingles = F.expr(
+        "slice(transform(w, (tok, i) -> concat_ws(' ', tok, "
+        "try_element_at(w, i + 2), try_element_at(w, i + 3))), "
+        "1, greatest(size(w) - 2, 0))"
+    )
+    sh = staged.select("doc_id", shingles.alias("s"))
+    n = F.size("s")
+    nd = F.size(F.array_distinct("s"))
+    return sh.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.round(F.lit(1.0) - nd.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x73 — Gopher-style document quality rules
+# --------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 10000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_SYMBOL = 0.10
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 6)
+           AS mean_word_len,
+         CASE WHEN len(text) > 0
+              THEN round(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         * 1.0 / len(text), 6)
+              ELSE 0.0 END AS symbol_ratio
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS word_count_ok,
+       mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL} AS mean_len_ok,
+       symbol_ratio < {_GOPHER_MAX_SYMBOL} AS symbol_ok,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+         AND (mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
+         AND symbol_ratio < {_GOPHER_MAX_SYMBOL} AS passes_gopher
+FROM m
+"""
+
+
+@register("quality_gopher_rules", oracle=_GOPHER_ORACLE)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x73: Gopher-style heuristic quality gates (published web-corpus
+    curation rules: word-count bounds, mean-word-length bounds, symbol
+    ratio cap) as per-doc boolean columns + a combined pass flag — the
+    filter stage run BEFORE any expensive dedup/embedding work. Extends
+    x9's scores into actionable accept/reject rules with thresholds as
+    module constants (retune per corpus).
+
+    100 TB: narrow scan-fused projection, no shuffle; the boolean columns
+    are exactly what a curation pipeline pushes down as partition-pruning
+    predicates on a second pass. Mean word length via an aggregate() fold
+    over the token array (codegen'd integer sum), symbol ratio via one
+    global regexp_replace length delta."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    n_words = F.size("w")
+    sum_len = F.expr("aggregate(w, 0, (acc, x) -> acc + length(x))")
+    m = staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.when(
+            F.length("text") > 0,
+            F.round(
+                F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+                / F.length("text"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+    )
+    word_ok = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    mwl_ok = F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+    sym_ok = F.col("symbol_ratio") < _GOPHER_MAX_SYMBOL
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        word_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_len_ok"),
+        sym_ok.alias("symbol_ok"),
+        (word_ok & mwl_ok & sym_ok).alias("passes_gopher"),
+    )
