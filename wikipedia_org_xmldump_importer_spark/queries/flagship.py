@@ -155,3 +155,59 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x76 — TPC-H Q10 shape: returned-item revenue loss, top 20 customers
+# --------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1995-10-01'
+  AND o.o_orderdate < DATE '1996-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned", oracle=_Q10_ORACLE)
+def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x76: TPC-H Q10 shape — revenue lost to returned items per customer
+    in a quarter, top 20. Completes the flagship TPC-H trio (Q1 agg, Q3
+    mid-join, Q5 6-way) with the RETURN-flow composite: selective fact
+    filters on two tables, a 4-way join, and a top-k on an aggregate.
+
+    Determinism at the k-boundary: ordered by the 2dp-ROUNDED revenue with
+    a custkey tiebreak on BOTH engines, so a sub-cent cross-engine
+    summation ulp can never reorder the cut.
+
+    100 TB: both date and returnflag predicates push to the scans (row-
+    group pruning); nation broadcasts; customer⋈orders⋈lineitem shuffle on
+    their join keys with AQE sizing; the top-k is TakeOrderedAndProject
+    (no global sort materialization)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

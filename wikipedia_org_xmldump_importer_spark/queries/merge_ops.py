@@ -131,3 +131,74 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
     )
+
+
+# --------------------------------------------------------------------------
+# x74 — dump-refresh snapshot diff (added / removed / changed / unchanged)
+# --------------------------------------------------------------------------
+# old = customer with c_custkey % 5 != 0           (pre-refresh snapshot)
+# new = customer with c_custkey % 7 != 0, balance restated +10 cents for
+#       c_custkey % 3 == 0                         (the fresh dump)
+# Integer cents throughout (the x49 lesson).
+
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 5 <> 0
+),
+new AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 3 = 0 THEN 10 ELSE 0 END AS bal_cents
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       o.bal_cents AS old_cents, n.bal_cents AS new_cents,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.bal_cents <> n.bal_cents THEN 'changed'
+            ELSE 'unchanged' END AS action
+FROM old o FULL JOIN new n ON o.c_custkey = n.c_custkey
+"""
+
+
+@register("snapshot_diff", oracle=_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x74: dump-to-dump diff — the refresh question every periodic importer
+    answers before loading: which keys appeared, vanished, or changed
+    between two snapshots (x49 APPLIES a delta; this DERIVES one). One
+    full-outer shuffle join on the key with null-presence + value-compare
+    classification; the action column aggregates to the refresh audit
+    report for free.
+
+    100 TB: same shape as x49 — bucket both snapshots on the key at ingest
+    (s7) and the diff is a zero-shuffle sort-merge; a value HASH per row
+    (f10) replaces wide-column compares when schemas are fat. Deletes are
+    first-class here, unlike upsert merges that never see them."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    old = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey", cents.alias("bal_cents")
+    )
+    new = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        (
+            cents
+            + F.when(F.col("c_custkey") % 3 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).alias("bal_cents"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    action = (
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .when(F.col("o.bal_cents") != F.col("n.bal_cents"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.col("o.bal_cents").alias("old_cents"),
+        F.col("n.bal_cents").alias("new_cents"),
+        action.alias("action"),
+    )

@@ -331,3 +331,65 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("session_end_us"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# x75 — running DISTINCT count via first-occurrence flags
+# --------------------------------------------------------------------------
+
+_WRD_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts_us, event_id) = 1
+                 THEN 1 ELSE 0 END AS first_flag
+  FROM e
+)
+SELECT event_id, user_id, ts_us, event_type,
+       CAST(SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_distinct_types
+FROM f
+"""
+
+
+@register("win_running_distinct", oracle=_WRD_ORACLE)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x75: running COUNT(DISTINCT) over a window — not directly supported
+    by any engine's window DISTINCT (Spark rejects it), so it is rewritten
+    exactly: flag each (user, type)'s FIRST occurrence with row_number,
+    then a running SUM of flags per user. The breadth-of-engagement curve
+    (how many distinct behaviors a user has shown by time t).
+
+    100 TB: two window passes — (user, type) then (user) — the second
+    re-shuffles to the coarser key; both are linear per partition. The
+    first-occurrence flag trick generalizes to any windowed distinct agg
+    (sum distinct: flag × value). Casting the SUM to keep int64 on both
+    engines; oracle mirrors the identical rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("first_flag"),
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_type",
+        F.sum("first_flag").over(w_run).alias("n_distinct_types"),
+    )
