@@ -211,3 +211,80 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# x78 — TPC-H Q4 shape: order priority checking (EXISTS a late lineitem)
+# --------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_priority", oracle=_Q4_ORACLE)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x78: TPC-H Q4 shape — orders in a quarter having at least one
+    lineitem shipped after the order date, counted by priority. The
+    canonical EXISTS-to-LEFT-SEMI composite (x40 exercises raw EXISTS
+    SQL; this is the named benchmark query with a correlated date
+    predicate inside the subquery).
+
+    100 TB: the date filter prunes orders scan-side; the semi-join
+    shuffles on orderkey and short-circuits per key (no lineitem row
+    multiplication); final agg is |priorities| rows."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# x79 — TPC-H Q13 shape: customer order-count distribution
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_custdist", oracle=_Q13_ORACLE)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x79: TPC-H Q13 shape — the distribution of customers by how many
+    orders they have placed, INCLUDING zero-order customers (the LEFT
+    join is the point: an inner join silently drops the most interesting
+    bucket). Double aggregation: per-customer count, then histogram.
+
+    100 TB: left join shuffles on custkey; COUNT(o_orderkey) (not
+    COUNT(*)) makes the no-match row count 0; second agg collapses to
+    |distinct counts| rows — tiny. The classic skew watch-out is a
+    mega-customer; x20's salting applies if one key dominates."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -616,3 +616,70 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return ranked.withColumn("segment", segment)
+
+
+# --------------------------------------------------------------------------
+# x77 — DAU / WAU / stickiness (rolling distinct actives)
+# --------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d
+  JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@register("events_dau_wau", oracle=_DAU_ORACLE)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x77: daily/weekly active users + stickiness (DAU/WAU) — the
+    engagement ratio every product dashboard leads with. A 7-day ROLLING
+    DISTINCT cannot ride a window frame (dedup must re-run per frame), and
+    the naive anchor-day band join is a BNLJ (the plan-audit gate rejected
+    that draft) — so each deduped (day, user) pair EXPLODES to the 7
+    anchor days it serves (the j10 range→equi discretization), anchors
+    are semi-joined to real event days, and WAU re-distincts per anchor.
+
+    100 TB: the corpus collapses to |days|x|users| distinct pairs FIRST
+    (one shuffle); the explode is a bounded x7 on the collapsed pairs and
+    every join is equi (broadcast day dim). At very large |users| swap
+    exact WAU for per-day HLL sketches merged over the window (x21's
+    mergeable-sketch pattern). Day emitted as string (driver date rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    anchors = du.select(
+        F.explode_outer(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        anchors.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
