@@ -288,3 +288,184 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# x80 — TPC-H Q7 shape: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= DATE '1996-01-01'
+    AND l.l_shipdate < DATE '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_nation_volume", oracle=_Q7_ORACLE)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x80: TPC-H Q7 shape — bilateral trade volume between two nations by
+    ship-year. The classic DISJUNCTIVE-join-predicate benchmark: the nation
+    pair condition is an OR across both directions, which must NOT become a
+    nested-loop join — here both nation lookups stay broadcast equi-joins
+    and the OR is a residual filter on two broadcast-joined dim columns.
+
+    100 TB: l_shipdate range-predicate pushes to the lineitem scan;
+    supplier join shuffles on suppkey, orders⋈lineitem on orderkey,
+    customer on custkey (each co-partitionable); both nation joins
+    broadcast; final agg domain is 2 directions × |years| rows."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x81 — TPC-H Q14 shape: promotion revenue share
+# --------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT ROUND(
+  100.0 * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0 END), 2)
+        / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2),
+  4) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-09-01'
+  AND l.l_shipdate < DATE '1996-10-01'
+"""
+
+
+@register("tpch_q14_promo_share", oracle=_Q14_ORACLE)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x81: TPC-H Q14 shape — the share of one month's revenue that came
+    from PROMO-type parts: a conditional aggregate divided by a total in
+    one pass (no second scan, no self-join).
+
+    Cross-engine determinism: BOTH sums are independently pinned to 2dp
+    before the division (each is order-insensitive after rounding), so the
+    quotient is computed from identical doubles on both engines; only then
+    is the percentage rounded to 4dp.
+
+    100 TB: the one-month shipdate predicate prunes the fact scan to
+    ~1/84th of rows; part join shuffles on partkey (or broadcasts if the
+    dim fits); the aggregate is global partial+final — a single row
+    crosses the final exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.round(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+                )
+                / F.round(F.sum(rev), 2),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x82 — TPC-H Q18 shape: large-volume orders
+# --------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       SUM(l.l_quantity) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@register("tpch_q18_large_orders", oracle=_Q18_ORACLE)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x82: TPC-H Q18 shape — orders whose total quantity exceeds 300, with
+    their customer. The IN-aggregated-subquery benchmark: the qualifying
+    set is a groupBy-HAVING over the fact table, applied back as a
+    left-semi join (never a broadcast IN-list materialized on the driver).
+
+    sum_qty is exact: quantities are integral-valued doubles (1..50), so
+    per-order sums are exactly representable and summation order is
+    irrelevant — no rounding pin needed.
+
+    100 TB: the HAVING pre-aggregate is map-side-combinable on orderkey and
+    its survivor set is tiny (99.9th percentile cut), so the semi-join
+    broadcasts under AQE; customer⋈orders shuffles on custkey; the final
+    re-aggregation groups an already-filtered fact subset."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li.withColumnRenamed("l_orderkey", "lk"), F.col("lk") == orders.o_orderkey)
+        .join(
+            big.withColumnRenamed("l_orderkey", "bk"),
+            F.col("bk") == orders.o_orderkey,
+            "left_semi",
+        )
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
