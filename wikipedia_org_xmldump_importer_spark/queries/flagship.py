@@ -469,3 +469,147 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
     )
+
+
+# --------------------------------------------------------------------------
+# x83 — TPC-H Q17 shape: small-quantity-order revenue (correlated AVG)
+# --------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND p.p_size <= 15
+  AND l.l_quantity < 0.2 * (
+    SELECT SUM(l2.l_quantity) / COUNT(*)
+    FROM {lineitem} l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@register(
+    "tpch_q17_small_qty",
+    oracle=_Q17_SQL.format(lineitem="lineitem", part="part"),
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x83: TPC-H Q17 shape — yearly-average revenue lost if below-20%-of-
+    average-quantity orders stopped: a correlated scalar AVG subquery over
+    the SAME fact table the outer query scans. Run through spark.sql so
+    Catalyst's decorrelation executes (rewrites to one groupBy(partkey)
+    aggregate joined back — not a per-row re-query).
+
+    Determinism: the average is spelled SUM/COUNT, not AVG — quantities
+    are integral-valued doubles so the SUM is exact at any summation
+    order, making the 0.2× threshold bit-identical cross-engine (AVG's
+    incremental mean would not be).
+
+    100 TB: the per-partkey aggregate is map-side combinable and joins on
+    partkey against the filtered brand subset (a selective broadcast after
+    the brand/size filter); the fact scan is shared by both sides —
+    Catalyst schedules it twice, an acceptable trade vs caching 100 TB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem_v")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part_v")
+    return spark.sql(_Q17_SQL.format(lineitem="q17_lineitem_v", part="q17_part_v"))
+
+
+# --------------------------------------------------------------------------
+# x84 — TPC-H Q19 shape: disjunctive brand/size/quantity predicate revenue
+# --------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_disjunctive", oracle=_Q19_ORACLE)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x84: TPC-H Q19 shape — revenue under a 3-arm disjunction of
+    brand × size × quantity predicates. The optimizer stress here is
+    predicate FACTORING: the join key is shared by all arms, so the plan
+    must stay ONE equi-join on partkey with the OR as a residual — and
+    Catalyst additionally derives the common `p_size >= 1` and quantity
+    range bounds for scan-side pushdown (visible as PushedFilters).
+
+    100 TB: one shuffle (or broadcast, post-filter part is small) on
+    partkey; the disjunction evaluates in whole-stage codegen; a single
+    row crosses the final exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#4", 15, 20, 30))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x85 — TPC-H Q22 shape: inactive high-balance customers by country code
+# --------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT CAST(c.c_nationkey % 7 AS INTEGER) AS cntrycode,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM {customer} c
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c.c_acctbal > (
+    SELECT ROUND(SUM(c2.c_acctbal) / COUNT(*), 2)
+    FROM {customer} c2
+    WHERE c2.c_acctbal > 0.0
+      AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM {orders} o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= DATE '2000-01-01'
+  )
+GROUP BY CAST(c.c_nationkey % 7 AS INTEGER)
+"""
+
+
+@register(
+    "tpch_q22_inactive_balance",
+    oracle=_Q22_SQL.format(customer="customer", orders="orders"),
+)
+def tpch_q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x85: TPC-H Q22 shape — INACTIVE customers (no order since 2000)
+    whose balance beats the positive-balance average, grouped by a derived
+    country code (adapted twice for the synthetic data: cntrycode :=
+    nationkey % 7 over an IN-list of nations since there is no c_phone,
+    and "never ordered" became "no order since 2000-01-01" because every
+    synthetic customer has at least one order — a literal NOT EXISTS
+    would select zero rows and verify nothing). Exercises three subquery forms at
+    once: an UNCORRELATED scalar threshold (planned as an independent
+    1-row subquery, broadcast into the filter — no join at all), a NOT
+    EXISTS anti-join, and a post-filter re-aggregation.
+
+    Determinism: threshold spelled SUM/COUNT and pinned to 2dp on both
+    engines before the comparison (half-cent boundary risk is measure-
+    zero and documented; AVG's incremental mean would drift for real).
+
+    100 TB: customer scans once with the IN-list pushed down; the anti
+    join shuffles on custkey (orders side pre-projected to the key
+    column); the scalar subquery is a partial+final global agg whose
+    single row rides the driver's subquery channel, not a shuffle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders_v")
+    return spark.sql(_Q22_SQL.format(customer="q22_customer_v", orders="q22_orders_v"))
