@@ -613,3 +613,168 @@ def tpch_q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer_v")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders_v")
     return spark.sql(_Q22_SQL.format(customer="q22_customer_v", orders="q22_orders_v"))
+
+
+# --------------------------------------------------------------------------
+# x86 — TPC-H Q15 shape: top supplier by quarterly revenue
+# --------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l.l_suppkey AS supplier_no,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+  FROM {lineitem} l
+  WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM {supplier} s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=_Q15_SQL.format(lineitem="lineitem", supplier="supplier"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x86: TPC-H Q15 shape — the supplier(s) with the maximum revenue in a
+    quarter: a CTE reused by both the outer join and an uncorrelated MAX
+    scalar subquery (the original's CREATE VIEW spelled as WITH). Ties are
+    KEPT, like the spec — no arbitrary limit-1.
+
+    Determinism: per-supplier revenue is pinned to 2dp inside the CTE, so
+    the MAX and the equality comparison operate on identical doubles in
+    both engines (a raw-sum compare could mismatch at the top by one ulp).
+
+    100 TB: the shipdate quarter predicate prunes the fact scan; revenue
+    is one map-side-combinable groupBy(suppkey); Catalyst evaluates the
+    CTE twice (agg domain = |suppliers|, cheap) rather than materializing;
+    the MAX subquery is a 1-row broadcast into the filter."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q15_lineitem_v")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q15_supplier_v")
+    return spark.sql(_Q15_SQL.format(lineitem="q15_lineitem_v", supplier="q15_supplier_v"))
+
+
+# --------------------------------------------------------------------------
+# x87 — TPC-H Q8 shape: national market share within a region
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       ROUND(ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END), 2)
+             / ROUND(SUM(volume), 2), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8_market_share", oracle=_Q8_ORACLE)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x87: TPC-H Q8 shape — NATION_1's share of PROMO-part order volume
+    sold into ASIA, by order year: the deepest join in the TPC-H suite
+    here (7 tables, nation joined TWICE under different roles) feeding a
+    conditional-share aggregate.
+
+    Determinism: numerator and denominator sums independently pinned to
+    2dp before the division (same discipline as x81), then the share
+    rounded to 6dp.
+
+    100 TB: part's type filter and the 2-year orderdate window push to
+    their scans; nation/region broadcast in both roles; the fact-side
+    chain shuffles on partkey→suppkey→orderkey→custkey with AQE free to
+    reorder by runtime sizes (CBO stats registered in bench); agg domain
+    is |years| rows."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(sup, sup.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(0.0)), 2)
+                / F.round(F.sum(vol), 2),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x88 — TPC-H Q16 shape: supplier variety per part attribute (adapted)
+# --------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM {part} p
+JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s.s_suppkey FROM {supplier} s WHERE s.s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle=_Q16_SQL.format(part="part", lineitem="lineitem", supplier="supplier"),
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x88: TPC-H Q16 shape — how many distinct suppliers ship each
+    (brand, type, size) combination, excluding a blacklist spelled NOT IN
+    (adapted: the synthetic schema has no partsupp, so the supplier↔part
+    relation comes from lineitem, and "complaint" suppliers became
+    negative-balance suppliers). The NOT IN over a non-null key compiles
+    to a null-aware anti join — Catalyst proves s_suppkey non-null and
+    degrades it to a plain anti join, which is the point of the test.
+
+    100 TB: brand/type/size predicates push to the part scan; the
+    blacklist side is a ~6-row broadcast anti join; COUNT(DISTINCT)
+    expands to a two-phase partial-distinct aggregate on the already
+    attribute-filtered join output."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q16_part_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem_v")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier_v")
+    return spark.sql(
+        _Q16_SQL.format(
+            part="q16_part_v", lineitem="q16_lineitem_v", supplier="q16_supplier_v"
+        )
+    )
