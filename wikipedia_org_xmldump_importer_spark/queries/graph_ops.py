@@ -11,7 +11,7 @@ order can never let drift accumulate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -121,3 +121,97 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("node", F.round("p", 6).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# x91 — triangle counting over the supplier co-supply graph
+# --------------------------------------------------------------------------
+
+_TRI_TOPK = 5  # each supplier's 5 most-shipped parts define its signature
+
+_TRI_ORACLE = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, COUNT(*) AS n
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+top AS (
+  SELECT l_suppkey, l_partkey FROM (
+    SELECT l_suppkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                              ORDER BY n DESC, l_partkey) AS rk
+    FROM sp) ranked
+  WHERE rk <= {_TRI_TOPK}
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM top a JOIN top b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s2
+  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*) AS tri_cnt FROM corners GROUP BY node
+"""
+
+
+@register("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x91: per-node triangle counts in the supplier co-supply graph —
+    suppliers are adjacent when their top-{_TRI_TOPK} most-shipped part
+    sets intersect (the top-k signature keeps the graph sparse; the raw
+    shares-any-part relation is complete on this data and degenerate).
+    Third graph surface next to connected components (x29) and PageRank
+    (x63): the wedge-close join pattern.
+
+    Algorithm: orient every edge low-id → high-id (each triangle counted
+    exactly once as a < b < c), build wedges by joining edges on the
+    middle vertex, close them with a third edge-existence join, then
+    explode each triangle to its three corners and count per node.
+
+    100 TB: the id-orientation here is the didactic form; the scale form
+    orients low-DEGREE → high-degree (then no vertex fans out more than
+    O(sqrt(|E|)) wedges even on power-law graphs — the classic MapReduce
+    triangle bound), which changes intermediate sizes only, never the
+    result. Both wedge join and closure join are equi-joins shuffled on
+    vertex ids; the candidate-pair generator is capped by top-k part
+    signatures exactly like the dedup family caps band buckets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        sp.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("l_suppkey").orderBy(
+                    F.col("n").desc(), F.col("l_partkey")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _TRI_TOPK)
+        .select("l_suppkey", "l_partkey")
+    )
+    a = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
+    b = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "pk")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))

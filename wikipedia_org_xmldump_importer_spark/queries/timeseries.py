@@ -683,3 +683,214 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x89 — linear interpolation over the densified hourly grid
+# --------------------------------------------------------------------------
+
+# Fraction arithmetic is exact-operand: the grid is hourly, so the hour
+# offsets are small integers on both engines, and avg_v is pinned to 6dp
+# before entering the lerp — the only float ops are one divide and one
+# multiply over identical doubles.
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+         ROUND(AVG(value), 6) AS avg_v
+  FROM events GROUP BY event_type, h
+),
+bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY event_type),
+axis AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+  FROM bounds
+),
+marked AS (
+  SELECT a.event_type, a.h, hr.avg_v,
+         LAST_VALUE(hr.avg_v IGNORE NULLS) OVER w_prev AS prev_v,
+         LAST_VALUE(CASE WHEN hr.avg_v IS NOT NULL THEN a.h END IGNORE NULLS)
+           OVER w_prev AS prev_h,
+         FIRST_VALUE(hr.avg_v IGNORE NULLS) OVER w_next AS next_v,
+         FIRST_VALUE(CASE WHEN hr.avg_v IS NOT NULL THEN a.h END IGNORE NULLS)
+           OVER w_next AS next_h
+  FROM axis a LEFT JOIN hourly hr ON a.event_type = hr.event_type AND a.h = hr.h
+  WINDOW
+    w_prev AS (PARTITION BY a.event_type ORDER BY a.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY a.event_type ORDER BY a.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, CAST(h AS VARCHAR) AS hour,
+       CASE WHEN avg_v IS NOT NULL THEN 'obs'
+            WHEN next_v IS NULL THEN 'locf'
+            ELSE 'lerp' END AS method,
+       CASE WHEN avg_v IS NOT NULL THEN avg_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE ROUND(prev_v + (next_v - prev_v)
+                 * (CAST(date_diff('hour', prev_h, h) AS DOUBLE)
+                    / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE)), 6)
+       END AS value
+FROM marked
+"""
+
+
+@register("ts_interpolate_linear", oracle=_INTERP_ORACLE)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x89: densify the hourly grid per event_type and LINEARLY interpolate
+    missing buckets between their nearest observed neighbors (x37's LOCF
+    upgraded to the lerp a feature-engineering pipeline wants for gauge
+    metrics). Observed buckets pass through untouched; a tail with no next
+    observation falls back to LOCF; the head always has a seed because the
+    axis starts at each type's first observed bucket.
+
+    Two windows over ONE shuffle on event_type: prev via last(ignorenulls)
+    over unbounded-preceding, next via first(ignorenulls) over
+    unbounded-following — Spark evaluates both frames in a single sort.
+    The lerp fraction is hour-index arithmetic (small exact integers), so
+    cross-engine floats only meet in one divide + one multiply over
+    6dp-pinned operands.
+
+    100 TB: the axis explodes from per-type bounds (no driver ranges); the
+    window partitions by event_type — for a type whose span outgrows one
+    task, re-key to (type, coarse_time_chunk) with boundary-row exchange,
+    the standard chunked-window upgrade."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.window("ts", "1 hour").start.alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_v"))
+    axis = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("h"))
+    marked = (
+        axis.join(hourly, ["event_type", "h"], "left")
+        .withColumn("prev_v", F.last("avg_v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("avg_v", ignorenulls=True).over(w_next))
+        .withColumn("next_h", F.first(obs_h, ignorenulls=True).over(w_next))
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("prev_h")).cast("double")
+        / (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")).cast("double")
+    )
+    return marked.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.when(F.col("avg_v").isNotNull(), F.lit("obs"))
+        .when(F.col("next_v").isNull(), F.lit("locf"))
+        .otherwise(F.lit("lerp"))
+        .alias("method"),
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.round(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac, 6)
+        )
+        .alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x90 — trailing exponential moving average (exact dyadic weights)
+# --------------------------------------------------------------------------
+
+_EMA_K = 12  # trailing depth: weight 2^-11 ≈ 5e-4 — truncation < rounding pin
+_EMA_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+         ROUND(AVG(value), 6) AS avg_v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY time_bucket(INTERVAL '1 hour', ts)) AS idx
+  FROM events GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+),
+contrib AS (
+  SELECT hh.event_type, hh.idx + k.k AS tgt,
+         hh.avg_v * power(0.5, k.k) AS wv,
+         power(0.5, k.k) AS w
+  FROM hourly hh
+  CROSS JOIN (SELECT unnest(generate_series(0, {_EMA_K - 1})) AS k) k
+)
+SELECT t.event_type, CAST(t.h AS VARCHAR) AS hour,
+       COUNT(*) AS n_terms,
+       ROUND(ROUND(SUM(c.wv), 6) / SUM(c.w), 6) AS ema
+FROM contrib c
+JOIN hourly t ON t.event_type = c.event_type AND t.idx = c.tgt
+GROUP BY t.event_type, t.h
+"""
+
+
+@register("ts_ema_trailing", oracle=_EMA_ORACLE)
+def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x90: trailing exponential moving average over each type's hourly
+    series — the {_EMA_K}-term truncated EMA with decay 1/2, normalized by
+    the weights actually present (so the head of each series is an honest
+    partial-window average, not biased toward zero).
+
+    The recursive EMA form (state folded row-by-row) is not expressible as
+    a frame-bounded window; the truncated form is — and it is spelled here
+    as scatter-to-anchor: each observation EMITS its {_EMA_K} future
+    contributions (explode of a constant offset array), then one groupBy
+    on the anchor sums them. No window at all, no self-join — the same
+    range-to-equi discretization as x77.
+
+    Cross-engine exactness: decay 1/2 makes every weight 2^-k EXACT in
+    binary floating point, and avg_v * 2^-k is a pure exponent shift — the
+    only order-sensitive float op is the final SUM, pinned at 6dp before
+    the normalize.
+
+    100 TB: the explode is a constant ×{_EMA_K} fan-out of the tiny hourly
+    aggregate (not of raw events); one shuffle on (event_type) for the
+    window-free groupBy; partial aggregation combines map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.col("event_type"), F.window("ts", "1 hour").start.alias("h"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_v"))
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
+        )
+    )
+    contrib = hourly.select(
+        "event_type",
+        "idx",
+        "avg_v",
+        F.explode(F.sequence(F.lit(0), F.lit(_EMA_K - 1))).alias("k"),
+    ).select(
+        "event_type",
+        (F.col("idx") + F.col("k")).alias("tgt"),
+        (F.col("avg_v") * F.pow(F.lit(0.5), F.col("k"))).alias("wv"),
+        F.pow(F.lit(0.5), F.col("k")).alias("w"),
+    )
+    anchors = hourly.select(
+        F.col("event_type").alias("a_type"), F.col("idx").alias("a_idx"), "h"
+    )
+    return (
+        contrib.join(
+            anchors,
+            (contrib.event_type == anchors.a_type) & (contrib.tgt == anchors.a_idx),
+        )
+        .groupBy("a_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.round(F.sum("wv"), 6) / F.sum("w"), 6).alias("ema"),
+        )
+        .select(
+            F.col("a_type").alias("event_type"),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_terms",
+            "ema",
+        )
+    )
