@@ -27,6 +27,7 @@ MODULES = (
     "merge_ops",
     "index_ops",
     "graph_ops",
+    "quality_ops",
 )
 
 # The driver's correctness sweep checks only the FIRST 50 entries of

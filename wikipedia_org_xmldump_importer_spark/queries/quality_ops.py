@@ -1,0 +1,265 @@
+"""Data-quality operators: column profiling, declarative constraint checks,
+and a period-over-period audit composite (SURVEY.md §2 rows x92-x94).
+
+A 100 TB lake ingests nothing without a profile + constraint gate in front
+of it; these are the engine-native forms — single-scan aggregates whose
+output is a tiny report table, never a second copy of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# x92 — per-column profile of the orders table
+# --------------------------------------------------------------------------
+
+# min/max travel as strings: doubles go through DECIMAL(18,2) so both
+# engines print identical fixed-point text (raw double→varchar formatting
+# diverges: DuckDB may print 1e+07, the JVM prints 1.0E7).
+_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(o_orderkey) AS nn_orderkey, COUNT(DISTINCT o_orderkey) AS nd_orderkey,
+      CAST(MIN(o_orderkey) AS VARCHAR) AS mn_orderkey,
+      CAST(MAX(o_orderkey) AS VARCHAR) AS mx_orderkey,
+    COUNT(o_custkey) AS nn_custkey, COUNT(DISTINCT o_custkey) AS nd_custkey,
+      CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey,
+      CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
+    COUNT(o_orderstatus) AS nn_status, COUNT(DISTINCT o_orderstatus) AS nd_status,
+      CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_status,
+      CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_status,
+    COUNT(o_totalprice) AS nn_price, COUNT(DISTINCT o_totalprice) AS nd_price,
+      CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+      CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price,
+    COUNT(o_orderdate) AS nn_date, COUNT(DISTINCT o_orderdate) AS nd_date,
+      strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn_date,
+      strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx_date,
+    COUNT(o_orderpriority) AS nn_prio, COUNT(DISTINCT o_orderpriority) AS nd_prio,
+      CAST(MIN(o_orderpriority) AS VARCHAR) AS mn_prio,
+      CAST(MAX(o_orderpriority) AS VARCHAR) AS mx_prio
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, n_rows, n_rows - nn_orderkey AS n_null,
+       nd_orderkey AS n_distinct, mn_orderkey AS min_str, mx_orderkey AS max_str FROM s
+UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn_custkey, nd_custkey, mn_custkey, mx_custkey FROM s
+UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn_status, nd_status, mn_status, mx_status FROM s
+UNION ALL SELECT 'o_totalprice', n_rows, n_rows - nn_price, nd_price, mn_price, mx_price FROM s
+UNION ALL SELECT 'o_orderdate', n_rows, n_rows - nn_date, nd_date, mn_date, mx_date FROM s
+UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn_prio, nd_prio, mn_prio, mx_prio FROM s
+"""
+
+
+@register("dq_profile", oracle=_PROFILE_ORACLE)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x92: one-scan column profile of `orders` — row count, null count,
+    exact distinct count, and min/max (as canonical strings) for every
+    column, reshaped to one report row per column.
+
+    ONE aggregate node computes all 6×4 statistics (Spark plans the
+    multi-COUNT(DISTINCT) with an `expand` — each input row fans out once
+    per distinct-column, partial-aggregated map-side), then a 1-row-wide
+    unpivot emits the report. Never six scans.
+
+    100 TB: this is the exact-profile variant; swap COUNT(DISTINCT) for
+    approx_count_distinct when a 2% error is acceptable and the expand
+    factor hurts (documented knob, same report schema)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec_min = F.round(F.min("o_totalprice"), 2).cast("decimal(18,2)").cast("string")
+    dec_max = F.round(F.max("o_totalprice"), 2).cast("decimal(18,2)").cast("string")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for c, mn, mx in (
+                ("o_orderkey", F.min("o_orderkey").cast("string"), F.max("o_orderkey").cast("string")),
+                ("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+                ("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+                ("o_totalprice", dec_min, dec_max),
+                ("o_orderdate", F.date_format(F.min("o_orderdate"), "yyyy-MM-dd"), F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")),
+                ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+            )
+            for e in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                mn.alias(f"mn_{c}"),
+                mx.alias(f"mx_{c}"),
+            )
+        ],
+    )
+    rows = []
+    for c in (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ):
+        rows.append(
+            s.select(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# x93 — declarative constraint violations report
+# --------------------------------------------------------------------------
+
+_CONSTRAINT_ORACLE = """
+SELECT 'pk_unique_orderkey' AS constraint_name,
+       (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS n_violations
+UNION ALL
+SELECT 'fk_orders_customer',
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'chk_totalprice_positive',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+UNION ALL
+SELECT 'set_orderstatus_valid',
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+UNION ALL
+SELECT 'nonnull_orderdate',
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+"""
+
+
+@register("dq_constraints", oracle=_CONSTRAINT_ORACLE)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x93: violation counts for a declared constraint suite over `orders`
+    — primary-key uniqueness, referential integrity to `customer`, a value
+    range, an accepted set, and a non-null gate. The report shape (one row
+    per constraint, zero is the passing value) is what a CI data gate
+    asserts on before publishing a partition.
+
+    The four single-table checks fold into ONE aggregate over one scan
+    (conditional sums + count-distinct); only the FK check needs a second
+    input — an anti join against the dimension's key column, counted.
+
+    100 TB: the anti join broadcasts the ~key-only dim side; everything
+    else is map-side partial aggregation. No data copy, no row-level
+    quarantine here — chain filter_pred on the violating predicate to
+    extract offenders."""
+    o = load_table(spark, sf_dir, "orders")
+    cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+    single = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_unique_orderkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "chk_totalprice_positive"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("set_orderstatus_valid"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "nonnull_orderdate"
+        ),
+    )
+    fk = (
+        o.join(cust_keys, o.o_custkey == cust_keys.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("fk_orders_customer").alias("constraint_name"),
+            F.col("n").alias("n_violations"),
+        )
+    )
+    parts = [
+        single.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(name).cast("long").alias("n_violations"),
+        )
+        for name in (
+            "pk_unique_orderkey",
+            "chk_totalprice_positive",
+            "set_orderstatus_valid",
+            "nonnull_orderdate",
+        )
+    ]
+    out = parts[0].unionByName(fk)
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# x94 — year-over-year revenue growth per nation
+# --------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH yearly AS (
+  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate)
+)
+SELECT nation, yr, revenue,
+       LAG(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
+       CASE WHEN LAG(revenue) OVER (PARTITION BY nation ORDER BY yr) IS NULL
+            THEN NULL
+            ELSE ROUND((revenue - LAG(revenue) OVER (PARTITION BY nation ORDER BY yr))
+                       / LAG(revenue) OVER (PARTITION BY nation ORDER BY yr), 6)
+       END AS yoy_growth
+FROM yearly
+"""
+
+
+@register("rev_yoy_growth", oracle=_YOY_ORACLE)
+def rev_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x94: year-over-year revenue growth per nation — the standard
+    period-over-period report: star-join aggregate to (nation, year)
+    grain, then LAG within nation and a growth ratio. First fiscal year
+    emits NULL growth (no fabricated zero).
+
+    Determinism: yearly revenue pinned 2dp BEFORE the lag/ratio, so both
+    engines divide identical doubles; the ratio itself is pinned 6dp.
+
+    100 TB: the join/agg reuses the flagship star shape (fact shuffles
+    on its FK chain, dims broadcast); the window partitions on the tiny
+    (nation) grain AFTER aggregation — it sorts |nations|×|years| rows,
+    not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.round((F.col("revenue") - prev) / prev, 6))
+        .alias("yoy_growth"),
+    )
