@@ -74,74 +74,64 @@ MODULES = (
 # fn_json as reps, §2.16 keeps merge_scd1 + ngram_lm_counts). After
 # CORRECTNESS_r06 every SQL-oracle registry entry has a hard driver row.
 DRIVER_PRIORITY = (
-    # flagship / scans (§2.1, composites x1-x3)
+    # Round-6b rotation (mid-round, after the 28 round-6 operators
+    # landed): ALL 37 SQL-oracle queries the driver has never attested
+    # (9 late-r5 + 28 r6 additions: the TPC-H suite x76-x88, analytics
+    # composites, ts lerp/EMA, triangle counting, dq gates, YoY) fill
+    # the window alongside 13 attested section representatives
+    # (flagship trio, one rep each for projection/join/agg/window/
+    # scalar/streaming/UDF/LLM/merge). After CORRECTNESS_r06 every
+    # SQL-oracle registry entry will again have a hard driver row.
     "flagship_star_revenue",
     "tpch_q3_shipping",
     "tpch_q5_local_volume",
-    # §2.2 projection
-    "filter_pred",
-    # §2.3 joins — as-of composite, binned range join, LATERAL (never attested)
-    "join_asof",
-    "join_range_binned",
-    "join_lateral",
-    # §2.4 aggregation (+ histogram + OLS regression, never attested)
-    "agg_groupby",
-    "agg_histogram",
+    "agg_moments",
     "agg_regression",
-    # §2.5 windows (+ first-window ignore-nulls frame + sessionization)
-    "win_topk_per_group",
-    "win_ignore_nulls",
-    "win_sessionize",
-    # §2.6-2.7 sort/limit + set ops
-    "limit_topk",
-    # §2.8 scalar functions — r5-attested tail rotates out; the two
-    # never-attested round-5 fns rotate in
-    "fn_array_hof",
-    "fn_json",
-    "fn_url_parse",
-    "fn_fuzzy_levenshtein",
-    # §2.9 streaming batch twins (tumbling + the two hardest composites)
-    "stream_tumbling",
-    "stream_funnel",
-    "stream_stream_join",
-    # §2.10 UDF surface
-    "udf_scalar_arrow",
-    # §2.11 LLM-pipeline operators (SQL-oracle rows)
-    "dedup_exact",
-    "classify_knn",
-    # §2.12 text/multimodal/composite extensions (SQL-oracle rows;
-    # dedup_simhash_pairs never attested)
-    "dedup_simhash",
     "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_cc",
-    "curation_pipeline",
-    "graph_pagerank_iter",
-    # §2.13-2.14 + round-3/5 extensions (the three never-attested events_*
-    # composites rotate in alongside first-window EXISTS/NOT EXISTS)
-    "ts_resample_ohlc",
-    "ts_gapfill",
-    "ts_rollup_two_level",
-    "events_cohort_retention",
+    "dq_constraints",
+    "dq_profile",
     "events_anomaly_zscore",
+    "events_dau_wau",
     "events_funnel_attribution",
     "events_markov_transition",
-    "sub_correlated_scalar",
-    "sub_exists_notexists",
-    "dedup_embed_cosine",
-    "agg_heavy_hitters",
-    # §2.17 corpus statistics / mixture (+ never-attested PMI)
-    "doc_lm_perplexity",
-    "sample_temperature",
+    "events_pattern_match",
+    "fn_fuzzy_levenshtein",
+    "fn_url_parse",
+    "graph_triangle_count",
+    "join_asof_forward",
+    "join_lateral",
     "ngram_pmi",
-    # §2.15 training-data pipeline stages
-    "decontaminate_ngram",
-    "pack_sequences",
-    "split_train_hash",
-    "sample_stratified",
-    # §2.16 merge/SCD + index ops — section reps (rest attested r5)
+    "phrase_search",
+    "quality_gopher_rules",
+    "rev_yoy_growth",
+    "rfm_segments",
+    "snapshot_diff",
+    "text_repetition_score",
+    "tpch_q10_returned",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_inactive_balance",
+    "tpch_q4_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "ts_ema_trailing",
+    "ts_interpolate_linear",
+    "win_running_distinct",
+    "filter_pred",
+    "join_asof",
+    "agg_groupby",
+    "win_topk_per_group",
+    "fn_json",
+    "stream_tumbling",
+    "stream_funnel",
+    "udf_scalar_arrow",
+    "dedup_exact",
     "merge_scd1",
-    "ngram_lm_counts",
 )
 
 
