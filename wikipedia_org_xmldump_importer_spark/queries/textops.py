@@ -1281,3 +1281,308 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym_ok.alias("symbol_ok"),
         (word_ok & mwl_ok & sym_ok).alias("passes_gopher"),
     )
+
+
+# --------------------------------------------------------------------------
+# x95 — deterministic MinHash near-dup pairs (full SQL oracle)
+# --------------------------------------------------------------------------
+
+_MHD_K = 16  # signature length: 4 bands x 4 rows
+_MHD_BAND_ROWS = 4
+_MHD_CAP = 64  # band-bucket cap, mirrored in the oracle
+_MHD_TAU = 0.5
+
+_MHD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                coalesce(string_split(text, ' ')[i+1], '') || ' ' ||
+                coalesce(string_split(text, ' ')[i+2], ''))) AS shingles
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (
+  SELECT doc_id, k.k AS k,
+         MIN(md5(CAST(k.k AS VARCHAR) || '|' || s)) AS mh
+  FROM flat CROSS JOIN (SELECT unnest(generate_series(0, {_MHD_K - 1})) AS k) k
+  GROUP BY doc_id, k.k
+),
+bands AS (
+  SELECT doc_id, k // {_MHD_BAND_ROWS} AS band,
+         md5(string_agg(mh, ',' ORDER BY k)) AS bkey
+  FROM sig GROUP BY doc_id, k // {_MHD_BAND_ROWS}
+),
+buckets AS (
+  SELECT band, bkey, list(doc_id ORDER BY doc_id) AS ds
+  FROM bands GROUP BY band, bkey
+  HAVING COUNT(*) BETWEEN 2 AND {_MHD_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
+  FROM (SELECT unnest(ds) AS d, band, bkey FROM buckets) a
+  JOIN (SELECT unnest(ds) AS d, band, bkey FROM buckets) b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.d < b.d
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {_MHD_K}.0, 6)
+         AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b AND sb.k = sa.k
+GROUP BY p.doc_a, p.doc_b
+HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {_MHD_K}.0 >= {_MHD_TAU}
+"""
+
+
+@register("dedup_minhash_det", oracle=_MHD_ORACLE)
+def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x95: DETERMINISTIC MinHash near-dup pairs with a full SQL oracle —
+    the hash-attested counterpart to l2's ml.feature.MinHashLSH path
+    (rows-only by declaration because Spark ML's perfect-hash seeds are
+    engine-private). Here every permutation is md5(k || '|' || shingle),
+    identical text→hex on both engines, so the signature, the band keys,
+    the candidate set, and the similarity ESTIMATE are all bit-exact and
+    the driver can hash-compare them.
+
+    Shape — the signature never leaves the row: all 16 per-permutation
+    minima are array_min(transform(...)) expressions in ONE projection, so
+    signature construction needs NO explode, NO groupBy and NO shuffle at
+    all (a first cut fanned out ×16 rows through an aggregate: 3.5 s at
+    sf0.1; this form measures 2.1 s, and the residue is the 16M md5 calls
+    themselves). Bands explode WITH the 16-hash array attached, buckets
+    (capped 64 docs) collect (doc_id, sig) structs, and pairs score by
+    zip_with inside the bucket row — md5 is computed exactly once, no
+    signature re-join, no reliance on AQE exchange reuse.
+
+    100 TB: no all-pairs shape anywhere — candidates exist only where a
+    full band collides (P ≈ j^4 per band, vanishing for dissimilar docs);
+    the md5-per-shingle CPU cost is the honest price of cross-engine
+    attestability (prod would swap xxhash64 at 5× less CPU, same
+    topology — that variant is l2/x7's)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+            ),
+        )
+    )
+    # Materialize the shingle array as a named column FIRST: inlining it
+    # into each of the 16 transform() lambdas would re-evaluate the whole
+    # tokenize+shingle pipeline per permutation (trap #11).
+    staged = docs.select("doc_id", shingles.alias("sh"))
+
+    def _minhash(k: int):
+        return F.array_min(
+            F.transform(
+                F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{k}|"), s))
+            )
+        ).alias(f"mh{k}")
+
+    # The signature RIDES THE ROW from here on: bands explode with the
+    # full 16-hash array attached, the bucket collect carries (doc_id,
+    # sig) structs, and pairs score by zip_with inside the bucket row — so
+    # the md5 pipeline is computed exactly once, with no signature re-join
+    # and no reliance on exchange reuse (an earlier two-join form computed
+    # it three times; AQE's ReuseExchange did not fire across the
+    # differing projections). Cost: each bucket row carries ≤ cap×512 B of
+    # signature payload — 32 KB at the 64-doc cap, well under any sane
+    # shuffle block size.
+    sig = staged.select(
+        "doc_id", F.array(*[_minhash(k) for k in range(_MHD_K)]).alias("sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", k + 1)
+                            for k in range(
+                                b * _MHD_BAND_ROWS, (b + 1) * _MHD_BAND_ROWS
+                            )
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(_MHD_K // _MHD_BAND_ROWS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "sig", F.explode(band_structs).alias("bs")
+    ).select(
+        "doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
+        .filter(F.size("ds").between(2, _MHD_CAP))
+    )
+    scored = (
+        buckets.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(_MHD_K)),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    return scored.distinct().filter(F.col("est_jaccard") >= _MHD_TAU)
+
+
+# --------------------------------------------------------------------------
+# x96 — exact-duplicate cluster resolution: keep the best representative
+# --------------------------------------------------------------------------
+
+_KEEP_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, n_chars, list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+    i -> string_split(text, ' ')[i] || ' ' ||
+         coalesce(string_split(text, ' ')[i+1], '') || ' ' ||
+         coalesce(string_split(text, ' ')[i+2], '')) AS gs
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, MIN(n_chars) AS n_chars, MIN(md5(s)) AS content_key
+  FROM (SELECT doc_id, n_chars, unnest(gs) AS s FROM sh) f
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_chars, content_key,
+         COUNT(*) OVER (PARTITION BY content_key) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY content_key
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM fp
+)
+SELECT doc_id, content_key, cluster_size,
+       CASE WHEN rk = 1 THEN 'keep' ELSE 'drop' END AS decision
+FROM ranked
+WHERE cluster_size > 1
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x96: the RESOLUTION half of dedup — candidate generators (l1,
+    x5's fingerprint, x29's components) find clusters, this decides which
+    member survives: rank every member of a multi-doc cluster by
+    (n_chars DESC, doc_id) and mark exactly one 'keep', the rest 'drop'.
+    Cluster key here is x5's min-3gram-md5 fingerprint (this corpus has
+    near-dups but zero byte-identical dups, so an exact-content key would
+    produce an empty, assertion-free result); a production pipeline feeds
+    whatever cluster id its generator emits. A training pipeline applies
+    the decision as a semi-join filter; emitting the per-doc decision
+    table (not the filtered corpus) keeps the operator auditable.
+
+    Deterministic by construction: the tie-break chain ends in the unique
+    doc_id, so the keep choice can never depend on partition order.
+
+    100 TB: one shuffle on content_key (the window and the cluster-size
+    count share the same partitioning — Spark evaluates both in a single
+    sort); singleton clusters are filtered AFTER the window but they cost
+    no pair materialization, just their one row through the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+            F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+        ),
+    )
+    hashed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.array_min(F.transform(grams, F.md5)).alias("content_key"),
+    )
+    w = Window.partitionBy("content_key")
+    rk = F.row_number().over(
+        w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    return (
+        hashed.select(
+            "doc_id",
+            "content_key",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            rk.alias("rk"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "doc_id",
+            "content_key",
+            "cluster_size",
+            F.when(F.col("rk") == 1, F.lit("keep")).otherwise(F.lit("drop")).alias(
+                "decision"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x97 — exact mode with pinned tie-break
+# --------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY source, lang
+),
+ranked AS (
+  SELECT source, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang) AS rk
+  FROM counts
+)
+SELECT source, lang AS modal_lang, n AS n_docs
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("agg_mode_exact", oracle=_MODE_ORACLE)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x97: exact per-group MODE with a PINNED tie-break — the modal lang
+    per source. Neither engine's built-in mode() is usable for attested
+    results (Spark's F.mode and DuckDB's mode() both break frequency ties
+    arbitrarily), so the operator is spelled count + rank with the tie
+    chain ending in the value itself: identical answers at any partition
+    count, on any engine.
+
+    100 TB: two-level aggregation — groupBy(source, lang) combines
+    map-side to a tiny count grid, then the rank window partitions on
+    (source) over |sources|×|langs| rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("modal_lang"), F.col("n").alias("n_docs"))
+    )
