@@ -14,7 +14,7 @@ the single-pass HLL alternative at scale (a4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -501,4 +501,262 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 6).alias("stddev_v"),
         F.round(F.skewness("value"), 6).alias("skew_pop"),
         F.round(F.kurtosis("value"), 6).alias("kurt_excess"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x98 — Pareto / ABC classification by cumulative revenue share
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT ROUND(SUM(revenue), 2) AS t FROM rev)
+SELECT nation, revenue,
+       ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, nation
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SELECT t FROM tot), 6) AS cum_share,
+       CASE
+         WHEN ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, nation
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / (SELECT t FROM tot), 6) <= 0.5 THEN 'A'
+         WHEN ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, nation
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / (SELECT t FROM tot), 6) <= 0.8 THEN 'B'
+         ELSE 'C'
+       END AS abc_class
+FROM rev
+"""
+
+
+@register("pareto_abc", oracle=_PARETO_ORACLE)
+def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x98: Pareto / ABC classification — nations ranked by revenue with
+    their CUMULATIVE share of the total, bucketed A (first 50%), B (to
+    80%), C (tail). The canonical inventory/portfolio analysis: a running
+    total over a global ordering divided by a grand total.
+
+    Determinism: per-nation revenue pinned 2dp first; the running SUM is a
+    ROWS frame over a fully-pinned ordering (revenue DESC, nation), and
+    frame-ordered summation is sequential on BOTH engines — identical
+    operand order, identical doubles. The grand total re-sums the SAME
+    pinned per-nation values (2dp), so the divisor matches too.
+
+    100 TB: the star agg collapses to |nations| rows before the
+    single-partition window touches anything — an unpartitioned window is
+    only safe BECAUSE the grain is dim-sized; the same report at customer
+    grain would need the two-pass percentile/bin approach instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w_run = (
+        Window.orderBy(F.col("revenue").desc(), F.col("nation"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_share = F.round(
+        F.sum("revenue").over(w_run) / F.round(F.sum("revenue").over(w_all), 2), 6
+    )
+    return rev.select(
+        "nation",
+        "revenue",
+        cum_share.alias("cum_share"),
+        F.when(cum_share <= 0.5, F.lit("A"))
+        .when(cum_share <= 0.8, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x99 — weighted median / weighted percentiles via pinned cumulative weights
+# --------------------------------------------------------------------------
+
+_WPCT_ORACLE = """
+WITH pts AS (
+  SELECT l_returnflag AS flag, l_quantity AS v,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT flag, v, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM pts
+)
+SELECT flag, MIN(v) AS weighted_median
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY flag
+"""
+
+
+@register("agg_weighted_percentile", oracle=_WPCT_ORACLE)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x99: WEIGHTED median — smallest quantity at which the cumulative
+    extendedprice weight reaches half the group's total (per returnflag).
+    Neither engine ships a weighted percentile; the portable spelling is a
+    pinned-order cumulative weight + threshold-crossing MIN.
+
+    Determinism by INTEGER arithmetic: weights are converted to integer
+    CENTS before any summation, so both the pinned-order running total cw
+    and the unordered partition total tw are exact at every summation
+    order (a 2dp DOUBLE would not be — 0.01 has no finite binary form,
+    and tw's unordered sum could then drift by an ulp across engines).
+    The median crossing test is 2*cw >= tw — integers end to end.
+
+    100 TB: one shuffle on (flag) + a sort — the same cost class as any
+    percentile; for heavy groups swap in the two-pass histogram-bin
+    approach (x41) at ~1e-3 relative error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    cum = pts.select(
+        "flag",
+        "v",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
+# --------------------------------------------------------------------------
+# x100 — market-basket brand co-occurrence (support + lift)
+# --------------------------------------------------------------------------
+
+_BASKET_SQL = """
+WITH n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM {basket}),
+brand_n AS (SELECT brand, COUNT(*) AS n_b FROM {basket} GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM {basket} a JOIN {basket} b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.brand_a, p.brand_b, p.n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / (SELECT n FROM n_orders), 6) AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n_orders)
+             / (na.n_b * nb.n_b), 6) AS lift
+FROM pairs p
+JOIN brand_n na ON na.brand = p.brand_a
+JOIN brand_n nb ON nb.brand = p.brand_b
+WHERE p.n_ab >= 20
+"""
+
+
+_BASKET_CTE_ORACLE = (
+    """
+WITH basket_t AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)"""
+    + _BASKET_SQL.format(basket="basket_t").replace("WITH ", ", ", 1)
+)
+
+
+@register("basket_brand_pairs", oracle=_BASKET_CTE_ORACLE)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x100: market-basket analysis — brand pairs co-occurring in the same
+    order, with SUPPORT (share of all orders) and LIFT (observed/expected
+    co-occurrence). The association-rule primitive every retail pipeline
+    runs; the oracle spells the totals
+    as scalar subqueries; the Spark side folds the single grand total in
+    as a literal after one bounded count (no crossJoin, no BNLJ).
+
+    All counts are integers, so support and lift divide exact operands —
+    the ROUND is presentation pinning, not drift control.
+
+    100 TB: the pair generator is a per-basket self-join whose fan-out is
+    bounded by basket SIZE (≤ lines-per-order choose 2, ~6 here), never by
+    corpus size — the same bounded-bucket discipline as the dedup family.
+    A corpus with pathological mega-baskets needs a per-basket top-k cap
+    before the self-join; brand_n and n_orders are broadcast-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # Basket building is the dominant cost and is read by THREE consumers
+    # (totals, margins, pairs). groupBy(order).collect_set(brand) does the
+    # dedup and the basket materialization in ONE shuffle (a distinct +
+    # self-join spelling paid a second shuffle and recomputed the join per
+    # CTE reference: 3.5 s -> 1.5 s at sf0.1); localCheckpoint pins the
+    # ~|orders|-row basket table so downstream stages never recompute it.
+    # Pair emission is a bounded double-explode of each basket's OWN set
+    # (≤ brands-per-order choose 2), the dedup-family bucket discipline.
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("p_brand").alias("bs"))
+        .localCheckpoint()
+    )
+    # Single 8-byte scalar to the driver — the grand total every ratio
+    # shares; the bounded analog of the oracle's scalar subquery.
+    n_orders = baskets.count()
+    brand_n = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    pairs = (
+        baskets.select(F.explode("bs").alias("brand_a"), "bs")
+        .select("brand_a", F.explode("bs").alias("brand_b"))
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = brand_n.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))
+    nb = brand_n.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.filter(F.col("n_ab") >= 20)
+        .join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.lit(n_orders), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(n_orders)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
     )
