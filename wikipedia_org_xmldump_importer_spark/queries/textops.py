@@ -1586,3 +1586,74 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("source", F.col("lang").alias("modal_lang"), F.col("n").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# x102 — per-document keyword extraction (log-free tf-idf ranking)
+# --------------------------------------------------------------------------
+
+_KW_TOPK = 3
+
+_KW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         ROUND(CAST(t.tf AS DOUBLE) * (SELECT n_docs FROM n) / d.df, 6) AS score
+  FROM tf t JOIN df d ON t.tok = d.tok
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, tok AS keyword, tf, df, score
+FROM ranked WHERE rk <= {_KW_TOPK}
+"""
+
+
+@register("text_keyword_extract", oracle=_KW_ORACLE)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x102: top-{_KW_TOPK} distinctive keywords per document, ranked by a
+    LOG-FREE tf-idf variant: score = tf × N / df. x26 computes the classic
+    ln-idf matrix for downstream math; THIS op is the extraction step, and
+    it deliberately avoids ln() because libm logs are not correctly
+    rounded — a 1-ulp disagreement at a rank boundary would flip the
+    extracted keyword set between engines. tf × N / df is a ratio of
+    exact integers: same ORDERING power for top-k extraction, zero float
+    provenance. Tie-break ends in the token itself.
+
+    100 TB: tf is one shuffle on (doc, token); df one on token; the join
+    back is token-keyed with the df side orders of magnitude smaller
+    (broadcast after AQE stats); the rank window partitions per doc over
+    its own vocabulary only. N folds in as a literal after one bounded
+    count."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") * F.lit(n_docs) / F.col("df"), 6).alias(
+            "score"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _KW_TOPK)
+        .select("doc_id", F.col("tok").alias("keyword"), "tf", "df", "score")
+    )

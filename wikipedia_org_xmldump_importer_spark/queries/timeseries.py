@@ -894,3 +894,59 @@ def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ema",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x101 — per-user inter-arrival gap statistics
+# --------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS ptus
+  FROM events
+),
+gaps AS (
+  SELECT user_id, tus - ptus AS gap_us FROM seq WHERE ptus IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+       ROUND(quantile_cont(gap_us, 0.5), 1) AS median_gap_us,
+       ROUND(AVG(gap_us), 4) AS avg_gap_us
+FROM gaps GROUP BY user_id
+"""
+
+
+@register("events_inter_arrival", oracle=_GAP_ORACLE)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x101: per-user inter-arrival gap statistics — the engagement-rhythm
+    profile (bot detection, session-tuning input): lag-diff each user's
+    event stream, then min/max/median/mean of the gaps.
+
+    Everything runs on INTEGER epoch-microseconds (io.load_table's ts_us):
+    gaps are exact longs, the median interpolates between two longs
+    ((a+b)/2 exact in doubles at this magnitude), and the mean is pinned
+    4dp over an exact integer sum — nothing order-sensitive anywhere.
+    The lag ordering is (ts_us, event_id): fully pinned under same-
+    microsecond collisions.
+
+    100 TB: one shuffle on user_id feeds BOTH the lag window and the
+    groupBy (same partitioning, no second exchange); per-user state is a
+    sort over that user's events only. Exact median per group rides the
+    same sorted run — no extra percentile pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.select(
+            "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 1).alias("median_gap_us"),
+        F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+    )

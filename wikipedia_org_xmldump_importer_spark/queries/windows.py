@@ -393,3 +393,61 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("first_flag").over(w_run).alias("n_distinct_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# x103 — percent-of-total within group (integer-cent exact shares)
+# --------------------------------------------------------------------------
+
+_POT_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS bal_cents
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       ROUND(bal_cents / 100.0, 2) AS balance,
+       ROUND(CAST(bal_cents AS DOUBLE)
+             / SUM(bal_cents) OVER (PARTITION BY region), 6) AS share_of_region
+FROM rev
+"""
+
+
+@register("win_percent_of_total", oracle=_POT_ORACLE)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x103: percent-of-total — each nation's share of its region's
+    customer balance, the ubiquitous reporting window (share-of-segment,
+    contribution margin, mix analysis).
+
+    The group total is an UNORDERED window SUM, so the summed quantity
+    must be order-insensitive: balances convert to integer CENTS at the
+    row level and every aggregate from there is exact integer arithmetic;
+    floats appear only in the final two display projections (÷100 and the
+    share ratio), both over identical operands on both engines.
+
+    100 TB: agg to (region, nation) grain first — the window partitions
+    over dim-cardinality rows, never the fact table; one shuffle for the
+    agg, the window rides the same partitioning by region."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("bal_cents") / 100.0, 2).alias("balance"),
+        F.round(
+            F.col("bal_cents").cast("double") / F.sum("bal_cents").over(w), 6
+        ).alias("share_of_region"),
+    )
