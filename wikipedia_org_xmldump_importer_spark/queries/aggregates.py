@@ -760,3 +760,56 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x106 — discrete percentiles by integer rank arithmetic
+# --------------------------------------------------------------------------
+
+_PDISC_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT priority,
+       ROUND(MIN(CASE WHEN rk = (n + 3) // 4 THEN v END), 2) AS p25,
+       ROUND(MIN(CASE WHEN rk = (n + 1) // 2 THEN v END), 2) AS p50,
+       ROUND(MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN v END), 2) AS p90,
+       MAX(n) AS n
+FROM ranked GROUP BY priority
+"""
+
+
+@register("agg_percentile_disc", oracle=_PDISC_ORACLE)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x106: DISCRETE percentiles — the actual data value at rank
+    ceil(p·n), never an interpolated synthetic (a9 covers the continuous
+    family). Rank targets are pure integer arithmetic — ceil(n/4) spelled
+    (n+3)//4 etc. — so there is no float percentile position to disagree
+    about; ties in v are broken by orderkey so the SELECTED ROW is pinned,
+    and equal values make the choice value-identical anyway.
+
+    100 TB: one shuffle on the group key; the row_number + count pair
+    share one sort. For heavy groups the two-pass histogram approach
+    (x41) trades exactness for a second scan — discrete percentile's
+    single full sort per group is the honest exact cost."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    pick = lambda target: F.round(  # noqa: E731
+        F.min(F.when(F.col("rk") == target, F.col("v"))), 2
+    )
+    return ranked.groupBy("priority").agg(
+        pick(F.floor((F.col("n") + 3) / 4)).alias("p25"),
+        pick(F.floor((F.col("n") + 1) / 2)).alias("p50"),
+        pick(F.floor((9 * F.col("n") + 9) / 10)).alias("p90"),
+        F.max("n").alias("n"),
+    )

@@ -386,3 +386,103 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x104 — nearest-neighbor as-of join (both directions, closest wins)
+# --------------------------------------------------------------------------
+
+_J_NEAREST_ORACLE = """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+back AS (
+  SELECT v.event_id, v.user_id, v.ts, pb.ts AS prev_ts
+  FROM v ASOF LEFT JOIN p pb
+    ON v.user_id = pb.user_id AND pb.ts <= v.ts
+),
+paired AS (
+  SELECT b.event_id, b.user_id, b.ts, b.prev_ts, pf.ts AS next_ts
+  FROM back b ASOF LEFT JOIN p pf
+    ON b.user_id = pf.user_id AND pf.ts >= b.ts
+)
+SELECT event_id, user_id, ts,
+       CASE
+         WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+         WHEN next_ts IS NULL THEN prev_ts
+         WHEN prev_ts IS NULL THEN next_ts
+         WHEN epoch_us(ts) - epoch_us(prev_ts)
+              <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+         ELSE next_ts
+       END AS nearest_purchase_ts,
+       CASE
+         WHEN prev_ts IS NULL AND next_ts IS NULL THEN 'none'
+         WHEN next_ts IS NULL THEN 'prev'
+         WHEN prev_ts IS NULL THEN 'next'
+         WHEN epoch_us(ts) - epoch_us(prev_ts)
+              <= epoch_us(next_ts) - epoch_us(ts) THEN 'prev'
+         ELSE 'next'
+       END AS direction
+FROM paired
+"""
+
+
+@register("join_asof_nearest", oracle=_J_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x104: NEAREST-neighbor temporal join — for each view, the purchase
+    closest in time in EITHER direction (j7 looks back, x71 looks
+    forward; this composes both and picks the smaller gap, ties to the
+    backward side). The 1-D nearest-neighbor primitive sensor/attribution
+    pipelines want when causality isn't one-sided.
+
+    Gap comparison is integer epoch-microsecond arithmetic — exact, no
+    float tie ambiguity; the tie rule (<= keeps 'prev') is explicit and
+    mirrored in the oracle.
+
+    100 TB: two composite as-of passes over the same user_id shuffle
+    (operators/asof.py is a window, not a join — no row multiplication),
+    then a pure projection picks the winner. Cost = 2× j7, still one
+    logical shuffle key."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    back = asof_join(
+        probe=views,
+        reference=purchases,
+        key="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        carry={"ts": "prev_ts"},
+        ref_tiebreak="event_id",
+        direction="backward",
+    )
+    both = asof_join(
+        probe=back,
+        reference=purchases,
+        key="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        carry={"ts": "next_ts"},
+        ref_tiebreak="event_id",
+        direction="forward",
+    )
+    # ts is TIMESTAMP_NTZ (io.load_table): timestampdiff works on NTZ,
+    # unix_micros does not.
+    prev_gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    next_gap = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    prev_wins = (F.col("prev_ts").isNotNull()) & (
+        F.col("next_ts").isNull() | (prev_gap <= next_gap)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(prev_wins, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+        .alias("nearest_purchase_ts"),
+        F.when(F.col("prev_ts").isNull() & F.col("next_ts").isNull(), F.lit("none"))
+        .when(prev_wins, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+    )

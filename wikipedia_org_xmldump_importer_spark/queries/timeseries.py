@@ -950,3 +950,80 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_us", F.lit(0.5)), 1).alias("median_gap_us"),
         F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# x105 — open-order backlog over time (interval sweep)
+# --------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         date_trunc('day', o.o_orderdate) AS open_d,
+         date_trunc('day', MAX(l.l_shipdate)) + INTERVAL 1 DAY AS close_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_d AS d, -1 AS delta FROM spans
+),
+daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY d),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds)
+SELECT CAST(a.d AS VARCHAR) AS day,
+       CAST(SUM(COALESCE(dl.net, 0)) OVER (
+         ORDER BY a.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS open_orders
+FROM axis a LEFT JOIN daily dl ON a.d = dl.d
+"""
+
+
+@register("orders_open_backlog", oracle=_BACKLOG_ORACLE)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x105: how many orders are OPEN on each day — the interval-stabbing /
+    concurrency-counting sweep: each order contributes +1 at its order
+    date and -1 the day after its last line ships; the running sum of the
+    per-day net deltas IS the live backlog. O(n) where a naive
+    day×interval containment join is O(n×days).
+
+    All integer counts — nothing float anywhere; the running sum's frame
+    order is the pinned day axis.
+
+    100 TB: the span build shuffles on orderkey once; deltas aggregate to
+    |days| rows before the single-partition running window touches them
+    (same dim-grain justification as x98 — a multi-year axis is ~10³
+    rows; shard the sweep by coarse period + offset-merge if the axis
+    itself ever outgrows one task)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("DAY", "o_orderdate").alias("open_d"),
+            (F.date_trunc("DAY", "last_ship") + F.expr("INTERVAL 1 DAY")).alias(
+                "close_d"
+            ),
+        )
+    )
+    deltas = spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    axis = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        axis.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("day"),
+            F.sum(F.coalesce("net", F.lit(0))).over(w).cast("long").alias(
+                "open_orders"
+            ),
+        )
+    )
