@@ -74,38 +74,45 @@ MODULES = (
 # fn_json as reps, §2.16 keeps merge_scd1 + ngram_lm_counts). After
 # CORRECTNESS_r06 every SQL-oracle registry entry has a hard driver row.
 DRIVER_PRIORITY = (
-    # Round-6b rotation (mid-round, after the 28 round-6 operators
-    # landed): ALL 37 SQL-oracle queries the driver has never attested
-    # (9 late-r5 + 28 r6 additions: the TPC-H suite x76-x88, analytics
-    # composites, ts lerp/EMA, triangle counting, dq gates, YoY) fill
-    # the window alongside 13 attested section representatives
-    # (flagship trio, one rep each for projection/join/agg/window/
-    # scalar/streaming/UDF/LLM/merge). After CORRECTNESS_r06 every
-    # SQL-oracle registry entry will again have a hard driver row.
+    # Round-6c rotation (final, after the session's 12 further operators
+    # x95-x106 landed): the window is now exactly the 49 SQL-oracle
+    # queries the driver has never attested (9 late-r5 + the 40 round-6
+    # additions) plus flagship_star_revenue (the entry() smoke, kept as
+    # the one attested sentinel). After CORRECTNESS_r06 every SQL-oracle
+    # registry entry has a hard driver row.
     "flagship_star_revenue",
-    "tpch_q3_shipping",
-    "tpch_q5_local_volume",
+    "agg_mode_exact",
     "agg_moments",
+    "agg_percentile_disc",
     "agg_regression",
+    "agg_weighted_percentile",
+    "basket_brand_pairs",
+    "dedup_keep_best",
+    "dedup_minhash_det",
     "dedup_simhash_pairs",
     "dq_constraints",
     "dq_profile",
     "events_anomaly_zscore",
     "events_dau_wau",
     "events_funnel_attribution",
+    "events_inter_arrival",
     "events_markov_transition",
     "events_pattern_match",
     "fn_fuzzy_levenshtein",
     "fn_url_parse",
     "graph_triangle_count",
     "join_asof_forward",
+    "join_asof_nearest",
     "join_lateral",
     "ngram_pmi",
+    "orders_open_backlog",
+    "pareto_abc",
     "phrase_search",
     "quality_gopher_rules",
     "rev_yoy_growth",
     "rfm_segments",
     "snapshot_diff",
+    "text_keyword_extract",
     "text_repetition_score",
     "tpch_q10_returned",
     "tpch_q13_custdist",
@@ -121,17 +128,8 @@ DRIVER_PRIORITY = (
     "tpch_q8_market_share",
     "ts_ema_trailing",
     "ts_interpolate_linear",
+    "win_percent_of_total",
     "win_running_distinct",
-    "filter_pred",
-    "join_asof",
-    "agg_groupby",
-    "win_topk_per_group",
-    "fn_json",
-    "stream_tumbling",
-    "stream_funnel",
-    "udf_scalar_arrow",
-    "dedup_exact",
-    "merge_scd1",
 )
 
 
