@@ -1657,3 +1657,179 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KW_TOPK)
         .select("doc_id", F.col("tok").alias("keyword"), "tf", "df", "score")
     )
+
+
+# --------------------------------------------------------------------------
+# x107 — asymmetric containment near-dup pairs (snippet-inclusion dedup)
+# --------------------------------------------------------------------------
+
+_CONT_DF_CAP = 256
+_CONT_TAU = 0.5
+
+_CONT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                coalesce(string_split(text, ' ')[i+1], '') || ' ' ||
+                coalesce(string_split(text, ' ')[i+2], ''))) AS shingles
+  FROM documents
+),
+flat AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+hot AS (SELECT s FROM flat GROUP BY s HAVING COUNT(*) > {_CONT_DF_CAP}),
+pruned AS (SELECT * FROM flat WHERE s NOT IN (SELECT s FROM hot)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS n_common
+  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / na, 6) AS cont_a_in_b,
+       ROUND(CAST(n_common AS DOUBLE) / nb, 6) AS cont_b_in_a
+FROM inter
+WHERE n_common >= {_CONT_TAU} * na OR n_common >= {_CONT_TAU} * nb
+"""
+
+
+@register("dedup_containment", oracle=_CONT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x107: ASYMMETRIC containment pairs — |A∩B|/|A| and |A∩B|/|B| per
+    candidate pair. Jaccard (x7) under-scores snippet inclusion: a short
+    doc fully embedded in a long one has tiny Jaccard but containment
+    ≈ 1 on the short side — the case that matters when boilerplate-
+    wrapped copies pollute a training corpus. Candidates come from the
+    same capped shared-shingle buckets as x7 (cross-source allowed here);
+    the threshold keeps a pair when EITHER direction crosses τ=0.5,
+    spelled in integers (n_common ≥ τ·n) so no float enters the filter.
+
+    100 TB: identical shape and caps to x7 — posting-list groupBy with
+    df-capped buckets, bounded double-explode, one pair aggregation; the
+    directed ratios are a projection on the pair row."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+            ),
+        )
+    )
+    sh = docs.select("doc_id", shingles.alias("shingles")).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    flat = sh.select("doc_id", "n_sh", F.explode_outer("shingles").alias("s"))
+    grp = (
+        flat.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .filter(F.size("ds").between(2, _CONT_DF_CAP))
+    )
+    pairs = (
+        grp.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.filter(
+            (F.col("n_common") >= _CONT_TAU * F.col("na"))
+            | (F.col("n_common") >= _CONT_TAU * F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common").cast("double") / F.col("na"), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("n_common").cast("double") / F.col("nb"), 6).alias(
+                "cont_b_in_a"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x108 — tokenizer vocabulary coverage / OOV rate
+# --------------------------------------------------------------------------
+
+_VOCAB_TOPK = 64
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM freq
+  ) r WHERE rk <= {_VOCAB_TOPK}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("vocab_oov_rate", oracle=_OOV_ORACLE)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x108: out-of-vocabulary rate per document against a corpus-derived
+    top-{_VOCAB_TOPK} vocabulary — the coverage check run before
+    committing to a tokenizer/vocab: docs with high OOV either get
+    routed to a different tokenizer or flagged as noise.
+
+    The vocab is itself data-derived (frequency rank with a pinned
+    token tie-break), so the whole operator is corpus-in, report-out
+    with no external artifact; counts are integers, the rate an exact
+    integer ratio.
+
+    100 TB: token explode + one groupBy(token) for frequencies; the
+    top-k vocab is tiny by construction -> broadcast LEFT join marks
+    membership; per-doc aggregation combines map-side. The explode runs
+    twice (vocab build + coverage) — at scale persist the tokenized
+    projection once for both consumers."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("tok"))),
+        )
+        .filter(F.col("rk") <= _VOCAB_TOPK)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
