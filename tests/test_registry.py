@@ -88,6 +88,7 @@ def test_survey_registry_sync():
         "stream_ohlc_bars",
         "content_dedup",
         "match_steps_stream",
+        "inter_arrival_gaps",
     }
     declared = names - test_only
     registered = set(REGISTRY)

@@ -599,3 +599,33 @@ def test_ohlc_stream_equals_batch(spark, tmp_path):
     # batch emits NTZ bucket, stream emits ltz under the UTC session — align
     got = got.withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
     _assert_stream_equals_batch(got, want)
+
+
+def test_inter_arrival_stream_matches_batch(spark, tmp_path):
+    """st11: live stateful gap stream — aggregating the emitted per-event
+    gaps must reproduce the batch twin's per-user stats exactly (x101)."""
+    staged = _staged(spark, tmp_path)
+    got = run_to_completion(
+        ops.inter_arrival_gaps(read_event_stream(spark, staged)),
+        "t_gaps",
+        "append",
+    ).toPandas()
+    agg = (
+        got.groupby("user_id")
+        .agg(
+            n_gaps=("gap_us", "size"),
+            min_gap_us=("gap_us", "min"),
+            max_gap_us=("gap_us", "max"),
+        )
+        .reset_index()
+    )
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    batch = REGISTRY["events_inter_arrival"].fn(spark, SF_SMOKE).toPandas()
+    merged = agg.merge(batch, on="user_id", how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert (merged["n_gaps_x"] == merged["n_gaps_y"]).all()
+    assert (merged["min_gap_us_x"] == merged["min_gap_us_y"]).all()
+    assert (merged["max_gap_us_x"] == merged["max_gap_us_y"]).all()

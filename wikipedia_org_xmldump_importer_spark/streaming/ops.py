@@ -359,3 +359,59 @@ def ohlc_bars(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             "vol",
         )
     )
+
+
+def inter_arrival_gaps(events: DataFrame) -> DataFrame:
+    """st11: per-user inter-arrival gaps as a LIVE stateful stream — the
+    streaming twin of x101 (events_inter_arrival): state per user is the
+    last-seen (ts_us, event_id); each arriving event emits one gap row
+    (ts_us delta from its predecessor), the first event of a user emits
+    nothing. Downstream windowed aggregates turn the gap stream into the
+    live engagement-rhythm profile; the batch twin's per-user stats over
+    the SAME gaps are the equivalence check (test_streaming).
+
+    Within a batch, events sort by (ts_us, event_id) — the identical pin
+    the batch twin's lag window uses — so replaying the whole table in
+    one availableNow batch reproduces the batch gaps exactly.
+
+    100 TB notes: state is ONE (long, long) pair per active user —
+    orders of magnitude lighter than buffering events; Arrow batches
+    amortize the Python hop; production adds a GroupStateTimeout to reap
+    users idle past the analysis horizon (NoTimeout here keeps the
+    replay-equivalence test exact)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "user_id long, event_id long, gap_us long"
+    state_schema = "last_ts long, last_eid long"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_ts, last_eid = state.get if state.exists else (None, None)
+        out_eids, out_gaps = [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+                ts_us, eid = int(row["ts_us"]), int(row["event_id"])
+                if last_ts is not None:
+                    out_eids.append(eid)
+                    out_gaps.append(ts_us - last_ts)
+                last_ts, last_eid = ts_us, eid
+        state.update((last_ts, last_eid))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_eids),
+                "event_id": out_eids,
+                "gap_us": out_gaps,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
