@@ -778,3 +778,152 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             part="q16_part_v", lineitem="q16_lineitem_v", supplier="q16_supplier_v"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x109 — TPC-H Q6 shape: forecast revenue change
+# --------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l.l_extendedprice * l.l_discount), 2) AS revenue_delta,
+       COUNT(*) AS n_lines
+FROM lineitem l
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1997-01-01'
+  AND l.l_discount BETWEEN 0.05 AND 0.07
+  AND l.l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast", oracle=_Q6_ORACLE)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x109: TPC-H Q6 shape — the what-if revenue delta of eliminating a
+    discount band for one year: the pure scan-filter-aggregate benchmark.
+    Zero joins — its entire point is predicate pushdown: all three
+    predicates (date range, discount band, quantity cap) must reach the
+    parquet scan as PushedFilters so row groups outside the year skip
+    entirely; what survives flows through one partial+final global agg.
+
+    With Q6 the engine covers every TPC-H query expressible on this
+    synthetic schema: Q1(a2) Q3 Q4 Q5 Q6 Q7 Q8 Q10 Q13 Q14 Q15 Q17 Q18
+    Q19 Q22 verbatim-shaped, Q9/Q12/Q16 adapted; Q2/Q11/Q20/Q21 need
+    partsupp or commit/receipt-date columns the schema does not have."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x110 — TPC-H Q9 shape: product-type profit by nation × year (adapted)
+# --------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%ol%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("tpch_q9_profit", oracle=_Q9_ORACLE)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x110: TPC-H Q9 shape — profit on a part-name-filtered product line
+    by SUPPLIER nation and order year (adapted: the schema has no
+    partsupp, so unit cost is proxied as 60% of p_retailprice — the
+    ps_supplycost role in the amount expression, same join topology minus
+    the partsupp hop). The benchmark stresses a LIKE mid-wildcard filter
+    (not scan-pushable — evaluated as a residual) feeding a 5-way join
+    grouped on a dim × year grain.
+
+    100 TB: p_name LIKE '%..%' cannot prune row groups — the plan must
+    push the p_partkey-projected filter result into the join build side
+    instead (Catalyst does: part filters before the join); fact chain
+    shuffles on partkey→suppkey→orderkey; nation broadcasts."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%ol%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(sup, sup.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# x111 — TPC-H Q12 shape: priority-class counting per group (adapted)
+# --------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY l.l_linestatus
+"""
+
+
+@register("tpch_q12_priority_class", oracle=_Q12_ORACLE)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x111: TPC-H Q12 shape — urgent-vs-other order counts per line
+    group: the dual-CASE-count benchmark (adapted: the schema has no
+    l_shipmode/commitdate/receiptdate, so the grouping is l_linestatus
+    and the lateness predicate is shipdate > orderdate; the CASE-counting
+    structure — ONE pass, both classes — is the preserved essence).
+
+    100 TB: the year predicate pushes to the lineitem scan; the
+    cross-table lateness predicate is a residual on the co-located join
+    on orderkey; both counts come from a single partial+final agg — never
+    two filtered scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
