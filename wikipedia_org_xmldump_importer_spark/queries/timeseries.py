@@ -1027,3 +1027,93 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x112 — rolling correlation from exact integer frame sums
+# --------------------------------------------------------------------------
+
+_RCORR_WIN = 24  # trailing hours
+
+_RCORR_ORACLE = f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+         CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS x,
+         CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS y
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY h
+),
+sums AS (
+  SELECT h, x, y,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+  FROM hourly
+  WINDOW w AS (ORDER BY h ROWS BETWEEN {_RCORR_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(h AS VARCHAR) AS hour, n,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)),
+                 6)
+       END AS rolling_corr
+FROM sums
+"""
+
+
+@register("ts_rolling_corr", oracle=_RCORR_ORACLE)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x112: trailing-{_RCORR_WIN}h correlation between the view and click
+    hourly volumes — the co-movement monitor (do clicks still track
+    views?). Built from EXACT INTEGER frame sums: counts are integers, so
+    n, Σx, Σy, Σxy, Σx², Σy² are all overflow-safe exact longs at any
+    frame order, and the Pearson formula touches floats only at one sqrt
+    (IEEE correctly rounded) and one divide over identical operands.
+    A built-in corr() window would instead run each engine's own
+    incremental (Welford-style) float recurrence — unattestable.
+
+    Zero-variance frames emit NULL, not a fabricated 0 (flat series have
+    no defined correlation).
+
+    100 TB: one groupBy to the hour grain (conditional counts in one
+    pass), then six shared-frame window sums in a single sort over
+    |hours| rows. Partitionless window is safe at the hour grain for
+    years of data; shard by coarse period + boundary overlap of
+    {_RCORR_WIN} rows beyond that."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    hourly = ev.groupBy(F.window("ts", "1 hour").start.alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-(_RCORR_WIN - 1), 0)
+    sums = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    var_term = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return sums.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        F.when(
+            var_term > 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(var_term.cast("double")),
+                6,
+            ),
+        ).alias("rolling_corr"),
+    )
