@@ -1833,3 +1833,95 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x113 — per-source language-mix entropy + KL divergence to the corpus mix
+# --------------------------------------------------------------------------
+
+# Fixed-point micro-unit discipline (same as x54): every log2 term is
+# computed over 6dp-PINNED probabilities and immediately rounded to an
+# integer micro-unit, so the per-source SUM is exact integer arithmetic on
+# both engines; only the final display division is float.
+_ENTROPY_ORACLE = """
+WITH sl AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY source, lang
+),
+src AS (SELECT source, SUM(n) AS n_src FROM sl GROUP BY source),
+corpus AS (
+  SELECT lang, round(SUM(n) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents), 6) AS q
+  FROM sl GROUP BY lang
+),
+terms AS (
+  SELECT sl.source,
+         round(sl.n / CAST(src.n_src AS DOUBLE), 6) AS p,
+         corpus.q AS q
+  FROM sl
+  JOIN src ON sl.source = src.source
+  JOIN corpus ON sl.lang = corpus.lang
+),
+units AS (
+  SELECT source,
+         CAST(round(-p * log2(p) * 1000000) AS BIGINT) AS h_u,
+         CAST(round(p * log2(p / q) * 1000000) AS BIGINT) AS kl_u
+  FROM terms WHERE p > 0
+)
+SELECT source,
+       round(CAST(SUM(h_u) AS DOUBLE) / 1000000.0, 6) AS lang_entropy_bits,
+       round(CAST(SUM(kl_u) AS DOUBLE) / 1000000.0, 6) AS kl_to_corpus_bits
+FROM units GROUP BY source
+"""
+
+
+@register("source_lang_entropy", oracle=_ENTROPY_ORACLE)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x113: per-source language-mix ENTROPY (how diverse is this source?)
+    and KL DIVERGENCE to the corpus-wide mix (how atypical is it?) — the
+    curation diagnostic for spotting sources whose language distribution
+    will skew a training mixture.
+
+    Determinism is x54's fixed-point discipline: probabilities pin to 6dp
+    first, every -p·log2(p) / p·log2(p/q) term rounds to integer
+    micro-units immediately, the per-source sum is exact integers, and
+    only the final /1e6 display division is float. (A raw float Σ p·log p
+    would be summation-order-dependent AND ride each libm's uncorrected
+    log2.)
+
+    100 TB: the whole operator runs on the (source × lang) count grid —
+    two tiny aggregates off one corpus scan, a broadcast join of the
+    corpus mix, and a grid-sized groupBy. Nothing heavy ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    n_total = docs.count()
+    src = sl.groupBy("source").agg(F.sum("n").alias("n_src"))
+    corpus = sl.groupBy("lang").agg(
+        F.round(F.sum("n") / F.lit(float(n_total)), 6).alias("q")
+    )
+    terms = (
+        sl.join(src, "source")
+        .join(F.broadcast(corpus), "lang")
+        .select(
+            "source",
+            F.round(F.col("n") / F.col("n_src").cast("double"), 6).alias("p"),
+            "q",
+        )
+        .filter(F.col("p") > 0)
+    )
+    units = terms.select(
+        "source",
+        F.round(-F.col("p") * F.log2("p") * 1_000_000)
+        .cast("long")
+        .alias("h_u"),
+        F.round(F.col("p") * F.log2(F.col("p") / F.col("q")) * 1_000_000)
+        .cast("long")
+        .alias("kl_u"),
+    )
+    return units.groupBy("source").agg(
+        F.round(F.sum("h_u").cast("double") / 1_000_000.0, 6).alias(
+            "lang_entropy_bits"
+        ),
+        F.round(F.sum("kl_u").cast("double") / 1_000_000.0, 6).alias(
+            "kl_to_corpus_bits"
+        ),
+    )
