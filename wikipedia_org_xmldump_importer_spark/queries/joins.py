@@ -486,3 +486,73 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("next"))
         .alias("direction"),
     )
+
+
+# --------------------------------------------------------------------------
+# x114 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+_J_NULLSAFE_ORACLE = """
+WITH o1 AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_a, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+o2 AS (
+  SELECT nullif(o_orderstatus, 'P') AS status_b,
+         COUNT(*) AS n_right,
+         ROUND(SUM(o_totalprice), 2) AS right_total
+  FROM orders WHERE o_orderkey % 2 = 1
+  GROUP BY nullif(o_orderstatus, 'P')
+)
+SELECT COALESCE(o1.status_a, 'NULL') AS status,
+       COUNT(*) AS n_left,
+       MAX(o2.n_right) AS n_right,
+       ROUND(SUM(o1.o_totalprice), 2) AS left_total
+FROM o1 JOIN o2 ON o1.status_a IS NOT DISTINCT FROM o2.status_b
+GROUP BY o1.status_a
+"""
+
+
+@register("join_null_safe", oracle=_J_NULLSAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x114: NULL-SAFE equality join — Spark's <=> (eqNullSafe), SQL's IS
+    NOT DISTINCT FROM: NULL keys MATCH each other instead of silently
+    dropping, the semantics every slowly-changing-dimension and
+    late-typed-key pipeline eventually needs (a plain equi join on a
+    nullable key loses the NULL partition without an error). Keys here
+    are deliberately nullable (status 'P' mapped to NULL), the two sides
+    are disjoint halves of orders, and the NULL group's survival in the
+    output is the proof the join kept it.
+
+    100 TB: eqNullSafe compiles to a hash join on a null-coalesced key —
+    same shuffle shape as plain equi, NOT a nested loop (plan-audited);
+    the NULL bucket is one more hash key, so a mostly-NULL column skews
+    exactly like any hot key and takes the same salting fix (x20)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_a"),
+        "o_totalprice",
+    )
+    o2 = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_right"),
+            F.round(F.sum("o_totalprice"), 2).alias("right_total"),
+        )
+    )
+    return (
+        o1.join(o2, o1.status_a.eqNullSafe(o2.status_b))
+        .groupBy("status_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_left"),
+            F.max("n_right").alias("n_right"),
+            F.round(F.sum("o_totalprice"), 2).alias("left_total"),
+        )
+        .select(
+            F.coalesce(F.col("status_a"), F.lit("NULL")).alias("status"),
+            "n_left",
+            "n_right",
+            "left_total",
+        )
+    )
