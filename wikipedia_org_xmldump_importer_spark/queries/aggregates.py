@@ -813,3 +813,96 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.floor((9 * F.col("n") + 9) / 10)).alias("p90"),
         F.max("n").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# x116 — scalable ABC classification via histogram bins (two-pass)
+# --------------------------------------------------------------------------
+
+_ABC_BIN_CENTS = 1_000_00  # $1000 revenue bins
+
+_ABC_SCALE_ORACLE = f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+binned AS (SELECT o_custkey, cents, cents // {_ABC_BIN_CENTS} AS bin FROM rev),
+bins AS (SELECT bin, SUM(cents) AS bin_cents FROM binned GROUP BY bin),
+run AS (
+  SELECT bin,
+         SUM(bin_cents) OVER (ORDER BY bin DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents,
+         SUM(bin_cents) OVER () AS total_cents
+  FROM bins
+),
+classed AS (
+  SELECT bin,
+         CASE WHEN 2 * cum_cents <= total_cents THEN 'A'
+              WHEN 5 * cum_cents <= 4 * total_cents THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM run
+)
+SELECT b.o_custkey, ROUND(b.cents / 100.0, 2) AS revenue, c.abc_class
+FROM binned b JOIN classed c ON b.bin = c.bin
+"""
+
+
+@register("pareto_abc_scalable", oracle=_ABC_SCALE_ORACLE)
+def pareto_abc_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x116: ABC classification at CUSTOMER grain — the two-pass histogram
+    form x98's docstring promises for grains too large for a single-
+    partition running window: bin each entity's revenue ($1000 bins),
+    run the cumulative share over the SMALL bin table (ordered richest
+    bin first), classify BINS, and broadcast the bin→class map back onto
+    entities. Class boundaries land on bin edges — the documented
+    approximation vs x98's exact per-entity cut; shrink the bin width to
+    tighten it.
+
+    Determinism: line revenues round to integer cents at the row level,
+    every aggregate and the class thresholds are exact integer arithmetic
+    (2·cum ≤ total, 5·cum ≤ 4·total) — no float touches the decision.
+
+    100 TB: pass 1 is one fact shuffle to entity grain; the bin table is
+    ~|revenue-range|/width rows regardless of entity count, so the window
+    never sees the big side; the class map broadcasts back. This is the
+    standard decile/ABC-at-scale shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    # rev feeds two consumers (bin histogram + final class join) over the
+    # SAME canonicalized agg subplan, so ReuseExchange shares one compute —
+    # measured: adding a localCheckpoint here changed nothing (contrast
+    # trap #16, where differing projections defeated reuse).
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+        .withColumn("bin", F.floor(F.col("cents") / _ABC_BIN_CENTS))
+    )
+    bins = rev.groupBy("bin").agg(F.sum("cents").alias("bin_cents"))
+    w_run = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    classed = bins.select(
+        "bin",
+        F.sum("bin_cents").over(w_run).alias("cum_cents"),
+        F.sum("bin_cents").over(w_all).alias("total_cents"),
+    ).select(
+        "bin",
+        F.when(2 * F.col("cum_cents") <= F.col("total_cents"), F.lit("A"))
+        .when(5 * F.col("cum_cents") <= 4 * F.col("total_cents"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return rev.join(F.broadcast(classed), "bin").select(
+        "o_custkey",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        "abc_class",
+    )

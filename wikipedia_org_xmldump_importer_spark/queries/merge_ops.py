@@ -202,3 +202,63 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.bal_cents").alias("new_cents"),
         action.alias("action"),
     )
+
+
+# --------------------------------------------------------------------------
+# x117 — point-in-time (as-of) lookup over the SCD2 history
+# --------------------------------------------------------------------------
+
+_PIT_DATE = "1998-06-15"
+
+_PIT_ORACLE = f"""
+WITH hist AS (
+  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders
+)
+SELECT h.o_custkey,
+       h.o_orderkey AS version_orderkey,
+       strftime(h.valid_from, '%Y-%m-%d') AS valid_from,
+       c.c_mktsegment
+FROM hist h
+JOIN customer c ON c.c_custkey = h.o_custkey
+WHERE h.valid_from <= TIMESTAMP '{_PIT_DATE}'
+  AND (h.valid_to IS NULL OR h.valid_to > TIMESTAMP '{_PIT_DATE}')
+"""
+
+
+@register("scd2_point_in_time", oracle=_PIT_ORACLE)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x117: point-in-time query over the SCD2 history — "which version of
+    each key was live on {_PIT_DATE}?": the AS-OF DIMENSION LOOKUP every
+    warehouse report against versioned dimensions runs (x50 BUILDS the
+    history; this consumes it). Exactly one version per key qualifies by
+    construction — the half-open [valid_from, valid_to) intervals
+    partition the timeline, with the open current version catching the
+    tail; keys whose first version starts after the PIT date correctly
+    vanish.
+
+    100 TB: the validity filter collapses the history to ≤ one row per
+    key BEFORE the dimension join (never join-then-filter — the filter is
+    on the history side of the shuffle); with the history bucketed by key
+    the PIT read is a pruned scan + broadcast-size join per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hist = scd2_snapshot(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        key="o_custkey",
+        ts_col="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    pit = F.lit(_PIT_DATE).cast("timestamp_ntz")
+    live = hist.filter(
+        (F.col("valid_from") <= pit)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > pit))
+    )
+    return live.join(cust, live.o_custkey == cust.c_custkey).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_orderkey"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        "c_mktsegment",
+    )
