@@ -210,3 +210,133 @@ def test_percentile_disc_values_exist_in_group(spark):
         )
         assert r.p25 <= r.p50 <= r.p90
         assert {r.p25, r.p50, r.p90} <= vals
+
+
+def test_containment_bounds_and_superset_of_threshold(spark):
+    """Directed containments in (0,1]; every kept pair crosses τ in at
+    least one direction."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        _CONT_TAU,
+        dedup_containment,
+    )
+
+    pdf = dedup_containment(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    for c in ("cont_a_in_b", "cont_b_in_a"):
+        assert ((pdf[c] > 0) & (pdf[c] <= 1.0)).all()
+    assert ((pdf["cont_a_in_b"] >= _CONT_TAU) | (pdf["cont_b_in_a"] >= _CONT_TAU)).all()
+
+
+def test_oov_rate_bounds_and_token_conservation(spark):
+    """OOV rate in [0,1]; n_oov <= n_tokens; every doc present."""
+    from wikipedia_org_xmldump_importer_spark.io import load_table
+    from wikipedia_org_xmldump_importer_spark.queries.textops import vocab_oov_rate
+
+    pdf = vocab_oov_rate(spark, SF_SMOKE).toPandas()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(pdf) == n_docs
+    assert ((pdf["oov_rate"] >= 0) & (pdf["oov_rate"] <= 1)).all()
+    assert (pdf["n_oov"] <= pdf["n_tokens"]).all()
+
+
+def test_entropy_and_kl_nonnegative(spark):
+    """Shannon entropy >= 0; KL >= 0 (Gibbs), modulo the micro-unit
+    fixed-point grain."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        source_lang_entropy,
+    )
+
+    pdf = source_lang_entropy(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["lang_entropy_bits"] >= -1e-6).all()
+    assert (pdf["kl_to_corpus_bits"] >= -1e-4).all()
+
+
+def test_rolling_corr_in_unit_interval(spark):
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_rolling_corr,
+    )
+
+    pdf = ts_rolling_corr(spark, SF_SMOKE).toPandas()
+    vals = pdf["rolling_corr"].dropna()
+    assert len(vals) > 0
+    assert ((vals >= -1.0 - 1e-9) & (vals <= 1.0 + 1e-9)).all()
+
+
+def test_user_overlap_inclusion_exclusion(spark):
+    """n_both <= min(n_a, n_b); jaccard in (0, 1]."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_user_overlap,
+    )
+
+    pdf = events_user_overlap(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_both"] <= pdf[["n_a", "n_b"]].min(axis=1)).all()
+    assert ((pdf["audience_jaccard"] > 0) & (pdf["audience_jaccard"] <= 1)).all()
+
+
+def test_null_safe_join_keeps_null_group(spark):
+    """The whole point: the NULL-keyed group must be IN the output."""
+    from wikipedia_org_xmldump_importer_spark.queries.joins import join_null_safe
+
+    pdf = join_null_safe(spark, SF_SMOKE).toPandas()
+    assert "NULL" in set(pdf["status"])
+    assert (pdf["n_left"] > 0).all() and (pdf["n_right"] > 0).all()
+
+
+def test_abc_scalable_agrees_with_exact_on_class_mass(spark):
+    """Bin-edge approximation check: the A-class total revenue share must
+    be within one bin's width of 50%."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        _ABC_BIN_CENTS,
+        pareto_abc_scalable,
+    )
+
+    pdf = pareto_abc_scalable(spark, SF_SMOKE).toPandas()
+    total = pdf["revenue"].sum()
+    a_share = pdf.loc[pdf["abc_class"] == "A", "revenue"].sum() / total
+    # class boundary lands on a bin edge; the bin that straddles 50% can
+    # swing the A-mass by at most its own share of total
+    max_bin_share = (
+        pdf.assign(bin=(pdf["revenue"] * 100 // _ABC_BIN_CENTS))
+        .groupby("bin")["revenue"]
+        .sum()
+        .max()
+        / total
+    )
+    assert a_share <= 0.5 + 1e-9
+    assert a_share >= 0.5 - max_bin_share - 1e-9
+
+
+def test_scd2_pit_exactly_one_version_per_qualifying_key(spark):
+    from wikipedia_org_xmldump_importer_spark.queries.merge_ops import (
+        scd2_point_in_time,
+    )
+
+    pdf = scd2_point_in_time(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert not pdf.duplicated("o_custkey").any()
+
+
+def test_q6_matches_two_filter_decomposition(spark):
+    """Q6's single conjunctive filter == intersection of its parts,
+    recomputed independently."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_org_xmldump_importer_spark.io import load_table
+    from wikipedia_org_xmldump_importer_spark.queries.flagship import (
+        tpch_q6_forecast,
+    )
+
+    got = tpch_q6_forecast(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").toPandas()
+    m = (
+        (li["l_shipdate"] >= "1996-01-01")
+        & (li["l_shipdate"] < "1997-01-01")
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    )
+    sub = li[m]
+    assert got["n_lines"] == len(sub)
+    assert abs(got["revenue_delta"] - round((sub["l_extendedprice"] * sub["l_discount"]).sum(), 2)) < 0.02
