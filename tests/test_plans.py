@@ -105,3 +105,39 @@ def test_range_binned_join_has_no_bnlj(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    """x109's whole point: date range, discount band, and quantity cap all
+    reach the parquet scan as PushedFilters."""
+    pushed = ";".join(pushed_filters(_q(spark, "tpch_q6_forecast")))
+    assert "l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount" in pushed
+    assert "LessThanOrEqual(l_discount" in pushed
+    assert "LessThan(l_quantity" in pushed
+
+
+def test_q18_semi_join_not_row_multiplying(spark):
+    """x82's HAVING set applies as a semi join (either a dedicated
+    Left-Semi hash join, or AQE's aggregate-based rewrite) — never an
+    inner join that multiplies lineitem rows."""
+    plan = executed_plan(_q(spark, "tpch_q18_large_orders"))
+    assert "LeftSemi" in plan or "Semi" in plan
+
+
+def test_q7_no_nested_loop_from_disjunction(spark):
+    """x80's disjunctive nation-pair predicate must stay a residual over
+    broadcast equi-joins — never compile to a BroadcastNestedLoopJoin or
+    CartesianProduct."""
+    plan = executed_plan(_q(spark, "tpch_q7_nation_volume"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q16_not_in_degrades_to_plain_anti(spark):
+    """x88's NOT IN on a provably non-null key must compile to an anti
+    join, not a cartesian null-check."""
+    plan = executed_plan(_q(spark, "tpch_q16_supplier_variety"))
+    assert "LeftAnti" in plan or "Anti" in plan
+    assert "CartesianProduct" not in plan

@@ -23,7 +23,20 @@ def executed_plan(df: DataFrame, materialize: bool = False) -> str:
         # leaving this DataFrame's own AQE plan unfinalized. Callers pass
         # materialize=True on small/test data only.
         df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    # Scan metadata (PushedFilters / ReadSchema / DataFilters) truncates at
+    # spark.sql.maxMetadataStringLength (default 100 chars) — a 3-predicate
+    # filter eats the whole budget and PushedFilters silently vanishes from
+    # the string, making assertions pass/fail on string length, not plan
+    # shape. Widen for the duration of the render.
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "10000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
 
 
 def has_broadcast_hash_join(df: DataFrame) -> bool:
