@@ -1183,3 +1183,67 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("audience_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x118 — churn flags + per-cohort churn rate
+# --------------------------------------------------------------------------
+
+_CHURN_CUTOFF = "2024-03-01"
+
+_CHURN_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id,
+         MIN(ts) AS first_seen, MAX(ts) AS last_seen
+  FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('month', first_seen), '%Y-%m') AS cohort,
+       COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN last_seen < TIMESTAMP '{_CHURN_CUTOFF}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       ROUND(CAST(SUM(CASE WHEN last_seen < TIMESTAMP '{_CHURN_CUTOFF}'
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS churn_rate
+FROM spans
+GROUP BY date_trunc('month', first_seen)
+"""
+
+
+@register("users_churn_flags", oracle=_CHURN_ORACLE)
+def users_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x118: churn analysis — users inactive since {_CHURN_CUTOFF}, rolled
+    up to their acquisition-month cohort with an exact churn rate: the
+    retention complement of x59 (cohort retention tracks WHO CAME BACK;
+    this tracks who LEFT, by vintage).
+
+    All decisions are timestamp comparisons + integer counts; the rate is
+    an exact integer ratio pinned at presentation.
+
+    100 TB: one shuffle to user grain (min/max combine map-side), then a
+    cohort-grain re-aggregation over |users| rows — the same two-level
+    rollup discipline as x38."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"), F.max("ts").alias("last_seen")
+    )
+    cutoff = F.lit(_CHURN_CUTOFF).cast("timestamp_ntz")
+    churned = F.when(F.col("last_seen") < cutoff, 1).otherwise(0)
+    return (
+        spans.groupBy(
+            F.date_format(F.date_trunc("month", "first_seen"), "yyyy-MM").alias(
+                "cohort"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(churned).cast("long").alias("n_churned"),
+        )
+        .select(
+            "cohort",
+            "n_users",
+            "n_churned",
+            F.round(
+                F.col("n_churned").cast("double") / F.col("n_users"), 6
+            ).alias("churn_rate"),
+        )
+    )
