@@ -556,3 +556,72 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x120 — as-of join with a match tolerance (bounded-staleness lookup)
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+_J_TOL_ORACLE = f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+matched AS (
+  SELECT p.event_id, p.user_id, p.ts, vb.ts AS view_ts
+  FROM p ASOF LEFT JOIN v vb
+    ON p.user_id = vb.user_id AND vb.ts <= p.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN view_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(view_ts) <= {_ASOF_TOL_US}
+            THEN view_ts END AS view_ts_within_1h,
+       CASE WHEN view_ts IS NULL THEN 'no_view'
+            WHEN epoch_us(ts) - epoch_us(view_ts) <= {_ASOF_TOL_US} THEN 'fresh'
+            ELSE 'stale' END AS match_quality
+FROM matched
+"""
+
+
+@register("join_asof_tolerance", oracle=_J_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x120: as-of join with a MATCH TOLERANCE — the most recent view
+    before each purchase, but only if it is at most 1 hour old; older
+    matches are voided to NULL and labeled 'stale' (pandas merge_asof's
+    tolerance semantics, the bounded-staleness rule every feature-store
+    lookup needs: a year-old feature row should NOT silently join).
+
+    The tolerance is applied AFTER the one-per-probe as-of pick — a
+    too-old nearest match yields NULL, it does not fall through to an
+    even older row (mirrored exactly in the oracle); the gap test is
+    integer microseconds.
+
+    100 TB: identical cost to j7 (one composite as-of window pass); the
+    tolerance is a projection, not a join predicate, so no extra state."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view")
+    matched = asof_join(
+        probe=purchases,
+        reference=views,
+        key="user_id",
+        probe_ts="ts",
+        ref_ts="ts",
+        carry={"ts": "view_ts"},
+        ref_tiebreak="event_id",
+        direction="backward",
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, view_ts, ts)")
+    fresh = F.col("view_ts").isNotNull() & (gap <= _ASOF_TOL_US)
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("view_ts")).alias("view_ts_within_1h"),
+        F.when(F.col("view_ts").isNull(), F.lit("no_view"))
+        .when(fresh, F.lit("fresh"))
+        .otherwise(F.lit("stale"))
+        .alias("match_quality"),
+    )

@@ -1247,3 +1247,140 @@ def users_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("churn_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x121 — hour × weekday activity heatmap (dayofweek parity pinned)
+# --------------------------------------------------------------------------
+
+# DuckDB dayofweek(ts) is Sunday=0..Saturday=6; Spark dayofweek() is
+# Sunday=1..Saturday=7 (and weekday() is Monday=0). The portable spelling
+# pins ISO day names instead of either engine's integer convention, and
+# carries Monday-first ordering as an explicit integer derived the same
+# way on both sides.
+_HEATMAP_ORACLE = """
+SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+       dayname(ts) AS day_name,
+       CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY isodow(ts), dayname(ts), hour(ts)
+"""
+
+
+@register("events_heatmap_hour_dow", oracle=_HEATMAP_ORACLE)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x121: the activity heatmap grid — event counts by ISO weekday ×
+    hour-of-day. Deliberately exercises the nastiest cross-engine calendar
+    gotcha in the suite: DuckDB's dayofweek() is Sunday=0, Spark's is
+    Sunday=1, and naive parity silently shifts the whole heatmap by one
+    day. The portable spelling is ISO day-of-week (Monday=1..Sunday=7 on
+    both: DuckDB isodow(), Spark's (weekday()+1)) plus the English day
+    name pinned via a date_format that matches dayname() casing.
+
+    100 TB: one groupBy over a 7×24 grid — partial aggregation collapses
+    everything map-side; the calendar extraction is pure codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+            F.date_format("ts", "EEEE").alias("day_name"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x122 — winsorized statistics via exact discrete percentiles
+# --------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+cuts AS (
+  SELECT event_type,
+         MIN(CASE WHEN rk = (n + 19) // 20 THEN value END) AS lo,
+         MIN(CASE WHEN rk = (19 * n + 19) // 20 THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN r.value < c.lo OR r.value > c.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       ROUND(SUM(CASE WHEN r.value < c.lo THEN c.lo
+                      WHEN r.value > c.hi THEN c.hi
+                      ELSE r.value END), 2) AS winsorized_sum,
+       ROUND(c.lo, 6) AS p05, ROUND(c.hi, 6) AS p95
+FROM ranked r JOIN cuts c ON r.event_type = c.event_type
+GROUP BY r.event_type, c.lo, c.hi
+"""
+
+
+@register("events_value_winsorize", oracle=_WINSOR_ORACLE)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x122: winsorized per-type statistics — clamp values to the exact
+    [p05, p95] band before summing, the outlier-robust cleaning step a
+    metrics/training pipeline applies before fitting anything. The cut
+    points are DISCRETE percentiles (x106's integer rank arithmetic —
+    actual data values, no interpolation, no float rank), so the clamp
+    decisions are exact value comparisons on both engines.
+
+    100 TB: the rank window and the cut aggregation share one shuffle on
+    event_type; the clamp pass joins the tiny per-type cut table back
+    broadcast. Exact percentiles cost the per-group sort — the approx
+    path (x41 histogram bins) trades that for a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rk") == F.floor((F.col("n") + 19) / 20), F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rk") == F.floor((19 * F.col("n") + 19) / 20), F.col("value")
+            )
+        ).alias("hi"),
+    )
+    clamped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ranked.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.sum(clamped), 2).alias("winsorized_sum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clipped",
+            "winsorized_sum",
+            F.round("lo", 6).alias("p05"),
+            F.round("hi", 6).alias("p95"),
+        )
+    )
