@@ -927,3 +927,101 @@ def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x123 — TPC-H Q21 shape: suppliers who kept orders waiting (adapted)
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  GROUP BY 1, 2
+),
+allsupp AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_9', 'NATION_6', 'NATION_11')
+  AND EXISTS (SELECT 1 FROM allsupp a
+              WHERE a.l_orderkey = l1.l_orderkey
+                AND a.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register("tpch_q21_waiting", oracle=_Q21_ORACLE)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x123: TPC-H Q21 shape — suppliers who were the SOLE late supplier
+    on finished multi-supplier orders: the benchmark's hardest correlated
+    shape (one EXISTS + one NOT EXISTS against the same fact). Adapted:
+    no l_commitdate/l_receiptdate in this schema, so "late" is
+    shipdate > orderdate + 60 days (x111's lateness device), and the
+    single-nation filter widens to a 3-nation IN so the result survives
+    small SFs.
+
+    Spark spelling: both correlated subqueries become JOINs on
+    l_orderkey with a suppkey-inequality RESIDUAL — leftsemi for "some
+    other supplier exists", leftanti for "no other supplier was late".
+    Both are hash joins on orderkey, never nested loops.
+
+    100 TB: late and allsupp are groupBy-deduped BEFORE the semi/anti
+    joins, so the per-order fan-in is distinct suppliers, not lineitems;
+    the three joins share the orderkey shuffle key; supplier+nation are
+    broadcast dims. This completes the feasible TPC-H set (Q2/Q11/Q20
+    need partsupp, which the testdata does not ship)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            (li.l_orderkey == F.col("o_orderkey"))
+            & (li.l_shipdate > F.date_add(F.col("o_orderdate"), 60)),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.lit(1).alias("_one"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    allsupp = li.select("l_orderkey", "l_suppkey").distinct()
+
+    l1 = late.alias("l1")
+    others = allsupp.alias("a")
+    other_late = late.alias("l3")
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("a.l_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "leftanti",
+        )
+    )
+    dim = supp.join(
+        F.broadcast(
+            nation.filter(F.col("n_name").isin("NATION_9", "NATION_6", "NATION_11"))
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+        "leftsemi",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(dim), F.col("l1.l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

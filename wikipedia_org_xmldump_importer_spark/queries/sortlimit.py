@@ -68,3 +68,64 @@ def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     on identical partitioning."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.sample(fraction=0.1, seed=42).select("c_custkey", "c_nationkey")
+
+
+_SKYLINE_ORACLE = """
+WITH pp AS (
+  SELECT p_retailprice AS price, MAX(p_size) AS max_size_here
+  FROM part GROUP BY 1
+),
+r AS (
+  SELECT price, max_size_here,
+         MAX(max_size_here) OVER (
+           ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+  FROM pp
+)
+SELECT p.p_partkey, p.p_name, ROUND(p.p_retailprice, 2) AS price, p.p_size
+FROM part p JOIN r ON p.p_retailprice = r.price
+WHERE p.p_size = r.max_size_here
+  AND (r.best_cheaper IS NULL OR p.p_size > r.best_cheaper)
+"""
+
+
+@register("skyline_pareto_front", oracle=_SKYLINE_ORACLE)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x125: 2-D SKYLINE (Pareto-dominance frontier) over part —
+    minimize price, maximize size; a part survives iff no part is both
+    cheaper-or-equal AND bigger-or-equal with one strict. The naive
+    spelling is a dominance self-join (n² — banned); the scalable form
+    collapses to the price GRID first (max size per distinct price), runs
+    ONE running-max window over the grid (strictly-cheaper frame = ROWS
+    … 1 PRECEDING, each price appears once), and joins the tiny frontier
+    verdict back to parts. Survival = size equals its price's max AND
+    strictly beats the best strictly-cheaper size.
+
+    Distinct from pareto_abc (x98: cumulative-share CLASSING — a 1-D
+    ranking); this is multi-objective DOMINANCE — the skyline operator of
+    Börzsönyi et al. (ICDE 2001), standard in DB engines as SKYLINE OF.
+
+    100 TB: one groupBy on price + a window over the |distinct prices|
+    grid (if the grid itself is huge, bin prices first — x116's two-level
+    device applies verbatim) + one hash join back. Float price as join
+    key is safe: both sides carry identical parquet doubles, no
+    arithmetic before the comparison."""
+    part = load_table(spark, sf_dir, "part")
+    pp = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("max_size_here")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    r = pp.withColumn("best_cheaper", F.max("max_size_here").over(w))
+    joined = part.join(F.broadcast(r), part.p_retailprice == r.price)
+    return joined.filter(
+        (F.col("p_size") == F.col("max_size_here"))
+        & (
+            F.col("best_cheaper").isNull()
+            | (F.col("p_size") > F.col("best_cheaper"))
+        )
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.round("p_retailprice", 2).alias("price"),
+        "p_size",
+    )

@@ -1384,3 +1384,55 @@ def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hi", 6).alias("p95"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x124 — consecutive-active-day streaks (gaps and islands)
+# --------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS anchor
+      FROM d),
+s AS (SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY user_id
+"""
+
+
+@register("events_active_streaks", oracle=_STREAK_ORACLE)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x124: per-user consecutive-active-day streaks — the classic
+    gaps-and-islands: distinct active days, then ``day - row_number``
+    collapses each maximal consecutive run to one anchor date (a run of k
+    consecutive days shifts every member to the same anchor; any gap
+    shifts the anchor). Two tiny aggs later: days, streak count, longest
+    streak per user. All arithmetic is DATE ± INTEGER — bit-exact on both
+    engines (x121's calendar-parity discipline: no weekday conventions
+    involved).
+
+    100 TB: the distinct, the rank window, and both aggs all shuffle on
+    user_id — ONE exchange reused end-to-end; per-user state is bounded
+    by the calendar (≤ days in range), so no skew beyond the activity
+    distribution itself. This is the engagement-streak primitive behind
+    DAU quality metrics (x72 events_dau_wau counts; this one measures
+    continuity)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    s = g.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
