@@ -1925,3 +1925,76 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_to_corpus_bits"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x128 — first-occurrence n-gram novelty per document
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM tok)
+),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM grams g JOIN first f ON g.gram = f.gram
+GROUP BY g.doc_id
+"""
+
+
+@register("doc_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x128: per-document n-gram NOVELTY — what fraction of a doc's
+    distinct word 3-grams occur for the FIRST time in this doc (first = by
+    doc_id order, the ingest order)? The corpus-growth diagnostic behind
+    "is new crawl data adding anything": dedup (x6/x7) answers whether a
+    whole doc repeats; novelty measures marginal content at the n-gram
+    grain — low-novelty docs are recombinations of seen text even when no
+    single document matches them.
+
+    100 TB: shingle once (x45's explode device), distinct per (doc,gram),
+    groupBy(gram) min(doc_id) for the first-occurrence table, then ONE
+    big-big hash join back on gram + a per-doc agg. The gram join is the
+    honest cost — both sides hash-partition on gram, no broadcast
+    pretense; min(doc_id) is a partial agg, so the first-occurrence table
+    never materializes per-row duplicates."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    grams_arr = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks.select("doc_id", grams_arr.alias("grams"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_rate"),
+        )
+    )

@@ -1436,3 +1436,221 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").cast("long").alias("longest_streak"),
     )
+
+
+# --------------------------------------------------------------------------
+# x126 — A/B experiment lift with a Welch z from exact integer sums
+# --------------------------------------------------------------------------
+
+# Metric: purchases per user. Variant from a salted content hash (x47's
+# engine-portable md5 spelling) — assignment is a pure function of the key,
+# reproducible across engines/reruns. All moments (n, Σx, Σx²) are EXACT
+# INTEGERS; floats appear only in the final projection, spelled with the
+# identical op order on both sides (each +,-,*,/ and the one sqrt is
+# IEEE-correctly-rounded, so identical order ⇒ identical bits; trap #18
+# applies to transcendentals only, none used).
+_AB_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+    CAST(SUM(CASE WHEN variant = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b
+  FROM u
+)
+SELECT n_a, n_b,
+       ROUND(CAST(sx_a AS DOUBLE) / n_a, 6) AS mean_a,
+       ROUND(CAST(sx_b AS DOUBLE) / n_b, 6) AS mean_b,
+       ROUND(CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b, 6)
+         AS diff,
+       ROUND((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)
+             / sqrt(
+                 ((CAST(sxx_a AS DOUBLE) - (CAST(sx_a AS DOUBLE) / n_a) * sx_a)
+                  / (n_a - 1)) / n_a
+               + ((CAST(sxx_b AS DOUBLE) - (CAST(sx_b AS DOUBLE) / n_b) * sx_b)
+                  / (n_b - 1)) / n_b), 6) AS z_score
+FROM v
+"""
+
+
+@register("events_ab_lift", oracle=_AB_ORACLE)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x126: A/B experiment readout — hash-assign every user to a variant
+    (pure function of user_id: reproducible, no RNG, no assignment table),
+    metric = purchases per user, then a WELCH z-statistic computed from
+    exact integer moments (n, Σx, Σx²) gathered in ONE conditional global
+    aggregation — no join between the arms at all, let alone a cross join.
+
+    100 TB: two partial-agg passes (user grain, then global) — the second
+    input is |users| rows collapsing map-side to 6 numbers; the float
+    epilogue runs once on a single row. This is the experiment-analysis
+    primitive a feature-rollout pipeline runs per metric × experiment."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x")
+        )
+        .select(variant.alias("variant"), "x")
+    )
+    v = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x") * F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxx_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x") * F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxx_b"),
+    )
+    mean_a = F.col("sx_a").cast("double") / F.col("n_a")
+    mean_b = F.col("sx_b").cast("double") / F.col("n_b")
+    var_term_a = (
+        (F.col("sxx_a").cast("double") - mean_a * F.col("sx_a"))
+        / (F.col("n_a") - 1)
+    ) / F.col("n_a")
+    var_term_b = (
+        (F.col("sxx_b").cast("double") - mean_b * F.col("sx_b"))
+        / (F.col("n_b") - 1)
+    ) / F.col("n_b")
+    return v.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_a - mean_b, 6).alias("diff"),
+        F.round((mean_a - mean_b) / F.sqrt(var_term_a + var_term_b), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x127 — robust outlier detection via median absolute deviation
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (SELECT event_type, MIN(CASE WHEN rk = (n + 1) // 2 THEN value END)
+               AS med
+        FROM ranked GROUP BY event_type),
+dev AS (SELECT r.event_type, r.event_id, r.value, m.med,
+               ABS(r.value - m.med) AS adev
+        FROM ranked r JOIN med m ON r.event_type = m.event_type),
+dr AS (SELECT event_type, adev,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY adev, event_id) AS rk,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM dev),
+madt AS (SELECT event_type, MIN(CASE WHEN rk = (n + 1) // 2 THEN adev END)
+                AS mad
+         FROM dr GROUP BY event_type)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(d.med), 6) AS med,
+       ROUND(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN madt m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("ts_outlier_mad", oracle=_MAD_ORACLE)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x127: MEDIAN-ABSOLUTE-DEVIATION outlier detection per event type —
+    the robust complement to events_anomaly_zscore (x62): median and MAD
+    have a 50% breakdown point, so the outliers themselves cannot drag the
+    fence the way they drag mean/stddev. Both medians are DISCRETE (x106's
+    lower-median integer rank — an actual data value, no interpolation);
+    |value − med| and the 3·MAD fence are single correctly-rounded IEEE
+    ops, so every outlier verdict is an exact comparison on both engines.
+
+    100 TB: two rank windows + two aggs, ALL on event_type — one logical
+    shuffle key end-to-end; the two tiny per-type tables (median, MAD)
+    broadcast back. Exact medians cost the per-group sorts; the approx
+    path at extreme scale swaps in percentile_approx at the cost of the
+    oracle (declared trade, same as a4/x21)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("value"))
+        ).alias("med")
+    )
+    dev = ranked.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dr = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    madt = dr.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("adev"))
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(madt), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
