@@ -57,6 +57,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row (n_uni, n_bg) totals frame broadcast-crossed onto the "
         "min-count-filtered bigram table — bounded by construction"
     ),
+    ("vocab_coverage_curve", "BroadcastNestedLoopJoin"): (
+        "1-row corpus-total frame and the 4-row threshold probe are both "
+        "broadcast-crossed onto the vocab frequency table — bounded by "
+        "construction (x130)"
+    ),
 }
 
 

@@ -1998,3 +1998,75 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x130 — vocabulary coverage curve (tokens needed for p% of the corpus)
+# --------------------------------------------------------------------------
+
+_COVERAGE_ORACLE = """
+WITH tf AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tf GROUP BY token),
+tot AS (SELECT SUM(n) AS total FROM freq),
+r AS (SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM freq)
+SELECT p.pct,
+       CAST(MIN(CASE WHEN 100 * r.cum >= p.pct * t.total THEN r.rank END)
+            AS BIGINT) AS k_tokens
+FROM r CROSS JOIN tot t
+CROSS JOIN (VALUES (50), (90), (95), (99)) AS p(pct)
+GROUP BY p.pct
+"""
+
+
+@register("vocab_coverage_curve", oracle=_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x130: vocabulary COVERAGE curve — the smallest top-k vocabulary
+    (tokens by descending frequency, name tie-break) whose occurrences
+    cover ≥50/90/95/99% of the corpus token stream. THE tokenizer-sizing
+    diagnostic (complement of x78 vocab_oov_rate, which scores a FIXED
+    vocab): coverage thresholds as exact integer cross-multiplication
+    (100·cum ≥ pct·total — no percentage float ever materializes).
+
+    100 TB: token-frequency agg (map-side partial), then the running sum
+    runs over the |vocab| frequency table, not the corpus. The global
+    window is safe at vocab cardinality (x98's rationale); for a
+    billion-type vocab, bin by frequency first (x116's two-level device).
+    The threshold probe is a 4-row broadcast cross join — constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    r = freq.select(
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = freq.agg(F.sum("n").alias("total"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(95), F.lit(99))).alias("pct")
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .groupBy("pct")
+        .agg(
+            F.min(
+                F.when(
+                    100 * F.col("cum") >= F.col("pct") * F.col("total"),
+                    F.col("rank"),
+                )
+            )
+            .cast("long")
+            .alias("k_tokens")
+        )
+    )

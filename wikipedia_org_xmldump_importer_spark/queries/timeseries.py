@@ -1654,3 +1654,139 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x129 — exact rolling median over an odd, full frame
+# --------------------------------------------------------------------------
+
+# The frame is pinned to EXACTLY 5 rows (4 preceding + current) and rows
+# with rn < 5 are dropped, so every emitted frame has ODD cardinality: the
+# median is the literal middle element — no even-count interpolation, whose
+# (a+b)/2 vs a+(b-a)·0.5 spellings round differently and would break the
+# cross-engine hash.
+_ROLLMED_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+  FROM events)
+SELECT user_id, event_id, ROUND(med5, 6) AS med5 FROM o WHERE rn >= 5
+"""
+
+
+@register("ts_rolling_median", oracle=_ROLLMED_ORACLE)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x129: rolling MEDIAN of value over each user's last 5 events — the
+    robust smoother (x127's median discipline applied to a moving frame:
+    one wild reading cannot drag the smoothed series the way a rolling
+    mean lets it). Uses Spark's aggregate `percentile` as a WINDOW
+    function over a ROWS frame; warm-up rows (frame < 5) are dropped so
+    every frame is full and odd — the median is an exact element pick on
+    both engines, never an interpolation.
+
+    100 TB: one sort per user partition serves both the row_number and
+    the frame aggregate; per-row cost is the O(frame log frame) in-frame
+    select over 5 values — constant. The frame length is the retune knob;
+    keep it odd."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.expr("percentile(value, 0.5)").over(w.rowsBetween(-4, 0)).alias("med5"),
+    )
+    return o.filter(F.col("rn") >= 5).select(
+        "user_id", "event_id", F.round("med5", 6).alias("med5")
+    )
+
+
+# --------------------------------------------------------------------------
+# x131 — CUSUM changepoint localization in pure integers
+# --------------------------------------------------------------------------
+
+# CUSUM_k = Σ_{i≤k}(x_i − μ) peaks at the change point; with μ = Σx/n the
+# classic form is fractional. Scaling by n keeps EVERYTHING integer:
+# n·CUSUM_k = n·cum_k − k·Σx. argmax |·| is then an exact integer
+# comparison; ties pin to the earliest hour.
+_CUSUM_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS k,
+               CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumx,
+               CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx,
+               COUNT(*) OVER (PARTITION BY event_type) AS nh
+        FROM h),
+c AS (SELECT event_type, k, nh,
+             ABS(nh * cumx - k * sx) AS scaled_dev
+      FROM idx WHERE k < nh),
+m AS (SELECT event_type, MAX(scaled_dev) AS max_dev FROM c GROUP BY 1)
+SELECT c.event_type,
+       CAST(MIN(c.k) AS BIGINT) AS cp_index,
+       CAST(c.nh AS BIGINT) AS n_hours,
+       CAST(m.max_dev AS BIGINT) AS scaled_max_dev
+FROM c JOIN m ON c.event_type = m.event_type AND c.scaled_dev = m.max_dev
+GROUP BY c.event_type, c.nh, m.max_dev
+"""
+
+
+@register("ts_changepoint_cusum", oracle=_CUSUM_ORACLE)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x131: CUSUM CHANGEPOINT localization per event type — the hour at
+    which the cumulative deviation from the series mean peaks, i.e. the
+    single most likely level-shift point of the hourly volume series.
+    The fractional mean is eliminated by scaling: n·CUSUM_k =
+    n·cum_k − k·Σx is a pure BIGINT, so the argmax and its tie-break
+    (earliest hour) are exact integer decisions — the x54 fixed-point
+    discipline applied to changepoint detection; zero float anywhere.
+
+    100 TB: the hourly pre-agg collapses the corpus before any window
+    (x38/x62 lesson); one running-sum window + one max + a self-equality
+    pick, all shuffling on event_type. Multi-changepoint extension is
+    binary segmentation — re-run on each side of the cut."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("hr")
+    idx = h.select(
+        "event_type",
+        F.row_number().over(wo).alias("k"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cumx"),
+        F.sum("x").over(wt).alias("sx"),
+        F.count(F.lit(1)).over(wt).alias("nh"),
+    )
+    c = idx.filter(F.col("k") < F.col("nh")).select(
+        "event_type",
+        "k",
+        "nh",
+        F.abs(F.col("nh") * F.col("cumx") - F.col("k") * F.col("sx")).alias(
+            "scaled_dev"
+        ),
+    )
+    m = c.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.max("scaled_dev").alias("max_dev")
+    )
+    return (
+        c.join(
+            F.broadcast(m),
+            (c.event_type == m.m_type) & (c.scaled_dev == m.max_dev),
+        )
+        .groupBy("event_type", "nh", "max_dev")
+        .agg(F.min("k").cast("long").alias("cp_index"))
+        .select(
+            "event_type",
+            "cp_index",
+            F.col("nh").cast("long").alias("n_hours"),
+            F.col("max_dev").cast("long").alias("scaled_max_dev"),
+        )
+    )
