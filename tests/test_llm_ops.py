@@ -192,3 +192,17 @@ def test_dedup_cluster_partitions_corpus(spark):
     assert cc.doc_id.is_unique
     assert (cc.groupby("cluster_id").size() == cc.groupby("cluster_id").cluster_size.first()).all()
     assert (cc.groupby("cluster_id").doc_id.min() == cc.groupby("cluster_id").cluster_id.first()).all()
+
+
+def test_ann_pq_recall_and_exact_rerank(spark):
+    """PQ(8×16) + exact top-20 re-rank must recover a meaningful share of
+    the exact top-5; re-ranked similarities must be bit-identical to the
+    brute-force kernel (the re-rank IS that kernel)."""
+    exact = _run(spark, "sim_topk_bruteforce").toPandas()
+    approx = _run(spark, "sim_ann_pq").toPandas()
+    exact_pairs = set(zip(exact.qid, exact.vec_id))
+    approx_pairs = set(zip(approx.qid, approx.vec_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"PQ recall collapsed: {recall:.3f}"
+    merged = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
+    assert (merged.cos_sim_e == merged.cos_sim_a).all()

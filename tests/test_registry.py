@@ -159,6 +159,7 @@ def test_oracle_coverage_accounted():
             "dedup_near_minhash",  # l2: banding prune not SQL-expressible
             "sim_ann_lsh",  # x16: bucketing engine-specific
             "sim_ann_ivf",  # x19: cell assignment engine-specific
+            "sim_ann_pq",  # x132: codebooks engine-specific; recall-tested
             "fn_hash_noncrypto",  # x15: sha1/xxhash64/crc32 absent in DuckDB 1.0
             "mm_decode_stub",  # x13: stub decode output is declared fake
         ]

@@ -934,3 +934,154 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_a").alias("keeper_id"),
         F.round(F.max("cos_sim"), 6).alias("max_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# x132 — PQ (product-quantization) ANN: LUT scoring + exact re-rank
+# --------------------------------------------------------------------------
+
+_PQ_M = 8            # subspaces (d=64 → 8 dims each)
+_PQ_K = 16           # centroids per subspace → codes fit 4 bits
+_PQ_KMEANS_ITERS = 5
+_PQ_RERANK = 20      # approx candidates re-ranked exactly per probe
+
+
+@register("sim_ann_pq", oracle=None)  # codebooks engine-specific; recall tested
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via PRODUCT QUANTIZATION (Jégou et al., TPAMI 2011) —
+    the third ANN path next to sim_ann_lsh (buckets) and sim_ann_ivf
+    (cells): compress every vector to _PQ_M 4-bit codes (one per
+    subspace), score probes against codes through tiny lookup tables
+    (LUT[probe, subspace, centroid] = partial dot product), then re-rank
+    the approx top-_PQ_RERANK EXACTLY with the shared Catalyst cosine
+    kernel, so the emitted similarities are bit-identical to
+    sim_topk_bruteforce's.
+
+    Codebooks are deterministic per-subspace Lloyd k-means on the same
+    bounded data-derived hash-mod sample as IVF (constant-size driver
+    collect at ANY corpus size); init = first _PQ_K sample vectors by
+    sorted id — no RNG anywhere.
+
+    100 TB notes: at scale the quantize pass is a WRITE-side transform
+    (codes stored: 8×4 bits = 4 bytes/vector vs 512 for float64 — the
+    128× compression is the point of PQ) and the scoring pass reads ONLY
+    codes + norm; this sandbox fuses quantize+score into one Arrow pass
+    over the raw vectors because the code column isn't persisted between
+    queries. Scoring is O(m) LUT adds per (probe, vector) instead of
+    O(d) multiplies; LUTs are (|probes| × m × k) floats — broadcast
+    trivially. Recall knob: _PQ_RERANK (deeper re-rank) and _PQ_K
+    (finer codebooks); compression knob: _PQ_M."""
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    n_corpus = emb.count()
+    modulus = max(1, math.ceil(n_corpus / _IVF_TRAIN_TARGET))
+    train_rows = emb.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(modulus)) == 0
+    ).collect()
+    tmat = np.array([r.v for r in train_rows], dtype=np.float64)
+    tids = np.array([r.vec_id for r in train_rows])
+    tmat = tmat[np.argsort(tids)]
+    d = tmat.shape[1]
+    subdim = d // _PQ_M
+    cents = np.empty((_PQ_M, _PQ_K, subdim))
+    for s in range(_PQ_M):
+        sub = tmat[:, s * subdim : (s + 1) * subdim]
+        c = sub[:_PQ_K].copy()
+        for _ in range(_PQ_KMEANS_ITERS):
+            # L2 assignment: argmin ||x-c||² = argmax (x·c − ½|c|²)
+            scores = sub @ c.T - 0.5 * (c * c).sum(axis=1)
+            a = scores.argmax(axis=1)
+            for j in range(_PQ_K):
+                members = sub[a == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        cents[s] = c
+
+    # Bounded probe side (vec_id < 20, same contract as l3/LSH/IVF) and
+    # the per-probe LUTs, all computed once on the driver.
+    probe_rows = sorted(
+        emb.filter(F.col("vec_id") < 20).collect(), key=lambda r: r.vec_id
+    )
+    qids = np.array([r.vec_id for r in probe_rows])
+    qmat = np.array([r.v for r in probe_rows], dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1)
+    luts = np.stack(
+        [
+            qmat[:, s * subdim : (s + 1) * subdim] @ cents[s].T
+            for s in range(_PQ_M)
+        ]
+    )  # (m, |probes|, k)
+    bc = spark.sparkContext.broadcast((cents, luts, qids, qnorms))
+
+    def quantize_score(batches):
+        """One Arrow pass: assign codes per subspace, then LUT-sum the
+        approximate dot for every probe — O(m) adds per pair."""
+        import pandas as pd  # noqa: PLC0415
+
+        cents_b, luts_b, qids_b, qnorms_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1)
+            approx = np.zeros((len(qids_b), len(pdf)))
+            for s in range(_PQ_M):
+                sub = vecs[:, s * subdim : (s + 1) * subdim]
+                scores = sub @ cents_b[s].T - 0.5 * (cents_b[s] * cents_b[s]).sum(axis=1)
+                codes = scores.argmax(axis=1)  # the PQ code of this subspace
+                approx += luts_b[s][:, codes]
+            sims = approx / (qnorms_b[:, None] * norms[None, :])
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_b, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(qids_b)),
+                    "approx_sim": sims.reshape(-1),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        quantize_score, schema="qid bigint, vec_id bigint, approx_sim double"
+    ).filter(F.col("qid") != F.col("vec_id"))
+    wa = Window.partitionBy("qid").orderBy(
+        F.col("approx_sim").desc(), F.col("vec_id").asc()
+    )
+    cand = scored.withColumn("arn", F.row_number().over(wa)).filter(
+        F.col("arn") <= _PQ_RERANK
+    )
+    # Exact re-rank through the shared Catalyst kernel: similarities leave
+    # this operator bit-identical to the brute-force path.
+    corpus = with_norm(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "norm"
+    ).select("vec_id", as_double(F.col("embedding")).alias("v"), "norm")
+    probes = with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20),
+        "embedding",
+        "qnorm",
+    ).select(
+        F.col("vec_id").alias("pqid"),
+        as_double(F.col("embedding")).alias("qv"),
+        "qnorm",
+    )
+    exact = (
+        corpus.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(probes), F.col("qid") == F.col("pqid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine(F.col("v"), F.col("qv"), F.col("norm"), F.col("qnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return exact.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 5
+    )

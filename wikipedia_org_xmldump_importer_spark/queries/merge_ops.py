@@ -9,7 +9,7 @@ module binds them to the driver tables with DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -262,3 +262,102 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         "c_mktsegment",
     )
+
+
+# --------------------------------------------------------------------------
+# x134 — incremental SCD2 merge (batch append == full recompute)
+# --------------------------------------------------------------------------
+
+_SCD2_CUTOFF = "1999-01-01"
+
+# The oracle is the FULL-HISTORY recompute (x50's window over ALL orders).
+# The Spark side never recomputes: it touches only the affected keys'
+# current rows + the batch. Hash equality between the two IS the operator's
+# contract — incremental maintenance must be indistinguishable from a
+# rebuild.
+_SCD2_MERGE_ORACLE = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current,
+       CASE WHEN o_orderdate >= DATE '{_SCD2_CUTOFF}'
+            THEN 'batch' ELSE 'history' END AS src
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("scd2_merge_batch", oracle=_SCD2_MERGE_ORACLE)
+def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x134: INCREMENTAL SCD2 maintenance — merge an incoming batch (orders
+    on/after the cutoff) into an existing history (x50 built on the
+    pre-cutoff snapshot) WITHOUT rebuilding it: close each affected key's
+    current version at the key's first batch timestamp, then append batch
+    versions numbered from the key's old max. Unaffected keys' rows pass
+    through untouched. The oracle is the full recompute over everything —
+    the hash match proves incremental == rebuild, the invariant every
+    warehouse MERGE must satisfy.
+
+    Correctness precondition (and why it holds here): every batch ts ≥
+    cutoff > every history ts, so batch rows always append AFTER a key's
+    history in (ts, tiebreak) order — the load pattern of an
+    append-arriving dump feed. Out-of-order (backfill) batches need the
+    rebuild path on the affected keys instead.
+
+    100 TB: the history scan is filter + one left join against the tiny
+    per-key batch stats (first_new, base version); only the batch runs a
+    rank window. Cost is O(|history| + |batch| log |batch|) with no
+    history re-sort — vs the rebuild's full re-window. In a lakehouse this
+    pairs with MERGE INTO / copy-on-write at the file level; the plan
+    shape is engine-native here."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    old = orders.filter(F.col("o_orderdate") < _SCD2_CUTOFF)
+    batch = orders.filter(F.col("o_orderdate") >= _SCD2_CUTOFF)
+    hist = scd2_snapshot(old, key="o_custkey", ts_col="o_orderdate",
+                         tiebreak="o_orderkey")
+
+    bstat = batch.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_new")
+    )
+    vmax = hist.groupBy(F.col("o_custkey").alias("v_custkey")).agg(
+        F.max("version").alias("base_ver")
+    )
+    closed = hist.join(bstat, "o_custkey", "left").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("version").cast("long").alias("version"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(
+            F.when(
+                F.col("is_current") & F.col("first_new").isNotNull(),
+                F.col("first_new"),
+            ).otherwise(F.col("valid_to")),
+            "yyyy-MM-dd",
+        ).alias("valid_to"),
+        (F.col("is_current") & F.col("first_new").isNull()).alias("is_current"),
+        F.lit("history").alias("src"),
+    )
+    wb = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    appended = (
+        batch.join(vmax, batch.o_custkey == F.col("v_custkey"), "left")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.coalesce(F.col("base_ver"), F.lit(0))
+                + F.row_number().over(wb)
+            )
+            .cast("long")
+            .alias("version"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(F.lead("o_orderdate").over(wb), "yyyy-MM-dd").alias(
+                "valid_to"
+            ),
+            F.lead("o_orderdate").over(wb).isNull().alias("is_current"),
+            F.lit("batch").alias("src"),
+        )
+    )
+    return closed.unionByName(appended)

@@ -263,3 +263,114 @@ def rev_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((F.col("revenue") - prev) / prev, 6))
         .alias("yoy_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# x133 — curation ablation report: per-gate kill attribution
+# --------------------------------------------------------------------------
+
+_ABLATION_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         n_chars >= 200 AS g_len,
+         len(string_split(text, ' ')) >= 30 AS g_words,
+         ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) = 1 AS g_dup,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) >= 0.3 AS g_rep
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN g_len AND g_words AND g_dup AND g_rep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+         CAST(SUM(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+         CAST(SUM(CASE WHEN NOT g_words THEN 1 ELSE 0 END) AS BIGINT) AS f_words,
+         CAST(SUM(CASE WHEN NOT g_dup THEN 1 ELSE 0 END) AS BIGINT) AS f_dup,
+         CAST(SUM(CASE WHEN NOT g_rep THEN 1 ELSE 0 END) AS BIGINT) AS f_rep,
+         CAST(SUM(CASE WHEN NOT g_len AND g_words AND g_dup AND g_rep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS u_len,
+         CAST(SUM(CASE WHEN g_len AND NOT g_words AND g_dup AND g_rep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS u_words,
+         CAST(SUM(CASE WHEN g_len AND g_words AND NOT g_dup AND g_rep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS u_dup,
+         CAST(SUM(CASE WHEN g_len AND g_words AND g_dup AND NOT g_rep
+                       THEN 1 ELSE 0 END) AS BIGINT) AS u_rep
+  FROM f
+)
+SELECT 'min_length' AS gate, f_len AS n_failed, u_len AS n_unique_kills,
+       n_docs, n_survivors FROM agg
+UNION ALL SELECT 'min_words', f_words, u_words, n_docs, n_survivors FROM agg
+UNION ALL SELECT 'exact_dedup', f_dup, u_dup, n_docs, n_survivors FROM agg
+UNION ALL SELECT 'repetition', f_rep, u_rep, n_docs, n_survivors FROM agg
+"""
+
+
+@register("curation_ablation_report", oracle=_ABLATION_ORACLE)
+def curation_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x133: per-gate ABLATION of the curation funnel — for each quality
+    gate (min length, min words, exact dedup, repetition ratio): how many
+    docs it fails outright, and how many it UNIQUELY kills (docs every
+    other gate passes). Unique kills are the gate's marginal contribution
+    — a gate with n_failed ≫ 0 but n_unique_kills ≈ 0 is redundant and a
+    candidate for removal; this is the report a data-curation team reads
+    before retuning thresholds (x44 reports the funnel totals; this row
+    attributes them).
+
+    100 TB: flags need one scan + the dedup-window shuffle; everything
+    collapses to a 1-row aggregate, and the 4-row long form is a stack()
+    over that row — no second pass, no join. Gate set + thresholds are
+    the retune knobs; adding a gate adds two CASE sums, not a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    words = F.size(F.split("text", " "))
+    f = docs.select(
+        (F.col("n_chars") >= 200).alias("g_len"),
+        (words >= 30).alias("g_words"),
+        (F.row_number().over(w) == 1).alias("g_dup"),
+        (
+            F.size(F.array_distinct(F.split("text", " "))).cast("double") / words
+            >= 0.3
+        ).alias("g_rep"),
+    )
+
+    def fails(c):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("long")
+
+    def unique_kill(c):
+        others = [o for o in ("g_len", "g_words", "g_dup", "g_rep") if o != c]
+        cond = ~F.col(c)
+        for o in others:
+            cond = cond & F.col(o)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("g_len") & F.col("g_words") & F.col("g_dup") & F.col("g_rep"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_survivors"),
+        fails("g_len").alias("f_len"),
+        fails("g_words").alias("f_words"),
+        fails("g_dup").alias("f_dup"),
+        fails("g_rep").alias("f_rep"),
+        unique_kill("g_len").alias("u_len"),
+        unique_kill("g_words").alias("u_words"),
+        unique_kill("g_dup").alias("u_dup"),
+        unique_kill("g_rep").alias("u_rep"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'min_length', f_len, u_len, "
+            "'min_words', f_words, u_words, "
+            "'exact_dedup', f_dup, u_dup, "
+            "'repetition', f_rep, u_rep) AS (gate, n_failed, n_unique_kills)"
+        ),
+        "n_docs",
+        "n_survivors",
+    )
