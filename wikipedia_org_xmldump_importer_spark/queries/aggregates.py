@@ -906,3 +906,72 @@ def pareto_abc_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         "abc_class",
     )
+
+
+# --------------------------------------------------------------------------
+# x135 — Gini concentration of customer revenue (exact integer/decimal)
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM c
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS tot,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS sw
+  FROM r
+)
+SELECT n, CAST(tot AS BIGINT) AS total_cents,
+       ROUND(CAST(2 * sw - (n + 1) * tot AS DOUBLE)
+             / CAST(n * tot AS DOUBLE), 6) AS gini
+FROM s
+"""
+
+
+@register("agg_gini_concentration", oracle=_GINI_ORACLE)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x135: GINI coefficient of customer revenue — the single-number
+    concentration measure next to pareto_abc's classing: G =
+    (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending-sorted revenues.
+    Money is integer cents (x49 lesson) and BOTH big sums accumulate in
+    DECIMAL(38,0): Σi·xᵢ grows as n²·x̄, which silently wraps a BIGINT
+    near ~1.5M customers × real revenues — the decimal accumulator is the
+    100 TB overflow discipline, not pedantry. Exactly one float op at the
+    end (decimal→double casts + one divide, correctly rounded on both
+    engines).
+
+    100 TB: customer-grain agg, then the rank runs over the |customers|
+    table — x98's "safe at dim cardinality" rationale; beyond that, the
+    binned two-level form (x116) computes the same sums per bin with a
+    closed-form intra-bin rank series. Final agg is 3 numbers."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    r = c.select("cents", F.row_number().over(w).alias("i"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sw"),
+    )
+    return s.select(
+        "n",
+        F.col("tot").cast("long").alias("total_cents"),
+        F.round(
+            (2 * F.col("sw") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -215,3 +215,113 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))
+
+
+# --------------------------------------------------------------------------
+# x136 — degree assortativity of the co-supply graph (exact moments)
+# --------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1, 2
+),
+top AS (
+  SELECT l_suppkey, l_partkey FROM (
+    SELECT l_suppkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                              ORDER BY n DESC, l_partkey) AS rk
+    FROM sp) ranked WHERE rk <= {_TRI_TOPK}
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM top a JOIN top b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) u GROUP BY node
+),
+ed AS (
+  SELECT da.d AS da, db.d AS db FROM e
+  JOIN deg da ON e.s1 = da.node JOIN deg db ON e.s2 = db.node
+),
+s AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(da + db) AS BIGINT) AS sx,
+         CAST(2 * SUM(da * db) AS BIGINT) AS sxy,
+         CAST(SUM(da * da + db * db) AS BIGINT) AS sxx
+  FROM ed
+)
+SELECT m2 AS n_directed_edges,
+       ROUND((CAST(sxy AS DOUBLE) / m2
+              - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2))
+             / (CAST(sxx AS DOUBLE) / m2
+              - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2)), 6)
+         AS assortativity
+FROM s
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x136: DEGREE ASSORTATIVITY (Newman 2002) of the co-supply graph —
+    do high-degree suppliers connect to other hubs (r>0) or to the
+    periphery (r<0)? Fourth graph surface (components → PageRank →
+    triangles → mixing structure). An undirected edge contributes both
+    orientations, so the Pearson moments collapse to integer edge sums:
+    M=2m, Σx=Σ(da+db), Σxy=2Σda·db, Σx²=Σ(da²+db²) — exact BIGINTs; the
+    float epilogue is a fixed op-order 1-row projection (x126's Welch
+    discipline applied to graph mixing).
+
+    100 TB: edge build is the capped top-k signature join (x91's
+    generator, verbatim); degrees are one groupBy over edge endpoints;
+    the two degree joins shuffle on node id. Everything after is a
+    4-number global agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        sp.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("l_suppkey").orderBy(
+                    F.col("n").desc(), F.col("l_partkey")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _TRI_TOPK)
+        .select("l_suppkey", "l_partkey")
+    )
+    a = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
+    b = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "pk")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("s1"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("s2"), F.col("d").alias("db"))
+    ed = e.join(da, "s1").join(db, "s2")
+    s = ed.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("m2"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        (2 * F.sum(F.col("da") * F.col("db"))).cast("long").alias("sxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("m2")
+    return s.select(
+        F.col("m2").alias("n_directed_edges"),
+        F.round(
+            (F.col("sxy").cast("double") / F.col("m2") - mean * mean)
+            / (F.col("sxx").cast("double") / F.col("m2") - mean * mean),
+            6,
+        ).alias("assortativity"),
+    )

@@ -1790,3 +1790,51 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_dev").cast("long").alias("scaled_max_dev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x137 — behavioral diversity per user (log-free Gini-Simpson index)
+# --------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(n) * SUM(n) - SUM(n * n) AS DOUBLE)
+             / CAST(SUM(n) * SUM(n) AS DOUBLE), 6) AS gini_simpson
+FROM c GROUP BY user_id
+"""
+
+
+@register("events_user_diversity", oracle=_DIVERSITY_ORACLE)
+def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x137: behavioral DIVERSITY per user — the Gini-Simpson index
+    1 − Σpᵢ² = (N² − Σnᵢ²)/N² over the user's event-type mix: 0 =
+    single-minded, → 1 = uniformly spread. Deliberately the LOG-FREE
+    diversity measure: Shannon entropy needs ln() (trap #18 —
+    not correctly rounded, engine-divergent), while Gini-Simpson is an
+    exact integer rational with ONE correctly-rounded divide; x113 already
+    demonstrates the fixed-point entropy workaround, this row shows the
+    measure that needs no workaround at all.
+
+    100 TB: two chained aggs on user_id — same key, ONE shuffle (the
+    second agg is partial-able on the first's output); output is user
+    grain. The segmentation complement to x115's type-pair overlap."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    big_n = F.sum("n")
+    return c.groupBy("user_id").agg(
+        big_n.cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            (big_n * big_n - F.sum(F.col("n") * F.col("n"))).cast("double")
+            / (big_n * big_n).cast("double"),
+            6,
+        ).alias("gini_simpson"),
+    )
