@@ -1838,3 +1838,62 @@ def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini_simpson"),
     )
+
+
+# --------------------------------------------------------------------------
+# x138 — seasonal-naive forecast backtest (integer MAE)
+# --------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT c.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_hours,
+       CAST(SUM(ABS(c.x - p.x)) AS BIGINT) AS abs_err_sum,
+       ROUND(CAST(SUM(ABS(c.x - p.x)) AS DOUBLE) / COUNT(*), 6) AS mae
+FROM h c JOIN h p
+  ON c.event_type = p.event_type AND p.hr = c.hr - INTERVAL 24 HOURS
+GROUP BY c.event_type
+"""
+
+
+@register("ts_forecast_snaive", oracle=_SNAIVE_ORACLE)
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x138: SEASONAL-NAIVE forecast backtest — predict each hour's volume
+    with the same hour YESTERDAY and score the integer MAE per type: the
+    baseline every real forecasting deployment must beat, as a first-class
+    operator (the anomaly complement: x62 scores deviation vs a trailing
+    window; this scores a calendar-aligned prediction). Alignment is an
+    EXACT timestamp equi-join (hr == hr − 24h), not a 24-ROW lag — a
+    row-lag silently mis-aligns whenever an hour is missing from the
+    grid, the classic sparse-series bug. Errors are |int − int| BIGINTs;
+    one correctly-rounded divide at the end.
+
+    100 TB: the hourly pre-agg collapses the corpus first (x38 lesson);
+    the self-join shuffles the tiny grid on (event_type, hr) — at any
+    scale both sides are |types|·|hours| rows. Season length (24h) and
+    grain are the retune knobs; weekly seasonality = 168h, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    c = h.select("event_type", "hr", F.col("x").alias("actual"))
+    p = h.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("hr") + F.expr("INTERVAL 24 HOURS")).alias("p_hr"),
+        F.col("x").alias("pred"),
+    )
+    j = c.join(
+        p, (c.event_type == F.col("p_type")) & (c.hr == F.col("p_hr"))
+    )
+    abs_err = F.abs(F.col("actual") - F.col("pred"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_hours"),
+        F.sum(abs_err).cast("long").alias("abs_err_sum"),
+        F.round(
+            F.sum(abs_err).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mae"),
+    )
