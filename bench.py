@@ -100,8 +100,18 @@ def main() -> None:
                 # the first sample — a sub-second query whose first shot
                 # spikes past the threshold must be re-measured (that spike
                 # is exactly the noise this repeat loop exists to suppress),
-                # so a single sample can never end the loop.
-                if len(samples) >= 2 and min(samples) >= 1.0:
+                # so a single sample can never end the loop. The samples
+                # must also AGREE (max/min < 2): with exactly two samples
+                # the median degenerates to the mean, so breaking on a
+                # [spike, true] pair would report half the spike — seen in
+                # round 6 when the registry rotation moved TPC-H shapes to
+                # the front of the sweep and their first shots ate residual
+                # codegen warm-up (6.3 s recorded for a 1.4 s query).
+                if (
+                    len(samples) >= 2
+                    and min(samples) >= 1.0
+                    and max(samples) / min(samples) < 2.0
+                ):
                     break
         except Exception as e:  # keep the sweep alive; surface in stderr
             print(f"BENCH FAIL {name}: {e}", file=sys.stderr)
