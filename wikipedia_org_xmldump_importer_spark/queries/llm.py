@@ -1085,3 +1085,48 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= 5
     )
+
+
+# --------------------------------------------------------------------------
+# x141 — Matryoshka truncation quality (norm retention per vector)
+# --------------------------------------------------------------------------
+
+_TRUNC_DIMS = 32
+
+_TRUNC_ORACLE = f"""
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(
+                CAST(embedding[1:{_TRUNC_DIMS}] AS DOUBLE[]), x -> x * x)))
+             / sqrt(list_sum(list_transform(
+                CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS retention
+FROM embeddings
+"""
+
+
+@register("vec_truncate_retention", oracle=_TRUNC_ORACLE)
+def vec_truncate_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x141: MATRYOSHKA truncation quality — for each embedding, the
+    cosine between the full vector and its first-{_TRUNC_DIMS}-dims
+    truncation, which collapses analytically to the NORM RETENTION ratio
+    ‖v[:k]‖/‖v‖ (the cross terms cancel: cos(v, pad(v[:k])) =
+    ‖v[:k]‖²/(‖v‖·‖v[:k]‖)). This is the go/no-go diagnostic before
+    serving truncated MRL embeddings at a cheaper dimension: a retention
+    histogram hugging 1.0 says the prefix carries the information; for
+    non-MRL-trained vectors (like these synthetics, ~sqrt(k/d)) it says
+    don't. Pure Catalyst HOF arithmetic — slice, the shared left-fold
+    norm kernel (functions/vector.py parity with DuckDB's list kernels),
+    two correctly-rounded sqrts, one divide.
+
+    100 TB: zero-shuffle narrow projection; the downstream decision
+    (store k dims vs d) multiplies straight into index + serving cost —
+    pair with vec_quantize_int8 for the compound 4×·(d/k) saving."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    from ..functions.vector import l2_norm  # noqa: PLC0415
+
+    return emb.select(
+        "vec_id",
+        F.round(
+            l2_norm(F.slice(v, 1, _TRUNC_DIMS)) / l2_norm(v), 6
+        ).alias("retention"),
+    )

@@ -1897,3 +1897,184 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(abs_err).cast("double") / F.count(F.lit(1)), 6
         ).alias("mae"),
     )
+
+
+# --------------------------------------------------------------------------
+# x139 — alert debounce with hysteresis (two-threshold state machine)
+# --------------------------------------------------------------------------
+
+_HYST_HI = 80
+_HYST_LO = 40
+
+_HYST_ORACLE = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value > {_HYST_HI} THEN 1
+              WHEN value < {_HYST_LO} THEN 0 END AS crossing
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         COALESCE(LAST_VALUE(crossing IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+  FROM x
+),
+g AS (
+  SELECT user_id, state,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, state
+                              ORDER BY ts, event_id) AS anchor
+  FROM s
+),
+ep AS (
+  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+  FROM g WHERE state = 1 GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_episodes,
+       CAST(MAX(len) AS BIGINT) AS longest_episode,
+       CAST(SUM(len) AS BIGINT) AS n_alert_rows
+FROM ep GROUP BY user_id
+"""
+
+
+@register("events_alert_hysteresis", oracle=_HYST_ORACLE)
+def events_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x139: alert DEBOUNCE with HYSTERESIS — enter the alert state when
+    value crosses above the high threshold, leave only when it drops below
+    the LOW one: the two-threshold Schmitt-trigger every monitoring system
+    uses so values oscillating around one line don't flap the pager.
+    Running state without any stateful UDF: crossings project to 1/0/NULL,
+    ignore-nulls last_value carries the most recent crossing forward (w8's
+    device as a STATE MACHINE), then x124's gaps-and-islands
+    (row_number − per-state row_number) collapses alert runs to episodes.
+
+    100 TB: one sort per user partition feeds the carry-forward window and
+    both island ranks; the episode aggs reuse the user_id shuffle.
+    Thresholds are the retune knobs; k-state machines generalize by
+    projecting k crossing values. The streaming twin is st6's
+    applyInPandasWithState shape — this is the batch-replay form."""
+    ev = load_table(spark, sf_dir, "events")
+    crossing = F.when(F.col("value") > _HYST_HI, 1).when(
+        F.col("value") < _HYST_LO, 0
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.last(crossing, ignorenulls=True).over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.lit(0),
+        ).alias("state"),
+    )
+    ws = Window.partitionBy("user_id", "state").orderBy("ts", "event_id")
+    g = s.select(
+        "user_id",
+        "state",
+        (F.row_number().over(wo) - F.row_number().over(ws)).alias("anchor"),
+    )
+    ep = (
+        g.filter(F.col("state") == 1)
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return ep.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.max("len").cast("long").alias("longest_episode"),
+        F.sum("len").cast("long").alias("n_alert_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x140 — conversion latency per cohort (discrete median of integer gaps)
+# --------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f.first_view
+  GROUP BY e.user_id
+),
+gaps AS (
+  SELECT f.user_id,
+         strftime(date_trunc('week', f.first_view), '%Y-%m-%d') AS cohort_week,
+         CAST(epoch_us(p.first_purchase) - epoch_us(f.first_view) AS BIGINT)
+           AS gap_us
+  FROM f JOIN p ON f.user_id = p.user_id
+),
+r AS (
+  SELECT cohort_week, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY cohort_week
+                            ORDER BY gap_us, user_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cohort_week) AS n
+  FROM gaps
+)
+SELECT cohort_week,
+       CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MIN(CASE WHEN rk = (n + 1) // 2 THEN gap_us END) AS BIGINT)
+         AS median_gap_us
+FROM r GROUP BY cohort_week
+"""
+
+
+@register("events_time_to_convert", oracle=_TTC_ORACLE)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x140: CONVERSION LATENCY — time from a user's first view to their
+    first subsequent purchase, summarized per acquisition-week cohort as a
+    DISCRETE median (x106 integer-rank pick over integer microseconds —
+    the funnel-speed metric next to x61's step attribution and x59's
+    retention grid). The strictly-after constraint (purchase > first view)
+    is part of the semantics, not an optimization: an earlier purchase is
+    a different funnel.
+
+    100 TB: two user-grain aggs (conditional min + filtered min) share the
+    user_id shuffle; the rank window runs over the converted-users table
+    at cohort grain. Microsecond integers end-to-end — the median is an
+    exact element, never interpolated."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    gaps = f.join(p, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "first_view"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        (
+            F.unix_micros(F.col("first_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("first_view").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    wr = Window.partitionBy("cohort_week").orderBy("gap_us", "user_id")
+    r = gaps.select(
+        "cohort_week",
+        "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("cohort_week")).alias("n"),
+    )
+    return r.groupBy("cohort_week").agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(
+            F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("gap_us"))
+        )
+        .cast("long")
+        .alias("median_gap_us"),
+    )
