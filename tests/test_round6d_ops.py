@@ -105,3 +105,110 @@ def test_trunc_retention_bounds_and_full_slice_identity(spark):
         assert abs(out[r.vec_id] - head / full) < 1e-5
         if len(v) <= _TRUNC_DIMS:
             assert out[r.vec_id] == 1.0
+
+
+def test_bm25_matches_python_recompute(spark):
+    """Exact recompute of the fixed-point BM25 pipeline in Python — tf/df/
+    dl/avgdl, micro-unit pinning, integer totals, deterministic rank."""
+    from wikipedia_org_xmldump_importer_spark.queries.index_ops import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        search_bm25,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        term: sum(1 for t in toks.values() if term in t) for term in _BM25_TERMS
+    }
+    totals = {}
+    for doc_id, t in toks.items():
+        s = 0
+        for term in _BM25_TERMS:
+            tf = t.count(term)
+            if not tf:
+                continue
+            idf = math.log((((n_docs - df[term]) + 0.5) / (df[term] + 0.5)) + 1.0)
+            ratio = (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (len(t) / avgdl))
+            )
+            s += round((idf * ratio) * 1_000_000.0)
+        if s:
+            totals[doc_id] = s
+    expect = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+    got = sorted(search_bm25(spark, SF_SMOKE).collect(), key=lambda r: r.rank)
+    assert [(r.doc_id, round(r.bm25 * 1_000_000)) for r in got] == [
+        (d, s) for d, s in expect
+    ]
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_span_coverage_matches_python_recompute(spark):
+    """Exact interval-union recompute: for every doc, union the [i, i+7]
+    spans of 8-grams shared with another doc and count covered tokens."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        _SPAN_K,
+        dedup_span_coverage,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    gram_docs: dict = {}
+    for doc_id, t in toks.items():
+        for i in range(len(t) - _SPAN_K + 1):
+            gram_docs.setdefault(" ".join(t[i : i + _SPAN_K]), set()).add(doc_id)
+    expect = {}
+    for doc_id, t in toks.items():
+        covered = set()
+        for i in range(len(t) - _SPAN_K + 1):
+            if len(gram_docs[" ".join(t[i : i + _SPAN_K])]) >= 2:
+                covered.update(range(i, i + _SPAN_K))
+        expect[doc_id] = (len(t), len(covered))
+    got = {
+        r.doc_id: (r.n_tokens, r.covered_tokens)
+        for r in dedup_span_coverage(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for r in dedup_span_coverage(spark, SF_SMOKE).collect():
+        assert 0 <= r.covered_tokens <= r.n_tokens
+
+
+def test_mannwhitney_matches_python_recompute(spark):
+    """Exact recompute of U and the tie-corrected z from the same hash
+    assignment, midranks, and identically-ordered float epilogue."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_ab_mannwhitney,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    per_user: dict = {}
+    for r in ev:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + (
+            1 if r.event_type == "purchase" else 0
+        )
+    arms: dict = {}
+    for uid, x in per_user.items():
+        v = int(hashlib.md5(f"mw:{uid}".encode()).hexdigest()[:3], 16) % 2
+        arms.setdefault(x, [0, 0])[0 if v == 0 else 1] += 1
+    n_a = sum(a for a, _ in arms.values())
+    n_b = sum(b for _, b in arms.values())
+    cum, r2_a, tie_s = 0, 0, 0
+    for x in sorted(arms):
+        a, b = arms[x]
+        t = a + b
+        r2_a += a * (2 * cum + t + 1)
+        tie_s += t * t * t - t
+        cum += t
+    u2_a = r2_a - n_a * (n_a + 1)
+    n = n_a + n_b
+    var12 = ((n_a * n_b) * ((n + 1.0) - (tie_s / (float(n) * (n - 1.0))))) / 12.0
+    z = ((u2_a - n_a * n_b) / 2.0) / math.sqrt(var12)
+    row = events_ab_mannwhitney(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.n_b, row.u2_a) == (n_a, n_b, u2_a)
+    assert abs(row.z_score - round(z, 6)) < 1e-9

@@ -62,6 +62,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "broadcast-crossed onto the vocab frequency table — bounded by "
         "construction (x130)"
     ),
+    ("search_bm25", "BroadcastNestedLoopJoin"): (
+        "1-row (n_docs, avgdl) corpus frame broadcast-crossed onto the "
+        "term-filtered tf table — bounded by construction (x142)"
+    ),
 }
 
 

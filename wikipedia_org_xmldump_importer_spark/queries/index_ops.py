@@ -466,3 +466,135 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("idx").alias("n_hits"),
         F.element_at("idx", 1).alias("first_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# x142 — BM25 ranked retrieval (fixed-point Okapi scoring, exact top-k)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+  WHERE w IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, w
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           (ln((((c.n_docs - df.df) + 0.5) / (df.df + 0.5)) + 1.0)
+            * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+               / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                  + {_BM25_B!r} * (CAST(dl.dl AS DOUBLE) / c.avgdl)))))
+           * 1000000.0) AS BIGINT) AS score_u
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus c
+),
+total AS (
+  SELECT doc_id, CAST(SUM(score_u) AS BIGINT) AS score_u
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(CAST(score_u AS DOUBLE) / 1000000.0, 6) AS bm25,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, score_u,
+         ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rk
+  FROM total
+)
+WHERE rk <= {_BM25_TOPK}
+"""
+
+
+@register("search_bm25", oracle=_BM25_ORACLE)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x142: BM25 ranked retrieval — Okapi BM25 (k1={_BM25_K1}, b={_BM25_B})
+    over a fixed multi-term query, exact top-{_BM25_TOPK} by score. The
+    scoring half of the search stack whose build half is x52's
+    inverted_index: tf per (doc, term), df per term, document-length
+    normalization against the corpus mean, IDF with the +1 floor so hot
+    terms (df ≈ N, as in this synthetic vocab) still score positive.
+
+    Determinism across engines (NOTES trap #18): the per-(doc,term) score
+    is pinned to integer micro-units with ONE identically-parenthesized
+    float expression on both sides — integer tf/df/dl feed correctly-
+    rounded IEEE ops; ln carries the same measure-zero round-boundary
+    exposure doc_lm_perplexity accepts; avgdl is exact-integer-sum / count
+    (one rounding). Per-doc totals are exact BIGINT sums; ORDER BY uses the
+    integer score, never a float compare.
+
+    100 TB: the term filter prunes the token stream BEFORE any shuffle
+    (predicate on the exploded word — a |terms|-membership scan filter);
+    tf groupBy shuffles only matching (doc, term) rows; df and the corpus
+    stats are tiny broadcast sides; top-k is a TakeOrderedAndProject on
+    the integer key, never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        (
+            ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    ratio = (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round((idf * ratio) * F.lit(1_000_000.0)).cast("long").alias("score_u"),
+        )
+    )
+    total = scored.groupBy("doc_id").agg(F.sum("score_u").cast("long").alias("score_u"))
+    w = Window.orderBy(F.col("score_u").desc(), "doc_id")
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("score_u").cast("double") / F.lit(1_000_000.0), 6).alias(
+                "bm25"
+            ),
+            "rank",
+        )
+    )

@@ -2070,3 +2070,117 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k_tokens")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x143 — duplicated-span coverage per document (exact-substring dedup metric)
+# --------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+_SPAN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, i + {_SPAN_K - 1} AS pos_end,
+         array_to_string(t[i : i + {_SPAN_K - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0))) AS i
+        FROM tok)
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+spans AS (
+  SELECT g.doc_id, g.pos, g.pos_end,
+         MAX(g.pos_end) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM grams g JOIN dup d ON g.gram = d.gram
+),
+cov AS (
+  SELECT doc_id,
+         CAST(SUM(GREATEST(0, pos_end
+              - GREATEST(pos, COALESCE(prev_end, 0) + 1) + 1)) AS BIGINT)
+           AS covered_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       CAST(len(tok.t) AS BIGINT) AS n_tokens,
+       COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+       ROUND(CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / len(tok.t), 6)
+         AS dup_span_frac
+FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+"""
+
+
+@register("dedup_span_coverage", oracle=_SPAN_ORACLE)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x143: duplicated-SPAN coverage — for each document, the exact
+    fraction of token positions covered by at least one {_SPAN_K}-gram that
+    also occurs in ANOTHER document. This is the doc-grain readout of
+    exact-substring training-data dedup (the metric behind "deduplicating
+    training data makes LMs better"-style span removal): x6/x7/l2 decide
+    whole-doc duplication, x128 counts first-occurrence grams — this one
+    measures how much of each doc's BODY is copied text, which is the
+    quantity a span-scrubbing cleaner would actually delete.
+
+    Position coverage is an interval-UNION, computed with the sweep: spans
+    sorted by start, carry the running max end over preceding spans, and
+    each span contributes max(0, end - max(start, prev_end + 1) + 1)
+    tokens — overlap-exact, all integer arithmetic, bit-equal everywhere.
+
+    100 TB: shingle once, groupBy(gram) HAVING distinct-doc ≥ 2 (partial
+    aggs collapse hot grams map-side), one honest big-big hash join back
+    on gram, then the sweep runs inside a per-doc sort that reuses the
+    doc_id exchange of the final agg. No caps needed: the sweep is linear
+    in spans and coverage saturates at the doc length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    grams_arr = F.when(
+        F.size(t) >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_SPAN_K - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.array_join(F.slice(t, i, _SPAN_K), " ").alias("gram")
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,gram:string>>"))
+    grams = (
+        toks.select("doc_id", F.explode(grams_arr).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .withColumn("pos_end", F.col("pos") + F.lit(_SPAN_K - 1))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = grams.join(dup, "gram").select(
+        "doc_id", "pos", "pos_end", F.max("pos_end").over(wprev).alias("prev_end")
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos_end")
+        - F.greatest(F.col("pos"), F.coalesce(F.col("prev_end"), F.lit(0)) + 1)
+        + 1,
+    )
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(contrib).cast("long").alias("covered_tokens")
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_span_frac"),
+    )

@@ -2078,3 +2078,138 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# x144 — Mann-Whitney U rank-sum A/B test (tie-corrected, exact integers)
+# --------------------------------------------------------------------------
+
+_MW_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substring(md5('mw:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT x,
+         CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta
+  FROM u GROUP BY x
+),
+r AS (
+  SELECT x, t, ta,
+         2 * COALESCE(SUM(t) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS midrank2
+  FROM g
+),
+v AS (
+  SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+         CAST(SUM(t - ta) AS BIGINT) AS n_b,
+         CAST(SUM(ta * midrank2) AS BIGINT) AS r2_a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_s
+  FROM r
+)
+SELECT n_a, n_b,
+       CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       ROUND(
+         (CAST((r2_a - n_a * (n_a + 1)) - n_a * n_b AS DOUBLE) / 2.0)
+         / sqrt((CAST(n_a * n_b AS DOUBLE)
+                 * (((n_a + n_b) + 1.0)
+                    - (CAST(tie_s AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE) * ((n_a + n_b) - 1.0)))))
+                / 12.0), 6) AS z_score
+FROM v
+"""
+
+
+@register("events_ab_mannwhitney", oracle=_MW_ORACLE)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x144: MANN-WHITNEY U rank-sum A/B test — the nonparametric twin of
+    x126's Welch z on the same per-user purchase-count metric (hash-
+    assigned arms, salt 'mw:'). Rank statistics are the robust choice when
+    the metric is heavy-tailed count data: no normality assumption on the
+    values, only on U itself. Tie handling is the textbook midrank +
+    variance correction — essential here because counts collide massively.
+
+    Exactness: ranks are computed at VALUE grain, not row grain — per
+    distinct x: t (total), ta (arm-A), midrank held as 2×midrank so it
+    stays integer; R_A, U, and the tie term Σ(t³−t) are exact BIGINT all
+    the way; the z epilogue is one identically-parenthesized float
+    expression on a single row (sqrt + divides, all correctly rounded).
+    BIGINT bounds: n_a·n_b and Σt³ wrap past ~3e9 users / ~2e6-row ties —
+    the DECIMAL(38,0) accumulator upgrade (x136's device) is the
+    documented path at that scale.
+
+    100 TB: user-grain agg shares one shuffle, value-grain agg collapses
+    |users| rows to |distinct counts| (tiny) map-side, the ordered window
+    runs on that tiny table, and the final reduce is 4 numbers. No
+    row-grain ranking ever happens — that is what makes the rank test as
+    scalable as the moment test."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mw:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x")
+        )
+        .select(variant.alias("variant"), "x")
+    )
+    g = u.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("ta"),
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "x",
+        "t",
+        "ta",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(wcum), F.lit(0))
+            + F.col("t")
+            + F.lit(1)
+        ).alias("midrank2"),
+    )
+    v = r.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).cast("long").alias("n_b"),
+        F.sum(F.col("ta") * F.col("midrank2")).cast("long").alias("r2_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_s"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u2_a = F.col("r2_a") - n_a * (n_a + F.lit(1))
+    n = n_a + n_b
+    var12 = (
+        (n_a * n_b).cast("double")
+        * (
+            (n + F.lit(1)).cast("double")
+            - (
+                F.col("tie_s").cast("double")
+                / (n.cast("double") * (n - F.lit(1)).cast("double"))
+            )
+        )
+    ) / F.lit(12.0)
+    return v.select(
+        "n_a",
+        "n_b",
+        u2_a.cast("long").alias("u2_a"),
+        F.round(
+            ((u2_a - n_a * n_b).cast("double") / F.lit(2.0)) / F.sqrt(var12), 6
+        ).alias("z_score"),
+    )
