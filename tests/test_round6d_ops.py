@@ -212,3 +212,88 @@ def test_mannwhitney_matches_python_recompute(spark):
     row = events_ab_mannwhitney(spark, SF_SMOKE).collect()[0]
     assert (row.n_a, row.n_b, row.u2_a) == (n_a, n_b, u2_a)
     assert abs(row.z_score - round(z, 6)) < 1e-9
+
+
+def test_k_anonymity_partition_and_flags(spark):
+    """Group sizes sum to the table size; every flag agrees with k; every
+    customer maps to exactly one equivalence class."""
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        _KANON_K,
+        privacy_k_anonymity,
+    )
+
+    rows = privacy_k_anonymity(spark, SF_SMOKE).collect()
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r.group_size for r in rows) == n_cust
+    for r in rows:
+        assert r.violates_k == (r.group_size < _KANON_K)
+    keys = [(r.c_nationkey, r.c_mktsegment, r.bal_bucket) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_skew_report_ranks_and_factor(spark):
+    """Hot ranks are dense from 1, counts non-increasing, and the skew
+    factor recomputes from the key-grain counts."""
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        dq_skew_report,
+    )
+
+    rows = sorted(dq_skew_report(spark, SF_SMOKE).collect(), key=lambda r: r.hot_rank)
+    assert [r.hot_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    from collections import Counter
+
+    counts = Counter(r.o_custkey for r in orders)
+    mean = sum(counts.values()) / len(counts)
+    for r in rows:
+        assert counts[r.o_custkey] == r.n
+        assert abs(r.skew_factor - round(r.n / mean, 6)) < 1e-9
+
+
+def test_bitmap_distinct_equals_plain_distinct(spark):
+    """The bitmap machinery must agree with groupBy + countDistinct."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_bitmap_distinct,
+    )
+
+    got = {
+        r.event_type: r.n_users for r in agg_bitmap_distinct(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    expect = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_acf_bounds_and_lag0_identity(spark):
+    """|acf| ≤ 1 at every lag, and the estimator recomputes exactly from a
+    Python replay of the integer-sum expansion."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _ACF_MAX_LAG,
+        ts_acf,
+    )
+
+    rows = {r.lag: r for r in ts_acf(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, _ACF_MAX_LAG + 1))
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    daily: dict = {}
+    for r in ev:
+        day = r.ts.strftime("%Y-%m-%d")
+        daily[day] = daily.get(day, 0) + round(r.value * 100)
+    xs = [daily[d] for d in sorted(daily)]
+    n, s1, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+    m = s1 / n
+    den = s2 - (float(n) * (m * m))
+    for k in range(1, _ACF_MAX_LAG + 1):
+        head, tail = xs[:-k], xs[k:]
+        sxy = sum(a * b for a, b in zip(head, tail))
+        num = (sxy - (m * float(sum(head) + sum(tail)))) + (float(len(head)) * (m * m))
+        r = rows[k]
+        assert r.n_pairs == n - k
+        assert abs(r.acf - round(num / den, 6)) < 1e-9
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9

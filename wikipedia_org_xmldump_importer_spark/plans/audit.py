@@ -66,6 +66,14 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row (n_docs, avgdl) corpus frame broadcast-crossed onto the "
         "term-filtered tf table — bounded by construction (x142)"
     ),
+    ("dq_skew_report", "BroadcastNestedLoopJoin"): (
+        "3-number global stats frame broadcast-crossed onto the 10-row "
+        "top-N key table — bounded by construction (x148)"
+    ),
+    ("ts_acf", "BroadcastNestedLoopJoin"): (
+        "1-row (n, s1, s2) totals frame broadcast-crossed onto the "
+        "5-row per-lag aggregate table — bounded by construction (x147)"
+    ),
 }
 
 

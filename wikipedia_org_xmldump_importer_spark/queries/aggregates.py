@@ -975,3 +975,43 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# x146 — exact distinct counting via bitmap partial aggregates
+# --------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x146: EXACT distinct counting via Spark's bitmap aggregate family —
+    per event_type, distinct users computed as bitmap_construct_agg over
+    bit positions inside 32k-wide buckets, then sum(bitmap_count). Same
+    answer as COUNT(DISTINCT) (the oracle), radically different machinery:
+    the partial-agg state per (group, bucket) is a fixed 4 KB bitmap that
+    ORs associatively map-side, instead of the per-distinct-value hash
+    rows an expand+distinct agg shuffles. a4/x21 trade exactness for HLL's
+    1.5 KB sketch; this keeps exactness at ~1 bit per POSSIBLE id — the
+    right tool when ids are dense integers (user ids, order keys).
+
+    100 TB: shuffle volume is |groups| × |occupied buckets| × 4 KB,
+    independent of row count; bucket-grain parallelism also removes the
+    single-reducer-per-group bottleneck exact distinct normally has. Ids
+    must be integral; sparse/huge id spaces re-densify through a
+    dictionary join first (or fall back to a4's HLL)."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.select("event_type", "user_id")
+        .groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )

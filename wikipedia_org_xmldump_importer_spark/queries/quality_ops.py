@@ -374,3 +374,126 @@ def curation_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_survivors",
     )
+
+
+# --------------------------------------------------------------------------
+# x145 — k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH q AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket
+)
+SELECT c_nationkey, c_mktsegment, bal_bucket, group_size,
+       CAST(group_size < {_KANON_K} AS BOOLEAN) AS violates_k
+FROM g
+"""
+
+
+@register("privacy_k_anonymity", oracle=_KANON_ORACLE)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x145: k-ANONYMITY audit — group the customer table by its
+    quasi-identifier tuple (nation, market segment, account-balance
+    thousand-bucket) and flag every equivalence class smaller than
+    k={_KANON_K}. This is the release gate privacy law actually asks of a
+    data publisher: any flagged class re-identifies its members by QI
+    alone; the remediation (suppress or coarsen the bucket) follows
+    directly from the report. The balance bucket is FLOOR over a double
+    divide — identical correctly-rounded IEEE ops on both engines, with
+    the usual measure-zero boundary note (cents that are exact multiples
+    of 100000 divide exactly).
+
+    100 TB: one partial-agg groupBy on the QI tuple — the report is
+    |classes| rows, never a data copy; generalization ladders (coarser
+    buckets) re-run the same single scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_bucket"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_bucket",
+        "group_size",
+        (F.col("group_size") < _KANON_K).alias("violates_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x148 — join-key skew diagnostic (the salting-decision report)
+# --------------------------------------------------------------------------
+
+_SKEW_TOPN = 10
+
+_SKEW_ORACLE = f"""
+WITH k AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MAX(n) AS BIGINT) AS max_n
+  FROM k
+)
+SELECT rk AS hot_rank, o_custkey, n,
+       ROUND(CAST(n AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+         AS skew_factor
+FROM (
+  SELECT o_custkey, n, ROW_NUMBER() OVER (ORDER BY n DESC, o_custkey) AS rk
+  FROM k
+) CROSS JOIN s
+WHERE rk <= {_SKEW_TOPN}
+"""
+
+
+@register("dq_skew_report", oracle=_SKEW_ORACLE)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x148: join-key SKEW diagnostic — per-key row counts on the orders
+    customer key, top-{_SKEW_TOPN} hottest keys with their skew factor
+    (key count ÷ mean rows-per-key). This is the report that DECIDES the
+    mitigation x20 (join_skew_salted) implements and that AQE's skew-join
+    threshold needs tuning against: a skew factor ≫ 1 on a join key means
+    one reducer owns that key's entire partition at shuffle time.
+
+    100 TB: key-grain partial agg (map-side combine collapses hot keys
+    per task), a 3-number global frame broadcast onto the key table, and
+    an integer-ordered top-N — TakeOrderedAndProject, no full sort. The
+    mean in the skew factor is exact-integer-sum ÷ exact count, spelled
+    identically on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    w = Window.orderBy(F.col("n").desc(), "o_custkey")
+    ranked = k.withColumn("hot_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("hot_rank") <= _SKEW_TOPN
+    )
+    return ranked.crossJoin(F.broadcast(s)).select(
+        "hot_rank",
+        "o_custkey",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys")),
+            6,
+        ).alias("skew_factor"),
+    )

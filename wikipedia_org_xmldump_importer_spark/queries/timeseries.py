@@ -2213,3 +2213,111 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((u2_a - n_a * n_b).cast("double") / F.lit(2.0)) / F.sqrt(var12), 6
         ).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# x147 — autocorrelation function of the daily-revenue series
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 5
+
+_ACF_ORACLE = f"""
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+led AS (
+  SELECT x,
+         {", ".join(f"LEAD(x, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+  FROM d
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM d
+),
+pairs AS (
+  {" UNION ALL ".join(
+    f"SELECT {k} AS lag, CAST(COUNT(*) AS BIGINT) AS np, "
+    f"CAST(SUM(x) AS BIGINT) AS sh, CAST(SUM(l{k}) AS BIGINT) AS st, "
+    f"CAST(SUM(x * l{k}) AS BIGINT) AS sxy FROM led WHERE l{k} IS NOT NULL"
+    for k in range(1, _ACF_MAX_LAG + 1))}
+)
+SELECT CAST(lag AS BIGINT) AS lag, np AS n_pairs,
+       ROUND(
+         ((CAST(sxy AS DOUBLE)
+           - ((CAST(s1 AS DOUBLE) / n) * CAST(sh + st AS DOUBLE)))
+          + (CAST(np AS DOUBLE)
+             * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))))
+         / (CAST(s2 AS DOUBLE)
+            - (CAST(n AS DOUBLE)
+               * ((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))), 6)
+         AS acf
+FROM pairs CROSS JOIN tot
+"""
+
+
+@register("ts_acf", oracle=_ACF_ORACLE)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x147: AUTOCORRELATION function of daily revenue at lags
+    1..{_ACF_MAX_LAG} — the seasonality detector that justifies x138's
+    seasonal-naive lag choice and flags residual structure after it.
+    Estimator: r_k = Σ(x_t−x̄)(x_{{t+k}}−x̄) / Σ(x_t−x̄)², x̄ the global
+    mean, expanded into pure integer aggregates (Σx, Σx², Σx_t·x_{{t+k}},
+    head/tail sums — all BIGINT-exact cents) assembled by ONE identically-
+    parenthesized float epilogue per lag. Σx² wraps BIGINT past ~3e9-cent
+    days; the DECIMAL(38,0) accumulator (x136's device) is the documented
+    upgrade there.
+
+    100 TB: the only row-scale work is the day-grain agg (one shuffle,
+    map-side partials); leads, the stack unpivot, and the per-lag aggs all
+    run on the |days| table, with the 3-number global frame broadcast on."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+        )
+    )
+    wday = Window.orderBy("day")
+    led = d.select(
+        "x",
+        *[
+            F.lead("x", k).over(wday).alias(f"l{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    stack_expr = "stack({n}, {args}) AS (lag, y)".format(
+        n=_ACF_MAX_LAG,
+        args=", ".join(f"{k}, l{k}" for k in range(1, _ACF_MAX_LAG + 1)),
+    )
+    pairs = (
+        led.select("x", F.expr(stack_expr))
+        .filter(F.col("y").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum("x").cast("long").alias("sh"),
+            F.sum("y").cast("long").alias("st"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    num = (
+        F.col("sxy").cast("double") - (m * (F.col("sh") + F.col("st")).cast("double"))
+    ) + (F.col("np").cast("double") * (m * m))
+    den = F.col("s2").cast("double") - (F.col("n").cast("double") * (m * m))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
