@@ -297,3 +297,108 @@ def test_acf_bounds_and_lag0_identity(spark):
         assert r.n_pairs == n - k
         assert abs(r.acf - round(num / den, 6)) < 1e-9
         assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+
+
+def test_drawdown_matches_python_recompute(spark):
+    """Running-peak minus value recompute with earliest-argmax tie-break."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_max_drawdown,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    daily: dict = {}
+    for r in ev:
+        day = r.ts.strftime("%Y-%m-%d")
+        daily[day] = daily.get(day, 0) + round(r.value * 100)
+    peak, best = 0, None
+    for day in sorted(daily):
+        peak = max(peak, daily[day])
+        dd = peak - daily[day]
+        if best is None or dd > best[1]:
+            best = (day, dd, peak, daily[day])
+    row = ts_max_drawdown(spark, SF_SMOKE).collect()[0]
+    assert row.trough_day == best[0]
+    assert row.drawdown == round(best[1] / 100.0, 2)
+    assert row.peak_value == round(best[2] / 100.0, 2)
+    assert row.drawdown_pct == round(best[1] / best[2], 6)
+
+
+def test_reflected_running_matches_sequential_replay(spark):
+    """The reflection identity must equal the literal clamped recurrence
+    B_t = max(B_{t-1} + delta, 0), replayed per user in Python."""
+    from wikipedia_org_xmldump_importer_spark.queries.windows import (
+        win_reflected_running,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        d = round(r.value * 100)
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, d if r.event_type == "purchase" else -d)
+        )
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        bal, peak, floor_rows = 0, 0, 0
+        for _, _, delta in rows:
+            bal = max(bal + delta, 0)
+            peak = max(peak, bal)
+            floor_rows += bal == 0
+        expect[uid] = (round(bal / 100.0, 2), round(peak / 100.0, 2), floor_rows)
+    got = {
+        r.user_id: (r.final_balance, r.peak_balance, r.n_floor_rows)
+        for r in win_reflected_running(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_cuped_reduces_variance_vs_welch_shape(spark):
+    """theta recomputes from pooled moments; the adjusted diff equals the
+    raw diff minus theta times the covariate diff (Python replay)."""
+    import hashlib
+    from datetime import datetime
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _CUPED_SPLIT,
+        events_ab_cuped,
+    )
+
+    split = datetime.strptime(_CUPED_SPLIT, "%Y-%m-%d")
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    per_user: dict = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        x, y = per_user.get(r.user_id, (0, 0))
+        if r.ts < split:
+            x += 1
+        else:
+            y += 1
+        per_user[r.user_id] = (x, y)
+    all_users = {r.user_id for r in ev}
+    for uid in all_users:
+        per_user.setdefault(uid, (0, 0))
+    n = len(per_user)
+    sx = sum(x for x, _ in per_user.values())
+    sy = sum(y for _, y in per_user.values())
+    sxx = sum(x * x for x, _ in per_user.values())
+    sxy = sum(x * y for x, y in per_user.values())
+    theta = (sxy - ((float(sx) * sy) / n)) / (sxx - ((float(sx) * sx) / n))
+    arms = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, sy, sx
+    for uid, (x, y) in per_user.items():
+        v = int(hashlib.md5(f"cu:{uid}".encode()).hexdigest()[:3], 16) % 2
+        arms[v][0] += 1
+        arms[v][1] += y
+        arms[v][2] += x
+    diff = (arms[1][1] / arms[1][0] - arms[0][1] / arms[0][0]) - theta * (
+        arms[1][2] / arms[1][0] - arms[0][2] / arms[0][0]
+    )
+    row = events_ab_cuped(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.n_b) == (arms[0][0], arms[1][0])
+    assert abs(row.theta - round(theta, 6)) < 1e-9
+    assert abs(row.adj_diff - round(diff, 6)) < 1e-6

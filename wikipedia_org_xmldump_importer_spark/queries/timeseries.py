@@ -2321,3 +2321,236 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_pairs"),
         F.round(num / den, 6).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# x149 — maximum drawdown of the daily-revenue series
+# --------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT day, x,
+         MAX(x) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM d
+)
+SELECT day AS trough_day,
+       ROUND(CAST(peak AS DOUBLE) / 100.0, 2) AS peak_value,
+       ROUND(CAST(x AS DOUBLE) / 100.0, 2) AS trough_value,
+       ROUND(CAST(peak - x AS DOUBLE) / 100.0, 2) AS drawdown,
+       ROUND(CAST(peak - x AS DOUBLE) / peak, 6) AS drawdown_pct
+FROM (
+  SELECT day, x, peak,
+         ROW_NUMBER() OVER (ORDER BY peak - x DESC, day) AS rk
+  FROM r
+) WHERE rk = 1
+"""
+
+
+@register("ts_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x149: MAXIMUM DRAWDOWN of the daily-revenue series — the largest
+    drop from a historical daily peak to a later day, with the trough day
+    that realizes it (earliest on ties, picked on the INTEGER gap). The
+    risk metric quant desks run on any KPI series; alongside x62's z-score
+    spikes and x134's CUSUM it completes the anomaly kit with a
+    "worst-case regression from peak" view.
+
+    Exact: cents are integers, the running peak and the gap are integer
+    window math; floats appear only in the 1-row epilogue (peak-relative
+    percentage + dollar formatting).
+
+    100 TB: the day-grain agg is the only row-scale work; the running-max
+    window, argmax rank, and epilogue all run on the |days| table."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x"))
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.select("day", "x", F.max("x").over(wrun).alias("peak"))
+    wrk = Window.orderBy((F.col("peak") - F.col("x")).desc(), "day")
+    return (
+        r.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.round(F.col("peak").cast("double") / 100.0, 2).alias("peak_value"),
+            F.round(F.col("x").cast("double") / 100.0, 2).alias("trough_value"),
+            F.round((F.col("peak") - F.col("x")).cast("double") / 100.0, 2).alias(
+                "drawdown"
+            ),
+            F.round(
+                (F.col("peak") - F.col("x")).cast("double") / F.col("peak"), 6
+            ).alias("drawdown_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x151 — CUPED variance-reduced A/B readout
+# --------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substring(md5('cu:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+         CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         CAST(SUM(CASE WHEN variant = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b,
+         CAST(SUM(CASE WHEN variant = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b,
+         CAST(SUM(CASE WHEN variant = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_b
+  FROM u
+),
+th AS (
+  SELECT *,
+         (CAST(sxy AS DOUBLE) - ((CAST(sx AS DOUBLE) * sy) / n))
+         / (CAST(sxx AS DOUBLE) - ((CAST(sx AS DOUBLE) * sx) / n)) AS theta
+  FROM m
+)
+SELECT n_a, n_b, ROUND(theta, 6) AS theta,
+       ROUND((CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a)
+             - (theta * (CAST(sx_b AS DOUBLE) / n_b
+                         - CAST(sx_a AS DOUBLE) / n_a)), 6) AS adj_diff,
+       ROUND(((CAST(sy_b AS DOUBLE) / n_b - CAST(sy_a AS DOUBLE) / n_a)
+              - (theta * (CAST(sx_b AS DOUBLE) / n_b
+                          - CAST(sx_a AS DOUBLE) / n_a)))
+             / sqrt(
+     (((CAST(syy_a AS DOUBLE) - ((CAST(sy_a AS DOUBLE) * sy_a) / n_a))
+       - ((2.0 * theta) * (CAST(sxy_a AS DOUBLE)
+           - ((CAST(sx_a AS DOUBLE) * sy_a) / n_a)))
+       + ((theta * theta) * (CAST(sxx_a AS DOUBLE)
+           - ((CAST(sx_a AS DOUBLE) * sx_a) / n_a)))) / (n_a - 1.0)) / n_a
+   + (((CAST(syy_b AS DOUBLE) - ((CAST(sy_b AS DOUBLE) * sy_b) / n_b))
+       - ((2.0 * theta) * (CAST(sxy_b AS DOUBLE)
+           - ((CAST(sx_b AS DOUBLE) * sy_b) / n_b)))
+       + ((theta * theta) * (CAST(sxx_b AS DOUBLE)
+           - ((CAST(sx_b AS DOUBLE) * sx_b) / n_b)))) / (n_b - 1.0)) / n_b
+             ), 6) AS z_score
+FROM th
+"""
+
+
+@register("events_ab_cuped", oracle=_CUPED_ORACLE)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x151: CUPED variance-reduced A/B readout — the modern
+    experimentation standard (Deng et al., WSDM'13): adjust each user's
+    post-period metric y by their PRE-period covariate x, y' = y − θ(x−x̄)
+    with θ = Cov(x,y)/Var(x) pooled over all users, then a Welch z on y'.
+    Pre/post split at {_CUPED_SPLIT} (calendar knob), metric = purchase
+    counts, arms hash-assigned (salt 'cu:'). Completes the experiment kit:
+    x126 Welch, x144 rank-sum, this row covariate adjustment.
+
+    Exactness follows x126's scheme, extended: EVERY moment (Σx, Σy, Σx²,
+    Σxy, Σy² per arm and pooled — 16 BIGINTs) is gathered exactly in ONE
+    conditional user-grain-then-global aggregation; θ and the variance of
+    the adjusted metric expand into those moments (Var(y') = Var(y) −
+    2θCov + θ²Var(x) per arm), so the float epilogue runs once on a
+    single row with identical op order on both engines.
+
+    100 TB: identical shape to x126 — user-grain agg sharing one shuffle,
+    16-number global reduce, 1-row epilogue. CUPED typically buys
+    30-50 % variance reduction, i.e. the same power from half the
+    experiment duration — that is why it is the default at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cu:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    split = F.lit(_CUPED_SPLIT + " 00:00:00").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p & (F.col("ts").cast("timestamp") < split), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(is_p & (F.col("ts").cast("timestamp") >= split), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(variant.alias("v"), "x", "y")
+    )
+
+    def arm(c, col):
+        return F.sum(F.when(F.col("v") == c, col).otherwise(0)).cast("long")
+
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        arm(0, F.lit(1)).alias("n_a"),
+        arm(0, F.col("y")).alias("sy_a"),
+        arm(0, F.col("x")).alias("sx_a"),
+        arm(1, F.lit(1)).alias("n_b"),
+        arm(1, F.col("y")).alias("sy_b"),
+        arm(1, F.col("x")).alias("sx_b"),
+        arm(0, F.col("y") * F.col("y")).alias("syy_a"),
+        arm(1, F.col("y") * F.col("y")).alias("syy_b"),
+        arm(0, F.col("x") * F.col("x")).alias("sxx_a"),
+        arm(1, F.col("x") * F.col("x")).alias("sxx_b"),
+        arm(0, F.col("x") * F.col("y")).alias("sxy_a"),
+        arm(1, F.col("x") * F.col("y")).alias("sxy_b"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (D("sxy") - ((D("sx") * F.col("sy")) / F.col("n"))) / (
+        D("sxx") - ((D("sx") * F.col("sx")) / F.col("n"))
+    )
+    m = m.withColumn("theta", theta)
+    th = F.col("theta")
+    diff = (D("sy_b") / F.col("n_b") - D("sy_a") / F.col("n_a")) - (
+        th * (D("sx_b") / F.col("n_b") - D("sx_a") / F.col("n_a"))
+    )
+
+    def var_term(suf):
+        ssyy = D(f"syy_{suf}") - ((D(f"sy_{suf}") * F.col(f"sy_{suf}")) / F.col(f"n_{suf}"))
+        ssxy = D(f"sxy_{suf}") - ((D(f"sx_{suf}") * F.col(f"sy_{suf}")) / F.col(f"n_{suf}"))
+        ssxx = D(f"sxx_{suf}") - ((D(f"sx_{suf}") * F.col(f"sx_{suf}")) / F.col(f"n_{suf}"))
+        return (
+            (ssyy - ((F.lit(2.0) * th) * ssxy) + ((th * th) * ssxx))
+            / (F.col(f"n_{suf}") - F.lit(1.0))
+        ) / F.col(f"n_{suf}")
+
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(th, 6).alias("theta"),
+        F.round(diff, 6).alias("adj_diff"),
+        F.round(diff / F.sqrt(var_term("a") + var_term("b")), 6).alias("z_score"),
+    )

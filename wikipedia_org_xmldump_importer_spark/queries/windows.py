@@ -451,3 +451,106 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal_cents").cast("double") / F.sum("bal_cents").over(w), 6
         ).alias("share_of_region"),
     )
+
+
+# --------------------------------------------------------------------------
+# x150 — floor-at-zero running balance via Skorokhod reflection
+# --------------------------------------------------------------------------
+
+_REFLECT_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT)
+              WHEN event_type = 'click'
+              THEN -CAST(ROUND(value * 100) AS BIGINT)
+         END AS delta
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+),
+s0 AS (
+  SELECT user_id, ts, event_id,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM d
+),
+s AS (
+  SELECT user_id, ts, event_id, s,
+         MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+  FROM s0
+),
+b AS (
+  SELECT user_id,
+         s - LEAST(0, run_min) AS bal,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM s
+)
+SELECT user_id,
+       ROUND(CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS DOUBLE) / 100.0, 2)
+         AS final_balance,
+       ROUND(CAST(MAX(bal) AS DOUBLE) / 100.0, 2) AS peak_balance,
+       CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_floor_rows
+FROM b GROUP BY user_id
+"""
+
+
+@register("win_reflected_running", oracle=_REFLECT_ORACLE)
+def win_reflected_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x150: FLOOR-AT-ZERO running balance — purchases credit a user's
+    meter, clicks drain it, and the balance can never go negative:
+    B_t = max(B_{t-1} + δ_t, 0). That recurrence looks like it needs a
+    sequential stateful UDF (each step depends on the clamped previous
+    step) — but the one-sided SKOROKHOD REFLECTION identity solves it in
+    closed form: B_t = S_t − min(0, min_{s≤t} S_s), the raw running sum
+    minus the (clamped) running minimum of the running sum. Two stacked
+    windows over the SAME (user_id, ts) sort — pure Catalyst, no state
+    machine, no applyInPandas. The per-user report: final balance, peak
+    balance, and how many rows sat pinned at the floor.
+
+    This is the general template for "running agg with a one-sided
+    barrier" (inventory that can't go negative, rate-limit token buckets,
+    capped queues); a ceiling barrier reflects with max symmetric.
+
+    100 TB: one exchange on user_id feeds both window layers, the
+    trailing-extreme rank, and the final agg — a single sort, reused
+    (NOTES trap: both windows MUST share frame + order to stay in one
+    WindowExec)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias(
+            "delta"
+        ),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = d.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("delta").over(wrun).alias("s"),
+    ).withColumn("run_min", F.min("s").over(wrun))
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = s.select(
+        "user_id",
+        (F.col("s") - F.least(F.lit(0), F.col("run_min"))).alias("bal"),
+        F.row_number().over(wlast).alias("rn"),
+    )
+    return b.groupBy("user_id").agg(
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("bal"))).cast("double") / 100.0, 2
+        ).alias("final_balance"),
+        F.round(F.max("bal").cast("double") / 100.0, 2).alias("peak_balance"),
+        F.sum((F.col("bal") == 0).cast("int")).cast("long").alias("n_floor_rows"),
+    )
