@@ -402,3 +402,89 @@ def test_cuped_reduces_variance_vs_welch_shape(spark):
     assert (row.n_a, row.n_b) == (arms[0][0], arms[1][0])
     assert abs(row.theta - round(theta, 6)) < 1e-9
     assert abs(row.adj_diff - round(diff, 6)) < 1e-6
+
+
+def test_kcore_matches_sequential_peel(spark):
+    """The unrolled peel must equal the run-to-fixpoint sequential peel at
+    this SF (and the fixpoint must be reached within the round budget)."""
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in orders}
+    adj: dict = {}
+    for r in li:
+        c, s = cust_of[r.l_orderkey], -(r.l_suppkey + 1)
+        adj.setdefault(c, set()).add(s)
+        adj.setdefault(s, set()).add(c)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        dead = {n for n in alive if len(adj[n] & alive) < _KCORE_K}
+        if not dead:
+            break
+        alive -= dead
+        rounds += 1
+    assert rounds <= _KCORE_ROUNDS, "fixpoint exceeds the unrolled budget"
+    got = {r.node: (r.in_core, r.core_deg) for r in graph_kcore(spark, SF_SMOKE).collect()}
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n] == (n in alive, len(adj[n] & alive) if n in alive else 0)
+
+
+def test_path_trigrams_counts_and_order(spark):
+    """Counts recompute from a per-user sequential replay; ranks dense."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_path_trigrams,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    from collections import Counter
+
+    paths: Counter = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        types = [t for _, _, t in rows]
+        for i in range(len(types) - 2):
+            paths[">".join(types[i : i + 3])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = sorted(events_path_trigrams(spark, SF_SMOKE).collect(), key=lambda r: r.rank)
+    assert [(r.path, r.n) for r in got] == expect
+
+
+def test_centroid_affinity_bounds_and_self_consistency(spark):
+    """|cos| ≤ 1; the full upper triangle is present exactly once; values
+    agree with a numpy recompute over micro-unit-pinned centroids."""
+    import numpy as np
+
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        embed_centroid_affinity,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    by_label: dict = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype="float64"))
+    cent = {
+        lab: np.round(np.mean(np.stack(vs), axis=0) * 1_000_000.0).astype("int64")
+        for lab, vs in by_label.items()
+    }
+    labels = sorted(cent)
+    rows = embed_centroid_affinity(spark, SF_SMOKE).collect()
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    got = {(r.label_a, r.label_b): r.centroid_cos for r in rows}
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            dot = int(np.dot(cent[la], cent[lb]))
+            na = int(np.dot(cent[la], cent[la]))
+            nb = int(np.dot(cent[lb], cent[lb]))
+            expect = round(dot / (np.sqrt(float(na)) * np.sqrt(float(nb))), 6)
+            assert abs(got[(la, lb)] - expect) < 1e-9
+            assert -1.0 - 1e-9 <= got[(la, lb)] <= 1.0 + 1e-9

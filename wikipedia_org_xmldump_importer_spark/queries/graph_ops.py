@@ -325,3 +325,112 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# x152 — k-core membership via bounded peel rounds
+# --------------------------------------------------------------------------
+
+_KCORE_K = 20
+_KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(r: int) -> str:
+    prev = f"a{r - 1}"
+    return f"""
+a{r} AS (
+  SELECT e.src AS node
+  FROM e
+  JOIN {prev} s ON e.src = s.node
+  JOIN {prev} t ON e.dst = t.node
+  GROUP BY e.src
+  HAVING COUNT(*) >= {_KCORE_K}
+)"""
+
+
+_KCORE_ORACLE = (
+    f"""
+WITH eb AS (
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+a0 AS (SELECT DISTINCT src AS node FROM e),
+"""
+    + ",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))
+    + f""",
+cd AS (
+  SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+  FROM e
+  JOIN a{_KCORE_ROUNDS} s ON e.src = s.node
+  JOIN a{_KCORE_ROUNDS} t ON e.dst = t.node
+  GROUP BY e.src
+)
+SELECT a0.node,
+       CAST(cd.node IS NOT NULL AS BOOLEAN) AS in_core,
+       COALESCE(cd.core_deg, 0) AS core_deg
+FROM a0 LEFT JOIN cd ON a0.node = cd.node
+"""
+)
+
+
+@register("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x152: K-CORE membership (k={_KCORE_K}) on the customer↔supplier
+    graph (x63's edge set) via {_KCORE_ROUNDS} unrolled PEEL rounds:
+    repeatedly delete nodes whose degree among survivors is < k. The core
+    is the standard dense-substructure filter (community trimming, spam
+    subgraph isolation) between x63's global rank and x29's component
+    resolution. Declared semantics are the {_KCORE_ROUNDS}-round peel —
+    a fixpoint whenever convergence needs ≤ {_KCORE_ROUNDS} cascades
+    (true at every test SF, invariant-verified against a sequential
+    replay); pathological long-chain graphs need more rounds, the knob.
+    Output: every node, core membership, and degree within the core.
+
+    100 TB: each round is one self-semi-join of the edge list against the
+    survivor set + a degree agg — survivor sets only shrink, and
+    localCheckpoint cuts lineage per round exactly like x63/x29. The
+    all-integer output makes the SQL oracle (same rounds unrolled as
+    CTEs) bit-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.localCheckpoint(eager=True)
+    alive = e.select(F.col("src").alias("node")).distinct()
+    all_nodes = alive.localCheckpoint(eager=True)
+    alive = all_nodes
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(
+                alive.select(F.col("node").alias("dst")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    cd = (
+        e.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.select(F.col("node").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .withColumnRenamed("src", "node")
+    )
+    return all_nodes.join(cd, "node", "left").select(
+        "node",
+        F.col("core_deg").isNotNull().alias("in_core"),
+        F.coalesce(F.col("core_deg"), F.lit(0)).cast("long").alias("core_deg"),
+    )

@@ -1130,3 +1130,90 @@ def vec_truncate_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_norm(F.slice(v, 1, _TRUNC_DIMS)) / l2_norm(v), 6
         ).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# x154 — label-centroid affinity matrix (class-separability diagnostic)
+# --------------------------------------------------------------------------
+
+_AFFINITY_ORACLE = """
+WITH c AS (
+  SELECT label, pos,
+         CAST(ROUND(AVG(val) * 1000000.0) AS BIGINT) AS c_u
+  FROM (
+    SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) GROUP BY label, pos
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.c_u * b.c_u) AS BIGINT) AS dot_u,
+         CAST(SUM(a.c_u * a.c_u) AS BIGINT) AS na_u,
+         CAST(SUM(b.c_u * b.c_u) AS BIGINT) AS nb_u
+  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       ROUND(CAST(dot_u AS DOUBLE)
+             / (sqrt(CAST(na_u AS DOUBLE)) * sqrt(CAST(nb_u AS DOUBLE))), 6)
+         AS centroid_cos
+FROM p
+"""
+
+
+@register("embed_centroid_affinity", oracle=_AFFINITY_ORACLE)
+def embed_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x154: label-centroid AFFINITY matrix — cosine similarity between
+    every pair of class centroids in embedding space: the class-
+    separability diagnostic read before trusting l8's kNN or a linear
+    probe (two labels whose centroids cosine ≈ 1 are not separable by
+    anything centroid-shaped, and x43's near-dup threshold must clear the
+    off-diagonal max). Builds on l7's centroids; output is the
+    |labels|×|labels| upper triangle.
+
+    Determinism: per-(label, dim) centroids are PINNED to integer
+    micro-units first (l7's avg carries the usual measure-zero rounding
+    exposure); dot products and norms are then exact BIGINT sums of
+    integer products, so the pair stage is bit-exact on both engines and
+    the final cosine is two correctly-rounded sqrts + one divide.
+
+    100 TB: the n×d posexplode partial-aggregates map-side down to the
+    |labels|×d centroid matrix before its one shuffle; the pair join runs
+    on that tiny matrix (dim-partitioned self-join + pair agg). Scaling
+    to many labels keeps the same shape — the quadratic lives at LABEL
+    grain, never at row grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = (
+        emb.select(
+            "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val") * 1_000_000.0).cast("long").alias("c_u"))
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("c_u").alias("ca")
+    )
+    b = c.select(F.col("label").alias("label_b"), "pos", F.col("c_u").alias("cb"))
+    p = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot_u"),
+            F.sum(F.col("ca") * F.col("ca")).cast("long").alias("na_u"),
+            F.sum(F.col("cb") * F.col("cb")).cast("long").alias("nb_u"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot_u").cast("double")
+            / (
+                F.sqrt(F.col("na_u").cast("double"))
+                * F.sqrt(F.col("nb_u").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )

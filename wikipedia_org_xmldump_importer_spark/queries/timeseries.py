@@ -2554,3 +2554,66 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff, 6).alias("adj_diff"),
         F.round(diff / F.sqrt(var_term("a") + var_term("b")), 6).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# x153 — top event-type path trigrams (the 2-step generalization of x65)
+# --------------------------------------------------------------------------
+
+_TRIGRAM_TOPN = 10
+
+_TRIGRAM_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT event_type || '>' || t1 || '>' || t2 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s WHERE t2 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n, CAST(rk AS BIGINT) AS rank
+FROM (SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk FROM p)
+WHERE rk <= {_TRIGRAM_TOPN}
+"""
+
+
+@register("events_path_trigrams", oracle=_TRIGRAM_ORACLE)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x153: top-{_TRIGRAM_TOPN} behavioral PATH TRIGRAMS — the most
+    common 3-step event-type sequences across all users, the product-
+    analytics "common paths" panel. x65's Markov matrix is the 1-step
+    memoryless view; trigrams expose the second-order structure Markov
+    chains miss (a signup→view→purchase path is invisible to pairwise
+    transition counts when view also follows error).
+
+    100 TB: one user_id exchange for the double-lead window, then the
+    path groupBy partial-aggregates map-side (path cardinality is
+    |types|³ — tiny); top-N is an integer-ordered WindowGroupLimit, no
+    full sort. Longer n-grams generalize with more leads; per-session
+    paths compose with x58's session ids."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    p = (
+        s.filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        p.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _TRIGRAM_TOPN)
+        .select("path", "n", "rank")
+    )
