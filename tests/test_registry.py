@@ -89,6 +89,7 @@ def test_survey_registry_sync():
         "content_dedup",
         "match_steps_stream",
         "inter_arrival_gaps",
+        "alert_hysteresis_stream",
     }
     declared = names - test_only
     registered = set(REGISTRY)

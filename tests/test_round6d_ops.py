@@ -488,3 +488,67 @@ def test_centroid_affinity_bounds_and_self_consistency(spark):
             expect = round(dot / (np.sqrt(float(na)) * np.sqrt(float(nb))), 6)
             assert abs(got[(la, lb)] - expect) < 1e-9
             assert -1.0 - 1e-9 <= got[(la, lb)] <= 1.0 + 1e-9
+
+
+def test_quantile_normalize_matches_python_recompute(spark):
+    """Exact discrete inverse-CDF recompute: normalized value = smallest
+    pooled value whose pooled quantile >= the group quantile (integer
+    cross-multiplied compare), per (event_type, value)."""
+    from bisect import bisect_left
+
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        quantile_normalize,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    from collections import Counter
+
+    by_group: dict = {}
+    pooled: Counter = Counter()
+    for r in ev:
+        c = round(r.value * 100)
+        by_group.setdefault(r.event_type, Counter())[c] += 1
+        pooled[c] += 1
+    gvs = sorted(pooled)
+    n_glob = sum(pooled.values())
+    cum_glob = []
+    acc = 0
+    for gv in gvs:
+        acc += pooled[gv]
+        cum_glob.append(acc)
+    expect = {}
+    for g, cnt in by_group.items():
+        n_g = sum(cnt.values())
+        cg = 0
+        for v in sorted(cnt):
+            cg += cnt[v]
+            # smallest gv with cum_glob * n_g >= cg * n_glob
+            i = bisect_left([c * n_g for c in cum_glob], cg * n_glob)
+            expect[(g, round(v / 100.0, 2))] = (
+                round(cg / n_g, 6),
+                round(gvs[i] / 100.0, 2),
+            )
+    got = {
+        (r.event_type, r.value): (r.group_quantile, r.normalized_value)
+        for r in quantile_normalize(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_quantile_normalize_is_monotone_and_idempotent_shape(spark):
+    """Within a group, normalized values are monotone non-decreasing in
+    the raw value, and the top value of every group maps to the pooled
+    maximum."""
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        quantile_normalize,
+    )
+
+    rows = quantile_normalize(spark, SF_SMOKE).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r.event_type, []).append((r.value, r.normalized_value))
+    pooled_max = max(r.normalized_value for r in rows)
+    for vals in by_group.values():
+        vals.sort()
+        assert all(a[1] <= b[1] for a, b in zip(vals, vals[1:]))
+        assert vals[-1][1] == pooled_max

@@ -629,3 +629,22 @@ def test_inter_arrival_stream_matches_batch(spark, tmp_path):
     assert (merged["n_gaps_x"] == merged["n_gaps_y"]).all()
     assert (merged["min_gap_us_x"] == merged["min_gap_us_y"]).all()
     assert (merged["max_gap_us_x"] == merged["max_gap_us_y"]).all()
+
+
+def test_alert_hysteresis_stream_matches_batch(spark, tmp_path):
+    """st13: live Schmitt-trigger summaries — the final emit per user must
+    equal the batch twin x139 exactly (including open-episode counting)."""
+    staged = _staged(spark, tmp_path)
+    stream = ops.alert_hysteresis_stream(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_hyst", "update").toPandas()
+    final = got.groupby("user_id").tail(1)
+    final = final[final["n_episodes"] > 0]
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    batch = REGISTRY["events_alert_hysteresis"].fn(spark, SF_SMOKE).toPandas()
+    merged = final.merge(batch, on="user_id", how="outer", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    for col in ("n_episodes", "longest_episode", "n_alert_rows"):
+        assert (merged[f"{col}_x"] == merged[f"{col}_y"]).all()

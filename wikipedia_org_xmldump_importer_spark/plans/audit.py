@@ -74,6 +74,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row (n, s1, s2) totals frame broadcast-crossed onto the "
         "5-row per-lag aggregate table — bounded by construction (x147)"
     ),
+    ("quantile_normalize", "BroadcastNestedLoopJoin"): (
+        "|event_types|-row group frame and 1-row n_glob frame broadcast-"
+        "crossed onto the value-grain CDF tables — bounded by the price "
+        "grid, never row count (x155)"
+    ),
 }
 
 

@@ -384,3 +384,149 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("keep_permille"))
         .select("doc_id", "lang", "bucket", "keep_permille")
     )
+
+
+# --------------------------------------------------------------------------
+# x155 — quantile normalization across groups (exact integer rational form)
+# --------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+g AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY 1, 2
+),
+gc AS (
+  SELECT event_type, cents, t,
+         SUM(t) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+         SUM(t) OVER (PARTITION BY event_type) AS n_g
+  FROM g
+),
+gl AS (
+  SELECT cents AS gv, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY 1
+),
+glc AS (
+  SELECT gv, SUM(t) OVER (ORDER BY gv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_glob,
+         SUM(t) OVER () AS n_glob
+  FROM gl
+),
+anchors AS (
+  SELECT grp.event_type, glc.cum_glob * grp.n_g AS key, 1 AS is_anchor,
+         glc.gv, NULL::BIGINT AS cents, NULL::BIGINT AS cum_g,
+         grp.n_g, glc.n_glob
+  FROM glc CROSS JOIN (SELECT DISTINCT event_type, n_g FROM gc) grp
+),
+probes AS (
+  SELECT gc.event_type, gc.cum_g * glc.n_glob AS key, 0 AS is_anchor,
+         NULL::BIGINT AS gv, gc.cents, gc.cum_g, gc.n_g, glc.n_glob
+  FROM gc CROSS JOIN (SELECT DISTINCT n_glob FROM glc) glc
+),
+scan AS (
+  SELECT *,
+         LAST_VALUE(gv IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY key DESC, is_anchor DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS norm_cents
+  FROM (SELECT * FROM anchors UNION ALL SELECT * FROM probes)
+)
+SELECT event_type,
+       ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS value,
+       ROUND(CAST(cum_g AS DOUBLE) / n_g, 6) AS group_quantile,
+       ROUND(CAST(norm_cents AS DOUBLE) / 100.0, 2) AS normalized_value
+FROM scan WHERE is_anchor = 0
+"""
+
+
+@register("quantile_normalize", oracle=_QNORM_ORACLE)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x155: QUANTILE NORMALIZATION — map each group's value distribution
+    onto the pooled distribution by rank: a value at group-quantile q
+    becomes the smallest pooled value at global quantile ≥ q (the discrete
+    inverse CDF). The batch-effect remover of bioinformatics and the
+    feature normalizer that makes per-segment metrics comparable when the
+    segments have different scales.
+
+    The inverse-CDF lookup is the UNION-SCAN device, exact in integers:
+    the quantile comparison cum_g/n_g ≤ cum_glob/n_glob cross-multiplies
+    to BIGINT (cum_g·n_glob vs cum_glob·n_g — no float CDFs anywhere);
+    pooled CDF rows become ANCHORS, group CDF rows PROBES, one descending
+    sort per group with ignore-nulls last_value carries the matching
+    anchor onto every probe (anchors win key ties: quantile exactly
+    attained). Products bound by n² — DECIMAL(38,0) past ~3e9 rows.
+
+    100 TB: both CDFs live at VALUE grain (bounded by the price grid, not
+    the row count — the same collapse x144 uses); the anchor table
+    replicates per group (|types|×|grid| rows), the scan windows are
+    per-group sorts over that tiny union. Row-scale work is the two
+    value-grain aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    wg = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gc = (
+        v.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .select(
+            "event_type",
+            "cents",
+            F.sum("t").over(wg).alias("cum_g"),
+            F.sum("t").over(Window.partitionBy("event_type")).alias("n_g"),
+        )
+    )
+    wglob = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, 0)
+    glc = (
+        v.groupBy(F.col("cents").alias("gv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .select(
+            "gv",
+            F.sum("t").over(wglob).alias("cum_glob"),
+            F.sum("t").over(Window.partitionBy()).alias("n_glob"),
+        )
+    )
+    grp = gc.select("event_type", "n_g").distinct()
+    anchors = glc.crossJoin(F.broadcast(grp)).select(
+        "event_type",
+        (F.col("cum_glob") * F.col("n_g")).alias("key"),
+        F.lit(1).alias("is_anchor"),
+        "gv",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("long").alias("cum_g"),
+        "n_g",
+        "n_glob",
+    )
+    nglob = glc.select("n_glob").distinct()
+    probes = gc.crossJoin(F.broadcast(nglob)).select(
+        "event_type",
+        (F.col("cum_g") * F.col("n_glob")).alias("key"),
+        F.lit(0).alias("is_anchor"),
+        F.lit(None).cast("long").alias("gv"),
+        "cents",
+        "cum_g",
+        "n_g",
+        "n_glob",
+    )
+    wscan = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("key").desc(), F.col("is_anchor").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scan = anchors.unionByName(probes).withColumn(
+        "norm_cents", F.last("gv", ignorenulls=True).over(wscan)
+    )
+    return scan.filter(F.col("is_anchor") == 0).select(
+        "event_type",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("value"),
+        F.round(F.col("cum_g").cast("double") / F.col("n_g"), 6).alias(
+            "group_quantile"
+        ),
+        F.round(F.col("norm_cents").cast("double") / 100.0, 2).alias(
+            "normalized_value"
+        ),
+    )

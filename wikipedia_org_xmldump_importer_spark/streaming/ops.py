@@ -415,3 +415,74 @@ def inter_arrival_gaps(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def alert_hysteresis_stream(events: DataFrame) -> DataFrame:
+    """st13: LIVE Schmitt-trigger alert stream — the streaming twin of
+    x139 (events_alert_hysteresis): enter the alert state above HI, leave
+    below LO, count alert episodes / longest / total alert rows per user.
+    State per user is FIVE integers (current state, open-run length,
+    closed-episode count, longest, total) — O(1) regardless of history,
+    the exact property that makes hysteresis monitoring viable on an
+    unbounded stream where the batch twin's windows would buffer forever.
+
+    Emits the running per-user summary each batch (update mode), counting
+    a still-open run as an episode — identical to the batch twin's
+    trailing-island semantics, so the final emit per user equals x139's
+    row exactly (tested). Thresholds shared with the batch twin via the
+    queries.timeseries constants.
+
+    100 TB notes: one shuffle on user_id per batch; Arrow-amortized
+    Python hop; add GroupStateTimeout to reap idle users in production
+    (NoTimeout keeps replay equivalence exact)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..queries.timeseries import _HYST_HI, _HYST_LO  # noqa: PLC0415
+
+    out_schema = (
+        "user_id long, n_episodes long, longest_episode long, n_alert_rows long"
+    )
+    state_schema = (
+        "cur int, open_len long, n_closed long, longest long, total long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cur, open_len, n_closed, longest, total = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+                v = row["value"]
+                if v > _HYST_HI:
+                    cur = 1
+                elif v < _HYST_LO:
+                    if cur == 1 and open_len:
+                        n_closed += 1
+                        longest = max(longest, open_len)
+                        total += open_len
+                        open_len = 0
+                    cur = 0
+                if cur == 1:
+                    open_len += 1
+        state.update((cur, open_len, n_closed, longest, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_episodes": [n_closed + (1 if open_len else 0)],
+                "longest_episode": [max(longest, open_len)],
+                "n_alert_rows": [total + open_len],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
