@@ -552,3 +552,74 @@ def test_quantile_normalize_is_monotone_and_idempotent_shape(spark):
         vals.sort()
         assert all(a[1] <= b[1] for a, b in zip(vals, vals[1:]))
         assert vals[-1][1] == pooled_max
+
+
+def test_entropy_rate_identity_and_bounds(spark):
+    """Per-state entropies are in [0, log2 |types|]; the *RATE* row equals
+    the transition-count-weighted mean of the per-state rows."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_entropy_rate,
+    )
+
+    rows = events_entropy_rate(spark, SF_SMOKE).collect()
+    per = [r for r in rows if r.cur_type != "*RATE*"]
+    rate = [r for r in rows if r.cur_type == "*RATE*"][0]
+    n_types = len(per)
+    cap = math.log2(n_types) + 1e-6
+    for r in per:
+        assert 0.0 <= r.h_cond_bits <= cap
+    total = sum(r.n_transitions for r in per)
+    assert rate.n_transitions == total
+    weighted = sum(r.n_transitions * r.h_cond_bits for r in per) / total
+    assert abs(rate.h_cond_bits - weighted) < 1e-4
+
+
+def test_jaccard_links_recompute(spark):
+    """Top pairs recompute exactly from Python neighbor sets, including
+    the integer-key ordering."""
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        _JACCARD_TOPN,
+        graph_jaccard_links,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in orders}
+    nb: dict = {}
+    for r in li:
+        nb.setdefault(r.l_suppkey, set()).add(cust_of[r.l_orderkey])
+    supps = sorted(nb)
+    cand = []
+    for i, a in enumerate(supps):
+        for b in supps[i + 1 :]:
+            common = len(nb[a] & nb[b])
+            if not common:
+                continue
+            union = len(nb[a]) + len(nb[b]) - common
+            cand.append((common * 10**12 // union, a, b, common, union))
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = cand[:_JACCARD_TOPN]
+    got = sorted(graph_jaccard_links(spark, SF_SMOKE).collect(), key=lambda r: r.rank)
+    assert [(r.supp_a, r.supp_b, r.common) for r in got] == [
+        (a, b, c) for _, a, b, c, _ in expect
+    ]
+    for r, (_, _, _, c, u) in zip(got, expect):
+        assert abs(r.jaccard - round(c / u, 6)) < 1e-9
+
+
+def test_median_ci_contains_median_and_ranks_valid(spark):
+    """ci_lo ≤ median ≤ ci_hi; ranks are within [1, n]; the median equals
+    numpy's lower-median of the raw cents."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import agg_median_ci
+
+    row = agg_median_ci(spark, SF_SMOKE).collect()[0]
+    assert 1 <= row.r_lo <= row.r_med <= row.r_hi <= row.n
+    assert row.ci_lo <= row.median <= row.ci_hi
+    cents = sorted(
+        round(r.o_totalprice * 100)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    )
+    assert row.n == len(cents)
+    assert row.median == round(cents[(len(cents) + 1) // 2 - 1] / 100.0, 2)
+    assert row.ci_lo == round(cents[row.r_lo - 1] / 100.0, 2)
+    assert row.ci_hi == round(cents[row.r_hi - 1] / 100.0, 2)

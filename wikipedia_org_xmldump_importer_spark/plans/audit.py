@@ -74,6 +74,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row (n, s1, s2) totals frame broadcast-crossed onto the "
         "5-row per-lag aggregate table — bounded by construction (x147)"
     ),
+    ("agg_median_ci", "BroadcastNestedLoopJoin"): (
+        "1-row rank frame (n, r_lo, r_med, r_hi) broadcast-crossed onto "
+        "the value-grain CDF table — bounded by construction (x158)"
+    ),
     ("quantile_normalize", "BroadcastNestedLoopJoin"): (
         "|event_types|-row group frame and 1-row n_glob frame broadcast-"
         "crossed onto the value-grain CDF tables — bounded by the price "

@@ -1015,3 +1015,106 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# x158 — distribution-free median confidence interval (order statistics)
+# --------------------------------------------------------------------------
+
+_MCI_Z = 1.959964
+
+_MCI_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+g AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY cents
+),
+c AS (
+  SELECT cents, t,
+         SUM(t) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+n AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM g),
+r AS (
+  SELECT n,
+         (n + 1) // 2 AS r_med,
+         GREATEST(1, CAST(FLOOR((n - ({_MCI_Z!r} * sqrt(n))) / 2.0)
+                          AS BIGINT)) AS r_lo,
+         LEAST(n, CAST(CEIL((n + ({_MCI_Z!r} * sqrt(n))) / 2.0) AS BIGINT)
+                  + 1) AS r_hi
+  FROM n
+)
+SELECT r.n, r.r_lo, r.r_med, r.r_hi,
+       ROUND(CAST(MIN(CASE WHEN c.cum >= r.r_lo THEN c.cents END) AS DOUBLE)
+             / 100.0, 2) AS ci_lo,
+       ROUND(CAST(MIN(CASE WHEN c.cum >= r.r_med THEN c.cents END) AS DOUBLE)
+             / 100.0, 2) AS median,
+       ROUND(CAST(MIN(CASE WHEN c.cum >= r.r_hi THEN c.cents END) AS DOUBLE)
+             / 100.0, 2) AS ci_hi
+FROM c CROSS JOIN r
+GROUP BY r.n, r.r_lo, r.r_med, r.r_hi
+"""
+
+
+@register("agg_median_ci", oracle=_MCI_ORACLE)
+def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x158: DISTRIBUTION-FREE median confidence interval — the classic
+    order-statistic CI: the 95 % interval for the population median is
+    (x₍ₗ₎, x₍ᵤ₎) with l = max(1, ⌊(n − z√n)/2⌋) and
+    u = min(n, ⌈(n + z√n)/2⌉ + 1), z = {_MCI_Z} — from the binomial
+    normal approximation of sign counts; NO normality assumed of the data
+    (x10's agg_stats CI devices assume it). The convention (floor/ceil/+1,
+    clamped) is pinned here and in the oracle.
+
+    Exactness: rank selection happens at VALUE grain via cumulative
+    counts (x106's device) — value at rank r = min value with cum ≥ r, an
+    integer pick; the only floats are the three rank formulas (identical
+    op order, one sqrt) and the dollar epilogue.
+
+    100 TB: value-grain agg collapses map-side (price-grid bounded); the
+    rank frame is 1 row broadcast onto it; no row-grain sort ever —
+    contrast with a naive ORDER BY + OFFSET median."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("cents", "t", F.sum("t").over(wcum).alias("cum"))
+    n = g.agg(F.sum("t").cast("long").alias("n"))
+    sq = F.sqrt(F.col("n").cast("double"))
+    r = n.select(
+        "n",
+        F.expr("(n + 1) DIV 2").alias("r_med"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.col("n") - (F.lit(_MCI_Z) * sq)) / F.lit(2.0)).cast("long"),
+        ).alias("r_lo"),
+        F.least(
+            F.col("n"),
+            F.ceil((F.col("n") + (F.lit(_MCI_Z) * sq)) / F.lit(2.0)).cast("long")
+            + 1,
+        ).alias("r_hi"),
+    )
+
+    def pick(rank_col):
+        return F.round(
+            F.min(F.when(F.col("cum") >= F.col(rank_col), F.col("cents")))
+            .cast("double")
+            / 100.0,
+            2,
+        )
+
+    return (
+        c.crossJoin(F.broadcast(r))
+        .groupBy("n", "r_lo", "r_med", "r_hi")
+        .agg(
+            pick("r_lo").alias("ci_lo"),
+            pick("r_med").alias("median"),
+            pick("r_hi").alias("ci_hi"),
+        )
+        .select("n", "r_lo", "r_med", "r_hi", "ci_lo", "median", "ci_hi")
+    )

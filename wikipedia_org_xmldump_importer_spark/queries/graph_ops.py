@@ -434,3 +434,109 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("core_deg").isNotNull().alias("in_core"),
         F.coalesce(F.col("core_deg"), F.lit(0)).cast("long").alias("core_deg"),
     )
+
+
+# --------------------------------------------------------------------------
+# x157 — neighbor-set Jaccard link prediction over the co-purchase graph
+# --------------------------------------------------------------------------
+
+_JACCARD_TOPN = 20
+
+_JACCARD_ORACLE = f"""
+WITH eb AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT supp, CAST(COUNT(*) AS BIGINT) AS deg FROM eb GROUP BY supp),
+pairs AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM eb a JOIN eb b ON a.cust = b.cust AND a.supp < b.supp
+  GROUP BY a.supp, b.supp
+),
+j AS (
+  SELECT p.supp_a, p.supp_b, p.common,
+         da.deg AS deg_a, db.deg AS deg_b,
+         (p.common * 1000000000000) // ((da.deg + db.deg) - p.common)
+           AS jkey
+  FROM pairs p
+  JOIN deg da ON p.supp_a = da.supp
+  JOIN deg db ON p.supp_b = db.supp
+)
+SELECT supp_a, supp_b, common, deg_a, deg_b,
+       ROUND(CAST(common AS DOUBLE) / ((deg_a + deg_b) - common), 6)
+         AS jaccard,
+       CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY jkey DESC, supp_a, supp_b) AS rk
+  FROM j
+) WHERE rk <= {_JACCARD_TOPN}
+"""
+
+
+@register("graph_jaccard_links", oracle=_JACCARD_ORACLE)
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x157: LINK PREDICTION by neighbor-set Jaccard — the top-{_JACCARD_TOPN}
+    supplier pairs ranked by |common customers| / |union of customers|:
+    the "suppliers like this one" / people-also-bought primitive, and the
+    graph-similarity complement to x131's containment dedup (same measure,
+    node-neighborhood sets instead of token multisets).
+
+    Candidate pairs are generated BY SHARED NEIGHBOR (self-join of the
+    bipartite edge list on the customer key) — bounded by per-customer
+    degree like x6's band buckets, never an all-pairs supplier square.
+    Ranking is on an exact INTEGER key (common·10¹² // union) so order is
+    engine-independent; the float jaccard column is display only.
+
+    100 TB: edge dedup + degree agg + the shared-neighbor join all
+    partition on their keys; hub customers (huge degree) are the skew
+    knob — cap or sample per-customer neighbor lists past a bound, the
+    same mitigation x7 documents."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = eb.groupBy("supp").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = eb.select("cust", F.col("supp").alias("supp_a"))
+    b = eb.select("cust", F.col("supp").alias("supp_b"))
+    pairs = (
+        a.join(b, "cust")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("supp").alias("supp_a"), F.col("deg").alias("deg_a"))),
+            "supp_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("supp").alias("supp_b"), F.col("deg").alias("deg_b"))),
+            "supp_b",
+        )
+        .withColumn(
+            "jkey",
+            F.expr("common * 1000000000000 DIV ((deg_a + deg_b) - common)"),
+        )
+    )
+    wr = Window.orderBy(F.col("jkey").desc(), "supp_a", "supp_b")
+    return (
+        j.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _JACCARD_TOPN)
+        .select(
+            "supp_a",
+            "supp_b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common").cast("double")
+                / ((F.col("deg_a") + F.col("deg_b")) - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            "rank",
+        )
+    )

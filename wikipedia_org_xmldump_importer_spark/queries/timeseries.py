@@ -2617,3 +2617,104 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TRIGRAM_TOPN)
         .select("path", "n", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# x156 — entropy rate of the behavioral Markov chain
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH s AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+),
+c AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+n AS (
+  SELECT cur, c, CAST(SUM(c) OVER (PARTITION BY cur) AS BIGINT) AS n_cur,
+         CAST(SUM(c) OVER () AS BIGINT) AS n_tot
+  FROM c
+),
+u AS (
+  SELECT cur, n_cur, n_tot,
+         c * CAST(ROUND(-log2(CAST(c AS DOUBLE) / n_cur) * 1000000.0)
+                  AS BIGINT) AS term_u
+  FROM n
+),
+per AS (
+  SELECT cur AS cur_type, CAST(MAX(n_cur) AS BIGINT) AS n_transitions,
+         CAST(SUM(term_u) AS BIGINT) AS sum_u,
+         CAST(MAX(n_tot) AS BIGINT) AS n_tot
+  FROM u GROUP BY cur
+)
+SELECT cur_type, n_transitions,
+       ROUND(CAST(sum_u AS DOUBLE) / (n_transitions * 1000000.0), 6)
+         AS h_cond_bits
+FROM per
+UNION ALL
+SELECT '*RATE*', CAST(SUM(n_transitions) AS BIGINT),
+       ROUND(CAST(SUM(sum_u) AS DOUBLE) / (MAX(n_tot) * 1000000.0), 6)
+FROM per
+"""
+
+
+@register("events_entropy_rate", oracle=_ENTROPY_ORACLE)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x156: ENTROPY RATE of the behavioral Markov chain — per current
+    state, the conditional entropy H(next|cur) of x65's transition
+    matrix, plus the chain's overall rate Σ p(cur)·H(next|cur) as the
+    '*RATE*' row. The predictability ceiling of user behavior: a rate
+    near log2|types| says x65/x153's models cannot beat uniform guessing;
+    near 0 says behavior is scripted (bot signature).
+
+    Fixed-point discipline (NOTES trap #18): each transition's surprisal
+    is pinned to integer micro-units weighted by its exact count; per-state
+    and overall sums are exact BIGINT; one float divide at the end. The
+    weighted overall rate needs NO extra pass — Σ_cur n_cur·H_cur =
+    Σ all term_u, so the '*RATE*' row is an agg over the per-state rows.
+
+    100 TB: one user_id exchange for the lead window, transition counts
+    collapse map-side to |types|² rows, everything after runs on that tiny
+    matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    )
+    c = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = c.select(
+        "cur",
+        "c",
+        F.sum("c").over(Window.partitionBy("cur")).cast("long").alias("n_cur"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("n_tot"),
+    )
+    term_u = F.col("c") * F.round(
+        -F.log2(F.col("c").cast("double") / F.col("n_cur")) * 1_000_000.0
+    ).cast("long")
+    per = n.groupBy(F.col("cur").alias("cur_type")).agg(
+        F.max("n_cur").cast("long").alias("n_transitions"),
+        F.sum(term_u).cast("long").alias("sum_u"),
+        F.max("n_tot").cast("long").alias("n_tot"),
+    )
+    per_rows = per.select(
+        "cur_type",
+        "n_transitions",
+        F.round(
+            F.col("sum_u").cast("double") / (F.col("n_transitions") * 1_000_000.0), 6
+        ).alias("h_cond_bits"),
+    )
+    rate = per.agg(
+        F.sum("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.sum("sum_u").cast("double") / (F.max("n_tot") * 1_000_000.0), 6
+        ).alias("h_cond_bits"),
+    ).select(F.lit("*RATE*").alias("cur_type"), "n_transitions", "h_cond_bits")
+    return per_rows.unionByName(rate)
