@@ -623,3 +623,119 @@ def test_median_ci_contains_median_and_ranks_valid(spark):
     assert row.median == round(cents[(len(cents) + 1) // 2 - 1] / 100.0, 2)
     assert row.ci_lo == round(cents[row.r_lo - 1] / 100.0, 2)
     assert row.ci_hi == round(cents[row.r_hi - 1] / 100.0, 2)
+
+
+def test_ratio_delta_recompute(spark):
+    """Per-arm ratio and delta variance recompute from Python moments."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_ab_ratio_delta,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    per_user: dict = {}
+    for r in ev:
+        x, y = per_user.get(r.user_id, (0, 0))
+        if r.event_type == "view":
+            x += 1
+        elif r.event_type == "purchase":
+            y += round(r.value * 100)
+        per_user[r.user_id] = (x, y)
+    arms = {0: [], 1: []}
+    for uid, (x, y) in per_user.items():
+        v = int(hashlib.md5(f"rd:{uid}".encode()).hexdigest()[:3], 16) % 2
+        arms[v].append((x, y))
+
+    def stats(rows):
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)
+        sxx = sum(x * x for x, _ in rows)
+        sxy = sum(x * y for x, y in rows)
+        syy = sum(y * y for _, y in rows)
+        ratio = sy / sx
+        var = (
+            (
+                (syy - ((float(sy) * sy) / n))
+                - ((2.0 * ratio) * (sxy - ((float(sx) * sy) / n)))
+                + ((ratio * ratio) * (sxx - ((float(sx) * sx) / n)))
+            )
+            / (n - 1.0)
+            / ((sx / n) * (sx / n))
+        ) / n
+        return n, ratio, var
+
+    na, ra, va = stats(arms[0])
+    nb, rb, vb = stats(arms[1])
+    row = events_ab_ratio_delta(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.ratio_a - round(ra / 100.0, 6)) < 1e-9
+    assert abs(row.ratio_b - round(rb / 100.0, 6)) < 1e-9
+    assert abs(row.z_score - round((rb - ra) / math.sqrt(va + vb), 6)) < 1e-6
+
+
+def test_cohort_ltv_monotone_and_total(spark):
+    """LTV curves are non-decreasing in age; the final cumulative revenue
+    summed over cohorts equals total purchase revenue; cohort sizes
+    partition the user base."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_cohort_ltv,
+    )
+
+    rows = events_cohort_ltv(spark, SF_SMOKE).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    total_cents = sum(
+        round(r.value * 100) for r in ev if r.event_type == "purchase"
+    )
+    last_sum = 0.0
+    seen_users = 0
+    seen_cohorts = set()
+    for wk, curve in by_cohort.items():
+        curve.sort(key=lambda r: r.age_week)
+        assert all(
+            a.cum_revenue <= b.cum_revenue for a, b in zip(curve, curve[1:])
+        )
+        for r in curve:
+            assert abs(r.ltv_per_user - round(r.cum_revenue / r.n_users, 6)) < 1e-6
+        last_sum += curve[-1].cum_revenue
+        if wk not in seen_cohorts:
+            seen_cohorts.add(wk)
+            seen_users += curve[0].n_users
+    assert abs(last_sum - total_cents / 100.0) < 0.01 * len(by_cohort) + 1e-9
+    assert seen_users == len({r.user_id for r in ev})
+
+
+def test_zipf_slope_recompute(spark):
+    """Slope/intercept recompute exactly from the pinned-log regression."""
+    from collections import Counter
+
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        _ZIPF_TOP,
+        text_zipf_slope,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    tf: Counter = Counter()
+    for r in docs:
+        tf.update(r.text.split(" "))
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+    us = [
+        (round(math.log2(i + 1) * 10000.0), round(math.log2(f) * 10000.0))
+        for i, (_, f) in enumerate(ranked)
+    ]
+    n = len(us)
+    sur = sum(a for a, _ in us)
+    suf = sum(b for _, b in us)
+    sur2 = sum(a * a for a, _ in us)
+    suruf = sum(a * b for a, b in us)
+    slope = (n * suruf - sur * suf) / (n * sur2 - sur * sur)
+    row = text_zipf_slope(spark, SF_SMOKE).collect()[0]
+    assert row.n_terms == n
+    assert abs(row.zipf_slope - round(slope, 6)) < 1e-9
+    assert abs(
+        row.log2_intercept - round(((suf - (slope * sur)) / n) / 10000.0, 6)
+    ) < 1e-6

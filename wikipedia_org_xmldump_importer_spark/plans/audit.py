@@ -74,6 +74,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row (n, s1, s2) totals frame broadcast-crossed onto the "
         "5-row per-lag aggregate table — bounded by construction (x147)"
     ),
+    ("events_ab_ratio_delta", "BroadcastNestedLoopJoin"): (
+        "the two 1-row arm frames cross for the final z — bounded by "
+        "construction (x159)"
+    ),
     ("agg_median_ci", "BroadcastNestedLoopJoin"): (
         "1-row rank frame (n, r_lo, r_med, r_hi) broadcast-crossed onto "
         "the value-grain CDF table — bounded by construction (x158)"

@@ -2184,3 +2184,96 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_span_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# x161 — Zipf rank-frequency slope of the corpus vocabulary
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r
+  FROM tf
+),
+u AS (
+  SELECT CAST(ROUND(log2(CAST(r AS DOUBLE)) * 10000.0) AS BIGINT) AS ur,
+         CAST(ROUND(log2(CAST(f AS DOUBLE)) * 10000.0) AS BIGINT) AS uf
+  FROM ranked WHERE r <= {_ZIPF_TOP}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ur) AS BIGINT) AS sur, CAST(SUM(uf) AS BIGINT) AS suf,
+         CAST(SUM(ur * ur) AS BIGINT) AS sur2,
+         CAST(SUM(ur * uf) AS BIGINT) AS suruf
+  FROM u
+)
+SELECT n AS n_terms,
+       ROUND(CAST(n * suruf - sur * suf AS DOUBLE)
+             / CAST(n * sur2 - sur * sur AS DOUBLE), 6) AS zipf_slope,
+       ROUND(((CAST(suf AS DOUBLE)
+               - ((CAST(n * suruf - sur * suf AS DOUBLE)
+                   / CAST(n * sur2 - sur * sur AS DOUBLE)) * sur)) / n)
+             / 10000.0, 6) AS log2_intercept
+FROM s
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x161: ZIPF rank-frequency fit — least-squares slope of
+    log2(frequency) on log2(rank) over the top-{_ZIPF_TOP} vocabulary
+    terms. Natural corpora fit slope ≈ −1; a much flatter slope is the
+    fingerprint of synthetic/templated text (this synthetic vocab is
+    near-uniform — exactly what the diagnostic is for), a steeper one of
+    heavy boilerplate. The corpus-level companion to x130's coverage
+    curve and x113's source entropy.
+
+    Fixed-point discipline: both logs are pinned to integer 1e4-units
+    (trap #18), the regression reduces to five exact BIGINT sums, and the
+    slope is a ratio of integer-differences — the 1e4 units CANCEL in the
+    slope, so no unit correction appears; the intercept divides out once.
+    Rank ties break on the token string, pinned in both spellings.
+
+    100 TB: token-count agg collapses map-side to |vocab|; the rank
+    window and regression run on the top-{_ZIPF_TOP} table. The top-k
+    rank over |vocab| is WindowGroupLimit-pruned, not a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    wr = Window.orderBy(F.col("f").desc(), "w")
+    ranked = tf.withColumn("r", F.row_number().over(wr)).filter(
+        F.col("r") <= _ZIPF_TOP
+    )
+    u = ranked.select(
+        F.round(F.log2(F.col("r").cast("double")) * 10000.0).cast("long").alias("ur"),
+        F.round(F.log2(F.col("f").cast("double")) * 10000.0).cast("long").alias("uf"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ur").cast("long").alias("sur"),
+        F.sum("uf").cast("long").alias("suf"),
+        F.sum(F.col("ur") * F.col("ur")).cast("long").alias("sur2"),
+        F.sum(F.col("ur") * F.col("uf")).cast("long").alias("suruf"),
+    )
+    num = (F.col("n") * F.col("suruf") - F.col("sur") * F.col("suf")).cast("double")
+    den = (F.col("n") * F.col("sur2") - F.col("sur") * F.col("sur")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            ((F.col("suf").cast("double") - (slope * F.col("sur"))) / F.col("n"))
+            / 10000.0,
+            6,
+        ).alias("log2_intercept"),
+    )

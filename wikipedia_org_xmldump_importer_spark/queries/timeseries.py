@@ -2718,3 +2718,234 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h_cond_bits"),
     ).select(F.lit("*RATE*").alias("cur_type"), "n_transitions", "h_cond_bits")
     return per_rows.unionByName(rate)
+
+
+# --------------------------------------------------------------------------
+# x159 — delta-method ratio-metric A/B test
+# --------------------------------------------------------------------------
+
+_RATIO_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substring(md5('rd:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM u GROUP BY variant
+),
+r AS (
+  SELECT variant, n, sx, sy,
+         CAST(sy AS DOUBLE) / sx AS ratio,
+         ((((CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * sy) / n))
+            - ((2.0 * (CAST(sy AS DOUBLE) / sx))
+               * (CAST(sxy AS DOUBLE) - ((CAST(sx AS DOUBLE) * sy) / n)))
+            + (((CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx))
+               * (CAST(sxx AS DOUBLE) - ((CAST(sx AS DOUBLE) * sx) / n))))
+           / (n - 1.0))
+          / ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))) / n
+           AS var_r
+  FROM m
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       ROUND(a.ratio / 100.0, 6) AS ratio_a,
+       ROUND(b.ratio / 100.0, 6) AS ratio_b,
+       ROUND((b.ratio - a.ratio) / sqrt(a.var_r + b.var_r), 6) AS z_score
+FROM (SELECT * FROM r WHERE variant = 0) a
+CROSS JOIN (SELECT * FROM r WHERE variant = 1) b
+"""
+
+
+@register("events_ab_ratio_delta", oracle=_RATIO_ORACLE)
+def events_ab_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x159: DELTA-METHOD ratio-metric A/B test — the metric is a ratio of
+    sums (purchase revenue per view), which is NOT a mean of i.i.d. user
+    values, so x126's Welch variance is wrong for it; the delta method
+    gives Var(R) ≈ [Var(y) − 2R·Cov(x,y) + R²·Var(x)] / (n·x̄²) with the
+    user as the randomization unit. Completes the experimentation suite:
+    x126 mean metrics, x144 rank metrics, x151 covariate adjustment, this
+    row ratio metrics (sessions-per-user denominators — the case every
+    real platform hits).
+
+    Exactness: per-arm moments (n, Σx, Σy, Σx², Σxy, Σy²) are exact
+    BIGINT from one conditional agg; each arm's ratio and delta variance
+    assemble in one identically-parenthesized float expression; revenue
+    cents keep y integral.
+
+    100 TB: user-grain agg + 2-row arm agg + 1×1 bounded cross of the two
+    arm rows."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rd:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select(variant.alias("variant"), "x", "y")
+    )
+    m = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    ratio = D("sy") / F.col("sx")
+    var_r = (
+        (
+            (
+                (D("syy") - ((D("sy") * F.col("sy")) / F.col("n")))
+                - (
+                    (F.lit(2.0) * ratio)
+                    * (D("sxy") - ((D("sx") * F.col("sy")) / F.col("n")))
+                )
+                + (
+                    (ratio * ratio)
+                    * (D("sxx") - ((D("sx") * F.col("sx")) / F.col("n")))
+                )
+            )
+            / (F.col("n") - F.lit(1.0))
+        )
+        / ((D("sx") / F.col("n")) * (D("sx") / F.col("n")))
+    ) / F.col("n")
+    r = m.select("variant", "n", ratio.alias("ratio"), var_r.alias("var_r"))
+    a = r.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("ratio").alias("ra"), F.col("var_r").alias("va")
+    )
+    b = r.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("ratio").alias("rb"), F.col("var_r").alias("vb")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("ra") / 100.0, 6).alias("ratio_a"),
+        F.round(F.col("rb") / 100.0, 6).alias("ratio_b"),
+        F.round(
+            (F.col("rb") - F.col("ra")) / F.sqrt(F.col("va") + F.col("vb")), 6
+        ).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x160 — cohort LTV curves (cumulative revenue per user by cohort age)
+# --------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+  FROM events GROUP BY user_id
+),
+cs AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first_seen GROUP BY cohort_wk
+),
+rev AS (
+  SELECT f.cohort_wk,
+         CAST(datediff('day', f.cohort_wk, date_trunc('week', e.ts)) // 7
+              AS BIGINT) AS age_wk,
+         CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events e
+  JOIN first_seen f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_wk, age_wk,
+         SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM rev
+)
+SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       c.age_wk AS age_week,
+       cs.n_users,
+       ROUND(CAST(c.cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
+       ROUND((CAST(c.cum_cents AS DOUBLE) / 100.0) / cs.n_users, 6)
+         AS ltv_per_user
+FROM cum c JOIN cs ON c.cohort_wk = cs.cohort_wk
+"""
+
+
+@register("events_cohort_ltv", oracle=_LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x160: cohort LTV CURVES — cumulative purchase revenue per user by
+    acquisition-week cohort and cohort age: the lifetime-value panel next
+    to x59's retention grid (active fraction) and x118's churn flags
+    (terminal state). Reading down a column compares cohort quality;
+    flattening curves say payback stalls at that age.
+
+    Age is an exact integer: both dates are week-truncated, so the day
+    difference is divisible by 7 and the integer division is exact —
+    never a float week fraction. Revenue is integer cents end-to-end;
+    the per-user division happens once per output row.
+
+    100 TB: first-seen agg shares the user_id shuffle with x59; the
+    revenue join broadcasts nothing row-scale (first_seen is user-grain —
+    hash join on user_id); the cumulative window runs at (cohort × age)
+    grain, which is bounded by the calendar, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    cs = first_seen.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), cohort_wk) DIV 7 AS BIGINT)"
+            ).alias("age_wk"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "cohort_wk", "age_wk", F.sum("cents").over(wcum).alias("cum_cents")
+    )
+    return cum.join(cs, "cohort_wk").select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("age_wk").alias("age_week"),
+        "n_users",
+        F.round(F.col("cum_cents").cast("double") / 100.0, 2).alias("cum_revenue"),
+        F.round(
+            (F.col("cum_cents").cast("double") / 100.0) / F.col("n_users"), 6
+        ).alias("ltv_per_user"),
+    )
