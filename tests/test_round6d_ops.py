@@ -739,3 +739,74 @@ def test_zipf_slope_recompute(spark):
     assert abs(
         row.log2_intercept - round(((suf - (slope * sur)) / n) / 10000.0, 6)
     ) < 1e-6
+
+
+def test_l_diversity_flags_and_partition(spark):
+    """Every class's distinct-sensitive count is between 1 and group size;
+    flags agree with l; classes partition the customer base."""
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        _LDIV_L,
+        privacy_l_diversity,
+    )
+
+    rows = privacy_l_diversity(spark, SF_SMOKE).collect()
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r.group_size for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.n_sensitive <= min(r.group_size, 5)
+        assert r.violates_l == (r.n_sensitive < _LDIV_L)
+
+
+def test_rate_compare_recompute(spark):
+    """Counts and the conditional binomial z recompute from Python."""
+    from datetime import datetime
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _RATE_SPLIT,
+        events_rate_compare,
+    )
+
+    split = datetime.strptime(_RATE_SPLIT, "%Y-%m-%d")
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    counts: dict = {}
+    for r in ev:
+        n1, n2 = counts.get(r.event_type, (0, 0))
+        if r.ts < split:
+            n1 += 1
+        else:
+            n2 += 1
+        counts[r.event_type] = (n1, n2)
+    t1 = sum(a for a, _ in counts.values())
+    t2 = sum(b for _, b in counts.values())
+    p0 = t1 / (t1 + t2)
+    got = {r.event_type: r for r in events_rate_compare(spark, SF_SMOKE).collect()}
+    for et, (n1, n2) in counts.items():
+        mean = (n1 + n2) * p0
+        z = (n1 - mean) / math.sqrt(mean * (1.0 - p0))
+        assert (got[et].n1, got[et].n2) == (n1, n2)
+        assert abs(got[et].z_score - round(z, 6)) < 1e-6
+
+
+def test_herfindahl_bounds_and_recompute(spark):
+    """1/n ≤ HHI ≤ 1; exact recompute from integer cents."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import agg_herfindahl
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    sup = {r.s_suppkey: r.s_nationkey for r in load_table(spark, SF_SMOKE, "supplier").collect()}
+    rev: dict = {}
+    for r in li:
+        key = (sup[r.l_suppkey], r.l_suppkey)
+        rev[key] = rev.get(key, 0) + round(r.l_extendedprice * 100)
+    by_nation: dict = {}
+    for (nk, _), cents in rev.items():
+        by_nation.setdefault(nk, []).append(cents)
+    got = {r.s_nationkey: r for r in agg_herfindahl(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_nation)
+    for nk, vals in by_nation.items():
+        total = sum(vals)
+        hhi = sum(v * v for v in vals) / (float(total) * float(total))
+        r = got[nk]
+        assert r.n_suppliers == len(vals)
+        assert abs(r.hhi - round(hhi, 6)) < 1e-9
+        assert 1.0 / len(vals) - 1e-9 <= r.hhi <= 1.0 + 1e-9
+        assert abs(r.top_share - round(max(vals) / total, 6)) < 1e-9

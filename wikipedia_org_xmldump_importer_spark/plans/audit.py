@@ -78,6 +78,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "the two 1-row arm frames cross for the final z — bounded by "
         "construction (x159)"
     ),
+    ("events_rate_compare", "BroadcastNestedLoopJoin"): (
+        "1-row (t1, t2) totals frame broadcast-crossed onto the |types|-"
+        "row count table — bounded by construction (x163)"
+    ),
     ("agg_median_ci", "BroadcastNestedLoopJoin"): (
         "1-row rank frame (n, r_lo, r_med, r_hi) broadcast-crossed onto "
         "the value-grain CDF table — bounded by construction (x158)"

@@ -1118,3 +1118,78 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "r_lo", "r_med", "r_hi", "ci_lo", "median", "ci_hi")
     )
+
+
+# --------------------------------------------------------------------------
+# x164 — Herfindahl-Hirschman market concentration per nation
+# --------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey,
+         l.l_suppkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+agg AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sum_sq,
+         CAST(MAX(cents) AS BIGINT) AS max_cents
+  FROM rev GROUP BY s_nationkey
+)
+SELECT s_nationkey, n_suppliers,
+       ROUND(CAST(sum_sq AS DOUBLE)
+             / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)),
+             6) AS hhi,
+       ROUND(CAST(max_cents AS DOUBLE) / total_cents, 6) AS top_share
+FROM agg
+"""
+
+
+@register("agg_herfindahl", oracle=_HHI_ORACLE)
+def agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x164: HERFINDAHL-HIRSCHMAN INDEX — supplier revenue concentration
+    per nation: HHI = Σ shareᵢ² (1/n = perfect competition … 1 =
+    monopoly), plus the top-supplier share. The antitrust-grade
+    concentration measure next to x136's Gini (inequality of the whole
+    distribution) and x42's heavy hitters (who the big ones are): HHI is
+    the one that moves when the top two merge.
+
+    Exactness: Σsᵢ² runs in DECIMAL(38,0)/HUGEINT accumulators — supplier
+    revenue cents square past BIGINT at real scale (1e12² = 1e24); the
+    exact integer Σsᵢ² and (Σsᵢ)² convert to double once each, so
+    HHI = Σsᵢ²/S² needs no per-share float ever.
+
+    100 TB: lineitem⋈supplier is a broadcast join (supplier dim);
+    revenue agg partial-aggregates map-side; the HHI agg runs at
+    |nations| grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    agg = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sum_sq"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    tot = F.col("total_cents").cast("double")
+    return agg.select(
+        "s_nationkey",
+        "n_suppliers",
+        F.round(F.col("sum_sq").cast("double") / (tot * tot), 6).alias("hhi"),
+        F.round(F.col("max_cents").cast("double") / F.col("total_cents"), 6).alias(
+            "top_share"
+        ),
+    )

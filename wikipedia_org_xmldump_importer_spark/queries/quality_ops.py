@@ -497,3 +497,60 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# x162 — l-diversity audit (the sensitive-attribute companion to x145)
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+WITH q AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         c_mktsegment
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+  FROM q GROUP BY c_nationkey, bal_bucket
+)
+SELECT c_nationkey, bal_bucket, group_size, n_sensitive,
+       CAST(n_sensitive < {_LDIV_L} AS BOOLEAN) AS violates_l
+FROM g
+"""
+
+
+@register("privacy_l_diversity", oracle=_LDIV_ORACLE)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x162: l-DIVERSITY audit — x145's necessary companion: a QI class
+    can be k-anonymous yet still leak if every member shares the same
+    SENSITIVE value (homogeneity attack). Here QI = (nation,
+    balance-thousand bucket), sensitive = market segment; flag classes
+    with fewer than l={_LDIV_L} distinct sensitive values. Together the
+    two reports are the minimal release gate: x145 bounds
+    re-identification, this bounds attribute disclosure.
+
+    100 TB: one groupBy with a distinct-count — the distinct expands to
+    (QI, sensitive) grain map-side; report is |classes| rows. Entropy
+    l-diversity upgrades via x113's fixed-point entropy device."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    g = q.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_sensitive"),
+    )
+    return g.select(
+        "c_nationkey",
+        "bal_bucket",
+        "group_size",
+        "n_sensitive",
+        (F.col("n_sensitive") < _LDIV_L).alias("violates_l"),
+    )

@@ -2949,3 +2949,76 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_cents").cast("double") / 100.0) / F.col("n_users"), 6
         ).alias("ltv_per_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# x163 — two-period event-rate comparison (conditional binomial test)
+# --------------------------------------------------------------------------
+
+_RATE_SPLIT = "2024-01-16"
+
+_RATE_ORACLE = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_RATE_SPLIT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_RATE_SPLIT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2 FROM c
+)
+SELECT c.event_type, c.n1, c.n2,
+       ROUND(CAST(c.n2 AS DOUBLE) / c.n1, 6) AS rate_ratio,
+       ROUND((c.n1 - ((c.n1 + c.n2)
+                      * (CAST(t.t1 AS DOUBLE) / (t.t1 + t.t2))))
+             / sqrt(((c.n1 + c.n2)
+                     * (CAST(t.t1 AS DOUBLE) / (t.t1 + t.t2)))
+                    * (1.0 - (CAST(t.t1 AS DOUBLE) / (t.t1 + t.t2)))), 6)
+         AS z_score
+FROM c CROSS JOIN t
+"""
+
+
+@register("events_rate_compare", oracle=_RATE_ORACLE)
+def events_rate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x163: two-period RATE comparison per event type — the conditional
+    binomial test behind "did the error rate really change
+    week-over-week?": conditioning on the type's total count N = n1+n2,
+    under H0 n1 ~ Binom(N, p0) with p0 the OVERALL period-1 share across
+    all types (the exposure correction — if total traffic shifted between
+    the periods, every type's raw split shifts with it). z = (n1 − N·p0)
+    / √(N·p0·(1−p0)), the monitoring primitive next to x62's
+    within-series z-score and the x126/x159 experiment kit (calendar
+    split, not hash split).
+
+    Exact: all counts integer from one conditional agg; p0 and z assemble
+    in one identically-parenthesized float epilogue per type.
+
+    100 TB: one map-side-combined agg to |types| rows + a 1-row totals
+    frame crossed on — the same broadcast-epilogue shape as x148."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_RATE_SPLIT + " 00:00:00").cast("timestamp")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts").cast("timestamp") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("ts").cast("timestamp") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    t = c.agg(
+        F.sum("n1").cast("long").alias("t1"), F.sum("n2").cast("long").alias("t2")
+    )
+    p0 = F.col("t1").cast("double") / (F.col("t1") + F.col("t2"))
+    mean = (F.col("n1") + F.col("n2")) * p0
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(F.col("n2").cast("double") / F.col("n1"), 6).alias("rate_ratio"),
+        F.round(
+            (F.col("n1") - mean) / F.sqrt(mean * (F.lit(1.0) - p0)), 6
+        ).alias("z_score"),
+    )
