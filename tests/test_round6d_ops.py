@@ -810,3 +810,86 @@ def test_herfindahl_bounds_and_recompute(spark):
         assert abs(r.hhi - round(hhi, 6)) < 1e-9
         assert 1.0 / len(vals) - 1e-9 <= r.hhi <= 1.0 + 1e-9
         assert abs(r.top_share - round(max(vals) / total, 6)) < 1e-9
+
+
+def test_survival_hazard_recompute(spark):
+    """At-risk counts, hazards, and the micro-unit log-survival recompute
+    from a Python replay of last-seen days."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_survival_hazard,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    last: dict = {}
+    for r in ev:
+        day = r.ts.strftime("%Y-%m-%d")
+        if r.user_id not in last or day > last[r.user_id]:
+            last[r.user_id] = day
+    from collections import Counter
+
+    churn = Counter(last.values())
+    days = sorted(churn)
+    n_users = len(last)
+    got = {r.day: r for r in events_survival_hazard(spark, SF_SMOKE).collect()}
+    at_risk = n_users
+    cum_u = 0
+    for day in days:
+        d = churn[day]
+        if d < at_risk:
+            cum_u += round(-math.log2(1.0 - (d / at_risk)) * 1_000_000.0)
+            r = got[day]
+            assert r.n_at_risk == at_risk and r.d_churn == d
+            assert abs(r.hazard - round(d / at_risk, 6)) < 1e-9
+            assert abs(r.cum_neglog2_surv - round(cum_u / 1_000_000.0, 6)) < 1e-9
+        else:
+            assert day not in got
+        at_risk -= d
+    assert at_risk == 0
+
+
+def test_top_movers_recompute(spark):
+    """Ranks and mover ordering recompute from a Python replay."""
+    from datetime import datetime
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _MOVERS_SPLIT,
+        _MOVERS_TOPN,
+        events_top_movers,
+    )
+
+    split = datetime.strptime(_MOVERS_SPLIT, "%Y-%m-%d")
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    c: dict = {}
+    for r in ev:
+        n1, n2 = c.get(r.user_id, (0, 0))
+        if r.ts < split:
+            n1 += 1
+        else:
+            n2 += 1
+        c[r.user_id] = (n1, n2)
+    users = sorted(c)
+    r1 = {u: i + 1 for i, u in enumerate(sorted(users, key=lambda u: (-c[u][0], u)))}
+    r2 = {u: i + 1 for i, u in enumerate(sorted(users, key=lambda u: (-c[u][1], u)))}
+    movers = sorted(users, key=lambda u: (-abs(r1[u] - r2[u]), u))[:_MOVERS_TOPN]
+    got = sorted(events_top_movers(spark, SF_SMOKE).collect(), key=lambda r: r.mover_rank)
+    assert [r.user_id for r in got] == movers
+    for r in got:
+        assert (r.rank_before, r.rank_after) == (r1[r.user_id], r2[r.user_id])
+        assert r.rank_gain == r1[r.user_id] - r2[r.user_id]
+
+
+def test_weekday_index_mean_one_weighted(spark):
+    """Day-weighted mean of the seasonal index is exactly 1; labels are
+    the seven weekday abbreviations."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_weekday_index,
+    )
+
+    rows = ts_weekday_index(spark, SF_SMOKE).collect()
+    assert {r.weekday for r in rows} <= {
+        "Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun",
+    }
+    total_days = sum(r.n_days for r in rows)
+    overall = sum(r.avg_daily_revenue * r.n_days for r in rows) / total_days
+    for r in rows:
+        assert abs(r.seasonal_index - round(r.avg_daily_revenue / overall, 6)) < 2e-4

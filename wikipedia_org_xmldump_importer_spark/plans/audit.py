@@ -82,6 +82,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row (t1, t2) totals frame broadcast-crossed onto the |types|-"
         "row count table — bounded by construction (x163)"
     ),
+    ("ts_weekday_index", "BroadcastNestedLoopJoin"): (
+        "1-row (all_days, all_cents) totals frame broadcast-crossed onto "
+        "the 7-row weekday table — bounded by construction (x167)"
+    ),
     ("agg_median_ci", "BroadcastNestedLoopJoin"): (
         "1-row rank frame (n, r_lo, r_med, r_hi) broadcast-crossed onto "
         "the value-grain CDF table — bounded by construction (x158)"

@@ -3022,3 +3022,246 @@ def events_rate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n1") - mean) / F.sqrt(mean * (F.lit(1.0) - p0)), 6
         ).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# x165 — survival curve of user lifetimes (discrete Kaplan-Meier, log form)
+# --------------------------------------------------------------------------
+
+_SURV_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         strftime(date_trunc('day', MAX(ts)), '%Y-%m-%d') AS last_day
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT last_day AS day, CAST(COUNT(*) AS BIGINT) AS d_churn
+  FROM life GROUP BY last_day
+),
+r AS (
+  SELECT day, d_churn,
+         CAST(SUM(d_churn) OVER (ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk
+  FROM d
+),
+u AS (
+  SELECT day, d_churn, n_at_risk,
+         CAST(ROUND(-log2(1.0 - (CAST(d_churn AS DOUBLE) / n_at_risk))
+                    * 1000000.0) AS BIGINT) AS step_u
+  FROM r WHERE d_churn < n_at_risk
+)
+SELECT day, n_at_risk, d_churn,
+       ROUND(CAST(d_churn AS DOUBLE) / n_at_risk, 6) AS hazard,
+       ROUND(CAST(SUM(step_u) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1000000.0, 6) AS cum_neglog2_surv
+FROM u
+"""
+
+
+@register("events_survival_hazard", oracle=_SURV_ORACLE)
+def events_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x165: discrete SURVIVAL analysis of user lifetimes — per last-seen
+    day: the at-risk count (users whose last event is on or after the
+    day), the discrete hazard d/n (Kaplan-Meier's per-step factor is
+    1 − d/n), and the cumulative −log2 survival — the log-domain form of
+    the KM product Π(1−dᵢ/nᵢ), which is where the curve stays EXACT:
+    per-step surprisal pins to integer micro-units (trap #18) and the
+    cumulative sum is BIGINT, where the product itself would compound
+    float error and the final 2^−x is not correctly rounded on either
+    engine (consumers exponentiate client-side if they need S(t)).
+    Lifetimes are uncensored within the fixed observation window —
+    x118's churn-flag convention. The last day (everyone remaining
+    churns, 1−d/n = 0) is excluded: log-survival is −∞ there by
+    construction.
+
+    100 TB: user-grain max agg shares the standard user shuffle; the
+    at-risk reverse-cumulative, hazard, and log-survival all run at DAY
+    grain (calendar-bounded). The REVERSED running sum computes at-risk
+    counts without a second pass over users."""
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("day", F.max("ts")), "yyyy-MM-dd").alias(
+            "last_day"
+        )
+    )
+    d = life.groupBy(F.col("last_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("d_churn")
+    )
+    wrev = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    r = d.select(
+        "day", "d_churn", F.sum("d_churn").over(wrev).cast("long").alias("n_at_risk")
+    )
+    step_u = F.round(
+        -F.log2(
+            F.lit(1.0) - (F.col("d_churn").cast("double") / F.col("n_at_risk"))
+        )
+        * 1_000_000.0
+    ).cast("long")
+    u = r.filter(F.col("d_churn") < F.col("n_at_risk")).withColumn("step_u", step_u)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return u.select(
+        "day",
+        "n_at_risk",
+        "d_churn",
+        F.round(F.col("d_churn").cast("double") / F.col("n_at_risk"), 6).alias(
+            "hazard"
+        ),
+        F.round(
+            F.sum("step_u").over(wcum).cast("double") / 1_000_000.0, 6
+        ).alias("cum_neglog2_surv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x166 — week-over-week top movers by activity rank
+# --------------------------------------------------------------------------
+
+_MOVERS_SPLIT = "2024-01-16"
+_MOVERS_TOPN = 15
+
+_MOVERS_ORACLE = f"""
+WITH c AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_MOVERS_SPLIT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_MOVERS_SPLIT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events GROUP BY user_id
+),
+rk AS (
+  SELECT user_id, n1, n2,
+         ROW_NUMBER() OVER (ORDER BY n1 DESC, user_id) AS r1,
+         ROW_NUMBER() OVER (ORDER BY n2 DESC, user_id) AS r2
+  FROM c
+)
+SELECT user_id, n1, n2, CAST(r1 AS BIGINT) AS rank_before,
+       CAST(r2 AS BIGINT) AS rank_after,
+       CAST(r1 - r2 AS BIGINT) AS rank_gain,
+       CAST(mk AS BIGINT) AS mover_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(r1 - r2) DESC, user_id) AS mk
+  FROM rk
+) WHERE mk <= {_MOVERS_TOPN}
+"""
+
+
+@register("events_top_movers", oracle=_MOVERS_ORACLE)
+def events_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x166: week-over-week TOP MOVERS — rank every user by activity in
+    each half of the window, report the {_MOVERS_TOPN} largest absolute
+    rank shifts: the "trending up / falling off" panel product teams
+    watch, and (run on join keys instead of users) the drift detector
+    that says yesterday's x148 skew report is stale.
+
+    All-integer: conditional counts, two dense ranking passes with pinned
+    tie-breaks, integer rank deltas, integer-ordered top-N.
+
+    100 TB: one user-grain conditional agg; the two global rank windows
+    run at user grain — for billion-user scale swap row_number for the
+    value-grain cumulative-rank device (x144) which ranks without a
+    global sort; the movers top-N is WindowGroupLimit-pruned."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_MOVERS_SPLIT + " 00:00:00").cast("timestamp")
+    c = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts").cast("timestamp") < split, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("ts").cast("timestamp") >= split, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    rk = c.select(
+        "user_id",
+        "n1",
+        "n2",
+        F.row_number()
+        .over(Window.orderBy(F.col("n1").desc(), "user_id"))
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n2").desc(), "user_id"))
+        .alias("r2"),
+    )
+    wm = Window.orderBy(F.abs(F.col("r1") - F.col("r2")).desc(), "user_id")
+    return (
+        rk.withColumn("mover_rank", F.row_number().over(wm).cast("long"))
+        .filter(F.col("mover_rank") <= _MOVERS_TOPN)
+        .select(
+            "user_id",
+            "n1",
+            "n2",
+            F.col("r1").cast("long").alias("rank_before"),
+            F.col("r2").cast("long").alias("rank_after"),
+            (F.col("r1") - F.col("r2")).cast("long").alias("rank_gain"),
+            "mover_rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x167 — multiplicative weekday seasonal index
+# --------------------------------------------------------------------------
+
+_WDI_ORACLE = """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         strftime(date_trunc('day', ts), '%a') AS weekday,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT weekday,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM d GROUP BY weekday
+),
+t AS (
+  SELECT CAST(SUM(n_days) AS BIGINT) AS all_days,
+         CAST(SUM(cents) AS BIGINT) AS all_cents
+  FROM w
+)
+SELECT w.weekday, w.n_days,
+       ROUND((CAST(w.cents AS DOUBLE) / w.n_days) / 100.0, 2)
+         AS avg_daily_revenue,
+       ROUND((CAST(w.cents AS DOUBLE) / w.n_days)
+             / (CAST(t.all_cents AS DOUBLE) / t.all_days), 6)
+         AS seasonal_index
+FROM w CROSS JOIN t
+"""
+
+
+@register("ts_weekday_index", oracle=_WDI_ORACLE)
+def ts_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x167: multiplicative WEEKDAY seasonal index — average daily revenue
+    per weekday over the overall daily average: the seasonal-index table
+    that justifies (or retires) x138's seasonal-naive lag and deseasonalizes
+    any daily KPI by division. Exact integer cents and day counts; each
+    index is one identically-parenthesized ratio-of-ratios.
+
+    Weekday labels use the engine-shared %a/E abbreviation (pinned to the
+    same Mon..Sun names on both engines under the default locale).
+
+    100 TB: day-grain agg is the only row-scale shuffle; the weekday agg
+    (7 rows) and 1-row totals epilogue are free."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("day", "ts"), "E").alias("weekday"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = d.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    t = w.agg(
+        F.sum("n_days").cast("long").alias("all_days"),
+        F.sum("cents").cast("long").alias("all_cents"),
+    )
+    daily = F.col("cents").cast("double") / F.col("n_days")
+    overall = F.col("all_cents").cast("double") / F.col("all_days")
+    return w.crossJoin(F.broadcast(t)).select(
+        "weekday",
+        "n_days",
+        F.round(daily / 100.0, 2).alias("avg_daily_revenue"),
+        F.round(daily / overall, 6).alias("seasonal_index"),
+    )
