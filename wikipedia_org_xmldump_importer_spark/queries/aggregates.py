@@ -1193,3 +1193,35 @@ def agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x170 — boolean aggregate family (every / any / count_if)
+# --------------------------------------------------------------------------
+
+_BOOL_ORACLE = """
+SELECT c_mktsegment,
+       bool_and(c_acctbal > -999.0) AS none_at_floor,
+       bool_or(c_acctbal < 0.0) AS any_negative,
+       CAST(COUNT(CASE WHEN c_acctbal > 5000.0 THEN 1 END) AS BIGINT)
+         AS n_high_balance
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("agg_boolean_family", oracle=_BOOL_ORACLE)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x170: the BOOLEAN aggregate family — every/bool_and, some/bool_or,
+    count_if per segment: the vocabulary of declarative data-quality
+    assertions (x93's dq_constraints composes exactly these; this row
+    gives them first-class coverage). Predicates on doubles compare
+    exactly (no arithmetic), so the whole row is deterministic.
+
+    100 TB: one partial-aggregated scan — boolean partial states are a
+    byte each, count_if a long; the cheapest aggregate family there is."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > -999.0).alias("none_at_floor"),
+        F.bool_or(F.col("c_acctbal") < 0.0).alias("any_negative"),
+        F.count_if(F.col("c_acctbal") > 5000.0).cast("long").alias("n_high_balance"),
+    )

@@ -598,3 +598,88 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x168 — Kneser-Ney smoothed bigram LM
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_MIN_COUNT = 3
+
+_KN_ORACLE = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tok WHERE len(t) >= 2)
+),
+cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+lhs AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+         CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+  FROM cnt GROUP BY w1
+),
+rhs AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM cnt GROUP BY w2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM cnt)
+SELECT c.w1, c.w2, c.c AS c_bigram,
+       ROUND((GREATEST(CAST(c.c AS DOUBLE) - {_KN_D!r}, 0.0) / l.c_w1)
+             + ((({_KN_D!r} * l.n1p_fwd) / l.c_w1)
+                * (CAST(r.n1p_bwd AS DOUBLE) / t.n_pairs)), 6) AS p_kn
+FROM cnt c
+JOIN lhs l ON c.w1 = l.w1
+JOIN rhs r ON c.w2 = r.w2
+CROSS JOIN tot t
+WHERE c.c >= {_KN_MIN_COUNT}
+"""
+
+
+@register("ngram_lm_kneser_ney", oracle=_KN_ORACLE)
+def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x168: KNESER-NEY smoothed bigram LM — the best classical n-gram
+    smoother, and the one whose backoff term is famously NOT a unigram
+    frequency: P_KN(w2|w1) = max(c−D,0)/c(w1) + λ(w1)·P_cont(w2), where
+    P_cont(w2) = |{{w1: c(w1,w2)>0}}| / |distinct bigrams| counts how many
+    CONTEXTS a word completes ("Francisco" is frequent but only follows
+    "San" — continuation probability correctly crushes it), and
+    λ(w1) = D·|{{w2: c(w1,w2)>0}}|/c(w1) redistributes exactly the
+    discounted mass (Σ_w2 P_KN = 1 per context). Upgrades x51's raw MLE
+    table; x54's perplexity scorer can swap this in for OOV-robustness.
+
+    Every ingredient is an exact integer count (bigram counts, left/right
+    continuation fan-outs, distinct-pair total); the D=0.75 discount and
+    assembly run in ONE identically-parenthesized float expression.
+
+    100 TB: one bigram groupBy, two fan-out aggs that partial-aggregate
+    map-side, a hash join back on each side, and a 1-row total — the
+    exact shape of x51 plus two broadcast-size side tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lhs = cnt.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    rhs = cnt.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_bwd"))
+    tot = cnt.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    p_kn = (
+        F.greatest(F.col("c").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        / F.col("c_w1")
+    ) + (
+        ((F.lit(_KN_D) * F.col("n1p_fwd")) / F.col("c_w1"))
+        * (F.col("n1p_bwd").cast("double") / F.col("n_pairs"))
+    )
+    return (
+        cnt.filter(F.col("c") >= _KN_MIN_COUNT)
+        .join(lhs, "w1")
+        .join(rhs, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.col("c").alias("c_bigram"), F.round(p_kn, 6).alias("p_kn"))
+    )

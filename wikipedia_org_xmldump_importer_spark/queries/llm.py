@@ -1217,3 +1217,116 @@ def embed_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# x169 — principal direction via power iteration on the moment matrix
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 5
+_PCA_ITER_DP = 10
+
+
+def _pca_iter_sql(k: int) -> str:
+    prev = f"v{k - 1}"
+    return f"""
+w{k} AS (
+  SELECT a.i, SUM(a.a * {prev}.v) AS w
+  FROM a JOIN {prev} ON a.j = {prev}.j GROUP BY a.i
+),
+n{k} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{k}),
+v{k} AS (
+  SELECT w{k}.i AS j, round(w{k}.w / n{k}.nrm, {_PCA_ITER_DP}) AS v
+  FROM w{k} CROSS JOIN n{k}
+)"""
+
+
+_PCA_ORACLE = (
+    f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+a AS (
+  SELECT x.pos AS i, y.pos AS j,
+         CAST(ROUND(SUM(x.val * y.val) * 1000000.0) AS BIGINT) / 1000000.0
+           AS a
+  FROM e x JOIN e y ON x.vec_id = y.vec_id
+  GROUP BY x.pos, y.pos
+),
+v0 AS (SELECT DISTINCT j, 0.125 AS v FROM a),
+"""
+    + ",".join(_pca_iter_sql(k) for k in range(1, _PCA_ITERS + 1))
+    + f"""
+SELECT v{_PCA_ITERS}.j AS pos, ROUND(v{_PCA_ITERS}.v, 6) AS loading,
+       ROUND(n{_PCA_ITERS}.nrm, 6) AS eigenvalue
+FROM v{_PCA_ITERS} CROSS JOIN n{_PCA_ITERS}
+"""
+)
+
+
+@register("vec_pca_power", oracle=_PCA_ORACLE)
+def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x169: PRINCIPAL DIRECTION of the embedding cloud by POWER ITERATION
+    — {_PCA_ITERS} rounds of v ← A·v/‖A·v‖ on the d×d second-moment matrix
+    A = ΣᵥvvT, with the eigenvalue estimate from the final norm: PCA's
+    top component without MLlib, as pure joins + aggs. The direction that
+    x141's truncation keeps or loses, and the whitening axis for x43's
+    cosine threshold. Declared semantics are the {_PCA_ITERS}-round
+    iterate (replay-verified); convergence to the true eigenvector goes
+    as (λ₂/λ₁)^k, so near-isotropic clouds (these synthetics, by
+    construction) need more rounds — the knob, exactly like x152's.
+
+    Determinism follows x63's iterative discipline: A's entries pin to
+    integer micro-units at build (the only row-scale sums), every iterate
+    is rounded to {_PCA_ITER_DP} dp so cross-engine float drift cannot
+    compound, and v₀ = 1/8 (d=64) is exact binary. Sums inside an
+    iteration are 64-term — single-partition deterministic on both
+    engines; the d² explode partial-aggregates map-side to 4096 keys
+    before its one shuffle.
+
+    100 TB: the moment-matrix build is one n×d² → d² map-combined agg
+    (the heavy stage — d² partial states per task, Arrow-free, all
+    codegen); each iteration then runs on the 4096-row A — broadcast-size
+    regardless of corpus. Blanczos/subspace iteration generalizes the
+    same shape to top-k components."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    x = e.select("vec_id", F.col("pos").alias("i"), F.col("val").alias("xi"))
+    y = e.select("vec_id", F.col("pos").alias("j"), F.col("val").alias("xj"))
+    a = (
+        x.join(y, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.round(F.sum(F.col("xi") * F.col("xj")) * 1_000_000.0).cast("long")
+                / 1_000_000.0
+            ).alias("a")
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = a.select(F.col("j")).distinct().withColumn("v", F.lit(0.125))
+    nrm_df = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            a.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("v")).alias("w"))
+        )
+        nrm_df = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm_df))
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.col("w") / F.col("nrm"), _PCA_ITER_DP).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.crossJoin(F.broadcast(nrm_df)).select(
+        F.col("j").alias("pos"),
+        F.round(F.col("v"), 6).alias("loading"),
+        F.round(F.col("nrm"), 6).alias("eigenvalue"),
+    )

@@ -13,6 +13,7 @@ per-row re-execution semantics survive optimization.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
@@ -113,3 +114,62 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer_v")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders_v")
     return spark.sql(_LATERAL_SQL.format(cust="lat_customer_v", orders="lat_orders_v"))
+
+
+# --------------------------------------------------------------------------
+# x171 — NOT IN three-valued-logic semantics (the NULL trap, both ways)
+# --------------------------------------------------------------------------
+
+_NOTIN_ORACLE = """
+WITH probe AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer
+)
+SELECT 'not_in_with_null' AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_custkey NOT IN (SELECT k FROM probe)
+UNION ALL
+SELECT 'not_in_null_filtered',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+"""
+
+
+@register("sub_not_in_nulls", oracle=_NOTIN_ORACLE)
+def sub_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x171: NOT IN under THREE-VALUED LOGIC — the classic SQL trap, made
+    an explicit contract: when the subquery list contains any NULL,
+    `x NOT IN (list)` is never TRUE (x <> NULL is UNKNOWN), so the first
+    variant returns ZERO rows no matter the data; filtering the NULLs
+    restores the intended anti-join. Both engines implement the standard
+    — this row pins that our engine does too (Catalyst compiles the NULL-
+    aware variant to a NullAwareAntiJoin, the filtered one to a plain
+    left-anti hash join). x40's EXISTS/NOT EXISTS rows are the
+    NULL-proof spelling this row argues for.
+
+    100 TB: both variants are anti-joins on the customer-key domain —
+    broadcast-size probe side; the null-aware variant degrades to a
+    broadcast null-aware join, which is why the filtered spelling is the
+    one to ship."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    probe = cust.select(
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("long"))
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+    orders.createOrReplaceTempView("x171_orders")
+    probe.createOrReplaceTempView("x171_probe")
+    return orders.sparkSession.sql(
+        """
+        SELECT 'not_in_with_null' AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM x171_orders WHERE o_custkey NOT IN (SELECT k FROM x171_probe)
+        UNION ALL
+        SELECT 'not_in_null_filtered',
+               CAST(COUNT(*) AS BIGINT)
+        FROM x171_orders
+        WHERE o_custkey NOT IN (SELECT k FROM x171_probe WHERE k IS NOT NULL)
+        """
+    )
