@@ -1011,3 +1011,64 @@ def test_not_in_null_semantics(spark):
     assert got["not_in_null_filtered"] == sum(
         1 for r in orders if r.o_custkey not in keep
     )
+
+
+def test_confusion_matrix_consistency_with_langid(spark):
+    """Matrix cells equal a groupBy over x8's own output; row fractions
+    sum to 1 per declared language."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        lang_confusion_matrix,
+        text_langid,
+    )
+
+    from collections import Counter
+
+    base = Counter(
+        (r.actual_lang, r.pred_lang)
+        for r in text_langid(spark, SF_SMOKE).collect()
+    )
+    rows = lang_confusion_matrix(spark, SF_SMOKE).collect()
+    assert {(r.actual_lang, r.pred_lang): r.n_docs for r in rows} == dict(base)
+    by_actual: dict = {}
+    for r in rows:
+        by_actual.setdefault(r.actual_lang, []).append(r.row_frac)
+    for fracs in by_actual.values():
+        assert abs(sum(fracs) - 1.0) < 1e-4
+
+
+def test_hapax_rate_recompute(spark):
+    """Counts and ratios recompute from Python token counts per source."""
+    from collections import Counter
+
+    from wikipedia_org_xmldump_importer_spark.queries.textops import text_hapax_rate
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r.source, Counter()).update(r.text.split(" "))
+    got = {r.source: r for r in text_hapax_rate(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_src)
+    for src, cnt in by_src.items():
+        r = got[src]
+        n_tok = sum(cnt.values())
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        assert (r.n_tokens, r.vocab_size, r.n_hapax) == (n_tok, len(cnt), hapax)
+        assert abs(r.type_token_ratio - round(len(cnt) / n_tok, 6)) < 1e-9
+        assert abs(r.hapax_rate - round(hapax / len(cnt), 6)) < 1e-9
+
+
+def test_new_vs_returning_conservation(spark):
+    """Per day: new + returning events = all events; Σ new users = total
+    users; day-1 has zero returning events."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_new_vs_returning,
+    )
+
+    rows = sorted(events_new_vs_returning(spark, SF_SMOKE).collect(), key=lambda r: r.day)
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    from collections import Counter
+
+    per_day = Counter(r.ts.strftime("%Y-%m-%d") for r in ev)
+    assert {r.day: r.n_events_new + r.n_events_returning for r in rows} == dict(per_day)
+    assert sum(r.n_new_users for r in rows) == len({r.user_id for r in ev})
+    assert rows[0].n_events_returning == 0

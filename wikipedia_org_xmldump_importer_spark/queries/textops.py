@@ -2277,3 +2277,103 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log2_intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# x172 — language-ID confusion matrix (declared vs predicted)
+# --------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = f"""
+WITH l AS ({_langid_sql()})
+SELECT actual_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY actual_lang), 6) AS row_frac
+FROM l GROUP BY actual_lang, pred_lang
+"""
+
+
+@register("lang_confusion_matrix", oracle=_CONFUSION_ORACLE)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x172: language-ID CONFUSION MATRIX — declared lang × predicted lang
+    (x8's stopword-voting classifier) with per-declared-row fractions: the
+    evaluation harness for the classifier itself AND the metadata-trust
+    audit (a heavy en→und row means short docs defeat stopword voting; a
+    de→en row means the declared labels are dirty — x44's curation gate
+    needs to know which). Composes x8 as a subroutine — same expression,
+    same tie-break, shared constants.
+
+    100 TB: x8's scoring is a narrow map; the matrix agg collapses
+    map-side to ≤ (|langs|+1)² cells; the row-fraction window runs on
+    that tiny matrix."""
+    l = text_langid(spark, sf_dir)
+    g = l.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wrow = Window.partitionBy("actual_lang")
+    return g.select(
+        "actual_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wrow), 6
+        ).alias("row_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x173 — hapax rate / lexical richness per source
+# --------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, w
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_rate
+FROM tf GROUP BY source
+"""
+
+
+@register("text_hapax_rate", oracle=_HAPAX_ORACLE)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x173: HAPAX rate + type-token ratio per source — the fraction of a
+    source's vocabulary occurring exactly once, and vocab/tokens: the
+    lexical-richness fingerprint next to x161's Zipf slope. Natural text
+    runs ~40-60 % hapax; near-zero screams templated generation, near-one
+    screams OCR noise or binary spill — both are curation signals x44
+    cannot see from doc-level stats.
+
+    All-integer counts and two exact ratios per source.
+
+    100 TB: (source, token) agg partial-aggregates map-side; the richness
+    agg runs at |sources| × |vocab| grain collapsing to |sources| rows.
+    TTR is length-biased across very different source sizes — compare at
+    matched token budgets (x48's sampler) when that matters."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum((F.col("c") == 1).cast("int")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_rate"),
+    )

@@ -3265,3 +3265,64 @@ def ts_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(daily / 100.0, 2).alias("avg_daily_revenue"),
         F.round(daily / overall, 6).alias("seasonal_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# x174 — daily new-vs-returning traffic split
+# --------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, strftime(date_trunc('day', MIN(ts)), '%Y-%m-%d')
+           AS first_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN strftime(date_trunc('day', e.ts), '%Y-%m-%d')
+                          = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_events_new,
+       CAST(SUM(CASE WHEN strftime(date_trunc('day', e.ts), '%Y-%m-%d')
+                          <> f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_events_returning,
+       CAST(COUNT(DISTINCT CASE WHEN strftime(date_trunc('day', e.ts),
+                                              '%Y-%m-%d') = f.first_day
+                                THEN e.user_id END) AS BIGINT) AS n_new_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1
+"""
+
+
+@register("events_new_vs_returning", oracle=_NVR_ORACLE)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x174: daily NEW vs RETURNING split — per day: events from users on
+    their first-ever day, events from returning users, and the count of
+    users acquired that day. The topline growth panel that x59's cohort
+    grid details and x165's survival curve extends; new-share collapsing
+    toward zero is the maturity signal, a spike is a bot or a launch.
+
+    All-integer; day labels are canonical strings on both engines.
+
+    100 TB: the first-seen table is the same user-grain min-agg x160
+    builds (one user shuffle); the classification join is user-keyed
+    hash, the day agg partial-aggregates map-side, and the distinct
+    new-user count expands only on first-day rows."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias(
+            "first_day"
+        )
+    )
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    e = ev.join(first_seen, "user_id").select(
+        day.alias("day"),
+        "first_day",
+        "user_id",
+    )
+    is_new = F.col("day") == F.col("first_day")
+    return e.groupBy("day").agg(
+        F.sum(is_new.cast("int")).cast("long").alias("n_events_new"),
+        F.sum((~is_new).cast("int")).cast("long").alias("n_events_returning"),
+        F.countDistinct(F.when(is_new, F.col("user_id")))
+        .cast("long")
+        .alias("n_new_users"),
+    )
