@@ -361,3 +361,81 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return closed.unionByName(appended)
+
+
+# --------------------------------------------------------------------------
+# x176 — incremental aggregate-cube refresh (merge == full rebuild)
+# --------------------------------------------------------------------------
+
+# Same cutoff as x134: everything before it plays the stored base cube,
+# everything on/after it is the newly-landed delta partition. The oracle is
+# the one-shot GROUP BY over ALL orders — hash equality proves that
+# coalesce-sum merging of mergeable partials is indistinguishable from a
+# rebuild, the invariant behind every continuous aggregate / materialized
+# rollup refresh.
+_CUBE_MERGE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("cube_incremental_refresh", oracle=_CUBE_MERGE_ORACLE)
+def cube_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x176: INCREMENTAL CUBE REFRESH — maintain a (status × priority)
+    revenue/count cube by merging the stored base cube (orders before the
+    x134 cutoff) with the delta partition's cube (orders on/after it):
+    full-outer join on the grain, measures coalesce-summed. The oracle is
+    the full one-shot GROUP BY; the hash match proves merge == rebuild.
+    x134 maintains row-grain history incrementally; this is the same
+    contract one level up, at aggregate grain — the pair covers the two
+    halves of a warehouse's nightly load.
+
+    COUNT and SUM are the mergeable partials here; exact integer cents
+    make the re-aggregation associative in BIGINT (float partial sums
+    would make merge-order observable). AVG would ship (sum, count) and
+    divide at the end; MIN/MAX merge directly; exact DISTINCT does NOT
+    merge — that's what x144's bitmap partials and x21's HLL sketches are
+    for (both registered).
+
+    100 TB: the base cube is a stored ~|cells|-row table (recomputed here
+    only because the test has no persisted state); the delta agg scans
+    ONLY the newly-landed partition (partition pruning on the date
+    predicate); the merge join is |cells| rows — broadcast-trivial. A
+    refresh therefore costs O(|delta|), never O(|history|)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def cube(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+
+    base = cube(orders.filter(F.col("o_orderdate") < _SCD2_CUTOFF))
+    delta = cube(orders.filter(F.col("o_orderdate") >= _SCD2_CUTOFF))
+    merged = base.alias("b").join(
+        delta.alias("d"),
+        ["o_orderstatus", "o_orderpriority"],
+        "full_outer",
+    )
+    zero = F.lit(0).cast("long")
+    return merged.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        (
+            F.coalesce(F.col("b.n_orders"), zero)
+            + F.coalesce(F.col("d.n_orders"), zero)
+        ).alias("n_orders"),
+        F.round(
+            (
+                F.coalesce(F.col("b.cents"), zero)
+                + F.coalesce(F.col("d.cents"), zero)
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
+    )

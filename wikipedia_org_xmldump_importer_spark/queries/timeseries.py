@@ -3326,3 +3326,310 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_new_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# x175 — chi-square test of independence (variant × converted, 2×2)
+# --------------------------------------------------------------------------
+# Pearson chi² for a 2×2 table has the closed form
+#   chi² = N · (n00·n11 − n01·n10)² / (r_a · r_b · c_0 · c_1)
+# which keeps every observed count exact-integer and pushes ALL float work
+# into one identically-parenthesized epilogue expression — no per-cell
+# expected-value table, no (O−E)²/E summation whose order could differ
+# between engines. det is exact BIGINT; det², N and the margin product are
+# computed in DOUBLE with the same multiplication tree on both sides
+# (IEEE multiply is correctly rounded, so identical operand order =>
+# identical bits).
+
+_AB_CHI2_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 13 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n00,
+    CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n01,
+    CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n10,
+    CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n11
+  FROM u
+)
+SELECT n00, n01, n10, n11,
+       ROUND(CAST(n01 AS DOUBLE) / NULLIF(n00 + n01, 0), 6) AS rate_a,
+       ROUND(CAST(n11 AS DOUBLE) / NULLIF(n10 + n11, 0), 6) AS rate_b,
+       ROUND(CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+             * (CAST(n00 * n11 - n01 * n10 AS DOUBLE)
+                * CAST(n00 * n11 - n01 * n10 AS DOUBLE))
+             / NULLIF(CAST(n00 + n01 AS DOUBLE) * CAST(n10 + n11 AS DOUBLE)
+                * CAST(n00 + n10 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE), 0),
+             6) AS chi2,
+       CAST(CASE WHEN ROUND(CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+             * (CAST(n00 * n11 - n01 * n10 AS DOUBLE)
+                * CAST(n00 * n11 - n01 * n10 AS DOUBLE))
+             / NULLIF(CAST(n00 + n01 AS DOUBLE) * CAST(n10 + n11 AS DOUBLE)
+                * CAST(n00 + n10 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE), 0),
+             6) > 3.841459 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+FROM c
+"""
+
+
+@register("events_ab_chi2", oracle=_AB_CHI2_ORACLE)
+def events_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x175: chi-square INDEPENDENCE test on the 2×2 (variant × converted)
+    table — the categorical counterpart to x126's Welch z on a continuous
+    metric; together they are the standard experiment-readout pair.
+    Variant assignment is the same md5 hash split as x126 (pure function
+    of user_id); converted = HEAVY PURCHASER (≥13 purchase events — the
+    generator gives every user ≥5 purchases, so "any purchase" would be a
+    degenerate all-ones column; 13 is the sf-invariant median). NULLIF
+    guards keep empty margins NULL instead of raising under ANSI mode.
+
+    chi² uses the 2×2 closed form N·det²/(row·col margins): the observed
+    cells stay exact BIGINT and the single float expression is
+    identically parenthesized in both engines (see module comment).
+    significant_05 compares the 6dp-rounded statistic against the pinned
+    df=1 / α=0.05 critical value 3.841459, so the boolean is a compare of
+    identical doubles, not a re-derivation.
+
+    100 TB: one user-grain partial agg, then a global conditional agg
+    collapsing map-side to 4 integers; the test statistic is a 1-row
+    epilogue. No join between arms, no assignment table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 13,
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select(variant.alias("variant"), "conv")
+    )
+    cell = lambda v, cv: (  # noqa: E731 — local cell-count shorthand
+        F.sum(F.when((F.col("variant") == v) & (F.col("conv") == cv), 1).otherwise(0))
+        .cast("long")
+    )
+    c = u.agg(
+        cell(0, 0).alias("n00"),
+        cell(0, 1).alias("n01"),
+        cell(1, 0).alias("n10"),
+        cell(1, 1).alias("n11"),
+    )
+    det = (F.col("n00") * F.col("n11") - F.col("n01") * F.col("n10")).cast("double")
+    n_total = (F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11")).cast(
+        "double"
+    )
+    margins = (
+        (F.col("n00") + F.col("n01")).cast("double")
+        * (F.col("n10") + F.col("n11")).cast("double")
+        * (F.col("n00") + F.col("n10")).cast("double")
+        * (F.col("n01") + F.col("n11")).cast("double")
+    )
+    chi2 = F.round(n_total * (det * det) / F.nullif(margins, F.lit(0.0)), 6)
+    return c.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(
+            F.col("n01").cast("double")
+            / F.nullif((F.col("n00") + F.col("n01")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rate_a"),
+        F.round(
+            F.col("n11").cast("double")
+            / F.nullif((F.col("n10") + F.col("n11")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rate_b"),
+        chi2.alias("chi2"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).cast("long").alias("significant_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x177 — Shapley-value conversion attribution over 3 channels
+# --------------------------------------------------------------------------
+# Characteristic function: v(S) = number of converting users whose
+# pre-conversion touched-channel set is a subset of S ("conversions
+# achievable with only the channels in S"). With |C| = 3 the Shapley value
+# has the exact closed form
+#   φ_c = ( 2·(v({c})−v(∅)) + (v({c,x})−v({x})) + (v({c,y})−v({y}))
+#           + 2·(v(C)−v(C\{c})) ) / 6
+# — all-integer numerator, one pinned /6.0 division. Efficiency axiom:
+# Σ_c φ_c = v(C) − v(∅) (users converting with no prior channel touch sit
+# in v(∅) and are deliberately unattributed); the invariant test checks it.
+# Channel bits: click=1, signup=2, view=4.
+
+_SHAPLEY_ORACLE = """
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS first_p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+tm AS (
+  SELECT fp.user_id,
+         CAST(COALESCE(MAX(CASE WHEN e.event_type = 'click' THEN 1 END), 0)
+            + COALESCE(MAX(CASE WHEN e.event_type = 'signup' THEN 2 END), 0)
+            + COALESCE(MAX(CASE WHEN e.event_type = 'view' THEN 4 END), 0)
+           AS BIGINT) AS mask
+  FROM fp LEFT JOIN events e
+    ON e.user_id = fp.user_id AND e.ts < fp.first_p
+       AND e.event_type IN ('click', 'signup', 'view')
+  GROUP BY fp.user_id
+),
+m AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM tm GROUP BY mask),
+p AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~0) = 0 THEN cnt END), 0) AS BIGINT) AS v0,
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~1) = 0 THEN cnt END), 0) AS BIGINT) AS v1,
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~2) = 0 THEN cnt END), 0) AS BIGINT) AS v2,
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~3) = 0 THEN cnt END), 0) AS BIGINT) AS v3,
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~4) = 0 THEN cnt END), 0) AS BIGINT) AS v4,
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~5) = 0 THEN cnt END), 0) AS BIGINT) AS v5,
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~6) = 0 THEN cnt END), 0) AS BIGINT) AS v6,
+    CAST(COALESCE(SUM(CASE WHEN (mask & ~7) = 0 THEN cnt END), 0) AS BIGINT) AS v7,
+    CAST(COALESCE(SUM(CASE WHEN (mask & 1) <> 0 THEN cnt END), 0) AS BIGINT) AS t1,
+    CAST(COALESCE(SUM(CASE WHEN (mask & 2) <> 0 THEN cnt END), 0) AS BIGINT) AS t2,
+    CAST(COALESCE(SUM(CASE WHEN (mask & 4) <> 0 THEN cnt END), 0) AS BIGINT) AS t4
+  FROM m
+)
+SELECT 'click' AS channel, t1 AS touched_conversions,
+       ROUND((2*(v1-v0) + (v3-v2) + (v5-v4) + 2*(v7-v6)) / 6.0, 6) AS shapley
+FROM p
+UNION ALL
+SELECT 'signup' AS channel, t2 AS touched_conversions,
+       ROUND((2*(v2-v0) + (v3-v1) + (v6-v4) + 2*(v7-v5)) / 6.0, 6) AS shapley
+FROM p
+UNION ALL
+SELECT 'view' AS channel, t4 AS touched_conversions,
+       ROUND((2*(v4-v0) + (v5-v1) + (v6-v2) + 2*(v7-v3)) / 6.0, 6) AS shapley
+FROM p
+"""
+
+
+@register("events_attribution_shapley", oracle=_SHAPLEY_ORACLE)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x177: SHAPLEY conversion attribution — split conversion credit
+    across the three marketing channels (click / signup / view touches
+    before the user's FIRST purchase) by the Shapley value of the
+    coalition game v(S) = conversions achievable with only channels in S.
+    The game-theoretically fair alternative to x61's last-touch /
+    first-touch / linear rules (all registered there) — order-free, so it
+    needs only each user's touched-SET, not the full path.
+
+    |C| = 3 ⇒ closed form over the 8 subset masses (module comment):
+    integer numerators, one pinned /6.0. Efficiency (Σφ = v(C) − v(∅))
+    is the invariant test. Users converting with zero prior touches stay
+    in v(∅) — visible, not smeared across channels.
+
+    100 TB: first-purchase agg is user-grain; the touch scan joins
+    user-keyed (hash, no skew — per-user event counts are bounded);
+    everything after the 8-row mask histogram is a 1-row epilogue.
+    Shapley over |C| channels needs 2^|C| masses — exact up to ~20
+    channels, then you sample permutations (documented, not needed here).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_p"))
+    )
+    touches = ev.select("user_id", "ts", "event_type").join(
+        fp, "user_id"
+    ).filter(
+        (F.col("ts") < F.col("first_p"))
+        & F.col("event_type").isin("click", "signup", "view")
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .otherwise(4)
+    )
+    tm = (
+        fp.join(
+            touches.groupBy("user_id").agg(
+                *[
+                    F.max(F.when(F.col("event_type") == ch, b)).alias(f"b{b}")
+                    for ch, b in (("click", 1), ("signup", 2), ("view", 4))
+                ],
+            ),
+            "user_id",
+            "left",
+        )
+        .select(
+            (
+                F.coalesce(F.col("b1"), F.lit(0))
+                + F.coalesce(F.col("b2"), F.lit(0))
+                + F.coalesce(F.col("b4"), F.lit(0))
+            )
+            .cast("long")
+            .alias("mask")
+        )
+    )
+    m = tm.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    zero = F.lit(0).cast("long")
+
+    def v(s: int):
+        return F.coalesce(
+            F.sum(F.when(F.col("mask").bitwiseAND(~s & 7) == 0, F.col("cnt"))),
+            zero,
+        ).cast("long")
+
+    def touched(b: int):
+        return F.coalesce(
+            F.sum(F.when(F.col("mask").bitwiseAND(b) != 0, F.col("cnt"))), zero
+        ).cast("long")
+
+    p = m.agg(
+        *[v(s).alias(f"v{s}") for s in range(8)],
+        touched(1).alias("t1"),
+        touched(2).alias("t2"),
+        touched(4).alias("t4"),
+    )
+    c = {s: F.col(f"v{s}") for s in range(8)}
+    phi_click = F.round(
+        (2 * (c[1] - c[0]) + (c[3] - c[2]) + (c[5] - c[4]) + 2 * (c[7] - c[6]))
+        / 6.0,
+        6,
+    )
+    phi_signup = F.round(
+        (2 * (c[2] - c[0]) + (c[3] - c[1]) + (c[6] - c[4]) + 2 * (c[7] - c[5]))
+        / 6.0,
+        6,
+    )
+    phi_view = F.round(
+        (2 * (c[4] - c[0]) + (c[5] - c[1]) + (c[6] - c[2]) + 2 * (c[7] - c[3]))
+        / 6.0,
+        6,
+    )
+    row = p.select(
+        F.col("t1"), F.col("t2"), F.col("t4"),
+        phi_click.alias("p1"), phi_signup.alias("p2"), phi_view.alias("p4"),
+    )
+    return row.selectExpr(
+        "stack(3, 'click', t1, p1, 'signup', t2, p2, 'view', t4, p4) "
+        "as (channel, touched_conversions, shapley)"
+    )
