@@ -136,3 +136,113 @@ def test_shapley_efficiency_and_replay(spark):
             c for m, c in enumerate(cnt) if m & bits[r.channel]
         )
     assert abs(sum(r.shapley for r in rows) - (v[7] - v[0])) < 1e-4
+
+
+def test_bitsig_pairs_verified_and_deterministic(spark):
+    """Every emitted pair must (a) truly pass the exact integer cosine
+    test replayed in Python from the raw embeddings, and (b) share at
+    least one of the 4 md5-derived band values. Run twice => identical."""
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        _BITSIG_Q,
+        _BITSIG_SIGNS,
+        dedup_embed_bitsig,
+    )
+
+    emb = {
+        r.vec_id: [round(float(x) * _BITSIG_Q) for x in r.embedding]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def bands_of(qv):
+        bits = [
+            1 if sum(s * x for s, x in zip(_BITSIG_SIGNS[j], qv)) >= 0 else 0
+            for j in range(48)
+        ]
+        return [
+            sum(bits[b * 12 + j] << j for j in range(12)) for b in range(4)
+        ]
+
+    bands = {vid: bands_of(qv) for vid, qv in emb.items()}
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in dedup_embed_bitsig(spark, SF_SMOKE).collect()}
+    again = {(r.vec_a, r.vec_b): r.cos_sim
+             for r in dedup_embed_bitsig(spark, SF_SMOKE).collect()}
+    assert got == again
+    for (a, b), cs in got.items():
+        qa, qb = emb[a], emb[b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na = sum(x * x for x in qa)
+        nb = sum(x * x for x in qb)
+        assert dot > 0 and 25 * dot * dot >= 4 * na * nb
+        assert any(x == y for x, y in zip(bands[a], bands[b]))
+        import math
+
+        assert abs(cs - dot / (math.sqrt(na) * math.sqrt(nb))) < 1e-5
+
+
+def test_label_prop_is_bounded_hop_min(spark):
+    """After 3 rounds each node's community must equal the min node id
+    within 3 hops — replayed with a Python BFS on the same edge set."""
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        graph_label_prop,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    )
+    sp = {}
+    for r in li.collect():
+        sp[(r.l_suppkey, r.l_partkey)] = sp.get((r.l_suppkey, r.l_partkey), 0) + 1
+    per_supp: dict = {}
+    for (s_, p_), n in sp.items():
+        per_supp.setdefault(s_, []).append((-n, p_))
+    top = {s_: {p for _, p in sorted(v)[:5]} for s_, v in per_supp.items()}
+    by_part: dict = {}
+    for s_, parts in top.items():
+        for p_ in parts:
+            by_part.setdefault(p_, set()).add(s_)
+    adj: dict = {}
+    for members in by_part.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    label = {v: v for v in adj}
+    for _ in range(3):
+        nxt = dict(label)
+        for v, ns in adj.items():
+            for u in ns:
+                if label[u] < nxt[v]:
+                    nxt[v] = label[u]
+        label = nxt
+    got = {r.node: r.community for r in graph_label_prop(spark, SF_SMOKE).collect()}
+    assert got == label
+
+
+def test_decompose_identity_and_frame_validity(spark):
+    """revenue must equal trend + seasonal + residual to rounding, and
+    every emitted day must have a full 7-row, 6-day-span centered frame."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_decompose_ma,
+    )
+    import datetime
+
+    rows = ts_decompose_ma(spark, SF_SMOKE).collect()
+    assert rows, "decomposition must emit interior days"
+    days = sorted(
+        datetime.date.fromisoformat(r.day) for r in rows
+    )
+    for r in rows:
+        assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) < 2e-2
+    # interior-day rule: emitted days sit ≥3 days inside the observed range
+    ev_days = sorted(
+        {
+            r.d.date() if hasattr(r.d, "date") else r.d
+            for r in load_table(spark, SF_SMOKE, "events")
+            .select(F.date_trunc("day", "ts").alias("d"))
+            .distinct()
+            .collect()
+        }
+    )
+    assert days[0] >= ev_days[0] + datetime.timedelta(days=3)
+    assert days[-1] <= ev_days[-1] - datetime.timedelta(days=3)

@@ -540,3 +540,121 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x179 — synchronous min-label propagation (bounded-hop communities)
+# --------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_round_sql(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""
+l{k} AS (
+  SELECT node, MIN(label) AS label FROM (
+    SELECT node, label FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.label
+    FROM e JOIN {prev} ON e.src = {prev}.node
+  ) u GROUP BY node
+)"""
+
+
+_LP_ORACLE = (
+    f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, COUNT(*) AS n
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+top AS (
+  SELECT l_suppkey, l_partkey FROM (
+    SELECT l_suppkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                              ORDER BY n DESC, l_partkey) AS rk
+    FROM sp) ranked
+  WHERE rk <= {_TRI_TOPK}
+),
+eb AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM top a JOIN top b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+e AS (SELECT s1 AS src, s2 AS dst FROM eb
+      UNION ALL SELECT s2, s1 FROM eb),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+"""
+    + ",".join(_lp_round_sql(k) for k in range(1, _LP_ROUNDS + 1))
+    + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+FROM l{_LP_ROUNDS}
+"""
+)
+
+
+@register("graph_label_prop", oracle=_LP_ORACLE)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x179: {_LP_ROUNDS}-round synchronous MIN-LABEL propagation over the
+    x91 co-supply graph — after k rounds every node holds the smallest
+    node id within k hops, i.e. BOUNDED-HOP community cores. The third
+    iterative-graph surface: x63 iterates float mass (PageRank), x149
+    peels by degree (k-core), dedup_cluster_cc runs to the fixpoint
+    (union-find / star contraction); this row is the one-join-per-round
+    synchronous-BFS shape those all specialize, with labels exact BIGINT
+    so NO float pinning is needed and the oracle unrolls the same rounds
+    as chained CTEs.
+
+    Fixed round count (not convergence polling) keeps the oracle finite
+    and the plan deterministic; for full components hand these labels to
+    dedup_cluster_cc's fixpoint machinery (operators/graph.py), whose
+    large-star/small-star notes cover adversarial diameters.
+
+    100 TB: per round ONE edges⋈labels hash join + one min-groupBy, both
+    shuffling on node id (AQE reuses the edge partitioning);
+    localCheckpoint cuts lineage per round (trap #8); min is a tiny
+    map-combinable partial. Bucket the edge list by src to make every
+    round shuffle-free on the edge side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("n").desc(), F.col("l_partkey")
+    )
+    top = (
+        sp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRI_TOPK)
+        .select("l_suppkey", "l_partkey")
+    )
+    eb = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # same lineage-cut as x63: edge build runs ONCE
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LP_ROUNDS):
+        pushed = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("community"),
+    )

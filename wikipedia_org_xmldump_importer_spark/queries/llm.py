@@ -1330,3 +1330,221 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v"), 6).alias("loading"),
         F.round(F.col("nrm"), 6).alias("eigenvalue"),
     )
+
+
+# --------------------------------------------------------------------------
+# x178 — deterministic random-hyperplane bit-signature near-dup (embeddings)
+# --------------------------------------------------------------------------
+# The fully-reproducible cousin of sim_ann_lsh: hyperplane j's component for
+# dimension i is ±1 derived from md5('hp:{j}:{i}') (first hex digit < '8' →
+# +1), so BOTH engines can rebuild the exact same planes — no RNG, no
+# rows-only carve-out. Embeddings are quantized to integer micro-units
+# (round(x·1e6)), which makes every signature bit an EXACT BIGINT sign test
+# (float summation order can never flip a bit) and the verify threshold an
+# exact integer compare: cos ≥ 2/5  ⟺  25·dot² ≥ 4·‖a‖²·‖b‖² ∧ dot > 0,
+# held in DECIMAL(38,0)/HUGEINT. Only the REPORTED cos_sim touches floats
+# (one identically-parenthesized sqrt/div expression, rounded 6dp).
+
+_BITSIG_PLANES = 48
+_BITSIG_BAND_BITS = 12
+_BITSIG_BANDS = 4
+_BITSIG_Q = 1_000_000
+_BITSIG_CAP = 64
+
+
+def _bitsig_sign(j: int, i: int) -> int:
+    """±1 hyperplane component from md5 — matches the oracle's SQL md5."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[0] < "8" else -1
+
+
+_BITSIG_SIGNS = [
+    [_bitsig_sign(j, i) for i in range(1, 65)] for j in range(_BITSIG_PLANES)
+]
+
+_BITSIG_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT CAST(a.range AS BIGINT) AS j, CAST(b.range AS BIGINT) AS i,
+         CASE WHEN substring(md5('hp:' || CAST(a.range AS VARCHAR) || ':'
+                                 || CAST(b.range AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE -1 END AS s
+  FROM range(48) a CROSS JOIN range(1, 65) b
+),
+bits AS (
+  SELECT q.vec_id, p.j,
+         CASE WHEN SUM(p.s * q.qv) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM q JOIN p ON p.i = q.i
+  GROUP BY q.vec_id, p.j
+),
+bands AS (
+  SELECT vec_id, CAST(j // 12 AS BIGINT) AS band_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j % 12 AS INTEGER)))
+              AS BIGINT) AS bv
+  FROM bits GROUP BY vec_id, j // 12
+),
+bk AS (
+  SELECT band_id, bv, COUNT(*) AS n_members
+  FROM bands GROUP BY band_id, bv
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv
+               AND a.vec_id < b.vec_id
+  JOIN bk ON bk.band_id = a.band_id AND bk.bv = a.bv
+         AND bk.n_members BETWEEN 2 AND 64
+  GROUP BY a.vec_id, b.vec_id
+),
+norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nq FROM q
+          GROUP BY vec_id),
+dots AS (
+  SELECT c.vec_a, c.vec_b, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dq
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.vec_a
+  JOIN q qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT d.vec_a, d.vec_b,
+       ROUND(CAST(d.dq AS DOUBLE)
+             / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))),
+             6) AS cos_sim
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dq > 0
+  AND CAST(d.dq AS HUGEINT) * d.dq * 25 >= CAST(na.nq AS HUGEINT) * nb.nq * 4
+"""
+
+
+@register("dedup_embed_bitsig", oracle=_BITSIG_ORACLE)
+def dedup_embed_bitsig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x178: DETERMINISTIC random-hyperplane near-dup pairs on embeddings —
+    the SRP-LSH candidate+verify pipeline (Charikar, STOC 2002) with every
+    source of nondeterminism removed, so unlike sim_ann_lsh (rows-only by
+    declaration) this row carries a FULL hash oracle: planes are md5-derived
+    ±1 vectors, signature bits are exact integer sign tests on micro-unit
+    quantized vectors, the band buckets are value-deterministic, and the
+    verify threshold is an exact integer compare (module comment).
+
+    Shape: 48-bit signature in 4 × 12-bit bands (the same band pigeonhole
+    as x6's SimHash on text); candidates must share a band bucket, buckets
+    capped at 64 members (mirrored in the oracle), verify = exact integer
+    cosine test at 2/5. Recall tuning is the standard SRP trade: more
+    bands/tables raise recall at the cost of candidate volume; 4×12 targets
+    high-cosine near-dups and the sandbox's 0.4 bar keeps the smoke output
+    non-empty.
+
+    100 TB: signatures are per-row Catalyst arithmetic (no shuffle, no UDF
+    — swap in a pandas-UDF GEMM if 48×64 interpreted folds ever dominate);
+    the only row-scale shuffle is the band-bucket groupBy; pair volume is
+    bounded by cap²/2 per bucket; the dot verify re-joins the quantized
+    vectors by id (hash join) and never materializes n² anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _BITSIG_Q).cast("long"),
+        ).alias("qv"),
+    )
+    zero = F.lit(0).cast("long")
+    dot_self = F.aggregate(
+        F.zip_with("qv", "qv", lambda a, b: a * b), zero, lambda acc, x: acc + x
+    )
+    # Three consumers (bands, qa, qb) each re-derive qv/nq from the scan:
+    # the quantize+norm is cheap narrow arithmetic over a pruned 2-column
+    # read, and recomputing beats materializing a 100 TB checkpoint
+    # (trap #16: don't count on exchange reuse across projections anyway).
+    q = q.select("vec_id", "qv", dot_self.alias("nq"))
+
+    def plane_dot(j: int):
+        signs = F.array(*[F.lit(s) for s in _BITSIG_SIGNS[j]])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), signs, lambda a, b: a * b),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    def band_val(b: int):
+        bits = [
+            F.when(plane_dot(b * _BITSIG_BAND_BITS + j) >= 0, F.lit(1 << j))
+            .otherwise(0)
+            .cast("long")
+            for j in range(_BITSIG_BAND_BITS)
+        ]
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    bands = q.select(
+        "vec_id",
+        *[band_val(b).alias(f"band{b}") for b in range(_BITSIG_BANDS)],
+    ).selectExpr(
+        "vec_id",
+        "stack(4, 0L, band0, 1L, band1, 2L, band2, 3L, band3) "
+        "as (band_id, bv)",
+    )
+    buckets = (
+        bands.groupBy("band_id", "bv")
+        .agg(F.collect_list("vec_id").alias("members"))
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= _BITSIG_CAP)
+        )
+    )
+    cand = (
+        buckets.select(F.explode("members").alias("vec_a"), "members")
+        .select("vec_a", F.explode("members").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    qa = q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qva"),
+        F.col("nq").alias("na"),
+    )
+    qb = q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qvb"),
+        F.col("nq").alias("nb"),
+    )
+    scored = (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.aggregate(
+                F.zip_with("qva", "qvb", lambda a, b: a * b),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("dq"),
+            "na",
+            "nb",
+        )
+    )
+    dq_dec = F.col("dq").cast("decimal(20,0)")
+    lhs = dq_dec * F.col("dq") * F.lit(25)
+    rhs = F.col("na").cast("decimal(20,0)") * F.col("nb") * F.lit(4)
+    return scored.filter((F.col("dq") > 0) & (lhs >= rhs)).select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            F.col("dq").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )

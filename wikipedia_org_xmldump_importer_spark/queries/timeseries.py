@@ -3633,3 +3633,105 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'click', t1, p1, 'signup', t2, p2, 'view', t4, p4) "
         "as (channel, touched_conversions, shapley)"
     )
+
+
+# --------------------------------------------------------------------------
+# x180 — classical seasonal decomposition by moving average (additive)
+# --------------------------------------------------------------------------
+# revenue(day) = trend + seasonal(weekday) + residual, the moving-average
+# decomposition STL simplifies to when the period is the calendar week:
+# trend = centered 7-day mean, seasonal = per-weekday mean of the detrended
+# series, residual = what's left. Float discipline: the detrended value
+# (cents·7 − s7)/700 keeps an ALL-INTEGER numerator, so the per-weekday
+# seasonal mean is a ratio of exact BIGINTs (never an average of rounded
+# doubles, whose summation order differs cross-engine); trend and residual
+# are single pinned divisions. Frames are valid only when they hold 7 rows
+# spanning exactly 6 calendar days — a gap disqualifies the window instead
+# of silently averaging a longer span (x37's gap-fill is the densifier if
+# the series needs one).
+
+_DECOMP_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         strftime(date_trunc('day', ts), '%a') AS weekday,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT day, weekday, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+         COUNT(*) OVER w AS n7,
+         date_diff('day', MIN(day) OVER w, MAX(day) OVER w) AS span
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+v AS (SELECT * FROM f WHERE n7 = 7 AND span = 6),
+s AS (
+  SELECT weekday,
+         ROUND(CAST(SUM(cents * 7 - s7) AS DOUBLE)
+               / (700.0 * COUNT(*)), 6) AS seasonal
+  FROM v GROUP BY weekday
+)
+SELECT strftime(v.day, '%Y-%m-%d') AS day,
+       ROUND(v.cents / 100.0, 2) AS revenue,
+       ROUND(CAST(v.s7 AS DOUBLE) / 700.0, 6) AS trend,
+       s.seasonal,
+       ROUND(CAST(v.cents * 7 - v.s7 AS DOUBLE) / 700.0 - s.seasonal, 6)
+         AS residual
+FROM v JOIN s ON v.weekday = s.weekday
+"""
+
+
+@register("ts_decompose_ma", oracle=_DECOMP_ORACLE)
+def ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x180: ADDITIVE SEASONAL DECOMPOSITION of daily revenue by centered
+    7-day moving average — revenue = trend + seasonal(weekday) + residual.
+    The decomposition panel behind x167's seasonal index (multiplicative,
+    weekday-grain) and x138's seasonal-naive backtest: x167 answers "how
+    strong is the weekly cycle", this row hands every downstream model the
+    DESEASONALIZED series. Exactness per module comment: integer-numerator
+    detrended values make the weekday means order-free; only two pinned
+    divisions and one subtraction of already-rounded terms touch floats.
+
+    Edge-of-series days (and any day adjacent to a calendar gap) carry no
+    full centered frame and are excluded, not extrapolated — the honest
+    STL boundary rule.
+
+    100 TB: day-grain agg is the only row-scale shuffle; the frame window
+    orders ~|days| rows (single ordered partition of a TINY aggregate —
+    partition by year if |days| ever matters); the weekday table is 7
+    rows broadcast back. Additive vs multiplicative: switch detrended to
+    the x167 ratio form if variance scales with level."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_format(F.date_trunc("day", "ts"), "E").alias("weekday"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    f = d.select(
+        "day",
+        "weekday",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.datediff(F.max("day").over(w), F.min("day").over(w)).alias("span"),
+    )
+    v = f.filter((F.col("n7") == 7) & (F.col("span") == 6))
+    s = v.groupBy("weekday").agg(
+        F.round(
+            F.sum(F.col("cents") * 7 - F.col("s7")).cast("double")
+            / (700.0 * F.count(F.lit(1))),
+            6,
+        ).alias("seasonal")
+    )
+    return v.join(F.broadcast(s), "weekday").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("s7").cast("double") / 700.0, 6).alias("trend"),
+        "seasonal",
+        F.round(
+            (F.col("cents") * 7 - F.col("s7")).cast("double") / 700.0
+            - F.col("seasonal"),
+            6,
+        ).alias("residual"),
+    )
