@@ -246,3 +246,81 @@ def test_decompose_identity_and_frame_validity(spark):
     )
     assert days[0] >= ev_days[0] + datetime.timedelta(days=3)
     assert days[-1] <= ev_days[-1] - datetime.timedelta(days=3)
+
+
+def test_leakage_audit_counts_match_python(spark):
+    """Replay the leak counts with Python sets over (split, content-hash)."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        split_leakage_audit,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+
+    def split_of(did):
+        b = int(hashlib.md5(str(did).encode()).hexdigest()[:3], 16) % 1000
+        return "train" if b < 900 else ("valid" if b < 950 else "test")
+
+    train_h = set()
+    ev = []
+    for r in docs:
+        h = hashlib.md5(r.text.strip().lower().encode()).hexdigest()
+        sp = split_of(r.doc_id)
+        if sp == "train":
+            train_h.add(h)
+        else:
+            ev.append((sp, h))
+    want = {}
+    for sp, h in ev:
+        n, k = want.get(sp, (0, 0))
+        want[sp] = (n + 1, k + (1 if h in train_h else 0))
+    got = {
+        r.split: (r.n_docs, r.n_leaked)
+        for r in split_leakage_audit(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_uplift_deciles_partition_users(spark):
+    """Deciles must partition all users with near-equal sizes (SQL NTILE
+    law: sizes differ by ≤1 and are non-increasing), and per-decile arm
+    counts must sum to the user count."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_uplift_deciles,
+    )
+
+    rows = sorted(
+        events_uplift_deciles(spark, SF_SMOKE).collect(), key=lambda r: r.decile
+    )
+    n_users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    sizes = [r.n_t + r.n_c for r in rows]
+    assert sum(sizes) == n_users
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_decimal_exact_matches_integer_cents(spark):
+    """The native-DECIMAL gross must equal the integer-cents computation
+    exactly (both are exact arithmetic — any mismatch is a real bug)."""
+    from decimal import Decimal
+
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_decimal_exact,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    cents = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c")
+        )
+        .collect()
+    )
+    want = {
+        (r.l_returnflag, r.l_linestatus): Decimal(r.c) / 100 for r in cents
+    }
+    for r in agg_decimal_exact(spark, SF_SMOKE).collect():
+        assert Decimal(r.gross) == want[(r.l_returnflag, r.l_linestatus)]

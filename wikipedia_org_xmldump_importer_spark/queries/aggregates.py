@@ -1225,3 +1225,58 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("c_acctbal") < 0.0).alias("any_negative"),
         F.count_if(F.col("c_acctbal") > 5000.0).cast("long").alias("n_high_balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# x183 — exact DECIMAL money aggregation (first-class, no integer-cents trick)
+# --------------------------------------------------------------------------
+# Everywhere else this repo pins money as BIGINT cents; this row exercises
+# the engines' NATIVE exact-decimal path instead: cast to DECIMAL at the
+# scan, multiply under SQL decimal typing (scale 2 × scale 2 → scale 4,
+# exact), SUM in decimal (Spark widens precision by 10; DuckDB accumulates
+# in HUGEINT) — no float enters at any point, so no round() pinning is
+# needed. The compared value is the canonical DECIMAL(38,4) string (the
+# driver's pandas hash treats decimal objects engine-specifically; the
+# string form is exact and canonical — trailing zeros fixed by the scale).
+
+_DECIMAL_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4))
+            AS VARCHAR) AS gross,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(4,2))
+                        - CAST(l_discount AS DECIMAL(4,2))))
+            AS DECIMAL(38,4)) AS VARCHAR) AS net
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_decimal_exact", oracle=_DECIMAL_ORACLE)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x183: EXACT DECIMAL money aggregation — TPC-H Q1's money columns
+    computed entirely in SQL DECIMAL arithmetic (a2 computes the same
+    shape in rounded doubles): prices cast to DECIMAL(18,2) at the scan,
+    net = price·(1−discount) exact at scale 4, sums exact at any row
+    count. This is the arithmetic a financial pipeline must run — float
+    money drifts ~1 ulp per 2⁵³ of accumulated magnitude, and the
+    integer-cents trick used elsewhere here caps the product scale by
+    hand; native DECIMAL is the engine-supported third way, and Tungsten
+    holds DECIMAL(≤18,s) in a LONG internally (UnsafeRow), so the partial
+    aggregation stays codegen until the sum widens past 18 digits.
+
+    100 TB: one partial-aggregated scan, |flag×status| cells; DECIMAL sums
+    are mergeable partials like any SUM. The module-wide caveat about
+    cross-engine decimal TYPING (Spark p1+p2+1 vs DuckDB w1+w2 product
+    precision) is why both sides pin the OUTPUT type to DECIMAL(38,4)
+    explicitly and compare its canonical string."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(price).cast("decimal(38,4)").cast("string").alias("gross"),
+        F.sum(price * (one - disc)).cast("decimal(38,4)").cast("string").alias("net"),
+    )

@@ -530,3 +530,81 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "normalized_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x181 — train/eval split leakage audit (cross-split exact-dup contamination)
+# --------------------------------------------------------------------------
+
+_LEAK_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3))
+                   ::BIGINT % 1000 < 900 THEN 'train'
+              WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 3))
+                   ::BIGINT % 1000 < 950 THEN 'valid'
+              ELSE 'test' END AS split,
+         md5(lower(trim(text))) AS h
+  FROM documents
+),
+train_h AS (SELECT DISTINCT h FROM s WHERE split = 'train')
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       ROUND(CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS leak_rate
+FROM s LEFT JOIN train_h t ON s.h = t.h
+WHERE s.split <> 'train'
+GROUP BY s.split
+"""
+
+
+@register("split_leakage_audit", oracle=_LEAK_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x181: SPLIT LEAKAGE audit — for each held-out split (valid/test),
+    how many documents' normalized content hashes also appear in train?
+    Composes x47's hash split with l1's content hash: x45 decontaminates
+    against an EXTERNAL benchmark at n-gram grain; this row audits the
+    pipeline's OWN eval splits at exact-duplicate grain — the leak that
+    silently inflates eval numbers when dedup runs before splitting but
+    the corpus is re-ingested after. Non-zero rows here mean "run l1/l2
+    BEFORE x47, not after".
+
+    100 TB: one narrow map (split + hash), one distinct on the train-hash
+    side (uniform 128-bit key — no skew), one hash join, a 2-row agg.
+    The train-hash set at web scale is big — this left join shuffles both
+    sides on h, which is the right plan (a broadcast would need the set
+    to fit an executor; a bloom pre-filter is the standard upgrade and
+    Spark injects one under runtime filters when stats warrant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    s = docs.select(
+        F.when(bucket < 900, "train")
+        .when(bucket < 950, "valid")
+        .otherwise("test")
+        .alias("split"),
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+    )
+    train_h = s.filter(F.col("split") == "train").select("h").distinct()
+    ev = s.filter(F.col("split") != "train")
+    marked = ev.join(
+        train_h.select(F.col("h").alias("th")),
+        ev.h == F.col("th"),
+        "left",
+    )
+    return marked.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("th").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaked"),
+        F.round(
+            F.sum(F.when(F.col("th").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("leak_rate"),
+    )

@@ -3735,3 +3735,116 @@ def ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# x182 — uplift readout by score decile (Qini-table shape)
+# --------------------------------------------------------------------------
+
+_UPLIFT_CUTOFF = "2024-01-15"
+
+# NTILE parity: both engines implement SQL-standard NTILE (first n mod 10
+# tiles get the extra row) — identical given an identical TOTAL order, so
+# the tile ORDER BY is (score, user_id): ties on score cannot float between
+# tiles. The "model score" is the user's pre-period activity count — a
+# deterministic stand-in for a propensity model's output with the right
+# join shape (scores live at user grain, outcomes arrive later).
+
+_UPLIFT_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_UPLIFT_CUTOFF}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS score,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_UPLIFT_CUTOFF}'
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+t AS (
+  SELECT variant, y,
+         CAST(NTILE(10) OVER (ORDER BY score, user_id) AS BIGINT) AS decile
+  FROM u
+)
+SELECT decile,
+       CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       ROUND(CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0), 6)
+         AS mean_t,
+       ROUND(CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0), 6)
+         AS mean_c,
+       ROUND(CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0)
+             - CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0), 6)
+         AS uplift
+FROM t GROUP BY decile
+"""
+
+
+@register("events_uplift_deciles", oracle=_UPLIFT_ORACLE)
+def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x182: UPLIFT-BY-DECILE readout (the Qini/uplift table): rank users
+    by a pre-period score, cut into NTILE(10) deciles over BOTH arms, and
+    report treated-vs-control post-period purchase means + their
+    difference per decile — "does the effect concentrate where the model
+    says it should?". Completes the experimentation suite's targeting leg
+    (x126 average effect, x151 variance reduction, this row heterogeneous
+    effect by score).
+
+    Same md5 arm split as x126; score = pre-cutoff event count (module
+    comment on why, and on NTILE tie discipline). Integer outcomes; the
+    only floats are NULLIF-guarded per-cell means, 6dp-pinned.
+
+    100 TB: one user-grain conditional agg; NTILE needs a total order —
+    at user-count scale swap it for the x102 spelling (percent_rank from
+    cumulative counts at VALUE grain, no global row sort) documented in
+    quantile_normalize; the decile agg is 10×2 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_UPLIFT_CUTOFF).cast("timestamp_ntz")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= cutoff) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(variant.alias("variant"), "score", "y", "user_id")
+    t = u.select(
+        "variant",
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy("score", "user_id"))
+        .cast("long")
+        .alias("decile"),
+    )
+    n_t = F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long")
+    n_c = F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long")
+    s_t = F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(0))
+    s_c = F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(0))
+    mean_t = s_t.cast("double") / F.nullif(n_t.cast("double"), F.lit(0.0))
+    mean_c = s_c.cast("double") / F.nullif(n_c.cast("double"), F.lit(0.0))
+    return t.groupBy("decile").agg(
+        n_t.alias("n_t"),
+        n_c.alias("n_c"),
+        F.round(mean_t, 6).alias("mean_t"),
+        F.round(mean_c, 6).alias("mean_c"),
+        F.round(mean_t - mean_c, 6).alias("uplift"),
+    )
