@@ -324,3 +324,77 @@ def test_decimal_exact_matches_integer_cents(spark):
     }
     for r in agg_decimal_exact(spark, SF_SMOKE).collect():
         assert Decimal(r.gross) == want[(r.l_returnflag, r.l_linestatus)]
+
+
+def test_percentile_sketch_rank_error_bound(spark):
+    """GK guarantee: the true rank of each reported approximate quantile
+    must be within n/accuracy (+1 for discreteness) of the target rank."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        _PSKETCH_ACC,
+        agg_percentile_sketch,
+    )
+
+    vals: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r.event_type, []).append(r.value)
+    for t in vals:
+        vals[t].sort()
+    for r in agg_percentile_sketch(spark, SF_SMOKE).collect():
+        xs = vals[r.event_type]
+        n = len(xs)
+        assert r.n == n
+        for p, got in ((0.5, r.p50), (0.9, r.p90), (0.99, r.p99)):
+            # true rank of the reported value (count of elements <= got)
+            import bisect
+
+            rank = bisect.bisect_right(xs, got)
+            target = p * n
+            assert abs(rank - target) <= n / _PSKETCH_ACC + 1, (
+                r.event_type,
+                p,
+                rank,
+                target,
+                n,
+            )
+
+
+def test_slo_burn_page_bits_replay(spark):
+    """The paging decision must match a Python replay of the multiwindow
+    rule on hourly (n, errors) tallies, including the gap/full-frame
+    disqualifications."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_slo_burn,
+    )
+
+    tall: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("ts", "event_type")
+        .collect()
+    ):
+        hr = r.ts.replace(minute=0, second=0, microsecond=0)
+        n, e = tall.get(hr, (0, 0))
+        tall[hr] = (n + 1, e + (1 if r.event_type == "error" else 0))
+    hours = sorted(tall)
+    import datetime
+
+    expect = {}
+    for ix, hr in enumerate(hours):
+        lo = max(0, ix - 5)
+        frame = hours[lo : ix + 1]
+        n6 = sum(tall[h][0] for h in frame)
+        e6 = sum(tall[h][1] for h in frame)
+        n1, e1 = tall[hr]
+        full = len(frame) == 6 and (hr - frame[0]) == datetime.timedelta(hours=5)
+        page = 1 if (full and e1 * 100 > n1 and e6 * 100 > n6) else 0
+        expect[hr.strftime("%Y-%m-%d %H:00")] = (n1, e1, page)
+    got = {
+        r.hour: (r.n1, r.e1, r.page)
+        for r in events_slo_burn(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(p for (_, _, p) in got.values()) or True  # page may be all-0

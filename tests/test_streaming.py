@@ -648,3 +648,38 @@ def test_alert_hysteresis_stream_matches_batch(spark, tmp_path):
     assert (merged["_merge"] == "both").all()
     for col in ("n_episodes", "longest_episode", "n_alert_rows"):
         assert (merged[f"{col}_x"] == merged[f"{col}_y"]).all()
+
+
+def test_trending_topk_stream_equals_batch(spark, tmp_path):
+    """st14: per-closed-window top-k from append-mode foreachBatch ranking
+    must equal the batch twin for every window the watermark closed
+    (windows still open when the source drains are legitimately absent)."""
+    staged = _staged(spark, tmp_path)
+    out = str(tmp_path / "trending_out")
+    ckpt = str(tmp_path / "trending_ckpt")
+    q = ops.start_trending_topk(read_event_stream(spark, staged), out, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    # final watermark = max event time − 10 min; only windows whose end is
+    # at or before it were closed and emitted
+    max_ts = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]
+        .m
+    )
+    cutoff = max_ts - __import__("datetime").timedelta(minutes=10)
+    want = (
+        REGISTRY["stream_trending_topk"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("wend") <= F.lit(cutoff))
+    )
+    got = got.withColumn("wstart", F.col("wstart").cast("timestamp_ntz")).withColumn(
+        "wend", F.col("wend").cast("timestamp_ntz")
+    )
+    assert got.count() > 0
+    _assert_stream_equals_batch(got, want)

@@ -1280,3 +1280,40 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price).cast("decimal(38,4)").cast("string").alias("gross"),
         F.sum(price * (one - disc)).cast("decimal(38,4)").cast("string").alias("net"),
     )
+
+
+# --------------------------------------------------------------------------
+# x184 — approximate percentile sketch (GK) — the at-scale quantile path
+# --------------------------------------------------------------------------
+
+_PSKETCH_ACC = 10000  # GK accuracy knob: rank error ≤ n / accuracy
+
+
+@register("agg_percentile_sketch", oracle=None)  # sketch internals are
+# engine-specific (Spark GK vs DuckDB t-digest) — rows-only by declaration;
+# the GK rank-error bound is property-tested against the exact quantiles.
+def agg_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x184: APPROXIMATE percentiles (p50/p90/p99 of event value per type)
+    via percentile_approx — Spark's Greenwald-Khanna sketch. a9 computes
+    exact percentiles with a full sort per group; that is the correctness
+    baseline and this row is the 100 TB path: GK state is
+    O(accuracy·log n) per group, MERGEABLE across partitions (a partial
+    sketch per map task, one combine — same contract as x21's HLL and
+    x144's bitmaps), and never materializes a per-group sort. Guarantee:
+    each reported value's true rank is within n/{acc} of the target rank —
+    asserted by tests against a9-style exact quantiles.
+
+    Rows-only by declaration: DuckDB's approx_quantile is a t-digest with
+    different (and unspecified-order) internals, so no cross-engine hash
+    can exist for any approximate sketch — exactly the a4/x21 carve-out.
+
+    100 TB: one map-combined agg, |types| output rows; raise accuracy for
+    tighter tails (state grows linearly), or keep per-day partial sketches
+    and merge across days for a continuous-aggregate quantile table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _PSKETCH_ACC).alias("p50"),
+        F.percentile_approx("value", 0.9, _PSKETCH_ACC).alias("p90"),
+        F.percentile_approx("value", 0.99, _PSKETCH_ACC).alias("p99"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

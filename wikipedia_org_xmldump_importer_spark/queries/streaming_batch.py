@@ -253,3 +253,51 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
     )
     return p.join(v, cond, "inner").select("event_id", "user_id", "p_us", "v_us")
+
+
+# st14 — trending top-k per tumbling window (batch twin)
+_ST14_ORACLE = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT wstart, wend, event_type, n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY wstart
+                               ORDER BY n DESC, event_type) AS BIGINT) AS rk
+FROM c QUALIFY rk <= 2
+"""
+
+
+@register("stream_trending_topk", oracle=_ST14_ORACLE)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st14 batch twin: the 2 most frequent event types per 1h tumbling
+    window (ties by event_type asc) — the "trending now" panel. The
+    streaming half (streaming/ops.py start_trending_topk) gets window
+    finality from append-mode watermarking and ranks each closed window
+    statelessly in foreachBatch; tests/test_streaming.py asserts
+    stream == batch under the watermark cutoff.
+
+    100 TB: the count agg is the only row-scale shuffle (map-combined,
+    low-cardinality keys); the rank window partitions by wstart over
+    |windows|×|types| aggregated rows."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    c = (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n",
+        )
+    )
+    w = Window.partitionBy("wstart").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return c.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 2
+    )

@@ -3848,3 +3848,102 @@ def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_c, 6).alias("mean_c"),
         F.round(mean_t - mean_c, 6).alias("uplift"),
     )
+
+
+# --------------------------------------------------------------------------
+# x186 — SLO burn-rate alert (multiwindow, Google SRE workbook shape)
+# --------------------------------------------------------------------------
+# SLO: 99% of events non-error => error budget 1%. burn = err_rate / 0.01.
+# The alert pages when BOTH the fast (1h) and slow (6h trailing) windows
+# burn above 1× — fast catches the spike, slow suppresses flapping. The
+# PAGING DECISION is all-integer (burn > 1 ⟺ 100·errors > events,
+# cross-multiplied), so the alert bit can never flip on a float ulp; the
+# reported burn ratios are display-only, 6dp-pinned. Trailing frames are
+# valid only when 6 hourly buckets span exactly 5 hours (gap ⇒ no page —
+# same honest-frame rule as x180).
+
+_SLO_ORACLE = """
+WITH h AS (
+  SELECT CAST(epoch(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))
+              // 3600 AS BIGINT) AS hr_idx,
+         strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:00')
+           AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e1
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT hour, hr_idx, n1, e1,
+         CAST(SUM(n1) OVER w AS BIGINT) AS n6,
+         CAST(SUM(e1) OVER w AS BIGINT) AS e6,
+         COUNT(*) OVER w AS k6,
+         hr_idx - MIN(hr_idx) OVER w AS span
+  FROM h
+  WINDOW w AS (ORDER BY hr_idx ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hour, n1, e1,
+       ROUND(CAST(e1 AS DOUBLE) * 100.0 / n1, 6) AS burn_1h,
+       ROUND(CAST(e6 AS DOUBLE) * 100.0 / n6, 6) AS burn_6h,
+       CAST(CASE WHEN k6 = 6 AND span = 5
+                  AND e1 * 100 > n1 AND e6 * 100 > n6
+            THEN 1 ELSE 0 END AS BIGINT) AS page
+FROM f
+"""
+
+
+@register("events_slo_burn", oracle=_SLO_ORACLE)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x186: MULTIWINDOW SLO BURN-RATE alert — per hour: the 1h and
+    trailing-6h error-budget burn against a 99% SLO, paging when both
+    exceed 1× (module comment; the SRE-workbook multiwindow rule that
+    x139's hysteresis and x110's z-score anomaly flank: budget-relative
+    rather than level- or distribution-relative). Integer paging decision,
+    display-only float ratios.
+
+    100 TB: hour-grain agg is the only row-scale shuffle; the trailing
+    frame orders |hours| aggregated rows (partition by service/tenant key
+    in production — here the stream is one service). The same two sums
+    maintain incrementally under st1's streaming window machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = F.date_trunc("hour", "ts")
+    h = ev.groupBy(
+        (F.unix_timestamp(hb.cast("timestamp")) / 3600)
+        .cast("long")
+        .alias("hr_idx"),
+        F.date_format(hb, "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("e1"),
+    )
+    w = Window.orderBy("hr_idx").rowsBetween(-5, 0)
+    f = h.select(
+        "hour",
+        "hr_idx",
+        "n1",
+        "e1",
+        F.sum("n1").over(w).cast("long").alias("n6"),
+        F.sum("e1").over(w).cast("long").alias("e6"),
+        F.count(F.lit(1)).over(w).alias("k6"),
+        (F.col("hr_idx") - F.min("hr_idx").over(w)).alias("span"),
+    )
+    page = (
+        (F.col("k6") == 6)
+        & (F.col("span") == 5)
+        & (F.col("e1") * 100 > F.col("n1"))
+        & (F.col("e6") * 100 > F.col("n6"))
+    )
+    return f.select(
+        "hour",
+        "n1",
+        "e1",
+        F.round(F.col("e1").cast("double") * 100.0 / F.col("n1"), 6).alias(
+            "burn_1h"
+        ),
+        F.round(F.col("e6").cast("double") * 100.0 / F.col("n6"), 6).alias(
+            "burn_6h"
+        ),
+        F.when(page, 1).otherwise(0).cast("long").alias("page"),
+    )

@@ -486,3 +486,62 @@ def alert_hysteresis_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def start_trending_topk(
+    events: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 2,
+    watermark: str = "10 minutes",
+):
+    """st14: per-closed-window TRENDING top-k — the streaming half of
+    stream_trending_topk (queries/streaming_batch.py). Windowed
+    (window × event_type) counts run with a watermark in APPEND mode, so a
+    window's rows are emitted exactly once, all together, in the single
+    micro-batch where the watermark crosses its end; the foreachBatch hook
+    therefore sees every type of a closed window at final counts and can
+    rank STATELESSLY, appending only the top-k rows (ties broken by
+    event_type asc — same total order as the batch twin).
+
+    This is the canonical streaming-top-k shape: ranking is not a
+    streaming-supported window function, but append-mode window finality
+    turns it into a per-batch batch problem. Windows still open when the
+    source drains (the last `watermark` of event time) are NOT emitted —
+    callers compare against the batch twin under the same cutoff.
+
+    100 TB: state = open windows × |types| partial counts (tiny);
+    the rank runs on closed-window rows only, partitioned by window."""
+    e = _with_event_time(events)
+    counts = (
+        e.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n",
+        )
+    )
+
+    def rank_append(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy("wstart").orderBy(
+            F.col("n").desc(), F.col("event_type").asc()
+        )
+        (
+            batch.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        counts.writeStream.foreachBatch(rank_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
