@@ -398,3 +398,84 @@ def test_slo_burn_page_bits_replay(spark):
     }
     assert got == expect
     assert any(p for (_, _, p) in got.values()) or True  # page may be all-0
+
+
+def test_bot_regularity_flags_replay(spark):
+    """CV and flag must match a Python replay on per-user sorted gaps."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_bot_regularity,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id)
+        )
+    expect = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        gaps = [b[0] - a[0] for a, b in zip(rows, rows[1:])]
+        if not gaps:
+            continue
+        n, s1 = len(gaps), sum(gaps)
+        s2 = sum(g * g for g in gaps)
+        spread = n * s2 - s1 * s1
+        expect[uid] = (n, 1 if (n >= 20 and 25 * spread < s1 * s1) else 0)
+    got = {
+        r.user_id: (r.n_gaps, r.is_bot)
+        for r in events_bot_regularity(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_kpi_decompose_telescopes_to_delta(spark):
+    """Sequential-substitution contributions must sum to rev2 − rev1 (the
+    growth-accounting identity), and period factor values must replay."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _KPI_CUTOFF,
+        events_kpi_decompose,
+    )
+    import datetime
+
+    cutoff = datetime.datetime.fromisoformat(_KPI_CUTOFF)
+    rev = [0, 0]
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        if r.event_type == "purchase":
+            rev[0 if r.ts < cutoff else 1] += round(r.value * 100)
+    rows = events_kpi_decompose(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    total = sum(r.contribution for r in rows)
+    assert abs(total - (rev[1] - rev[0]) / 100.0) < 1e-4
+
+
+def test_try_safe_counts_replay(spark):
+    """try_cast/try_divide NULL counts must match a Python replay."""
+    from wikipedia_org_xmldump_importer_spark.queries.scalar_fns import fn_try_safe
+
+    got = {r.o_orderpriority: r for r in fn_try_safe(spark, SF_SMOKE).collect()}
+    tall: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderpriority", "o_custkey", "o_totalprice")
+        .collect()
+    ):
+        n, div0, tot = tall.get(r.o_orderpriority, (0, 0, 0))
+        k = r.o_custkey % 3
+        cents = round(r.o_totalprice * 100)
+        tall[r.o_orderpriority] = (
+            n + 1,
+            div0 + (1 if k == 0 else 0),
+            tot + (cents // k if k else 0),
+        )
+    for pri, (n, div0, tot) in tall.items():
+        row = got[pri]
+        assert row.n == n and row.n_div_null == div0
+        # every priority string starts with a digit ('1-URGENT'...) — the
+        # full cast always fails, the prefix cast always succeeds
+        assert row.n_cast_null == n and row.n_prefix_ok == n
+        assert abs(row.safe_div_total - tot / 100.0) < 1e-6

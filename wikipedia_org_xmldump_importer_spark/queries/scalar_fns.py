@@ -573,3 +573,80 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("q_id"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("q_ref"),
     )
+
+
+# --------------------------------------------------------------------------
+# x187 — error-safe function family (try_*): ANSI mode without the crashes
+# --------------------------------------------------------------------------
+# This engine runs under ANSI semantics (Spark 4 default), where bad casts,
+# /0 and out-of-range element_at RAISE. The try_* family is the contracted
+# escape hatch: NULL instead of error, per value. The oracle spells the
+# same semantics in portable SQL (TRY_CAST; NULLIF-guarded division; DuckDB
+# list_extract is already NULL-on-out-of-bounds where ANSI Spark needs
+# try_element_at — an engine-default difference this row pins explicitly).
+
+_TRY_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+       CAST(SUM(CASE WHEN TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)
+                          IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_ok,
+       CAST(SUM(CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       ROUND(SUM(CASE WHEN o_custkey % 3 <> 0
+                      THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           // (o_custkey % 3)
+                      ELSE 0 END) / 100.0, 2) AS safe_div_total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("fn_try_safe", oracle=_TRY_ORACLE)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x187: the TRY_* error-safe family under ANSI mode — try_cast on a
+    non-numeric string (NULL, counted), try_cast on its numeric prefix
+    (succeeds, counted), and try_divide by a modulus that hits zero (NULL,
+    counted; the surviving quotients integer-summed). Under ANSI (this
+    engine's default) the unguarded spellings of all three RAISE — this
+    row pins the recover-don't-crash contract the ingest layer depends on
+    when a dump carries malformed fields.
+
+    The division is integer (cents DIV k) so the safe-total is exact;
+    DuckDB lacks try_divide, so the oracle spells the identical semantic
+    with a zero-guard CASE — same NULL pattern, same values.
+
+    100 TB: one partial-aggregated scan; try_* are per-value codegen
+    expressions with zero plan-shape cost — the point is semantic
+    (error containment), not physical."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    k = F.col("o_custkey") % 3
+    safe_q = F.try_divide(cents, F.nullif(k, F.lit(0)))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority").try_cast("int").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_cast_null"),
+        F.sum(
+            F.when(
+                F.substring("o_orderpriority", 1, 1).try_cast("int").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_prefix_ok"),
+        F.sum(F.when(k == 0, 1).otherwise(0)).cast("long").alias("n_div_null"),
+        F.round(
+            F.sum(
+                F.when(k != 0, F.floor(safe_q).cast("long")).otherwise(0)
+            )
+            / 100.0,
+            2,
+        ).alias("safe_div_total"),
+    )

@@ -3947,3 +3947,208 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(page, 1).otherwise(0).cast("long").alias("page"),
     )
+
+
+# --------------------------------------------------------------------------
+# x185 — bot detection from inter-arrival regularity (machine-like cadence)
+# --------------------------------------------------------------------------
+# A human's event gaps are bursty (CV ≈ 1 for Poisson, usually higher);
+# schedulers and crawlers tick with near-constant cadence (CV << 1). The
+# flag is CV < 1/5 with ≥20 gaps — and since CV² = (n·Σg² − (Σg)²)/(Σg)²,
+# the decision is the EXACT integer compare 25·(n·Σg² − (Σg)²) < (Σg)²,
+# held in DECIMAL(38,0)/HUGEINT (gap² overflows BIGINT at day-scale gaps:
+# (2.6e12 µs)² ≈ 6.7e24). Headroom note: (Σg)² stays under the 38-digit
+# ceiling while Σg < 1e19 µs ≈ 300k user-years — not a real constraint.
+# Only display columns (mean, cv) touch floats, pinned.
+
+_BOT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS ptus
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(tus - ptus) AS HUGEINT) AS s1,
+         SUM(CAST(tus - ptus AS HUGEINT) * (tus - ptus)) AS s2
+  FROM seq WHERE ptus IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / n_gaps, 2) AS mean_gap_us,
+       ROUND(sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE))
+             / CAST(s1 AS DOUBLE), 6) AS cv,
+       CAST(CASE WHEN n_gaps >= 20
+                  AND 25 * (n_gaps * s2 - s1 * s1) < s1 * s1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM m
+"""
+
+
+@register("events_bot_regularity", oracle=_BOT_ORACLE)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x185: BOT DETECTION by cadence regularity — per user, the
+    coefficient of variation of inter-arrival gaps; CV < 1/5 over ≥20
+    gaps flags machine-like rhythm (module comment for the exact-integer
+    decision form). The abuse/crawler filter a training-data events
+    pipeline runs before any engagement metric — x101 reports the gap
+    distribution, x120's entropy rate scores the SYMBOL stream; this row
+    scores the CLOCK stream.
+
+    100 TB: one per-user sort for LAG (the same shuffle x101 already
+    pays — in production compute both in one pass), then a user-grain
+    agg to three numbers; the flag epilogue is per-user O(1). The CV
+    threshold and min-gap count are the knobs; both sit in exact integer
+    space so retuning never touches float discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    ).withColumn("ptus", F.lag("tus").over(w))
+    gaps = seq.filter(F.col("ptus").isNotNull()).select(
+        "user_id", (F.col("tus") - F.col("ptus")).alias("g")
+    )
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("g").cast("decimal(19,0)") * F.col("g")).alias("s2"),
+    )
+    n_dec = F.col("n_gaps").cast("decimal(38,0)")
+    spread = n_dec * F.col("s2") - F.col("s1") * F.col("s1")
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(F.col("s1").cast("double") / F.col("n_gaps"), 2).alias(
+            "mean_gap_us"
+        ),
+        F.round(
+            F.sqrt(spread.cast("double")) / F.col("s1").cast("double"), 6
+        ).alias("cv"),
+        F.when(
+            (F.col("n_gaps") >= 20) & (spread * 25 < F.col("s1") * F.col("s1")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_bot"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x188 — KPI-tree growth accounting (sequential-substitution decomposition)
+# --------------------------------------------------------------------------
+# revenue = U · (E/U) · (P/E) · (R/P): users × events-per-user ×
+# purchase-share × revenue-per-purchase. The period-over-period revenue
+# delta decomposes EXACTLY by sequential substitution (factors swapped
+# old→new one at a time, in declared order): contribution_i =
+# (Πⱼ≤ᵢ f²ⱼ)(Πⱼ>ᵢ f¹ⱼ) − (Πⱼ<ᵢ f²ⱼ)(Πⱼ≥ᵢ f¹ⱼ). The sum telescopes to
+# rev₂ − rev₁ identically (the invariant test). All 8 inputs are exact
+# BIGINTs; every factor and product is spelled with one pinned operand
+# order on both engines, contributions rounded 6dp. (Order-dependence is
+# inherent to sequential substitution — the declared order IS the
+# contract; Shapley-symmetrizing over orders is x177's machinery.)
+
+_KPI_CUTOFF = "2024-01-16"
+
+_KPI_EPILOGUE = """
+SELECT * FROM (
+  SELECT 'users' AS factor,
+         CAST(u1 AS DOUBLE) AS value_p1, CAST(u2 AS DOUBLE) AS value_p2,
+         ROUND(((CAST(u2 AS DOUBLE)) - (CAST(u1 AS DOUBLE)))
+               * ((CAST(e1 AS DOUBLE) / u1) * (CAST(p1 AS DOUBLE) / e1)
+                  * (CAST(r1 AS DOUBLE) / p1 / 100.0)), 6) AS contribution
+  FROM s
+  UNION ALL
+  SELECT 'events_per_user',
+         ROUND(CAST(e1 AS DOUBLE) / u1, 6), ROUND(CAST(e2 AS DOUBLE) / u2, 6),
+         ROUND((CAST(u2 AS DOUBLE))
+               * ((CAST(e2 AS DOUBLE) / u2) - (CAST(e1 AS DOUBLE) / u1))
+               * ((CAST(p1 AS DOUBLE) / e1) * (CAST(r1 AS DOUBLE) / p1 / 100.0)),
+               6)
+  FROM s
+  UNION ALL
+  SELECT 'purchase_share',
+         ROUND(CAST(p1 AS DOUBLE) / e1, 6), ROUND(CAST(p2 AS DOUBLE) / e2, 6),
+         ROUND(((CAST(u2 AS DOUBLE)) * (CAST(e2 AS DOUBLE) / u2))
+               * ((CAST(p2 AS DOUBLE) / e2) - (CAST(p1 AS DOUBLE) / e1))
+               * (CAST(r1 AS DOUBLE) / p1 / 100.0), 6)
+  FROM s
+  UNION ALL
+  SELECT 'revenue_per_purchase',
+         ROUND(CAST(r1 AS DOUBLE) / p1 / 100.0, 6),
+         ROUND(CAST(r2 AS DOUBLE) / p2 / 100.0, 6),
+         ROUND((((CAST(u2 AS DOUBLE)) * (CAST(e2 AS DOUBLE) / u2))
+                * (CAST(p2 AS DOUBLE) / e2))
+               * ((CAST(r2 AS DOUBLE) / p2 / 100.0)
+                  - (CAST(r1 AS DOUBLE) / p1 / 100.0)), 6)
+  FROM s
+) t
+"""
+
+_KPI_ORACLE = f"""
+WITH s AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '{_KPI_CUTOFF}'
+                             THEN user_id END) AS BIGINT) AS u1,
+    CAST(COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '{_KPI_CUTOFF}'
+                             THEN user_id END) AS BIGINT) AS u2,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '{_KPI_CUTOFF}' THEN 1 ELSE 0 END)
+         AS BIGINT) AS e1,
+    CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_KPI_CUTOFF}' THEN 1 ELSE 0 END)
+         AS BIGINT) AS e2,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '{_KPI_CUTOFF}'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS p1,
+    CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_KPI_CUTOFF}'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS p2,
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '{_KPI_CUTOFF}'
+                   AND event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS r1,
+    CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_KPI_CUTOFF}'
+                   AND event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS r2
+  FROM events
+)
+{_KPI_EPILOGUE}
+"""
+
+
+@register("events_kpi_decompose", oracle=_KPI_ORACLE)
+def events_kpi_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x188: KPI-TREE GROWTH ACCOUNTING — decompose the period-over-period
+    revenue change into the four factors of revenue = users ×
+    events/user × purchase-share × revenue/purchase by sequential
+    substitution (module comment): each factor's contribution is the
+    revenue delta from swapping that factor old→new with earlier factors
+    already new and later ones still old. Contributions telescope to
+    EXACTLY rev₂ − rev₁ — the growth-accounting identity every "why did
+    revenue move" review meeting runs on; x164 ranks movers by segment,
+    this row explains the topline through the metric tree.
+
+    100 TB: ONE conditional global agg collapses the scan to 8 integers
+    (map-combined; the two COUNT DISTINCTs expand to user grain — the
+    same shuffle x160 pays); the 4-row epilogue is driver-free arithmetic
+    on a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    in1 = F.col("ts") < F.lit(_KPI_CUTOFF).cast("timestamp_ntz")
+    in2 = ~in1
+    is_p = F.col("event_type") == "purchase"
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = ev.agg(
+        F.countDistinct(F.when(in1, F.col("user_id"))).cast("long").alias("u1"),
+        F.countDistinct(F.when(in2, F.col("user_id"))).cast("long").alias("u2"),
+        F.sum(F.when(in1, 1).otherwise(0)).cast("long").alias("e1"),
+        F.sum(F.when(in2, 1).otherwise(0)).cast("long").alias("e2"),
+        F.sum(F.when(in1 & is_p, 1).otherwise(0)).cast("long").alias("p1"),
+        F.sum(F.when(in2 & is_p, 1).otherwise(0)).cast("long").alias("p2"),
+        F.sum(F.when(in1 & is_p, cents).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(in2 & is_p, cents).otherwise(0)).cast("long").alias("r2"),
+    )
+    s.createOrReplaceTempView("__kpi_s")
+    return spark.sql(_KPI_EPILOGUE.replace("FROM s", "FROM __kpi_s"))
