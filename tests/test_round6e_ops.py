@@ -479,3 +479,92 @@ def test_try_safe_counts_replay(spark):
         # full cast always fails, the prefix cast always succeeds
         assert row.n_cast_null == n and row.n_prefix_ok == n
         assert abs(row.safe_div_total - tot / 100.0) < 1e-6
+
+
+def test_t_closeness_tvd_replay(spark):
+    """TVD and flags must match a Python replay of the class/global
+    sensitive distributions."""
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        privacy_t_closeness,
+    )
+    import math
+
+    rows = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_nationkey", "c_acctbal", "c_mktsegment")
+        .collect()
+    )
+    cls: dict = {}
+    glob: dict = {}
+    for r in rows:
+        key = (r.c_nationkey, math.floor(r.c_acctbal / 1000.0))
+        cls.setdefault(key, {})
+        cls[key][r.c_mktsegment] = cls[key].get(r.c_mktsegment, 0) + 1
+        glob[r.c_mktsegment] = glob.get(r.c_mktsegment, 0) + 1
+    big_n = sum(glob.values())
+    got = {
+        (r.c_nationkey, r.bal_bucket): (r.group_size, r.tvd, r.violates_t)
+        for r in privacy_t_closeness(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(cls)
+    for key, seg_counts in cls.items():
+        n_c = sum(seg_counts.values())
+        num = sum(
+            abs(seg_counts.get(sg, 0) * big_n - g * n_c)
+            for sg, g in glob.items()
+        )
+        tvd = num / (2.0 * n_c * big_n)
+        gs, gt, gv = got[key]
+        assert gs == n_c
+        assert abs(gt - tvd) < 1e-5
+        assert gv == (num * 4 > 2 * n_c * big_n)
+
+
+def test_embed_outliers_match_numpy(spark):
+    """Top-5 per label must match a numpy replay of the exact integer
+    distance ranking."""
+    import numpy as np
+
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        _BITSIG_Q,
+        embed_outlier_centroid,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    by_label: dict = {}
+    for r in rows:
+        qv = [round(float(x) * _BITSIG_Q) for x in r.embedding]
+        by_label.setdefault(r.label, []).append((r.vec_id, qv))
+    expect = {}
+    for lab, mem in by_label.items():
+        n = len(mem)
+        s = np.sum([qv for _, qv in mem], axis=0, dtype=object)
+        scored = sorted(
+            (
+                (-sum(int(q * n - si) ** 2 for q, si in zip(qv, s)), vid)
+                for vid, qv in mem
+            )
+        )
+        for rk, (_, vid) in enumerate(scored[:5], 1):
+            expect[(lab, vid)] = rk
+    got = {
+        (r.label, r.vec_id): r.rk
+        for r in embed_outlier_centroid(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_aging_buckets_sum_to_open_orders(spark):
+    """Bucket counts must partition the open orders exactly."""
+    from wikipedia_org_xmldump_importer_spark.queries.merge_ops import (
+        orders_aging_buckets,
+    )
+
+    n_open = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .count()
+    )
+    rows = orders_aging_buckets(spark, SF_SMOKE).collect()
+    assert sum(r.n_orders for r in rows) == n_open
+    assert {r.age_bucket for r in rows} <= {"0-30", "31-90", "91-365", "365+"}

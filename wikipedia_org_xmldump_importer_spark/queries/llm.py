@@ -1548,3 +1548,98 @@ def dedup_embed_bitsig(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# x190 — centroid-distance outliers per label (exact integer ranking)
+# --------------------------------------------------------------------------
+# Distances to a float centroid are summation-order-dependent (the mean
+# itself is), so ranking by them cross-engine is fragile. Scaling by n
+# removes the division: ‖v − s/n‖² · n² = Σᵢ(qvᵢ·n − sᵢ)² with qv the
+# micro-unit quantized vector and sᵢ the label's per-dimension integer
+# sum — ALL-INTEGER, so the outlier ranking is exact and the tie-break
+# (vec_id) total. Accumulators in DECIMAL(38,0)/HUGEINT: a term is ~1.6e31
+# at 1e9-row labels, far past BIGINT, comfortably inside 38 digits.
+
+_OUTLIER_TOPK = 5
+
+_OUTLIER_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM embeddings
+),
+lbl AS (
+  SELECT label, i, CAST(SUM(qv) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY label, i
+),
+d AS (
+  SELECT q.vec_id, q.label,
+         SUM(CAST(q.qv * lbl.n - lbl.s AS HUGEINT)
+             * (q.qv * lbl.n - lbl.s)) AS d2n2,
+         MAX(lbl.n) AS n
+  FROM q JOIN lbl ON lbl.label = q.label AND lbl.i = q.i
+  GROUP BY q.vec_id, q.label
+)
+SELECT label, vec_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY d2n2 DESC, vec_id) AS BIGINT) AS rk,
+       ROUND(sqrt(CAST(d2n2 AS DOUBLE)) / n / 1000000.0, 6) AS dist
+FROM d QUALIFY rk <= 5
+"""
+
+
+@register("embed_outlier_centroid", oracle=_OUTLIER_ORACLE)
+def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x190: per-label CENTROID-DISTANCE OUTLIERS — the {_OUTLIER_TOPK}
+    vectors farthest from their label's mean embedding: mislabeled or
+    contaminated examples surface here first (the embedding-space data-
+    cleaning sweep next to l7's centroids and x110's value-space
+    z-scores). Ranking is on the exact integer ‖v−c‖²·n² form (module
+    comment) — no float distance ever orders anything; the reported
+    distance is display-only, one pinned sqrt/div chain.
+
+    100 TB: one 64× posexplode (same linear expansion as x178's oracle
+    path), a (label, dim) partial agg — |labels|·64 rows — joined back
+    label-keyed, a per-vector reduce, and a top-k window per label over
+    |vectors| rows. No driver state, no n² anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _BITSIG_Q).cast("long"),
+            )
+        ).alias("pos", "qv"),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), "qv")
+    lbl = q.groupBy("label", "i").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    term = (F.col("qv") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    d = (
+        q.join(lbl, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(term * (F.col("qv") * F.col("n") - F.col("s"))).alias("d2n2"),
+            F.max("n").alias("n"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2n2").desc(), "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            "rk",
+            F.round(
+                F.sqrt(F.col("d2n2").cast("double")) / F.col("n") / 1000000.0, 6
+            ).alias("dist"),
+        )
+    )

@@ -439,3 +439,68 @@ def cube_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# x191 — open-order AGING report (snapshot bucketed by days outstanding)
+# --------------------------------------------------------------------------
+
+_AGING_ORACLE = """
+WITH snap AS (SELECT MAX(o_orderdate) AS s FROM orders),
+o AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST((SELECT s FROM snap) AS DATE)) AS age_days,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 365 THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(cents) / 100.0, 2) AS open_value
+FROM o GROUP BY 1, 2
+"""
+
+
+@register("orders_aging_buckets", oracle=_AGING_ORACLE)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x191: open-order AGING snapshot — the accounts-receivable-style
+    report: every still-open order bucketed by days outstanding at the
+    data's own latest order date (data-derived snapshot: deterministic,
+    no wall clock — scripts must never call now()), value and count per
+    (priority, bucket). x106 (orders_open_backlog) tracks the backlog
+    LEVEL through time; this row decomposes one snapshot by staleness —
+    the pair answers "how big" and "how rotten".
+
+    Integer day diffs against an exact date; bucket edges integer
+    compares; money exact cents.
+
+    100 TB: the snapshot scalar is a 1-row agg broadcast into the scan
+    filter's projection; one partial-agg groupBy to |priorities|×4
+    cells. Partition pruning applies when orders is date-partitioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.agg(F.max("o_orderdate").alias("s"))
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("s").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return o.groupBy("o_orderpriority", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("cents") / 100.0, 2).alias("open_value"),
+    )

@@ -554,3 +554,113 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sensitive",
         (F.col("n_sensitive") < _LDIV_L).alias("violates_l"),
     )
+
+
+# --------------------------------------------------------------------------
+# x189 — t-closeness audit (completes the x145/x162 privacy release gate)
+# --------------------------------------------------------------------------
+
+_TCLOSE_NUM, _TCLOSE_DEN = 1, 4  # t = 1/4
+
+_TCLOSE_ORACLE = """
+WITH q AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         c_mktsegment
+  FROM customer
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM q),
+segs AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS g FROM q
+         GROUP BY c_mktsegment),
+cls AS (SELECT c_nationkey, bal_bucket, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM q GROUP BY c_nationkey, bal_bucket),
+cs AS (SELECT c_nationkey, bal_bucket, c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS a
+       FROM q GROUP BY c_nationkey, bal_bucket, c_mktsegment),
+grid AS (
+  SELECT cls.c_nationkey, cls.bal_bucket, cls.n_c, segs.c_mktsegment, segs.g,
+         COALESCE(cs.a, 0) AS a
+  FROM cls CROSS JOIN segs
+  LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+              AND cs.bal_bucket = cls.bal_bucket
+              AND cs.c_mktsegment = segs.c_mktsegment
+),
+d AS (
+  SELECT c_nationkey, bal_bucket, n_c,
+         CAST(SUM(ABS(a * (SELECT big_n FROM tot) - g * n_c)) AS BIGINT)
+           AS num
+  FROM grid GROUP BY c_nationkey, bal_bucket, n_c
+)
+SELECT c_nationkey, bal_bucket, n_c AS group_size,
+       ROUND(CAST(num AS DOUBLE)
+             / (2.0 * n_c * (SELECT big_n FROM tot)), 6) AS tvd,
+       CAST(num * 4 > 2 * n_c * (SELECT big_n FROM tot) AS BOOLEAN)
+         AS violates_t
+FROM d
+"""
+
+
+@register("privacy_t_closeness", oracle=_TCLOSE_ORACLE)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x189: t-CLOSENESS audit — the third leg of the release gate: x145
+    bounds re-identification (class size), x162 bounds homogeneity
+    (distinct sensitive values), but a class can pass both while its
+    sensitive DISTRIBUTION still leaks (99% of one segment where the
+    population holds 20%: skewness attack). t-closeness bounds the
+    total-variation distance between each class's sensitive distribution
+    and the global one: TVD = ½Σ|aᵢ/n_c − gᵢ/N|, flagged when > t=1/4.
+
+    Exactness: 2·TVD·n_c·N = Σ|aᵢ·N − gᵢ·n_c| is ALL-INTEGER, so the
+    violation flag is the exact compare 4·Σ > 2·n_c·N — a float ulp can
+    never flip an audit verdict; the reported TVD is display-only 6dp.
+    (a·N needs DECIMAL past ~3e9 rows — the x144 upgrade note applies.)
+
+    100 TB: three partial aggs over one scan (class, class×segment,
+    segment); the zero-filling grid is |classes| × |segments| with the
+    segment side broadcast; the audit is one more |grid|-row agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    segs = q.groupBy("c_mktsegment").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    big_n = q.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    cls = q.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    cs = q.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(segs))
+        .join(cs, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "n_c",
+            "g",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+        )
+        .crossJoin(F.broadcast(big_n))
+    )
+    d = grid.groupBy("c_nationkey", "bal_bucket", "n_c", "big_n").agg(
+        F.sum(
+            F.abs(F.col("a") * F.col("big_n") - F.col("g") * F.col("n_c"))
+        )
+        .cast("long")
+        .alias("num")
+    )
+    return d.select(
+        "c_nationkey",
+        "bal_bucket",
+        F.col("n_c").alias("group_size"),
+        F.round(
+            F.col("num").cast("double")
+            / (2.0 * F.col("n_c") * F.col("big_n")),
+            6,
+        ).alias("tvd"),
+        (F.col("num") * 4 > 2 * F.col("n_c") * F.col("big_n")).alias(
+            "violates_t"
+        ),
+    )
