@@ -164,6 +164,7 @@ def test_oracle_coverage_accounted():
             "fn_hash_noncrypto",  # x15: sha1/xxhash64/crc32 absent in DuckDB 1.0
             "mm_decode_stub",  # x13: stub decode output is declared fake
             "agg_percentile_sketch",  # x184: GK sketch engine-specific
+            "tokenizer_bpe_train",  # x192: iterative re-tokenization
         ]
     )
     assert rows_only == expected, (

@@ -568,3 +568,73 @@ def test_aging_buckets_sum_to_open_orders(spark):
     rows = orders_aging_buckets(spark, SF_SMOKE).collect()
     assert sum(r.n_orders for r in rows) == n_open
     assert {r.age_bucket for r in rows} <= {"0-30", "31-90", "91-365", "365+"}
+
+
+def test_bpe_train_matches_classical_replay(spark):
+    """The distributed merge table must equal a faithful Python replay of
+    classical BPE (Sennrich et al.) on the same word-frequency dict —
+    including the (count desc, pair lexicographic) tie-break and the
+    left-greedy merge-apply."""
+    import re
+
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        _BPE_MERGES,
+        _EOW,
+        tokenizer_bpe_train,
+    )
+
+    freqs: dict = {}
+    for r in load_table(spark, SF_SMOKE, "documents").select("text").collect():
+        for w in re.split(r"\s+", r.text.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    words = {tuple(list(w) + [_EOW]): f for w, f in freqs.items()}
+    expect = []
+    for rnd in range(1, _BPE_MERGES + 1):
+        counts: dict = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rnd, left, right, left + right, cnt))
+        nxt: dict = {}
+        for syms, f in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + f
+        words = nxt
+    got = [
+        (r.rnd, r.left, r.right, r.merged, r.pair_count)
+        for r in tokenizer_bpe_train(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_deseasonal_anomaly_flags_replay(spark):
+    """z and the 3σ flag must match a Python replay from the residual
+    micro-units (which themselves replay x180's pinned spelling)."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_anomaly_deseasonal,
+    )
+
+    rows = ts_anomaly_deseasonal(spark, SF_SMOKE).collect()
+    assert rows
+    ru = [round(r.residual * 1_000_000) for r in rows]
+    n, s1 = len(ru), sum(ru)
+    s2 = sum(x * x for x in ru)
+    import math
+
+    for r, x in zip(rows, ru):
+        dev = x * n - s1
+        spread = n * s2 - s1 * s1
+        assert abs(r.z - dev / math.sqrt(spread)) < 1e-4
+        assert r.is_anomaly == (1 if dev * dev > 9 * spread else 0)

@@ -2377,3 +2377,97 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# x192 — BPE tokenizer training (the merge-table loop, distributed)
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 10
+_EOW = "</w>"  # end-of-word marker, per the original BPE formulation
+
+
+@register("tokenizer_bpe_train", oracle=None)  # iterative re-tokenization is
+# not SQL-expressible (each round's pair counts depend on the previous
+# round's merges applied to every word); rows-only by declaration, verified
+# by an exact Python replay of the classical algorithm incl. tie-breaks.
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x192: BYTE-PAIR-ENCODING tokenizer training (Sennrich et al., ACL
+    2016) — the canonical LLM-tokenizer loop, distributed: compress the
+    corpus to a (word, freq) table, then {_BPE_MERGES} rounds of [count
+    adjacent symbol pairs weighted by word freq → take the most frequent
+    pair (ties: lexicographic) → greedily merge it left-to-right inside
+    every word]. Output is the merge table (round, left, right, merged,
+    pair_count) — the artifact a tokenizer ships.
+
+    Every round is fully distributed: pair counts via zip_with over each
+    word's current symbol array + one hash agg; the winning pair is ONE
+    driver-collected row per round (bounded, like x63's n_nodes scalar);
+    the merge-apply is a Catalyst aggregate() fold — left-greedy adjacent
+    replacement, no Python in the loop. localCheckpoint per round cuts
+    lineage (trap #8).
+
+    100 TB: the word-freq compression is the big win (web corpora have
+    ~1e8 unique words vs 1e12 tokens — the pair counting runs on the
+    SMALL table); real trainers batch multiple merges per sweep once
+    counts stabilize — same plan shape, fewer rounds; vocab-size runs
+    need ~30k rounds of this loop, which is where the batching matters."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit(_EOW))
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, _BPE_MERGES + 1):
+        n = F.size("syms")
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0].p.l, top[0].p.r, top[0].cnt
+        merged = left + right
+        merges.append((rnd, left, right, merged, int(cnt)))
+        # left-greedy adjacent merge as a Catalyst fold: append each symbol,
+        # collapsing it into the accumulator tail when (tail, sym) == pair
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("syms"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rnd long, left string, right string, merged string, pair_count long"
+    )

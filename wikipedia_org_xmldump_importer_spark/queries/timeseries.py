@@ -4152,3 +4152,128 @@ def events_kpi_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s.createOrReplaceTempView("__kpi_s")
     return spark.sql(_KPI_EPILOGUE.replace("FROM s", "FROM __kpi_s"))
+
+
+# --------------------------------------------------------------------------
+# x194 — anomaly detection on the DESEASONALIZED series (composes x180)
+# --------------------------------------------------------------------------
+# x110 z-scores the raw series — a quiet Sunday reads as an anomaly. This
+# row z-scores x180's RESIDUAL (trend and weekday cycle removed), which is
+# the signal ops actually wants paged on. Float discipline: the residual
+# is pinned to integer MICRO-DOLLARS (one identically-spelled double chain,
+# then ROUND·1e6 → BIGINT), so the z moments are exact and the flag is the
+# integer compare (r·n − S1)² > 9·(n·S2 − S1²) in DECIMAL/HUGEINT — the
+# 3σ verdict can't flip on a ulp.
+
+_ANOM_DS_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         strftime(date_trunc('day', ts), '%a') AS weekday,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT day, weekday, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+         COUNT(*) OVER w AS n7,
+         date_diff('day', MIN(day) OVER w, MAX(day) OVER w) AS span
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+v AS (SELECT * FROM f WHERE n7 = 7 AND span = 6),
+s AS (
+  SELECT weekday,
+         ROUND(CAST(SUM(cents * 7 - s7) AS DOUBLE)
+               / (700.0 * COUNT(*)), 6) AS seasonal
+  FROM v GROUP BY weekday
+),
+r AS (
+  SELECT v.day, v.cents,
+         CAST(ROUND((CAST(v.cents * 7 - v.s7 AS DOUBLE) / 700.0 - s.seasonal)
+                    * 1000000) AS BIGINT) AS ru
+  FROM v JOIN s ON v.weekday = s.weekday
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ru) AS HUGEINT) AS s1,
+         SUM(CAST(ru AS HUGEINT) * ru) AS s2
+  FROM r
+)
+SELECT strftime(r.day, '%Y-%m-%d') AS day,
+       ROUND(r.cents / 100.0, 2) AS revenue,
+       ROUND(r.ru / 1000000.0, 6) AS residual,
+       ROUND(CAST(r.ru * m.n - m.s1 AS DOUBLE)
+             / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 6) AS z,
+       CAST(CASE WHEN (r.ru * m.n - m.s1) * (r.ru * m.n - m.s1)
+                      > 9 * (m.n * m.s2 - m.s1 * m.s1)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM r CROSS JOIN m
+"""
+
+
+@register("ts_anomaly_deseasonal", oracle=_ANOM_DS_ORACLE)
+def ts_anomaly_deseasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x194: 3σ ANOMALY detection on the deseasonalized daily revenue —
+    x180's residual (trend + weekday cycle removed) z-scored with exact
+    integer moments and an integer 3σ verdict (module comment). The
+    composition x180 exists to enable: x110 pages on raw level (weekend
+    dips false-positive), x186 pages on budget burn, this row pages on
+    "unusual FOR this trend and weekday".
+
+    100 TB: x180's plan (day agg + one frame window + 7-row seasonal
+    join) plus a 3-number global reduce broadcast back — nothing new
+    shuffles at row scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_format(F.date_trunc("day", "ts"), "E").alias("weekday"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    f = d.select(
+        "day",
+        "weekday",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.datediff(F.max("day").over(w), F.min("day").over(w)).alias("span"),
+    )
+    v = f.filter((F.col("n7") == 7) & (F.col("span") == 6))
+    s = v.groupBy("weekday").agg(
+        F.round(
+            F.sum(F.col("cents") * 7 - F.col("s7")).cast("double")
+            / (700.0 * F.count(F.lit(1))),
+            6,
+        ).alias("seasonal")
+    )
+    r = v.join(F.broadcast(s), "weekday").select(
+        "day",
+        "cents",
+        F.round(
+            (
+                (F.col("cents") * 7 - F.col("s7")).cast("double") / 700.0
+                - F.col("seasonal")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("ru"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ru").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("ru").cast("decimal(19,0)") * F.col("ru")).alias("s2"),
+    )
+    j = r.crossJoin(F.broadcast(m))
+    dev = F.col("ru").cast("decimal(38,0)") * F.col("n") - F.col("s1")
+    spread = F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col(
+        "s1"
+    )
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("ru") / 1000000.0, 6).alias("residual"),
+        F.round(dev.cast("double") / F.sqrt(spread.cast("double")), 6).alias("z"),
+        F.when(dev * dev > spread * 9, 1).otherwise(0).cast("long").alias(
+            "is_anomaly"
+        ),
+    )

@@ -119,3 +119,59 @@ def udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_udtf_v d, LATERAL tokenize_udtf(d.text) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# ud4 / x193 — mapInArrow: the zero-copy record-batch API
+# --------------------------------------------------------------------------
+
+_UD4_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@register("udf_map_arrow", oracle=_UD4_ORACLE)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ud4/x193: mapInArrow — the fourth Python-boundary API next to ud1
+    (pandas scalar), ud2 (grouped agg) and ud3 (UDTF): the udf receives
+    RAW pyarrow RecordBatches, no pandas materialization at all — the
+    right boundary when the Python side is itself Arrow-native (Polars,
+    DuckDB, vectorized tokenizers) and a pandas hop would copy every
+    string. Logic (UTF-8 byte length + md5 of the payload) is
+    SQL-replicable so the oracle verifies the Arrow round-trip exactly,
+    per engine policy (module header).
+
+    100 TB: one narrow map — no shuffle; batch size rides
+    spark.sql.execution.arrow.maxRecordsPerBatch. Of the four APIs this
+    one has the lowest per-batch overhead; it is still Python — keep hot
+    paths in Catalyst (the oracle IS the Catalyst spelling)."""
+    import hashlib  # noqa: PLC0415
+
+    import pyarrow as pa  # noqa: PLC0415
+
+    def per_batch(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text")
+            py_texts = texts.to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(
+                        [len(t.encode("utf-8")) for t in py_texts], pa.int64()
+                    ),
+                    pa.array(
+                        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in py_texts],
+                        pa.string(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "payload_md5"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        per_batch, schema="doc_id bigint, n_bytes bigint, payload_md5 string"
+    )
