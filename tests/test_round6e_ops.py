@@ -638,3 +638,82 @@ def test_deseasonal_anomaly_flags_replay(spark):
         spread = n * s2 - s1 * s1
         assert abs(r.z - dev / math.sqrt(spread)) < 1e-4
         assert r.is_anomaly == (1 if dev * dev > 9 * spread else 0)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """The exact-moment correlations must match numpy's corrcoef."""
+    import numpy as np
+
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_corr_matrix,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .collect()
+    )
+    cols = {
+        "qty": np.array([round(r.l_quantity * 100) for r in rows], dtype=float),
+        "price": np.array(
+            [round(r.l_extendedprice * 100) for r in rows], dtype=float
+        ),
+        "disc": np.array([round(r.l_discount * 100) for r in rows], dtype=float),
+        "tax": np.array([round(r.l_tax * 100) for r in rows], dtype=float),
+    }
+    got = {
+        (r.col_x, r.col_y): r.corr for r in agg_corr_matrix(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 6
+    for (a, b), c in got.items():
+        want = float(np.corrcoef(cols[a], cols[b])[0, 1])
+        assert abs(c - want) < 1e-5, (a, b, c, want)
+
+
+def test_regression_multi_matches_lstsq(spark):
+    """Slopes/intercept/R² must match numpy least squares."""
+    import numpy as np
+
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_regression_multi,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_discount", "l_tax")
+        .collect()
+    )
+    y = np.array([round(r.l_quantity * 100) for r in rows], dtype=float)
+    x1 = np.array([round(r.l_discount * 100) for r in rows], dtype=float)
+    x2 = np.array([round(r.l_tax * 100) for r in rows], dtype=float)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = float(np.sum((y - pred) ** 2))
+    ss_tot = float(np.sum((y - y.mean()) ** 2))
+    r = agg_regression_multi(spark, SF_SMOKE).collect()[0]
+    assert r.n == len(y)
+    assert abs(r.b0 - beta[0]) < 1e-3
+    assert abs(r.b1 - beta[1]) < 1e-4
+    assert abs(r.b2 - beta[2]) < 1e-4
+    assert abs(r.r2 - (1 - ss_res / ss_tot)) < 1e-4
+
+
+def test_class_balance_exact_and_deterministic(spark):
+    """Every label must keep exactly min-class-size rows; two runs agree."""
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        sample_class_balance,
+    )
+
+    counts: dict = {}
+    for r in load_table(spark, SF_SMOKE, "embeddings").select("label").collect():
+        counts[r.label] = counts.get(r.label, 0) + 1
+    target = min(counts.values())
+    a = {(r.label, r.vec_id) for r in sample_class_balance(spark, SF_SMOKE).collect()}
+    b = {(r.label, r.vec_id) for r in sample_class_balance(spark, SF_SMOKE).collect()}
+    assert a == b
+    per_label: dict = {}
+    for lab, _ in a:
+        per_label[lab] = per_label.get(lab, 0) + 1
+    assert set(per_label) == set(counts)
+    assert all(v == target for v in per_label.values())

@@ -1317,3 +1317,262 @@ def agg_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, _PSKETCH_ACC).alias("p99"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# x195 — exact one-pass Pearson correlation MATRIX
+# --------------------------------------------------------------------------
+# a10 verifies the built-in corr() on one pair; this row computes the full
+# 4×4 upper triangle of lineitem's numeric columns from ONE partial-
+# aggregated pass of exact integer moments (each column quantized to its
+# natural unit: qty×100, price cents, disc/tax hundredths), corr =
+# (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) as a pinned epilogue.
+# Second moments overflow BIGINT around sf0.1 (Σ price² ≈ 6e19) — all
+# cross/second moments accumulate in DECIMAL(38,0)/HUGEINT.
+
+_CORRM_COLS = ("qty", "price", "disc", "tax")
+
+
+def _corrm_pair_sql(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}' AS col_x, '{b}' AS col_y,
+       ROUND((n * sxy_{a}_{b} - s_{a} * s_{b})
+             / (sqrt(CAST(n * s2_{a} - s_{a} * s_{a} AS DOUBLE))
+                * sqrt(CAST(n * s2_{b} - s_{b} * s_{b} AS DOUBLE))), 6)
+         AS corr
+FROM m"""
+
+
+_CORRM_ORACLE = (
+    """
+WITH q AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+"""
+    + ",\n".join(
+        f"         CAST(SUM({c}) AS HUGEINT) AS s_{c},\n"
+        f"         SUM(CAST({c} AS HUGEINT) * {c}) AS s2_{c}"
+        for c in _CORRM_COLS
+    )
+    + ","
+    + ",\n".join(
+        f"         SUM(CAST({a} AS HUGEINT) * {b}) AS sxy_{a}_{b}"
+        for i, a in enumerate(_CORRM_COLS)
+        for b in _CORRM_COLS[i + 1 :]
+    )
+    + "\n  FROM q\n)\n"
+    + "\nUNION ALL".join(
+        _corrm_pair_sql(a, b)
+        for i, a in enumerate(_CORRM_COLS)
+        for b in _CORRM_COLS[i + 1 :]
+    )
+)
+
+
+@register("agg_corr_matrix", oracle=_CORRM_ORACLE)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x195: the full PEARSON CORRELATION MATRIX (upper triangle, 6 pairs)
+    of lineitem's numeric columns from ONE pass of exact integer moments
+    (module comment) — the feature-screening table every modeling
+    pipeline starts with. The built-in corr() (verified by a10) computes
+    the same number per pair but one pair per aggregate; the moment form
+    shares a single scan for all pairs AND keeps the accumulators exact
+    (float co-moment partials are summation-order-dependent, so built-in
+    corr can drift a ulp across engines — the integer form cannot).
+
+    100 TB: one map-combined agg to 1 row of 15 numbers (4 sums, 4
+    squares, 6 cross, n); the 6-row epilogue is driver-free. k columns
+    need k(k+1)/2 accumulators — at k≈100s switch to the pandas-UDF GEMM
+    X'X form (one Arrow batch per task, numpy dgemm, sum the partials)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in _CORRM_COLS:
+        aggs.append(F.sum(F.col(c)).cast("decimal(38,0)").alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * F.col(c)).alias(f"s2_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORRM_COLS)
+        for b in _CORRM_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec(a) * F.col(b)).alias(f"sxy_{a}_{b}"))
+    m = q.agg(*aggs)
+
+    def pair_row(a: str, b: str):
+        num = (
+            F.col("n") * F.col(f"sxy_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double")
+        den_a = F.sqrt(
+            (
+                F.col("n") * F.col(f"s2_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            ).cast("double")
+        )
+        den_b = F.sqrt(
+            (
+                F.col("n") * F.col(f"s2_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            ).cast("double")
+        )
+        return m.select(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.round(num / (den_a * den_b), 6).alias("corr"),
+        )
+
+    out = pair_row(*pairs[0])
+    for a, b in pairs[1:]:
+        out = out.unionByName(pair_row(a, b))
+    return out
+
+
+# --------------------------------------------------------------------------
+# x196 — multiple regression (2 features) via normal equations, exact moments
+# --------------------------------------------------------------------------
+# y = b0 + b1·x1 + b2·x2 by the 2-predictor closed form on CENTERED
+# co-moment sums (each exact: Sab = n·Σab − Σa·Σb in DECIMAL/HUGEINT):
+#   det = S11·S22 − S12²,  b1 = (S22·S1y − S12·S2y)/det,
+#   b2 = (S11·S2y − S12·S1y)/det,  b0 = ȳ − b1·x̄1 − b2·x̄2,
+#   R² = (b1·S1y + b2·S2y)/Syy.
+# b1/b2 are single pinned divisions of exact integers. b0 and R² are
+# assembled FROM THE PUBLISHED 6dp slopes (not the unrounded ones) so both
+# engines compose identical doubles — reproducibility of the shipped
+# numbers over the last 1e-6 of the unpublished ones, same contract as
+# x63's per-iteration pinning. x66 is the 1-feature case; k features need
+# the pandas-UDF X'X GEMM (x195's note) + a driver-side k×k solve.
+
+_REGM_ORACLE = """
+WITH q AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x1,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS x2
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(x1) AS HUGEINT) AS sx1,
+         CAST(SUM(x2) AS HUGEINT) AS sx2,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+         SUM(CAST(x2 AS HUGEINT) * x2) AS sx2x2,
+         SUM(CAST(x1 AS HUGEINT) * x2) AS sx1x2,
+         SUM(CAST(x1 AS HUGEINT) * y) AS sx1y,
+         SUM(CAST(x2 AS HUGEINT) * y) AS sx2y,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM q
+),
+s AS (
+  SELECT n, sy, sx1, sx2,
+         n * sx1x1 - sx1 * sx1 AS s11, n * sx2x2 - sx2 * sx2 AS s22,
+         n * sx1x2 - sx1 * sx2 AS s12, n * sx1y - sx1 * sy AS s1y,
+         n * sx2y - sx2 * sy AS s2y, n * syy - sy * sy AS syy_c
+  FROM m
+),
+b AS (
+  SELECT n, sy, sx1, sx2, s1y, s2y, syy_c,
+         ROUND(CAST(s22 * s1y - s12 * s2y AS DOUBLE)
+               / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b1,
+         ROUND(CAST(s11 * s2y - s12 * s1y AS DOUBLE)
+               / CAST(s11 * s22 - s12 * s12 AS DOUBLE), 6) AS b2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, b1, b2,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             - b1 * (CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE))
+             - b2 * (CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS b0,
+       ROUND((b1 * CAST(s1y AS DOUBLE) + b2 * CAST(s2y AS DOUBLE))
+             / CAST(syy_c AS DOUBLE), 6) AS r2
+FROM b
+"""
+
+
+@register("agg_regression_multi", oracle=_REGM_ORACLE)
+def agg_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x196: MULTIPLE REGRESSION (quantity on discount + tax) by exact-
+    moment normal equations (module comment) — x66's simple OLS extended
+    to the 2-predictor closed form, still ONE map-combined pass and a
+    1-row epilogue: the "controlled effect" question (does discount move
+    quantity HOLDING TAX FIXED?) that simple OLS confounds.
+
+    100 TB: one partial-aggregated scan to 10 exact accumulators; no
+    shuffle beyond the 1-row reduce. Column scaling note: centered sums
+    are products of three n-scale integers — DECIMAL(38) holds to ~3e9
+    rows at these units; past that, pre-center on a first-pass mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x1"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("x2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("x1").cast("decimal(38,0)").alias("sx1"),
+        F.sum("x2").cast("decimal(38,0)").alias("sx2"),
+        F.sum(dec("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(dec("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(dec("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(dec("x1") * F.col("y")).alias("sx1y"),
+        F.sum(dec("x2") * F.col("y")).alias("sx2y"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    s = m.select(
+        "n",
+        "sy",
+        "sx1",
+        "sx2",
+        (F.col("n") * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).alias("s11"),
+        (F.col("n") * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).alias("s22"),
+        (F.col("n") * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).alias("s12"),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy")).alias("s1y"),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy")).alias("s2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("syy_c"),
+    )
+    det = (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")).cast(
+        "double"
+    )
+    b1 = F.round(
+        (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")).cast("double")
+        / det,
+        6,
+    )
+    b2 = F.round(
+        (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")).cast("double")
+        / det,
+        6,
+    )
+    b = s.select(
+        "n", "sy", "sx1", "sx2", "s1y", "s2y", "syy_c",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    nd = F.col("n").cast("double")
+    return b.select(
+        F.col("n").cast("long").alias("n"),
+        "b1",
+        "b2",
+        F.round(
+            F.col("sy").cast("double") / nd
+            - F.col("b1") * (F.col("sx1").cast("double") / nd)
+            - F.col("b2") * (F.col("sx2").cast("double") / nd),
+            6,
+        ).alias("b0"),
+        F.round(
+            (
+                F.col("b1") * F.col("s1y").cast("double")
+                + F.col("b2") * F.col("s2y").cast("double")
+            )
+            / F.col("syy_c").cast("double"),
+            6,
+        ).alias("r2"),
+    )

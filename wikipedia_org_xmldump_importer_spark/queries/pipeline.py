@@ -608,3 +608,57 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("leak_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# x197 — class-balanced downsampling (hash-ranked, deterministic)
+# --------------------------------------------------------------------------
+
+_BAL_ORACLE = """
+WITH c AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+),
+m AS (SELECT MIN(n) AS target FROM c),
+r AS (
+  SELECT vec_id, label,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              AS BIGINT) AS rk
+  FROM embeddings
+)
+SELECT r.label, r.vec_id, r.rk
+FROM r CROSS JOIN m WHERE r.rk <= m.target
+"""
+
+
+@register("sample_class_balance", oracle=_BAL_ORACLE)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x197: CLASS-BALANCED downsampling — keep exactly min(|class|) rows
+    per label, chosen by md5-of-key rank: deterministic (re-runs, engine
+    swaps and incremental rebuilds pick the SAME rows — x47's argument at
+    class grain), uniform-in-expectation within each class, and exact-
+    count (never the approximate fractions sampleBy gives). The imbalance
+    fix a classifier-training pipeline applies before x48's language
+    stratification; the complement (the dropped majority rows) is the
+    candidate pool for hard-negative mining.
+
+    100 TB: per-label rank is one shuffle on label — SKEWED by definition
+    (the majority class is one partition); at scale replace row_number
+    with a two-pass threshold: sample the md5 space to estimate the
+    target-quantile hash cutoff, keep rows below it (constant memory, no
+    per-class sort), then exact-trim the boundary bucket.
+
+    Oracle caveat: rank ties cannot exist (vec_id unique ⇒ md5 unique),
+    so the order is total on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.agg(F.min("n").alias("target"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    r = emb.select(
+        "label", "vec_id", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return r.crossJoin(F.broadcast(m)).filter(
+        F.col("rk") <= F.col("target")
+    ).select("label", "vec_id", "rk")
