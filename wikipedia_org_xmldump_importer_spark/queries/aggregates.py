@@ -1411,7 +1411,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(dec(a) * F.col(b)).alias(f"sxy_{a}_{b}"))
     m = q.agg(*aggs)
 
-    def pair_row(a: str, b: str):
+    def corr_expr(a: str, b: str):
         num = (
             F.col("n") * F.col(f"sxy_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
         ).cast("double")
@@ -1425,16 +1425,18 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n") * F.col(f"s2_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
             ).cast("double")
         )
-        return m.select(
-            F.lit(a).alias("col_x"),
-            F.lit(b).alias("col_y"),
-            F.round(num / (den_a * den_b), 6).alias("corr"),
-        )
+        return F.round(num / (den_a * den_b), 6)
 
-    out = pair_row(*pairs[0])
-    for a, b in pairs[1:]:
-        out = out.unionByName(pair_row(a, b))
-    return out
+    # ONE stack over the single 1-row aggregate: a 6-way union of selects
+    # from `m` re-planned the scan+agg per branch (trap #11 — measured
+    # 2.2 s; this form is one scan).
+    wide = m.select(
+        *[corr_expr(a, b).alias(f"c_{a}_{b}") for a, b in pairs]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) as (col_x, col_y, corr)"
+    )
 
 
 # --------------------------------------------------------------------------
