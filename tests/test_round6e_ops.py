@@ -717,3 +717,113 @@ def test_class_balance_exact_and_deterministic(spark):
         per_label[lab] = per_label.get(lab, 0) + 1
     assert set(per_label) == set(counts)
     assert all(v == target for v in per_label.values())
+
+
+def test_evidence_panel_vs_python_sets(spark):
+    """All five signals must match Python set arithmetic on the same
+    (df-capped) shingle sets."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        dedup_evidence_panel,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    sh = {}
+    src = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        n = max(len(toks) - 2, 1)
+        grams = {
+            toks[i]
+            + " "
+            + (toks[i + 1] if i + 1 < len(toks) else "")
+            + " "
+            + (toks[i + 2] if i + 2 < len(toks) else "")
+            for i in range(n)
+        }
+        sh[r.doc_id] = grams
+        src[r.doc_id] = r.source
+    df_count: dict = {}
+    for grams in sh.values():
+        for g in grams:
+            df_count[g] = df_count.get(g, 0) + 1
+    hot = {g for g, c in df_count.items() if c > 256}
+    pruned = {d: grams - hot for d, grams in sh.items()}
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup_evidence_panel(spark, SF_SMOKE).collect()
+    }
+    expect = {}
+    ids = sorted(pruned)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if src[a] != src[b]:
+                continue
+            common = len(pruned[a] & pruned[b])
+            if common >= 3:
+                expect[(a, b)] = common
+    assert set(got) == set(expect)
+    for (a, b), r in got.items():
+        common = expect[(a, b)]
+        na, nb = len(sh[a]), len(sh[b])
+        assert r.n_common == common and r.na == na and r.nb == nb
+        assert abs(r.jaccard - common / (na + nb - common)) < 1e-5
+        assert abs(r.containment_a - common / na) < 1e-5
+        assert abs(r.containment_b - common / nb) < 1e-5
+        assert abs(r.overlap - common / min(na, nb)) < 1e-5
+
+
+def test_anova_matches_python_f(spark):
+    """F statistic must match a Python replay of the one-way ANOVA."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_anova_weekday,
+    )
+
+    days: dict = {}
+    for r in load_table(spark, SF_SMOKE, "events").select("ts", "value").collect():
+        d = r.ts.date()
+        days[d] = days.get(d, 0) + round(r.value * 100)
+    groups: dict = {}
+    for d, cents in days.items():
+        groups.setdefault(d.strftime("%a"), []).append(cents)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(x * x for v in groups.values() for x in v)
+    sum_sq = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    ssb = sum_sq - s * s / n
+    ssw = q - sum_sq
+    f = (ssb / 6) / (ssw / (n - 7))
+    row = events_anova_weekday(spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n and row.df2 == n - 7
+    assert abs(row.f_stat - f) < 1e-4
+    assert row.significant_05 == (round(f, 6) > 2.099)
+
+
+def test_power_analysis_formula(spark):
+    """n_per_arm must match the two-proportion formula on the observed
+    baseline."""
+    import math
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_power_analysis,
+    )
+
+    users: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        users[r.user_id] = users.get(r.user_id, 0) or (
+            1 if r.event_type == "purchase" else 0
+        )
+    n_users = len(users)
+    p = sum(users.values()) / n_users
+    zsq = (1.959964 + 0.841621) ** 2
+    n_arm = math.ceil(zsq * 2 * p * (1 - p) / (0.2 * p) ** 2)
+    row = events_power_analysis(spark, SF_SMOKE).collect()[0]
+    assert row.n_users == n_users
+    assert row.n_per_arm == n_arm
+    assert row.n_total == 2 * n_arm
+    assert row.feasible_now == (2 * n_arm <= n_users)

@@ -195,31 +195,11 @@ WHERE n_common * 1.0 / (na + nb - n_common) >= 0.05
 _JACCARD_DF_CAP = 256  # shingles in more docs than this are boilerplate
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity for same-source candidate pairs.
-
-    100 TB notes: the shingle equi-join IS the LSH-free candidate generator —
-    pairs only materialize when they share a shingle (and a source bucket),
-    so the quadratic blowup is bounded by shingle collision counts, not n².
-    Hot shingles (boilerplate) are the skew risk, and they are DROPPED here:
-    shingles with document frequency > _JACCARD_DF_CAP are excluded on BOTH
-    engines (mirrored HAVING clause in the oracle), so one boilerplate
-    shingle shared by 10⁵ docs contributes 0 pairs instead of ~10¹⁰. Union
-    sizes (na/nb) still count all shingles, so jaccard is biased DOWN for
-    boilerplate-heavy pairs — the conservative direction for dedup.
-
-    Shape: ONE groupBy(shingle) builds the per-shingle posting list, whose
-    size IS the document frequency — the df cap is a post-agg filter, not a
-    second pass — and surviving (2..cap)-doc buckets emit their pairs via a
-    bounded double-explode (same bucket-emission shape as
-    dedup_near_minhash's _bucket_pairs). Two shuffles total (bucket agg,
-    pair agg); the CPU-heavy shingle pipeline is computed exactly once. A
-    first cut spelled the cap as a df-aggregate + left_anti join — that
-    recomputed the shingle explode per join branch and tripled the wall
-    clock. Memory: a hot bucket's collect_list buffer is O(df) ≈ 2.6 MB at
-    df=10⁵ before the filter drops it — acceptable; a corpus where hot df
-    rivals executor memory needs a pre-pass df sketch instead."""
+def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 3-gram candidate generator: (doc_a, doc_b, na, nb, n_common)
+    for same-source pairs sharing ≥1 surviving shingle — the bucket-emission
+    pipeline dedup_ngram_jaccard documents; x198's evidence panel reuses it
+    verbatim so both rows stay plan-identical."""
     # Repartition up front: the corpus may arrive as few (here: one) input
     # splits, and every downstream stage before the first shuffle inherits
     # that parallelism — the CPU-heavy shingle hashing must spread across
@@ -295,6 +275,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return inter
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for same-source candidate pairs.
+
+    Candidate generation + pair counting live in _shingle_pair_counts
+    (shared with x198); the long-form 100 TB/plan-shape notes sit on that
+    helper's body comments. This row keeps the jaccard threshold contract.
+    """
+    inter = _shingle_pair_counts(spark, sf_dir)
+    """Exact 3-gram Jaccard similarity for same-source candidate pairs.
+
+    100 TB notes: the shingle equi-join IS the LSH-free candidate generator —
+    pairs only materialize when they share a shingle (and a source bucket),
+    so the quadratic blowup is bounded by shingle collision counts, not n².
+    Hot shingles (boilerplate) are the skew risk, and they are DROPPED here:
+    shingles with document frequency > _JACCARD_DF_CAP are excluded on BOTH
+    engines (mirrored HAVING clause in the oracle), so one boilerplate
+    shingle shared by 10⁵ docs contributes 0 pairs instead of ~10¹⁰. Union
+    sizes (na/nb) still count all shingles, so jaccard is biased DOWN for
+    boilerplate-heavy pairs — the conservative direction for dedup.
+
+    Shape: ONE groupBy(shingle) builds the per-shingle posting list, whose
+    size IS the document frequency — the df cap is a post-agg filter, not a
+    second pass — and surviving (2..cap)-doc buckets emit their pairs via a
+    bounded double-explode (same bucket-emission shape as
+    dedup_near_minhash's _bucket_pairs). Two shuffles total (bucket agg,
+    pair agg); the CPU-heavy shingle pipeline is computed exactly once. A
+    first cut spelled the cap as a df-aggregate + left_anti join — that
+    recomputed the shingle explode per join branch and tripled the wall
+    clock. Memory: a hot bucket's collect_list buffer is O(df) ≈ 2.6 MB at
+    df=10⁵ before the filter drops it — acceptable; a corpus where hot df
+    rivals executor memory needs a pre-pass df sketch instead."""
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
@@ -2470,4 +2485,74 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.select(fold.alias("syms"), "freq").localCheckpoint()
     return spark.createDataFrame(
         merges, "rnd long, left string, right string, merged string, pair_count long"
+    )
+
+
+# --------------------------------------------------------------------------
+# x198 — near-dup EVIDENCE PANEL (jaccard + containment + overlap, one pass)
+# --------------------------------------------------------------------------
+
+_EVIDENCE_MIN_COMMON = 3  # integer gate: a float threshold can never flip it
+
+_EVIDENCE_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                coalesce(string_split(text, ' ')[i+1], '') || ' ' ||
+                coalesce(string_split(text, ' ')[i+2], ''))) AS shingles
+  FROM documents
+),
+flat AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+hot AS (SELECT s FROM flat GROUP BY s HAVING COUNT(*) > 256),
+pruned AS (SELECT * FROM flat WHERE s NOT IN (SELECT s FROM hot)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS na, b.n_sh AS nb, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pruned a JOIN pruned b
+    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       ROUND(n_common * 1.0 / (na + nb - n_common), 6) AS jaccard,
+       ROUND(n_common * 1.0 / na, 6) AS containment_a,
+       ROUND(n_common * 1.0 / nb, 6) AS containment_b,
+       ROUND(n_common * 1.0 / least(na, nb), 6) AS overlap
+FROM inter WHERE n_common >= 3
+"""
+
+
+@register("dedup_evidence_panel", oracle=_EVIDENCE_ORACLE)
+def dedup_evidence_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x198: near-dup EVIDENCE PANEL — for every candidate pair with ≥
+    {_EVIDENCE_MIN_COMMON} shared shingles, ALL the set-similarity signals
+    a dedup decision review needs in one pass: jaccard (symmetric),
+    containment both directions (ASYMMETRIC — the quote-inclusion case
+    jaccard under-scores: a tweet quoted inside an article has
+    containment_a ≈ 1 with tiny jaccard), and the overlap coefficient
+    (containment against the smaller doc). x7 emits the jaccard DECISION;
+    this row emits the evidence behind it — the audit table a human (or
+    the x72 keep-best resolver) reads before tuning thresholds.
+
+    The pair gate is the INTEGER n_common ≥ {_EVIDENCE_MIN_COMMON} —
+    every ratio is display-only, so no float threshold can flip row
+    membership. Candidate generation is byte-shared with x7
+    (_shingle_pair_counts): same df-capped bucket emission, same two
+    shuffles; the panel adds zero scans."""
+    inter = _shingle_pair_counts(spark, sf_dir)
+    c = F.col("n_common").cast("double")
+    return inter.filter(F.col("n_common") >= _EVIDENCE_MIN_COMMON).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round(c / (F.col("na") + F.col("nb") - F.col("n_common")), 6).alias(
+            "jaccard"
+        ),
+        F.round(c / F.col("na"), 6).alias("containment_a"),
+        F.round(c / F.col("nb"), 6).alias("containment_b"),
+        F.round(c / F.least("na", "nb"), 6).alias("overlap"),
     )

@@ -4277,3 +4277,204 @@ def ts_anomaly_deseasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x199 — one-way ANOVA across weekdays (does the weekly cycle EXIST?)
+# --------------------------------------------------------------------------
+# F = (SSB/(k−1)) / (SSW/(N−k)) over daily revenue grouped by weekday.
+# Summation-order discipline: SSB needs Σⱼ Sⱼ²/nⱼ — a sum of SEVEN doubles,
+# whose order a groupBy would leave to the engine. Both sides therefore
+# PIVOT to one row with a named column per weekday and add the seven terms
+# in literal Mon..Sun order — identical operand order, identical bits.
+# Day sums/squares are exact integers (DECIMAL for the squares).
+
+_ANOVA_DAYS = ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+_ANOVA_F_CRIT = 2.099  # F(6, inf) upper 5% — pinned constant
+
+_ANOVA_ORACLE = (
+    """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%a') AS wd,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY date_trunc('day', ts)
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+"""
+    + ",\n".join(
+        f"         CAST(SUM(CASE WHEN wd = '{w}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{w},\n"
+        f"         CAST(SUM(CASE WHEN wd = '{w}' THEN cents ELSE 0 END)"
+        f" AS HUGEINT) AS s_{w}"
+        for w in _ANOVA_DAYS
+    )
+    + """
+  FROM d
+),
+f AS (
+  SELECT n_days,
+         ("""
+    + "\n          + ".join(
+        f"CAST(s_{w} * s_{w} AS DOUBLE) / n_{w}" for w in _ANOVA_DAYS
+    )
+    + """)
+           AS sum_sq_over_n,
+         CAST(q AS DOUBLE) AS qd,
+         CAST(s * s AS DOUBLE) / n_days AS grand_term
+  FROM p
+)
+SELECT n_days,
+       ROUND(((sum_sq_over_n - grand_term) / 6)
+             / ((qd - sum_sq_over_n) / (n_days - 7)), 6) AS f_stat,
+       CAST(6 AS BIGINT) AS df1, CAST(n_days - 7 AS BIGINT) AS df2,
+       CAST(ROUND(((sum_sq_over_n - grand_term) / 6)
+             / ((qd - sum_sq_over_n) / (n_days - 7)), 6) > 2.099 AS BOOLEAN)
+         AS significant_05
+FROM f
+"""
+)
+
+
+@register("events_anova_weekday", oracle=_ANOVA_ORACLE)
+def events_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x199: one-way ANOVA of daily revenue across weekdays — the
+    significance test x167's seasonal INDEX and x180's seasonal COMPONENT
+    presuppose: is the weekly cycle real, or noise? F from exact integer
+    day sums/squares; the seven Sⱼ²/nⱼ terms add in literal Mon..Sun
+    order on both engines (module comment — a groupBy sum of 7 doubles
+    would leave the order to the engine). Verdict vs the pinned
+    F(6,∞) 5% critical {_ANOVA_F_CRIT} on the 6dp-rounded statistic.
+
+    Assumes every weekday observed ≥1 day (guaranteed by ≥1 full week of
+    data — x180's validity horizon); missing weekdays would need the
+    NULLIF guard x175 documents.
+
+    100 TB: day-grain agg, then ONE conditional pivot agg to 16 numbers
+    and a 1-row epilogue — the x126 shape with a 7-level factor."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    ).select(F.date_format("day", "E").alias("wd"), "cents")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents")).alias("q"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    ]
+    for w in _ANOVA_DAYS:
+        aggs.append(
+            F.sum(F.when(F.col("wd") == w, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{w}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("wd") == w, F.col("cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"s_{w}")
+        )
+    p = d.agg(*aggs)
+    term = lambda w: (  # noqa: E731
+        (F.col(f"s_{w}") * F.col(f"s_{w}")).cast("double") / F.col(f"n_{w}")
+    )
+    sum_sq = term(_ANOVA_DAYS[0])
+    for w in _ANOVA_DAYS[1:]:
+        sum_sq = sum_sq + term(w)
+    qd = F.col("q").cast("double")
+    grand = (F.col("s") * F.col("s")).cast("double") / F.col("n_days")
+    f_stat = F.round(
+        ((sum_sq - grand) / 6) / ((qd - sum_sq) / (F.col("n_days") - 7)), 6
+    )
+    return p.select(
+        "n_days",
+        f_stat.alias("f_stat"),
+        F.lit(6).cast("long").alias("df1"),
+        (F.col("n_days") - 7).cast("long").alias("df2"),
+        (f_stat > _ANOVA_F_CRIT).alias("significant_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x200 — experiment POWER ANALYSIS (the planning step of the A/B suite)
+# --------------------------------------------------------------------------
+# Standard two-proportion sample size: n/arm = (z_{α/2} + z_β)² · 2·p(1−p)
+# / δ², with α=0.05, power 80%, δ = 20% relative MDE. The z constants are
+# PINNED LITERALS (1.959964, 0.841621) — inverse-normal is not correctly
+# rounded cross-libm (trap #18), so it never runs at query time. p comes
+# from exact integer counts; the whole epilogue is one identically-
+# parenthesized expression; CEIL is exact on doubles (DuckDB returns
+# DOUBLE, Spark LONG — both cast to BIGINT, the verify-skill gotcha).
+
+_POWER_Z_SUM_SQ = "(1.959964 + 0.841621) * (1.959964 + 0.841621)"
+
+_POWER_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(conv) AS BIGINT) AS n_conv
+  FROM u
+),
+c AS (
+  SELECT n_users, n_conv,
+         CAST(n_conv AS DOUBLE) / n_users AS p
+  FROM s
+)
+SELECT n_users, n_conv, ROUND(p, 6) AS p_baseline,
+       ROUND(0.2 * p, 6) AS mde_abs,
+       CAST(CEIL({_POWER_Z_SUM_SQ} * (2.0 * (p * (1.0 - p)))
+                 / ((0.2 * p) * (0.2 * p))) AS BIGINT) AS n_per_arm,
+       CAST(2 * CEIL({_POWER_Z_SUM_SQ} * (2.0 * (p * (1.0 - p)))
+                 / ((0.2 * p) * (0.2 * p))) AS BIGINT) AS n_total,
+       CAST(CAST(2 * CEIL({_POWER_Z_SUM_SQ} * (2.0 * (p * (1.0 - p)))
+                 / ((0.2 * p) * (0.2 * p))) AS BIGINT) <= n_users
+            AS BOOLEAN) AS feasible_now
+FROM c
+"""
+
+
+@register("events_power_analysis", oracle=_POWER_ORACLE)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x200: POWER ANALYSIS — the required per-arm sample size to detect a
+    20% relative lift in the purchase-conversion rate at α=0.05 / 80%
+    power, from the corpus's own baseline rate. The PLANNING step the
+    rest of the experiment suite presupposes (x126/x144/x151/x159/x175
+    analyze; this row says whether the experiment is even runnable —
+    feasible_now compares the need against the observed user pool).
+
+    z constants pinned as literals (no inverse-normal at query time —
+    trap #18); p from exact integer counts; one-expression epilogue
+    (module comment).
+
+    100 TB: a user-grain agg and a 1-row epilogue — the cheapest query in
+    the registry, and the one that should run FIRST."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_users")
+    zsq = (F.lit(1.959964) + F.lit(0.841621)) * (
+        F.lit(1.959964) + F.lit(0.841621)
+    )
+    n_arm = F.ceil(
+        zsq * (2.0 * (p * (1.0 - p))) / ((0.2 * p) * (0.2 * p))
+    ).cast("long")
+    return s.select(
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("p_baseline"),
+        F.round(0.2 * p, 6).alias("mde_abs"),
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2).alias("n_total"),
+        (n_arm * 2 <= F.col("n_users")).alias("feasible_now"),
+    )
