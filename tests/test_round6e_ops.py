@@ -827,3 +827,48 @@ def test_power_analysis_formula(spark):
     assert row.n_per_arm == n_arm
     assert row.n_total == 2 * n_arm
     assert row.feasible_now == (2 * n_arm <= n_users)
+
+
+def test_markov_eval_replay(spark):
+    """Per-prev predictions and accuracy must match a Python replay."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_markov_eval,
+    )
+
+    by_user: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    tr: dict = {}
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            tr[(a, b)] = tr.get((a, b), 0) + 1
+    per_prev: dict = {}
+    for (a, b), c in tr.items():
+        per_prev.setdefault(a, []).append((b, c))
+    expect = {}
+    for a, lst in per_prev.items():
+        total = sum(c for _, c in lst)
+        b, c = min(lst, key=lambda x: (-x[1], x[0]))
+        expect[a] = (b, c, total)
+    got = {
+        r.prev: (r.predicted, r.n_correct, r.n_total)
+        for r in events_markov_eval(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_single_source_risk_shares_sum_to_one(spark):
+    """Bucket shares must partition parts and revenue."""
+    from wikipedia_org_xmldump_importer_spark.queries.merge_ops import (
+        supply_single_source_risk,
+    )
+
+    rows = supply_single_source_risk(spark, SF_SMOKE).collect()
+    assert {r.sourcing for r in rows} <= {"single", "dual", "multi"}
+    assert abs(sum(r.part_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4

@@ -683,3 +683,32 @@ def test_trending_topk_stream_equals_batch(spark, tmp_path):
     )
     assert got.count() > 0
     _assert_stream_equals_batch(got, want)
+
+
+def test_user_rate_cap_stream_equals_batch(spark, tmp_path):
+    """st15: the live admission counters' final emit per (user, window)
+    must equal the batch twin's keep-first-N totals."""
+    staged = _staged(spark, tmp_path)
+    got = run_to_completion(
+        ops.user_rate_cap_stream(read_event_stream(spark, staged)),
+        "t_ratecap",
+        "update",
+    ).toPandas()
+    final = (
+        got.sort_index()
+        .groupby(["user_id", "wstart_hr"])
+        .tail(1)
+        .reset_index(drop=True)
+    )
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    batch = REGISTRY["stream_user_rate_cap"].fn(spark, SF_SMOKE).toPandas()
+    merged = final.merge(
+        batch, on=["user_id", "wstart_hr"], how="outer", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged["n_events_x"] == merged["n_events_y"]).all()
+    assert (merged["n_kept_x"] == merged["n_kept_y"]).all()
+    assert (merged["n_kept_y"] <= 5).all()

@@ -504,3 +504,79 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("cents") / 100.0, 2).alias("open_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# x201 — single-sourcing supply risk panel
+# --------------------------------------------------------------------------
+
+_SSRC_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(cents) AS BIGINT) AS all_cents
+  FROM ps
+)
+SELECT CASE WHEN n_suppliers = 1 THEN 'single'
+            WHEN n_suppliers = 2 THEN 'dual'
+            ELSE 'multi' END AS sourcing,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_parts), 6) AS part_share,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(t.all_cents), 6)
+         AS revenue_share
+FROM ps CROSS JOIN t
+GROUP BY 1
+"""
+
+
+@register("supply_single_source_risk", oracle=_SSRC_ORACLE)
+def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x201: SINGLE-SOURCING RISK panel — parts bucketed by how many
+    distinct suppliers ship them (single / dual / multi), with the part
+    count and the exact-cents revenue share riding on each bucket: the
+    supply-chain review's first slide, because revenue concentrated on
+    single-sourced parts is the failure mode (one supplier outage stops
+    the line). x142's Herfindahl scores concentration per part; this row
+    rolls the exposure up to the portfolio.
+
+    100 TB: one (part, supplier)-grain distinct expand + part-grain agg
+    (two map-combined shuffles), a 2-number totals broadcast, and a
+    3-row bucket agg. Exact integers everywhere but the two display
+    shares."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    t = ps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("all_cents"),
+    )
+    bucket = (
+        F.when(F.col("n_suppliers") == 1, "single")
+        .when(F.col("n_suppliers") == 2, "dual")
+        .otherwise("multi")
+    )
+    return (
+        ps.crossJoin(F.broadcast(t))
+        .groupBy(bucket.alias("sourcing"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_parts"), 6
+            ).alias("part_share"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("all_cents"), 6
+            ).alias("revenue_share"),
+        )
+    )

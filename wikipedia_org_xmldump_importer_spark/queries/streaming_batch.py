@@ -301,3 +301,51 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= 2
     )
+
+
+# st15 — per-user hourly rate cap (batch twin)
+_ST15_CAP = 5
+
+_ST15_ORACLE = f"""
+WITH r AS (
+  SELECT user_id,
+         CAST(epoch(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))
+              // 3600 AS BIGINT) AS wstart_hr,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, wstart_hr,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn <= {_ST15_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM r GROUP BY user_id, wstart_hr
+"""
+
+
+@register("stream_user_rate_cap", oracle=_ST15_ORACLE)
+def stream_user_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st15 batch twin: per (user, 1h window) admission totals under a
+    keep-first-{_ST15_CAP} rate cap — (ts, event_id)-ordered row_number
+    against the cap. The live half (streaming/ops.user_rate_cap_stream)
+    holds two integers of state per user; tests assert final stream
+    emits == this.
+
+    100 TB: one (user, window) rank window — the per-user partitions are
+    bounded by the cap's own purpose (heavy users are exactly what it
+    trims); the agg collapses to (user, window) grain map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast(
+        "long"
+    )
+    w = Window.partitionBy("user_id", "wstart_hr").orderBy("ts", "event_id")
+    r = ev.select("user_id", hr.alias("wstart_hr"), "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return r.groupBy("user_id", "wstart_hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("rn") <= _ST15_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )

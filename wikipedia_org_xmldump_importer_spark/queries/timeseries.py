@@ -4478,3 +4478,76 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_arm * 2).alias("n_total"),
         (n_arm * 2 <= F.col("n_users")).alias("feasible_now"),
     )
+
+
+# --------------------------------------------------------------------------
+# x202 — Markov next-event predictor evaluation (in-sample top-1 accuracy)
+# --------------------------------------------------------------------------
+
+_MKEVAL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+),
+tr AS (
+  SELECT event_type AS prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+),
+best AS (
+  SELECT prev, nxt AS predicted, c AS n_correct,
+         CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS n_total,
+         ROW_NUMBER() OVER (PARTITION BY prev ORDER BY c DESC, nxt) AS rk
+  FROM tr
+)
+SELECT prev, predicted, n_correct, n_total,
+       ROUND(CAST(n_correct AS DOUBLE) / n_total, 6) AS accuracy
+FROM best WHERE rk = 1
+"""
+
+
+@register("events_markov_eval", oracle=_MKEVAL_ORACLE)
+def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x202: evaluate the x165 MARKOV chain as a next-event PREDICTOR —
+    per previous event type: the argmax next type (ties lexicographic),
+    how often it is right (in-sample top-1 accuracy = max count / row
+    total, all exact integers). The model-eval step that decides whether
+    the transition matrix is WORTH shipping as a predictor: accuracy at
+    the majority-class baseline means the chain memorized the marginal,
+    not the dynamics (x120's entropy rate is the information-theoretic
+    twin of this readout).
+
+    100 TB: x165's per-user LEAD sort + a |types|² agg, then a rank
+    window over |types|² rows — epilogue-free, all integer until the one
+    display ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = seq.groupBy(F.col("event_type").alias("prev"), "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wt = Window.partitionBy("prev")
+    wr = Window.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+    best = tr.select(
+        "prev",
+        F.col("nxt").alias("predicted"),
+        F.col("c").alias("n_correct"),
+        F.sum("c").over(wt).cast("long").alias("n_total"),
+        F.row_number().over(wr).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "prev",
+        "predicted",
+        "n_correct",
+        "n_total",
+        F.round(F.col("n_correct").cast("double") / F.col("n_total"), 6).alias(
+            "accuracy"
+        ),
+    )

@@ -545,3 +545,62 @@ def start_trending_topk(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_rate_cap_stream(events: DataFrame, cap: int = 5) -> DataFrame:
+    """st15: LIVE per-user RATE CAP — the admission-control stage an event
+    ingest runs in front of a training pipeline: each user may contribute
+    at most `cap` events per 1h window; the rest are counted as dropped.
+    Streaming twin of stream_user_rate_cap (batch, SQL-oracled). State
+    per user is TWO integers (current window hour, count in it) — O(1)
+    on an unbounded stream; each batch emits the RUNNING (user, window)
+    admission totals, so the final emit per (user, window) equals the
+    batch twin exactly (tested).
+
+    In-order contract: decisions assume per-user event-time order (the
+    staged replay is ts-ordered; production fronts this with a watermark
+    reorder buffer). A late event for an already-passed window would open
+    a fresh count — admission control is deliberately forward-only.
+
+    100 TB: one shuffle on user_id per batch; Arrow-amortized Python hop;
+    add GroupStateTimeout to reap idle users in production."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "user_id long, wstart_hr long, n_events long, n_kept long"
+    state_schema = "cur_hr long, n_ev long, n_kept long"
+    us_per_hr = 3_600_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        cur_hr, n_ev, n_kept = state.get if state.exists else (-1, 0, 0)
+        touched: dict = {}
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+                hr = int(row["ts_us"]) // us_per_hr
+                if hr != cur_hr:
+                    cur_hr, n_ev, n_kept = hr, 0, 0
+                n_ev += 1
+                if n_kept < cap:
+                    n_kept += 1
+                touched[cur_hr] = (n_ev, n_kept)
+        state.update((cur_hr, n_ev, n_kept))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(touched),
+                "wstart_hr": list(touched),
+                "n_events": [v[0] for v in touched.values()],
+                "n_kept": [v[1] for v in touched.values()],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
