@@ -872,3 +872,65 @@ def test_single_source_risk_shares_sum_to_one(spark):
     assert {r.sourcing for r in rows} <= {"single", "dual", "multi"}
     assert abs(sum(r.part_share for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+
+
+def test_rfm_migration_marginals(spark):
+    """Matrix totals must equal the number of customers active in BOTH
+    periods, and every segment label must be one of x68's four."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _RFM_MIG_CUTOFF,
+        rfm_migration,
+    )
+    import datetime
+
+    cutoff = datetime.datetime.fromisoformat(_RFM_MIG_CUTOFF)
+    p1, p2 = set(), set()
+    for r in (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    ):
+        (p1 if r.o_orderdate < cutoff else p2).add(r.o_custkey)
+    rows = rfm_migration(spark, SF_SMOKE).collect()
+    labels = {"champion", "at_risk_loyal", "new_or_promising", "regular"}
+    assert all(r.segment_p1 in labels and r.segment_p2 in labels for r in rows)
+    assert sum(r.n_customers for r in rows) == len(p1 & p2)
+
+
+def test_price_index_python_replay(spark):
+    """All three indices must match a Python replay with the same
+    integer-pinned cross terms."""
+    import math
+    import datetime
+
+    from wikipedia_org_xmldump_importer_spark.queries.merge_ops import (
+        _PRICE_IDX_CUTOFF,
+        price_index_laspeyres,
+    )
+
+    cutoff = datetime.datetime.fromisoformat(_PRICE_IDX_CUTOFF)
+    parts: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        c1, q1, c2, q2 = parts.get(r.l_partkey, (0, 0, 0, 0))
+        c, q = round(r.l_extendedprice * 100), round(r.l_quantity * 100)
+        if r.l_shipdate < cutoff:
+            c1, q1 = c1 + c, q1 + q
+        else:
+            c2, q2 = c2 + c, q2 + q
+        parts[r.l_partkey] = (c1, q1, c2, q2)
+    matched = [(v) for v in parts.values() if v[1] > 0 and v[3] > 0]
+    sum_c1 = sum(v[0] for v in matched)
+    sum_c2 = sum(v[2] for v in matched)
+    num_l = sum(round(v[2] * v[1] / v[3] * 1e6) for v in matched)
+    den_p = sum(round(v[0] * v[3] / v[1] * 1e6) for v in matched)
+    lasp = (num_l / 1e6) / sum_c1
+    paas = sum_c2 / (den_p / 1e6)
+    row = price_index_laspeyres(spark, SF_SMOKE).collect()[0]
+    assert row.n_parts == len(matched)
+    assert abs(row.laspeyres - lasp) < 1e-5
+    assert abs(row.paasche - paas) < 1e-5
+    assert abs(row.fisher - math.sqrt(lasp * paas)) < 1e-5

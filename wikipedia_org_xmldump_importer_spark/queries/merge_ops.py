@@ -580,3 +580,98 @@ def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x204 — matched-part price indices (Laspeyres / Paasche / Fisher)
+# --------------------------------------------------------------------------
+# Per matched part, p_t = cents_t / qty_t. The index sums cross terms
+# p₂·q₁ — a ratio per part, and a SUM of doubles is summation-order-
+# dependent. Discipline: each cross term is pinned to an integer
+# MICRO-CENT value (ROUND(c₂·q₁/qty₂ · 1e6) → BIGINT; the c·q product is
+# ≤ ~5e14 here, exact in a double — DECIMAL once per-part volume passes
+# 2⁵³), so the sums are exact integers. The convenient identities
+# p₁·q₁ = cents₁ and p₂·q₂ = cents₂ make the other two sums pure cents.
+
+_PRICE_IDX_CUTOFF = "1998-05-01"
+
+_PRICE_IDX_ORACLE = f"""
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{_PRICE_IDX_CUTOFF}'
+             THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '{_PRICE_IDX_CUTOFF}'
+             THEN CAST(ROUND(l_quantity * 100) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_PRICE_IDX_CUTOFF}'
+             THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_PRICE_IDX_CUTOFF}'
+             THEN CAST(ROUND(l_quantity * 100) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS q2
+  FROM lineitem GROUP BY l_partkey
+),
+m AS (SELECT * FROM pp WHERE q1 > 0 AND q2 > 0),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(c1) AS BIGINT) AS sum_c1,
+         CAST(SUM(c2) AS BIGINT) AS sum_c2,
+         CAST(SUM(CAST(ROUND(CAST(c2 AS DOUBLE) * q1 / q2 * 1000000)
+                       AS BIGINT)) AS BIGINT) AS num_l,
+         CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) * q2 / q1 * 1000000)
+                       AS BIGINT)) AS BIGINT) AS den_p
+  FROM m
+)
+SELECT n_parts,
+       ROUND((num_l / 1000000.0) / sum_c1, 6) AS laspeyres,
+       ROUND(sum_c2 / (den_p / 1000000.0), 6) AS paasche,
+       ROUND(sqrt(((num_l / 1000000.0) / sum_c1)
+                  * (sum_c2 / (den_p / 1000000.0))), 6) AS fisher
+FROM s
+"""
+
+
+@register("price_index_laspeyres", oracle=_PRICE_IDX_ORACLE)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x204: PRICE INDICES over matched parts across the two halves of the
+    ship-date range — Laspeyres (period-1 basket at period-2 prices),
+    Paasche (period-2 basket), Fisher (geometric mean): the econ-grade
+    answer to "did prices move, volume-mix held constant?" that x89's raw
+    YoY revenue growth conflates. Integer-pinned cross-term sums per the
+    module comment; p·q identities keep two of the four sums pure cents.
+
+    100 TB: ONE conditional part-grain agg (map-combined; partition-
+    pruned on ship date), a 5-number reduce, 1-row epilogue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    in1 = F.col("l_shipdate") < F.lit(_PRICE_IDX_CUTOFF).cast("timestamp_ntz")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(F.when(in1, cents).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(in1, qty).otherwise(0)).cast("long").alias("q1"),
+        F.sum(F.when(~in1, cents).otherwise(0)).cast("long").alias("c2"),
+        F.sum(F.when(~in1, qty).otherwise(0)).cast("long").alias("q2"),
+    )
+    m = pp.filter((F.col("q1") > 0) & (F.col("q2") > 0))
+    term_l = F.round(
+        F.col("c2").cast("double") * F.col("q1") / F.col("q2") * 1000000
+    ).cast("long")
+    term_p = F.round(
+        F.col("c1").cast("double") * F.col("q2") / F.col("q1") * 1000000
+    ).cast("long")
+    s = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("c1").cast("long").alias("sum_c1"),
+        F.sum("c2").cast("long").alias("sum_c2"),
+        F.sum(term_l).cast("long").alias("num_l"),
+        F.sum(term_p).cast("long").alias("den_p"),
+    )
+    lasp = (F.col("num_l") / 1000000.0) / F.col("sum_c1")
+    paas = F.col("sum_c2") / (F.col("den_p") / 1000000.0)
+    return s.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

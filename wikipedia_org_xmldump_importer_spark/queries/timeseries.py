@@ -4551,3 +4551,124 @@ def events_markov_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x203 — RFM segment MIGRATION matrix (period-over-period CRM flow)
+# --------------------------------------------------------------------------
+
+_RFM_MIG_CUTOFF = "1998-05-01"
+
+
+def _rfm_mig_period_sql(name: str, where: str) -> str:
+    return f"""
+{name} AS (
+  SELECT custkey,
+         CASE WHEN r_q = 4 AND f_q = 4 AND m_q = 4 THEN 'champion'
+              WHEN r_q <= 2 AND f_q >= 3 THEN 'at_risk_loyal'
+              WHEN r_q >= 3 AND f_q <= 2 THEN 'new_or_promising'
+              ELSE 'regular' END AS segment
+  FROM (
+    SELECT custkey,
+           ntile(4) OVER (ORDER BY recency_days DESC, custkey) AS r_q,
+           ntile(4) OVER (ORDER BY frequency ASC, custkey) AS f_q,
+           ntile(4) OVER (ORDER BY monetary ASC, custkey) AS m_q
+    FROM (
+      SELECT custkey,
+             date_diff('day', last_order, MAX(last_order) OVER ())
+               AS recency_days,
+             frequency, monetary
+      FROM (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders WHERE {where} GROUP BY 1
+      )
+    )
+  )
+)"""
+
+
+_RFM_MIG_ORACLE = (
+    "WITH "
+    + _rfm_mig_period_sql(
+        "p1", f"o_orderdate < TIMESTAMP '{_RFM_MIG_CUTOFF}'"
+    ).lstrip()
+    + ","
+    + _rfm_mig_period_sql("p2", f"o_orderdate >= TIMESTAMP '{_RFM_MIG_CUTOFF}'")
+    + """
+SELECT p1.segment AS segment_p1, p2.segment AS segment_p2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM p1 JOIN p2 ON p1.custkey = p2.custkey
+GROUP BY 1, 2
+"""
+)
+
+
+@register("rfm_migration", oracle=_RFM_MIG_ORACLE)
+def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x203: RFM segment MIGRATION matrix — score every customer with
+    x68's RFM segmentation INDEPENDENTLY in two periods (orders before /
+    after {_RFM_MIG_CUTOFF}, each with its own data-derived recency
+    anchor and its own quartile frame — segments are cohort-relative by
+    design) and count the (segment_p1 → segment_p2) flows for customers
+    active in both. The CRM flow view x68's snapshot cannot give:
+    champions→regular is silent churn-in-progress; x130's churn flags
+    are the binary edge of this matrix.
+
+    Determinism inherits x68's contract (2dp-pinned monetary ordering,
+    custkey tie-breaks).
+
+    100 TB: two filtered customer-grain aggs (partition-pruned on the
+    date), each with x68's ntile note (swap for broadcast percentile
+    cutoffs at billions of customers), one customer-keyed hash join,
+    ≤16-row output."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def segment(sub: DataFrame, out: str) -> DataFrame:
+        cust = sub.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        scored = cust.select(
+            "custkey",
+            F.datediff(
+                F.max("last_order").over(Window.partitionBy()),
+                F.col("last_order"),
+            ).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        ranked = scored.select(
+            "custkey",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("recency_days").desc(), "custkey"))
+            .alias("r_q"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("frequency").asc(), "custkey"))
+            .alias("f_q"),
+            F.ntile(4)
+            .over(Window.orderBy(F.col("monetary").asc(), "custkey"))
+            .alias("m_q"),
+        )
+        seg = (
+            F.when(
+                (F.col("r_q") == 4) & (F.col("f_q") == 4) & (F.col("m_q") == 4),
+                "champion",
+            )
+            .when((F.col("r_q") <= 2) & (F.col("f_q") >= 3), "at_risk_loyal")
+            .when((F.col("r_q") >= 3) & (F.col("f_q") <= 2), "new_or_promising")
+            .otherwise("regular")
+        )
+        return ranked.select("custkey", seg.alias(out))
+
+    cutoff = F.lit(_RFM_MIG_CUTOFF).cast("timestamp_ntz")
+    p1 = segment(orders.filter(F.col("o_orderdate") < cutoff), "segment_p1")
+    p2 = segment(orders.filter(F.col("o_orderdate") >= cutoff), "segment_p2")
+    return (
+        p1.join(p2, "custkey")
+        .groupBy("segment_p1", "segment_p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
