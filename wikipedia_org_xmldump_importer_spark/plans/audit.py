@@ -98,6 +98,28 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row rank frame (n, r_lo, r_med, r_hi) broadcast-crossed onto "
         "the value-grain CDF table — bounded by construction (x158)"
     ),
+    ("privacy_t_closeness", "BroadcastNestedLoopJoin"): (
+        "the ~|segments|-row global-distribution frame and the 1-row "
+        "big_n frame broadcast-cross onto the |classes| table to zero-"
+        "fill the TVD grid — bounded by construction (x189)"
+    ),
+    ("orders_aging_buckets", "BroadcastNestedLoopJoin"): (
+        "1-row snapshot-date frame broadcast-crossed into the open-order "
+        "scan — bounded by construction (x191)"
+    ),
+    ("ts_anomaly_deseasonal", "BroadcastNestedLoopJoin"): (
+        "1-row (n, s1, s2) residual-moment frame broadcast-crossed onto "
+        "the |days| residual table — bounded by construction (x194)"
+    ),
+    ("sample_class_balance", "BroadcastNestedLoopJoin"): (
+        "1-row min-class-size frame broadcast-crossed onto the ranked "
+        "rows — bounded by construction (x197)"
+    ),
+    ("supply_single_source_risk", "BroadcastNestedLoopJoin"): (
+        "1-row portfolio-totals frame broadcast-crossed onto the part-"
+        "grain table for the share denominators — bounded by "
+        "construction (x201)"
+    ),
     ("quantile_normalize", "BroadcastNestedLoopJoin"): (
         "|event_types|-row group frame and 1-row n_glob frame broadcast-"
         "crossed onto the value-grain CDF tables — bounded by the price "
