@@ -934,3 +934,64 @@ def test_price_index_python_replay(spark):
     assert abs(row.laspeyres - lasp) < 1e-5
     assert abs(row.paasche - paas) < 1e-5
     assert abs(row.fisher - math.sqrt(lasp * paas)) < 1e-5
+
+
+def test_srm_statistic_replay(spark):
+    """chi2_srm must equal (n_a−n_b)²/N on the replayed hash split."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_ab_srm,
+    )
+
+    users = {
+        r.user_id
+        for r in load_table(spark, SF_SMOKE, "events").select("user_id").collect()
+    }
+    n_a = sum(1 for u in users if _md5_variant(u) == 0)
+    n_b = len(users) - n_a
+    row = events_ab_srm(spark, SF_SMOKE).collect()[0]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
+    assert abs(row.chi2_srm - chi2) < 1e-5
+    assert row.srm_detected == (1 if round(chi2, 6) > 3.841459 else 0)
+
+
+def test_clustering_coeff_replay(spark):
+    """Triangles, wedges and the coefficient must match a Python replay
+    on the same top-5-signature co-supply graph."""
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        graph_clustering_coeff,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    )
+    sp: dict = {}
+    for r in li.collect():
+        sp[(r.l_suppkey, r.l_partkey)] = sp.get((r.l_suppkey, r.l_partkey), 0) + 1
+    per_supp: dict = {}
+    for (s_, p_), n in sp.items():
+        per_supp.setdefault(s_, []).append((-n, p_))
+    top = {s_: {p for _, p in sorted(v)[:5]} for s_, v in per_supp.items()}
+    by_part: dict = {}
+    for s_, parts in top.items():
+        for p_ in parts:
+            by_part.setdefault(p_, set()).add(s_)
+    edges = set()
+    for members in by_part.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                edges.add((a, b))
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tris = sum(
+        1 for a, b in edges for c in adj[a] & adj[b] if b < c
+    )
+    row = graph_clustering_coeff(spark, SF_SMOKE).collect()[0]
+    assert row.n_nodes == len(adj)
+    assert row.n_triangles == tris
+    assert row.n_wedges == wedges
+    assert abs(row.clustering_coeff - 3 * tris / wedges) < 1e-5

@@ -120,6 +120,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "grain table for the share denominators — bounded by "
         "construction (x201)"
     ),
+    ("graph_clustering_coeff", "BroadcastNestedLoopJoin"): (
+        "two 1-row frames (wedge totals x triangle count) cross for the "
+        "final ratio — bounded by construction (x206)"
+    ),
     ("quantile_normalize", "BroadcastNestedLoopJoin"): (
         "|event_types|-row group frame and 1-row n_glob frame broadcast-"
         "crossed onto the value-grain CDF tables — bounded by the price "

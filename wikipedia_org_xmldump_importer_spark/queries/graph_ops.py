@@ -658,3 +658,112 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("community"),
     )
+
+
+# --------------------------------------------------------------------------
+# x206 — global clustering coefficient (transitivity) of the co-supply graph
+# --------------------------------------------------------------------------
+
+_CLUSTCOEF_ORACLE = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, COUNT(*) AS n
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+top AS (
+  SELECT l_suppkey, l_partkey FROM (
+    SELECT l_suppkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                              ORDER BY n DESC, l_partkey) AS rk
+    FROM sp) ranked
+  WHERE rk <= {_TRI_TOPK}
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM top a JOIN top b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s2
+  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+w AS (
+  SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg
+)
+SELECT w.n_nodes, CAST(t.n_tri AS BIGINT) AS n_triangles, w.n_wedges,
+       ROUND(3.0 * t.n_tri / w.n_wedges, 6) AS clustering_coeff
+FROM w CROSS JOIN tri t
+"""
+
+
+@register("graph_clustering_coeff", oracle=_CLUSTCOEF_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x206: GLOBAL CLUSTERING COEFFICIENT (transitivity) of x91's
+    co-supply graph — 3·triangles / wedges, the one-number answer to "is
+    this graph clumpy or random?" that contextualizes x91's per-node
+    triangle counts and x157's assortativity (together: the standard
+    graph-shape panel). Wedges = Σ d(d−1)/2 over exact integer degrees;
+    triangles reuse x91's oriented 3-join (each triangle counted once on
+    s1<s2<s3 orientation, hence the ×3); the only float is the final
+    display ratio.
+
+    100 TB: degree agg + the x91 triangle joins (edge table pre-filtered
+    by the top-k part signature, so the join fan-out is bounded); the
+    epilogue crosses two 1-row frames."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("n").desc(), "l_partkey")
+    top = (
+        sp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRI_TOPK)
+        .select("l_suppkey", "l_partkey")
+    )
+    e = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .distinct()
+        .localCheckpoint()  # x63/x179 lineage-cut: edges feed 3 consumers
+    )
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return wedges.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        F.col("n_tri").alias("n_triangles"),
+        "n_wedges",
+        F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+            "clustering_coeff"
+        ),
+    )

@@ -4672,3 +4672,75 @@ def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment_p1", "segment_p2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# x205 — sample-ratio-mismatch (SRM) guard for the hash split
+# --------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant
+  FROM events
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM u
+)
+SELECT n_a, n_b,
+       ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)
+         AS chi2_srm,
+       CAST(CASE WHEN ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                            / (n_a + n_b), 6) > 3.841459
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+FROM c
+"""
+
+
+@register("events_ab_srm", oracle=_SRM_ORACLE)
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x205: SAMPLE-RATIO-MISMATCH guard — chi-square goodness-of-fit of
+    the observed arm sizes against the designed 50/50 split; for two
+    equal-probability cells the statistic collapses to (n_a−n_b)²/N with
+    an exact-integer numerator. SRM is the first gate an experiment
+    readout must pass: a detected mismatch means the assignment or
+    logging is broken and EVERY downstream statistic
+    (x126/x144/x151/x159/x175) is invalid — which is why this row exists
+    separately from them. Same pinned df=1 critical value as x175.
+
+    100 TB: one user-grain distinct + a 2-integer global reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.select("user_id").distinct().select(variant.alias("variant"))
+    c = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    chi2 = F.round(
+        (diff * diff).cast("double") / (F.col("n_a") + F.col("n_b")), 6
+    )
+    return c.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_srm"),
+        F.when(chi2 > 3.841459, 1).otherwise(0).cast("long").alias(
+            "srm_detected"
+        ),
+    )
