@@ -995,3 +995,52 @@ def test_clustering_coeff_replay(spark):
     assert row.n_triangles == tris
     assert row.n_wedges == wedges
     assert abs(row.clustering_coeff - 3 * tris / wedges) < 1e-5
+
+
+def test_winback_replay(spark):
+    """Membership and fields must match a Python replay of the
+    cadence-relative rule."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        customers_winback,
+    )
+
+    by_cust: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    ):
+        by_cust.setdefault(r.o_custkey, []).append(
+            (r.o_orderdate.date(), r.o_orderkey)
+        )
+    snap = max(d for rows in by_cust.values() for d, _ in rows)
+    expect = {}
+    for c, rows in by_cust.items():
+        rows.sort()
+        gaps = sorted(
+            (b[0] - a[0]).days for a, b in zip(rows, rows[1:])
+        )
+        if len(gaps) < 3:
+            continue
+        med = gaps[(len(gaps) + 1) // 2 - 1]
+        since = (snap - rows[-1][0]).days
+        if since > 2 * med:
+            expect[c] = (len(gaps), med, since)
+    got = {
+        r.custkey: (r.n_gaps, r.median_gap, r.days_since_last)
+        for r in customers_winback(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_freshness_panel_structure(spark):
+    """Three rows, one of them at lag 0 (the freshest feed), counts exact."""
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        dq_freshness_panel,
+    )
+
+    rows = {r.tbl: r for r in dq_freshness_panel(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"orders", "lineitem", "events"}
+    assert min(r.lag_days for r in rows.values()) == 0
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert rows["orders"].n_rows == n_orders

@@ -124,6 +124,14 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "two 1-row frames (wedge totals x triangle count) cross for the "
         "final ratio — bounded by construction (x206)"
     ),
+    ("customers_winback", "BroadcastNestedLoopJoin"): (
+        "1-row snapshot-date frame broadcast-crossed onto the per-"
+        "customer cadence table — bounded by construction (x207)"
+    ),
+    ("dq_freshness_panel", "BroadcastNestedLoopJoin"): (
+        "1-row freshest-feed frame broadcast-crossed onto the 3-row "
+        "per-table panel — bounded by construction (x208)"
+    ),
     ("quantile_normalize", "BroadcastNestedLoopJoin"): (
         "|event_types|-row group frame and 1-row n_glob frame broadcast-"
         "crossed onto the value-grain CDF tables — bounded by the price "

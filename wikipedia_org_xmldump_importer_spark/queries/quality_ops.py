@@ -664,3 +664,64 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violates_t"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x208 — cross-table FRESHNESS panel (the staleness-at-a-glance report)
+# --------------------------------------------------------------------------
+
+_FRESH_ORACLE = """
+WITH per AS (
+  SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(o_orderdate) AS DATE) AS latest FROM orders
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(MAX(l_shipdate) AS DATE) FROM lineitem
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         CAST(MAX(ts) AS DATE) FROM events
+),
+g AS (SELECT MAX(latest) AS world FROM per)
+SELECT per.tbl, per.n_rows,
+       strftime(per.latest, '%Y-%m-%d') AS latest_day,
+       CAST(date_diff('day', per.latest, g.world) AS BIGINT) AS lag_days
+FROM per CROSS JOIN g
+"""
+
+
+@register("dq_freshness_panel", oracle=_FRESH_ORACLE)
+def dq_freshness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x208: cross-table FRESHNESS panel — per fact table its row count,
+    latest business date, and staleness against the freshest table in
+    the warehouse. The first page of every data-ops dashboard, and the
+    gate in front of x176's incremental refresh (refreshing a cube from
+    a feed whose upstream stalled silently backfills zeros). Lag is
+    RELATIVE to the freshest feed — no wall clock (scripts must never
+    call now(); the x191 argument).
+
+    100 TB: three count/max aggs — each a metadata-cheap scan (max on a
+    partition column prunes to the last partition in a date-partitioned
+    lake) — and a 3-row epilogue."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(df: DataFrame, name: str, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max(F.col(col).cast("date")).alias("latest"),
+        )
+
+    per = (
+        one(orders, "orders", "o_orderdate")
+        .unionByName(one(li, "lineitem", "l_shipdate"))
+        .unionByName(one(ev, "events", "ts"))
+    )
+    g = per.agg(F.max("latest").alias("world"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "tbl",
+        "n_rows",
+        F.date_format("latest", "yyyy-MM-dd").alias("latest_day"),
+        F.datediff("world", "latest").cast("long").alias("lag_days"),
+    )

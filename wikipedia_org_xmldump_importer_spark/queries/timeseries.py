@@ -4744,3 +4744,118 @@ def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srm_detected"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x207 — win-back list: customers overdue vs their OWN ordering cadence
+# --------------------------------------------------------------------------
+# A customer is "overdue" when the time since their last order exceeds
+# 2× their own median inter-order gap — cadence-relative, so a weekly
+# buyer is flagged after a fortnight while an annual buyer isn't flagged
+# for 23 months. Gaps are exact integer DAYS; the median is the DISCRETE
+# lower median (element at rank ⌈n/2⌉ — x129's device, no interpolation,
+# so it stays an integer and the 2× compare is exact). Snapshot = the
+# data's own max order date (no wall clock).
+
+_WINBACK_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         LAG(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pd
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, date_diff('day', pd, d) AS gap
+  FROM o WHERE pd IS NOT NULL
+),
+med AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(MIN(CASE WHEN rk = (cnt + 1) // 2 THEN gap END) AS BIGINT)
+           AS median_gap
+  FROM (
+    SELECT o_custkey, gap,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap) AS rk,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+    FROM g
+  ) GROUP BY o_custkey
+),
+last_o AS (
+  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+),
+snap AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS s FROM orders)
+SELECT m.o_custkey AS custkey, m.n_gaps, m.median_gap,
+       CAST(date_diff('day', l.last_d, (SELECT s FROM snap)) AS BIGINT)
+         AS days_since_last
+FROM med m JOIN last_o l ON l.o_custkey = m.o_custkey
+WHERE m.n_gaps >= 3
+  AND date_diff('day', l.last_d, (SELECT s FROM snap)) > 2 * m.median_gap
+"""
+
+
+@register("customers_winback", oracle=_WINBACK_ORACLE)
+def customers_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x207: WIN-BACK list — customers whose silence exceeds 2× their OWN
+    median inter-order gap (≥3 observed gaps so the median means
+    something): the CRM action list x130's fixed-horizon churn flags
+    approximate and x203's migration matrix aggregates. Cadence-relative
+    thresholds are the point — absolute-recency lists over-page annual
+    buyers and miss lapsed weekly ones.
+
+    Exactness per the module comment: integer day gaps, discrete lower
+    median, integer 2× compare — no float anywhere.
+
+    100 TB: one per-customer LAG sort (shared shape with x101), a rank
+    window on the collapsed gap table, a customer-keyed join, and the
+    1-row snapshot broadcast. Output is the actionable tail, orders of
+    magnitude smaller than the base."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w).alias("pd"),
+    )
+    g = o.filter(F.col("pd").isNotNull()).select(
+        "o_custkey", F.datediff("d", "pd").alias("gap")
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("gap")
+    wc = Window.partitionBy("o_custkey")
+    med = (
+        g.select(
+            "o_custkey",
+            "gap",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min(
+                F.when(
+                    F.col("rk") == ((F.col("cnt") + 1) / 2).cast("long"),
+                    F.col("gap"),
+                )
+            )
+            .cast("long")
+            .alias("median_gap"),
+        )
+    )
+    last_o = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d")
+    )
+    snap = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("s"))
+    j = (
+        med.join(last_o, "o_custkey")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_gaps",
+            "median_gap",
+            F.datediff("s", "last_d").cast("long").alias("days_since_last"),
+        )
+    )
+    return j.filter(
+        (F.col("n_gaps") >= 3)
+        & (F.col("days_since_last") > 2 * F.col("median_gap"))
+    )
