@@ -93,3 +93,85 @@ def test_hll_sketch_merge_is_lossless(spark):
         .count()
     )
     assert abs(row.merged_users - exact) / exact < 0.05
+
+
+def test_price_index_reversal_identity(spark):
+    """Index-number theory: Paasche(period order reversed) = 1/Laspeyres,
+    so Fisher is direction-symmetric — check both identities by swapping
+    the period roles in a hand-built replica of the registered op's
+    moments."""
+    import datetime
+
+    from wikipedia_org_xmldump_importer_spark.queries.merge_ops import (
+        _PRICE_IDX_CUTOFF,
+    )
+
+    cutoff = datetime.datetime.fromisoformat(_PRICE_IDX_CUTOFF)
+    parts: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        c1, q1, c2, q2 = parts.get(r.l_partkey, (0, 0, 0, 0))
+        c, q = round(r.l_extendedprice * 100), round(r.l_quantity * 100)
+        if r.l_shipdate < cutoff:
+            c1, q1 = c1 + c, q1 + q
+        else:
+            c2, q2 = c2 + c, q2 + q
+        parts[r.l_partkey] = (c1, q1, c2, q2)
+    m = [v for v in parts.values() if v[1] > 0 and v[3] > 0]
+
+    def lasp(fwd: bool) -> float:
+        if fwd:
+            return sum(c2 * q1 / q2 for c1, q1, c2, q2 in m) / sum(
+                v[0] for v in m
+            )
+        return sum(c1 * q2 / q1 for c1, q1, c2, q2 in m) / sum(v[2] for v in m)
+
+    def paas(fwd: bool) -> float:
+        if fwd:
+            return sum(v[2] for v in m) / sum(
+                c1 * q2 / q1 for c1, q1, c2, q2 in m
+            )
+        return sum(v[0] for v in m) / sum(c2 * q1 / q2 for c1, q1, c2, q2 in m)
+
+    assert abs(paas(False) * lasp(True) - 1.0) < 1e-9
+    assert abs(paas(True) * lasp(False) - 1.0) < 1e-9
+
+
+def test_chi2_invariant_under_arm_relabel(spark):
+    """Pearson chi² on a 2×2 table is symmetric in the arms: relabeling
+    variant 0<->1 must leave the statistic unchanged (det changes sign,
+    det² doesn't)."""
+    row = REGISTRY["events_ab_chi2"].fn(spark, SF_SMOKE).collect()[0]
+    n00, n01, n10, n11 = row.n00, row.n01, row.n10, row.n11
+    n = n00 + n01 + n10 + n11
+
+    def chi2(a, b, c, d):
+        det = a * d - b * c
+        return n * float(det) * float(det) / (
+            (a + b) * (c + d) * (a + c) * (b + d)
+        )
+
+    assert abs(chi2(n00, n01, n10, n11) - chi2(n10, n11, n00, n01)) < 1e-9
+    assert abs(row.chi2 - chi2(n00, n01, n10, n11)) < 1e-5
+
+
+def test_decompose_seasonal_weighted_sum_is_detrended_total(spark):
+    """Construction identity: each weekday's seasonal component is the
+    MEAN detrended value over that weekday's valid frames, so the
+    day-count-weighted sum of the seven components must equal the total
+    detrended mass Σ(revenue − trend) over the emitted days (they are
+    NOT zero-sum — boundary exclusion breaks that symmetry)."""
+    import datetime
+
+    rows = REGISTRY["ts_decompose_ma"].fn(spark, SF_SMOKE).toPandas()
+    wd = rows["day"].map(
+        lambda d: datetime.date.fromisoformat(d).strftime("%a")
+    )
+    per = rows.assign(wd=wd).groupby("wd")["seasonal"].first()
+    counts = rows.assign(wd=wd).groupby("wd").size()
+    weighted = float((per * counts).sum())
+    detrended_total = float((rows["revenue"] - rows["trend"]).sum())
+    assert abs(weighted - detrended_total) < 1e-2 * max(1, len(rows))
