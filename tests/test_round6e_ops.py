@@ -1095,3 +1095,49 @@ def test_ship_lag_percentiles_replay(spark):
         p50 = xs[(n + 1) // 2 - 1]
         p90 = xs[(9 * n + 9) // 10 - 1]
         assert got[pri] == (n, p50, p90)
+
+
+def test_wilson_ci_properties(spark):
+    """CI must contain the point estimate, stay inside [0,1], and match a
+    Python Wilson replay."""
+    import math
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _WILSON_Z,
+        events_wau_wilson_ci,
+    )
+
+    for r in events_wau_wilson_ci(spark, SF_SMOKE).collect():
+        p = r.n_active / r.n_total
+        z = _WILSON_Z
+        n = r.n_total
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        center = p + z * z / (2 * n)
+        denom = 1 + z * z / n
+        assert 0.0 <= r.ci_lo <= r.active_share <= r.ci_hi <= 1.0
+        assert abs(r.ci_lo - (center - half) / denom) < 1e-5
+        assert abs(r.ci_hi - (center + half) / denom) < 1e-5
+
+
+def test_dup_rate_by_source_replay(spark):
+    """Counts must match Python sets per source."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        dedup_rate_by_source,
+    )
+
+    per: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    ):
+        n, seen = per.get(r.source, (0, set()))
+        seen.add(hashlib.md5(r.text.strip().lower().encode()).hexdigest())
+        per[r.source] = (n + 1, seen)
+    got = {
+        r.source: (r.n_docs, r.n_unique, r.n_dups)
+        for r in dedup_rate_by_source(spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        src: (n, len(seen), n - len(seen)) for src, (n, seen) in per.items()
+    }

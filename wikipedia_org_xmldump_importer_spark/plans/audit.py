@@ -132,6 +132,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row freshest-feed frame broadcast-crossed onto the 3-row "
         "per-table panel — bounded by construction (x208)"
     ),
+    ("events_wau_wilson_ci", "BroadcastNestedLoopJoin"): (
+        "1-row all-time distinct-user base broadcast-crossed onto the "
+        "per-week counts — bounded by construction (x211)"
+    ),
     ("quantile_normalize", "BroadcastNestedLoopJoin"): (
         "|event_types|-row group frame and 1-row n_glob frame broadcast-"
         "crossed onto the value-grain CDF tables — bounded by the price "

@@ -1647,3 +1647,46 @@ def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x212 — per-source duplication-rate audit (l1 rolled up to provenance)
+# --------------------------------------------------------------------------
+
+_DUPRATE_ORACLE = """
+WITH h AS (
+  SELECT source, md5(lower(trim(text))) AS ch FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT ch) AS BIGINT) AS n_dups,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate
+FROM h GROUP BY source
+"""
+
+
+@register("dedup_rate_by_source", oracle=_DUPRATE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x212: DUPLICATION RATE by provenance — l1's normalized content hash
+    rolled up per source: docs, distinct contents, exact-dup count and
+    rate. The crawl-ops audit that decides which FEEDS to throttle or
+    re-crawl (a source whose dup rate jumps is re-serving cached pages);
+    l1 answers "which docs to drop", this answers "which pipe is
+    broken". Within-source rates by construction — cross-source dups are
+    l1's global view.
+
+    100 TB: one (source, hash)-grain distinct expand + source-grain agg,
+    both map-combined; the hash is uniform so no skew. Output is
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", F.md5(F.lower(F.trim("text"))).alias("ch"))
+    n = F.count(F.lit(1)).cast("long")
+    nd = F.countDistinct("ch").cast("long")
+    return h.groupBy("source").agg(
+        n.alias("n_docs"),
+        nd.alias("n_unique"),
+        (n - nd).alias("n_dups"),
+        F.round((n - nd).cast("double") / n, 6).alias("dup_rate"),
+    )

@@ -4859,3 +4859,80 @@ def customers_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_gaps") >= 3)
         & (F.col("days_since_last") > 2 * F.col("median_gap"))
     )
+
+
+# --------------------------------------------------------------------------
+# x211 — weekly active share with WILSON 95% CI
+# --------------------------------------------------------------------------
+# Wilson score interval: (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+# — the interval that behaves at small n and extreme p̂ where the naive
+# Wald CI collapses. z pinned at 1.959964 (trap #18: no inverse-normal at
+# query time); p̂ from exact integers; the whole epilogue is one
+# identically-parenthesized expression per bound (sqrt is correctly
+# rounded, so identical operands ⇒ identical bits).
+
+_WILSON_Z = 1.959964
+
+_WAU_CI_ORACLE = f"""
+WITH base AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
+              FROM events),
+wk AS (
+  SELECT date_trunc('week', ts) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT strftime(week, '%Y-%m-%d') AS week_start, n_active, b.n_total,
+         CAST(n_active AS DOUBLE) / b.n_total AS p
+  FROM wk CROSS JOIN base b
+)
+SELECT week_start, n_active, n_total, ROUND(p, 6) AS active_share,
+       ROUND((p + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n_total)
+              - {_WILSON_Z} * sqrt(p * (1.0 - p) / n_total
+                  + {_WILSON_Z} * {_WILSON_Z}
+                    / (4.0 * n_total * n_total)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n_total), 6) AS ci_lo,
+       ROUND((p + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n_total)
+              + {_WILSON_Z} * sqrt(p * (1.0 - p) / n_total
+                  + {_WILSON_Z} * {_WILSON_Z}
+                    / (4.0 * n_total * n_total)))
+             / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n_total), 6) AS ci_hi
+FROM c
+"""
+
+
+@register("events_wau_wilson_ci", oracle=_WAU_CI_ORACLE)
+def events_wau_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x211: weekly-active SHARE with a WILSON 95% CI — the engagement
+    trend x73's raw DAU/WAU counts give, upgraded with the uncertainty
+    band a dashboard needs before anyone reads week-over-week wiggles as
+    signal (the Wald interval misbehaves exactly where small cohorts
+    make the wiggles biggest — module comment). Denominator = the
+    all-time distinct-user base, so the share is comparable across weeks.
+
+    100 TB: one user-grain distinct for the base, one (week, user)
+    distinct expand for the numerators, a 1-row broadcast cross, and a
+    per-week O(1) epilogue. Swap the exact distincts for x21's HLL
+    partials when user counts stop fitting exact aggregation budgets."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(F.countDistinct("user_id").cast("long").alias("n_total"))
+    wk = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    z = F.lit(_WILSON_Z)
+    c = wk.crossJoin(F.broadcast(base))
+    p = F.col("n_active").cast("double") / F.col("n_total")
+    n = F.col("n_total")
+    half = z * F.sqrt(
+        p * (1.0 - p) / n + z * z / (4.0 * n.cast("double") * n.cast("double"))
+    )
+    center = p + z * z / (2.0 * n)
+    denom = 1.0 + z * z / n
+    return c.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+        "n_active",
+        "n_total",
+        F.round(p, 6).alias("active_share"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
