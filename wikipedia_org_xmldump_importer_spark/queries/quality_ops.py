@@ -725,3 +725,81 @@ def dq_freshness_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("latest", "yyyy-MM-dd").alias("latest_day"),
         F.datediff("world", "latest").cast("long").alias("lag_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# x214 — k-anonymity generalization ladder (does coarsening heal the leak?)
+# --------------------------------------------------------------------------
+
+_LADDER_WIDTHS = (1000, 2000, 4000)  # bucket-width generalization steps
+
+_LADDER_ORACLE = f"""
+WITH steps AS (
+"""
+_LADDER_ORACLE += "\n  UNION ALL\n".join(
+    f"""  SELECT {w} AS width, c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / {w}.0) AS BIGINT) AS bal_bucket
+  FROM customer"""
+    for w in _LADDER_WIDTHS
+)
+_LADDER_ORACLE += f"""
+),
+g AS (
+  SELECT width, c_nationkey, c_mktsegment, bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM steps GROUP BY 1, 2, 3, 4
+)
+SELECT width,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN group_size < {_KANON_K} THEN group_size ELSE 0 END)
+            AS BIGINT) AS n_exposed_rows
+FROM g GROUP BY width
+"""
+
+
+@register("privacy_generalization_ladder", oracle=_LADDER_ORACLE)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x214: the GENERALIZATION LADDER for x145's k-anonymity audit — the
+    same QI tuple at 1000/2000/4000-wide balance buckets, with class,
+    violation and exposed-row counts per rung: the remediation table that
+    says how much COARSENING buys how much safety (x145 finds the leak;
+    this prices the fix; x189/x162 then re-audit the distributional
+    leaks at the chosen rung). Monotonicity (coarser ⇒ fewer violating
+    classes is NOT guaranteed row-wise, only typical — merging two safe
+    classes can't violate, but merging small ones can stay small) is why
+    the ladder must be MEASURED, not assumed; the invariant test checks
+    the exposed-row count against a Python replay per rung.
+
+    100 TB: the 3-width union is one scan per rung over a narrow
+    projection (or one scan with an explode over widths — spelled as a
+    union so each rung's agg partial-aggregates independently); every
+    agg is map-combined integer counting."""
+    cust = load_table(spark, sf_dir, "customer")
+    rungs = []
+    for w in _LADDER_WIDTHS:
+        rungs.append(
+            cust.select(
+                F.lit(w).cast("long").alias("width"),
+                "c_nationkey",
+                "c_mktsegment",
+                F.floor(F.col("c_acctbal") / float(w)).cast("long").alias(
+                    "bal_bucket"
+                ),
+            )
+        )
+    steps = rungs[0]
+    for r in rungs[1:]:
+        steps = steps.unionByName(r)
+    g = steps.groupBy(
+        "width", "c_nationkey", "c_mktsegment", "bal_bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    viol = F.col("group_size") < _KANON_K
+    return g.groupBy("width").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias("n_violating"),
+        F.sum(F.when(viol, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    )
