@@ -396,8 +396,7 @@ def test_slo_burn_page_bits_replay(spark):
         r.hour: (r.n1, r.e1, r.page)
         for r in events_slo_burn(spark, SF_SMOKE).collect()
     }
-    assert got == expect
-    assert any(p for (_, _, p) in got.values()) or True  # page may be all-0
+    assert got == expect  # page bits may legitimately be all-zero
 
 
 def test_bot_regularity_flags_replay(spark):
