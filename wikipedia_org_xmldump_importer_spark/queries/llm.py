@@ -1480,6 +1480,8 @@ def dedup_embed_bitsig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sig_batches(batches):
         for pdf in batches:
+            if pdf.empty:  # an empty Arrow batch would crash np.stack
+                continue
             mat = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
             bits = (mat @ signs_t >= 0).astype(np.int64)
             out = {"vec_id": pdf["vec_id"]}
