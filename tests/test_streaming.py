@@ -712,3 +712,33 @@ def test_user_rate_cap_stream_equals_batch(spark, tmp_path):
     assert (merged["n_events_x"] == merged["n_events_y"]).all()
     assert (merged["n_kept_x"] == merged["n_kept_y"]).all()
     assert (merged["n_kept_y"] <= 5).all()
+
+
+def test_window_distinct_users_stream_equals_batch(spark, tmp_path):
+    """st16: the dedupe→count chain's closed windows must equal the batch
+    twin's exact distinct counts under the watermark cutoff, even when a
+    user's duplicate arrivals for one window span micro-batches."""
+    staged = _staged(spark, tmp_path)
+    stream = ops.window_distinct_users_stream(read_event_stream(spark, staged))
+    got = run_to_completion(stream, "t_wdu", "append")
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    max_ts = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]
+        .m
+    )
+    cutoff = max_ts - __import__("datetime").timedelta(minutes=10)
+    want = (
+        REGISTRY["stream_window_distinct_users"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("wend") <= F.lit(cutoff))
+    )
+    got = got.withColumn("wstart", F.col("wstart").cast("timestamp_ntz")).withColumn(
+        "wend", F.col("wend").cast("timestamp_ntz")
+    )
+    assert got.count() > 0
+    _assert_stream_equals_batch(got, want)

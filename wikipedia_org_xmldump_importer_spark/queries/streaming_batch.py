@@ -349,3 +349,36 @@ def stream_user_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+# st16 — exact distinct users per window (batch twin)
+_ST16_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_window_distinct_users", oracle=_ST16_ORACLE)
+def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st16 batch twin: exact distinct users per 1h window. The live half
+    (streaming/ops.window_distinct_users_stream) chains
+    dropDuplicates([user, window]) → windowed COUNT — the standard recipe
+    for the unsupported streaming COUNT(DISTINCT); stream == batch under
+    the watermark cutoff is tested. In batch, a plain distinct count.
+
+    100 TB: (window, user)-grain expand then window-grain agg — both
+    map-combined; swap in x21's HLL partials when the per-window user
+    set outgrows exact state."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "n_users",
+        )
+    )
