@@ -767,3 +767,106 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x215 — two-hop reach (friend-of-friend audience size per node)
+# --------------------------------------------------------------------------
+
+_REACH_ORACLE = f"""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, COUNT(*) AS n
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+top AS (
+  SELECT l_suppkey, l_partkey FROM (
+    SELECT l_suppkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                              ORDER BY n DESC, l_partkey) AS rk
+    FROM sp) ranked
+  WHERE rk <= {_TRI_TOPK}
+),
+eb AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM top a JOIN top b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+),
+e AS (SELECT s1 AS src, s2 AS dst FROM eb
+      UNION ALL SELECT s2, s1 FROM eb),
+two AS (
+  SELECT e1.src AS node, e2.dst AS reach
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  WHERE e2.dst <> e1.src
+  UNION
+  SELECT src, dst FROM e
+),
+d AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e
+      GROUP BY src)
+SELECT t.node, d.deg AS n_1hop,
+       CAST(COUNT(DISTINCT t.reach) AS BIGINT) AS n_2hop_reach,
+       ROUND(CAST(COUNT(DISTINCT t.reach) AS DOUBLE) / d.deg, 6)
+         AS amplification
+FROM two t JOIN d ON d.node = t.node
+GROUP BY t.node, d.deg
+"""
+
+
+@register("graph_two_hop_reach", oracle=_REACH_ORACLE)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x215: TWO-HOP REACH per node — |N₁(v) ∪ N₂(v)| minus v itself: the
+    friend-of-friend audience size, and its amplification over the direct
+    degree. The influence-/exposure-estimation primitive (how far does a
+    recall notice propagate through co-suppliers in two steps?) next to
+    x63's global rank and x179's bounded-hop communities. Exact distinct
+    counting over the joined 2-paths; self returns excluded.
+
+    100 TB: one edges⋈edges hash join on the shared endpoint (fan-out =
+    Σ deg² — the x91-style top-k signature pre-filter keeps degrees
+    bounded), then a (node, reach) distinct + node-grain count. For k>2
+    hops this becomes x179's iterated join with set-union sketches (HLL)
+    as the exact-set state outgrows memory — the documented upgrade."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("n").desc(), "l_partkey")
+    top = (
+        sp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TRI_TOPK)
+        .select("l_suppkey", "l_partkey")
+    )
+    eb = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    e = eb.unionAll(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # feeds 3 consumers (2-path join sides + degrees)
+    two = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
+        .filter(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("node"), F.col("e2.dst").alias("reach"))
+        .unionAll(e.select(F.col("src").alias("node"), F.col("dst").alias("reach")))
+        .distinct()
+    )
+    d = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return (
+        two.join(d, "node")
+        .groupBy("node", "deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_2hop_reach"))
+        .select(
+            "node",
+            F.col("deg").alias("n_1hop"),
+            "n_2hop_reach",
+            F.round(
+                F.col("n_2hop_reach").cast("double") / F.col("deg"), 6
+            ).alias("amplification"),
+        )
+    )

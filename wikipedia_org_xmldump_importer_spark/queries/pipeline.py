@@ -662,3 +662,58 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(m)).filter(
         F.col("rk") <= F.col("target")
     ).select("label", "vec_id", "rk")
+
+
+# --------------------------------------------------------------------------
+# x216 — group-aware holdout split (all of a source stays on one side)
+# --------------------------------------------------------------------------
+
+_GRP_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT doc_id, source,
+         CASE WHEN ('0x' || substring(md5('grp:' || source), 1, 3))
+                   ::BIGINT % 10 < 8 THEN 'train' ELSE 'heldout' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM s GROUP BY split
+"""
+
+
+@register("split_group_holdout", oracle=_GRP_SPLIT_ORACLE)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x216: GROUP-AWARE holdout split — membership is a hash of the
+    SOURCE, not the document, so every document of a source lands on the
+    same side (80/20 by source). The GroupKFold principle: when
+    near-duplicates and style leakage concentrate within a provenance
+    group, a doc-grain split (x47) leaks group-level signal into eval
+    even after x181's exact-dup audit passes — eval on held-out GROUPS
+    or the number is inflated. Same engine-portable md5 device as x47,
+    salted 'grp:' so the two splits are independent.
+
+    The group-atomicity invariant (no source spans splits) is by
+    construction — the test checks it anyway, against the assignment
+    actually emitted.
+
+    100 TB: a narrow map keyed on an already-present column — zero
+    shuffles before the summary agg; the split survives re-ingest
+    because membership depends only on the group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("grp:"), F.col("source"))), 1, 3),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    s = docs.select(
+        "source",
+        F.when(bucket < 8, "train").otherwise("heldout").alias("split"),
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
