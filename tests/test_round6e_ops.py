@@ -1271,3 +1271,51 @@ def test_group_holdout_is_group_atomic(spark):
     train_srcs = sides.get("train", (0, set()))[1]
     held_srcs = sides.get("heldout", (0, set()))[1]
     assert not (train_srcs & held_srcs)
+
+
+def test_sequential_looks_replay(spark):
+    """Per-look enrolled counts and Welch z must match a Python replay of
+    the cumulative moments, and crossed must be |z| > pinned boundary."""
+    import math
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _SEQ_OBF,
+        _seq_cutoffs,
+        events_ab_sequential_looks,
+    )
+    import datetime
+
+    cuts = [datetime.datetime.fromisoformat(c) for c in _seq_cutoffs()]
+    per_user: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    ):
+        x, first = per_user.setdefault(r.user_id, ([0] * len(cuts), None))
+        for k, c in enumerate(cuts):
+            if r.ts < c and r.event_type == "purchase":
+                x[k] += 1
+        if first is None or r.ts < first:
+            per_user[r.user_id] = (x, r.ts)
+    got = {r.look: r for r in events_ab_sequential_looks(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(1, len(cuts) + 1))
+    for k, c in enumerate(cuts):
+        stats = {0: [0, 0, 0], 1: [0, 0, 0]}
+        for uid, (x, first) in per_user.items():
+            if first >= c:
+                continue
+            arm = _md5_variant(uid)
+            stats[arm][0] += 1
+            stats[arm][1] += x[k]
+            stats[arm][2] += x[k] * x[k]
+        (na, sa, qa), (nb, sb, qb) = stats[0], stats[1]
+        ma, mb = sa / na, sb / nb
+        va = ((qa - ma * sa) / (na - 1)) / na
+        vb = ((qb - mb * sb) / (nb - 1)) / nb
+        z = (ma - mb) / math.sqrt(va + vb)
+        row = got[k + 1]
+        assert (row.n_a, row.n_b) == (na, nb)
+        assert abs(row.z - z) < 1e-4
+        assert row.boundary == _SEQ_OBF[k]
+        assert row.crossed == (1 if abs(round(z, 6)) > _SEQ_OBF[k] else 0)

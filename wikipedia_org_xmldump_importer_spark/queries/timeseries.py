@@ -4936,3 +4936,218 @@ def events_wau_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# x217 — group-sequential A/B readout (5 looks, O'Brien-Fleming boundaries)
+# --------------------------------------------------------------------------
+# Peeking at an experiment daily inflates false positives unless each
+# interim look pays a corrected critical value. The five OBF z-boundaries
+# for equally-spaced looks at overall α=0.05 are PINNED LITERALS
+# (4.8769, 3.3569, 2.6803, 2.2898, 2.0310 — Jennison & Turnbull Table
+# 2.3-style; no normal quantile runs at query time, trap #18). Look k's
+# population is the users ENROLLED by its cutoff (first event before it),
+# metric = purchases so far; z is x126's Welch statistic on exact
+# cumulative integer moments, computed per look from ONE conditional agg.
+
+_SEQ_LOOKS = 5
+_SEQ_OBF = (4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+_SEQ_SPAN_START = "2024-01-01"
+_SEQ_SPAN_DAYS = 30  # looks at day 6, 12, 18, 24, 30
+
+
+def _seq_cutoffs():
+    import datetime
+
+    t0 = datetime.datetime.fromisoformat(_SEQ_SPAN_START)
+    step = _SEQ_SPAN_DAYS // _SEQ_LOOKS
+    return [
+        (t0 + datetime.timedelta(days=step * (k + 1))).isoformat(sep=" ")
+        for k in range(_SEQ_LOOKS)
+    ]
+
+
+def _seq_oracle() -> str:
+    cuts = _seq_cutoffs()
+    user_cols = ",\n".join(
+        f"""         CAST(SUM(CASE WHEN ts < TIMESTAMP '{c}'
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS x{k + 1},
+         MAX(CASE WHEN ts < TIMESTAMP '{c}' THEN 1 ELSE 0 END) AS e{k + 1}"""
+        for k, c in enumerate(cuts)
+    )
+    look_rows = []
+    for k in range(_SEQ_LOOKS):
+        i = k + 1
+        look_rows.append(f"""
+SELECT {i} AS look,
+       CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b,
+       ROUND((CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN x{i}
+                       ELSE 0 END) AS DOUBLE)
+              / SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END)
+            - CAST(SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i}
+                       ELSE 0 END) AS DOUBLE)
+              / SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END))
+         / sqrt(
+             ((CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN x{i} * x{i}
+                        ELSE 0 END) AS DOUBLE)
+               - (CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN x{i}
+                          ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END))
+                 * SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN x{i} ELSE 0 END))
+              / (SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END) - 1))
+             / SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END)
+           + ((CAST(SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i} * x{i}
+                        ELSE 0 END) AS DOUBLE)
+               - (CAST(SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i}
+                          ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END))
+                 * SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i} ELSE 0 END))
+              / (SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END) - 1))
+             / SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END)), 6)
+         AS z,
+       {_SEQ_OBF[k]} AS boundary,
+       CAST(CASE WHEN abs(ROUND((CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1
+                       THEN x{i} ELSE 0 END) AS DOUBLE)
+              / SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END)
+            - CAST(SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i}
+                       ELSE 0 END) AS DOUBLE)
+              / SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END))
+         / sqrt(
+             ((CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN x{i} * x{i}
+                        ELSE 0 END) AS DOUBLE)
+               - (CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN x{i}
+                          ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END))
+                 * SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN x{i} ELSE 0 END))
+              / (SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END) - 1))
+             / SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END)
+           + ((CAST(SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i} * x{i}
+                        ELSE 0 END) AS DOUBLE)
+               - (CAST(SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i}
+                          ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END))
+                 * SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN x{i} ELSE 0 END))
+              / (SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END) - 1))
+             / SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END)), 6))
+               > {_SEQ_OBF[k]}
+            THEN 1 ELSE 0 END AS BIGINT) AS crossed
+FROM u""")
+    return (
+        f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 3))
+           ::BIGINT % 2 AS variant,
+{user_cols}
+  FROM events GROUP BY user_id
+)
+"""
+        + "\nUNION ALL".join(look_rows)
+    )
+
+
+@register("events_ab_sequential_looks", oracle=_seq_oracle())
+def events_ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x217: GROUP-SEQUENTIAL A/B readout — the Welch z at {_SEQ_LOOKS}
+    equally-spaced interim looks, each compared against its pinned
+    O'Brien-Fleming boundary: the peeking-corrected monitoring table that
+    lets an experiment stop early for a real effect WITHOUT inflating
+    α (naive daily peeking at 1.96 roughly doubles the false-positive
+    rate). Completes the experiment suite's time axis: x200 plans, x205
+    gates assignment, x126/x175 read out once, THIS row reads out
+    continuously.
+
+    Look k's population = users enrolled (first event) before its cutoff;
+    metric = cumulative purchases; moments exact integers; boundaries are
+    pinned literals (module comment). The Spark side computes all looks
+    from ONE user-grain conditional agg + a 5-row stack — the oracle
+    unrolls the same algebra per look.
+
+    100 TB: one user-grain agg (the same shuffle every readout pays),
+    a 1-row reduce carrying 5×6 integers, and a constant epilogue."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 3
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cuts = _seq_cutoffs()
+    user_aggs = []
+    for k, c in enumerate(cuts):
+        cutoff = F.lit(c).cast("timestamp_ntz")
+        user_aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("ts") < cutoff) & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"x{k + 1}")
+        )
+        user_aggs.append(
+            F.max(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias(f"e{k + 1}")
+        )
+    u = ev.groupBy("user_id").agg(*user_aggs).select(
+        variant.alias("variant"), *[c for k in range(_SEQ_LOOKS) for c in (f"x{k + 1}", f"e{k + 1}")]
+    )
+    moments = []
+    for k in range(_SEQ_LOOKS):
+        i = k + 1
+        for arm in (0, 1):
+            tag = "a" if arm == 0 else "b"
+            cond = (F.col("variant") == arm) & (F.col(f"e{i}") == 1)
+            moments.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{tag}{i}")
+            )
+            moments.append(
+                F.sum(F.when(cond, F.col(f"x{i}")).otherwise(0))
+                .cast("long")
+                .alias(f"sx_{tag}{i}")
+            )
+            moments.append(
+                F.sum(F.when(cond, F.col(f"x{i}") * F.col(f"x{i}")).otherwise(0))
+                .cast("long")
+                .alias(f"sxx_{tag}{i}")
+            )
+    m = u.agg(*moments)
+
+    def z_expr(i: int):
+        na, nb = F.col(f"n_a{i}"), F.col(f"n_b{i}")
+        sxa, sxb = F.col(f"sx_a{i}"), F.col(f"sx_b{i}")
+        sxxa, sxxb = F.col(f"sxx_a{i}"), F.col(f"sxx_b{i}")
+        mean_a = sxa.cast("double") / na
+        mean_b = sxb.cast("double") / nb
+        var_a = ((sxxa.cast("double") - mean_a * sxa) / (na - 1)) / na
+        var_b = ((sxxb.cast("double") - mean_b * sxb) / (nb - 1)) / nb
+        return F.round((mean_a - mean_b) / F.sqrt(var_a + var_b), 6)
+
+    cols = []
+    for k in range(_SEQ_LOOKS):
+        i = k + 1
+        z = z_expr(i)
+        cols.append(F.col(f"n_a{i}"))
+        cols.append(F.col(f"n_b{i}"))
+        cols.append(z.alias(f"z{i}"))
+        cols.append(
+            F.when(F.abs(z) > _SEQ_OBF[k], 1).otherwise(0).cast("long").alias(f"c{i}")
+        )
+    wide = m.select(*cols)
+    stack_args = ", ".join(
+        f"{k + 1}L, n_a{k + 1}, n_b{k + 1}, z{k + 1}, "
+        f"CAST({_SEQ_OBF[k]} AS DOUBLE), c{k + 1}"
+        for k in range(_SEQ_LOOKS)
+    )
+    return wide.selectExpr(
+        f"stack({_SEQ_LOOKS}, {stack_args}) "
+        "as (look, n_a, n_b, z, boundary, crossed)"
+    )
