@@ -742,3 +742,70 @@ def test_window_distinct_users_stream_equals_batch(spark, tmp_path):
     )
     assert got.count() > 0
     _assert_stream_equals_batch(got, want)
+
+
+def test_near_dedup_stream_matches_batch(spark, tmp_path):
+    """st17: streaming MinHash-band near-dup == batch dedup_minhash_det on
+    DISTINCT pairs (the stream is at-least-once per colliding band by
+    declaration; batch applies a global distinct). All arrivals fit inside
+    the 1h horizon here, so no state expires mid-replay and the pair sets
+    must agree exactly — including est_jaccard values, which both surfaces
+    compute from the same shared signature code (operators/minhash.py)."""
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+    from wikipedia_org_xmldump_importer_spark.sources.stream_events import (
+        read_document_stream,
+        stage_document_chunks,
+    )
+
+    _ensure_loaded()
+    staged = str(tmp_path / "doc_chunks")
+    stage_document_chunks(spark, SF_SMOKE, staged, n_chunks=5)
+    stream = ops.near_dedup_stream(read_document_stream(spark, staged))
+    got = (
+        run_to_completion(stream, "t_near_dedup", "append")
+        .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
+    )
+    want = REGISTRY["dedup_minhash_det"].fn(spark, SF_SMOKE)
+    assert got.count() > 0, "fixture produced no near-dup pairs — test is vacuous"
+    _assert_stream_equals_batch(got, want)
+
+
+def test_near_dedup_stream_pair_emitted_once_per_band(spark, tmp_path):
+    """Adversarial fixture: two near-identical docs + one unrelated doc,
+    split across micro-batches so the pair forms cross-batch via bucket
+    STATE (not within one pandas group). The pair may appear once per
+    colliding band but never twice for the same band (members join a
+    bucket exactly once), and the unrelated doc pairs with nothing."""
+    import os
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows1 = [(1, "2024-01-01 00:00:01", base)]
+    rows2 = [
+        (2, "2024-01-01 00:00:02", base + " phi"),
+        (9, "2024-01-01 00:00:03", "completely different words entirely here now"),
+    ]
+    staged = str(tmp_path / "adv_chunks")
+    for i, rows in enumerate((rows1, rows2), start=1):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+        df = spark.createDataFrame(pdf).select(
+            F.col("doc_id").cast("long"),
+            F.col("ts").cast("timestamp_ntz"),
+            "text",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staged, f"chunk_{i:02d}")
+        )
+    from wikipedia_org_xmldump_importer_spark.sources.stream_events import (
+        read_document_stream,
+    )
+
+    stream = ops.near_dedup_stream(read_document_stream(spark, staged))
+    got = run_to_completion(stream, "t_near_dedup_adv", "append").toPandas()
+    assert set(zip(got.doc_a, got.doc_b)) == {(1, 2)}
+    # once per band at most: band values unique for the pair
+    assert got.band.is_unique
+    assert (got.est_jaccard >= 0.5).all()

@@ -1468,10 +1468,17 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x95 — deterministic MinHash near-dup pairs (full SQL oracle)
 # --------------------------------------------------------------------------
 
-_MHD_K = 16  # signature length: 4 bands x 4 rows
-_MHD_BAND_ROWS = 4
-_MHD_CAP = 64  # band-bucket cap, mirrored in the oracle
-_MHD_TAU = 0.5
+# Constants + signature/band construction live in operators/minhash.py,
+# shared with the streaming twin (st17 near_dedup_stream) so the two
+# surfaces cannot drift.
+from ..operators.minhash import (  # noqa: E402
+    MHD_BAND_ROWS as _MHD_BAND_ROWS,
+    MHD_CAP as _MHD_CAP,
+    MHD_K as _MHD_K,
+    MHD_TAU as _MHD_TAU,
+    estimate_jaccard,
+    minhash_bands,
+)
 
 _MHD_ORACLE = f"""
 WITH sh AS (
@@ -1545,66 +1552,7 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
-                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
-            ),
-        )
-    )
-    # Materialize the shingle array as a named column FIRST: inlining it
-    # into each of the 16 transform() lambdas would re-evaluate the whole
-    # tokenize+shingle pipeline per permutation (trap #11).
-    staged = docs.select("doc_id", shingles.alias("sh"))
-
-    def _minhash(k: int):
-        return F.array_min(
-            F.transform(
-                F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{k}|"), s))
-            )
-        ).alias(f"mh{k}")
-
-    # The signature RIDES THE ROW from here on: bands explode with the
-    # full 16-hash array attached, the bucket collect carries (doc_id,
-    # sig) structs, and pairs score by zip_with inside the bucket row — so
-    # the md5 pipeline is computed exactly once, with no signature re-join
-    # and no reliance on exchange reuse (an earlier two-join form computed
-    # it three times; AQE's ReuseExchange did not fire across the
-    # differing projections). Cost: each bucket row carries ≤ cap×512 B of
-    # signature payload — 32 KB at the 64-doc cap, well under any sane
-    # shuffle block size.
-    sig = staged.select(
-        "doc_id", F.array(*[_minhash(k) for k in range(_MHD_K)]).alias("sig")
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", k + 1)
-                            for k in range(
-                                b * _MHD_BAND_ROWS, (b + 1) * _MHD_BAND_ROWS
-                            )
-                        ],
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(_MHD_K // _MHD_BAND_ROWS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", "sig", F.explode(band_structs).alias("bs")
-    ).select(
-        "doc_id", "sig", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
-    )
+    bands = minhash_bands(docs.select("doc_id", "text"))
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
@@ -1617,16 +1565,7 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                )
-                / F.lit(float(_MHD_K)),
-                6,
-            ).alias("est_jaccard"),
+            estimate_jaccard(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
         )
     )
     return scored.distinct().filter(F.col("est_jaccard") >= _MHD_TAU)

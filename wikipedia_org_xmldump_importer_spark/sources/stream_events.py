@@ -74,3 +74,45 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+DOCS_STREAM_SCHEMA = "doc_id long, ts timestamp_ntz, text string"
+
+_DOCS_EPOCH = "CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ)"
+
+
+def stage_document_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 6
+) -> str:
+    """Replay harness for the DOCUMENT stream (st17): documents carry no
+    event time, so arrival is synthesized deterministically (doc_id seconds
+    past a fixed epoch — ingest order == doc_id order, like a crawler feed)
+    and chunked into n_chunks ordered parquet files."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"timestampadd(SECOND, doc_id, {_DOCS_EPOCH})").alias("ts"),
+        "text",
+    )
+    w = F.ntile(n_chunks).over(Window.orderBy("doc_id"))
+    chunked = docs.withColumn("__chunk", w)
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("__chunk") == i)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"chunk_{i:02d}"))
+        )
+    return out_dir
+
+
+def read_document_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """File-source stream over staged document chunks, one per micro-batch."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged_dir)
+    )

@@ -637,3 +637,117 @@ def window_distinct_users_stream(
             "n_users",
         )
     )
+
+
+def near_dedup_stream(
+    docs: DataFrame, watermark: str = "1 hour", horizon_ms: int = 3_600_000
+) -> DataFrame:
+    """st17: streaming MinHash-band near-duplicate detection — the live
+    twin of x95 (dedup_minhash_det), closing the last batch↔stream gap in
+    the dedup taxonomy (st10 covers EXACT content dups; this covers
+    near-dups). Input: a document stream (doc_id, ts, text).
+
+    Same signature/band pipeline as the batch op (operators/minhash.py,
+    shared code — the surfaces cannot drift), then stateful band buckets:
+    state per (band, bkey) is the bucket's member list (doc_id, sig)
+    inside the lateness horizon; each arriving doc emits one pair row per
+    existing member whose signature agreement >= MHD_TAU, then joins the
+    bucket. Within a micro-batch, docs apply in (ts, doc_id) order — the
+    same pin the replay-equivalence test relies on.
+
+    Delivery semantics (deliberate, documented divergences from batch):
+    - AT-LEAST-ONCE pairs: a pair colliding in multiple bands emits once
+      per colliding band (bands are independent state groups and cannot
+      coordinate); consumers dedup on (doc_a, doc_b) — the equivalence
+      test compares DISTINCT pairs against the batch twin.
+    - Cap semantics: batch drops over-cap buckets wholesale (boilerplate
+      df-cap); a stream cannot know final bucket size, so a full bucket
+      stops ADMITTING new members (first-MHD_CAP-arrivals win). Identical
+      below the cap — the tested regime.
+    - Horizon: state expires via event-time timeout once the watermark
+      passes last-arrival + horizon; cross-horizon near-dups are the
+      batch sweep's job (same at-least-once boundary as st10).
+
+    100 TB notes: state per bucket is <= MHD_CAP x 512 B of signature
+    payload; bucket count is bounded by distinct band keys inside the
+    horizon (arrival-rate x horizon, not stream length). The md5 pipeline
+    runs once per doc in the narrow pre-shuffle stage; the only shuffle is
+    the (band, bkey) grouping — identical topology to the batch op."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..operators.minhash import MHD_CAP, MHD_K, MHD_TAU, minhash_bands  # noqa: PLC0415
+
+    bands = minhash_bands(_with_event_time(docs), passthrough=("ts",)).select(
+        "band", "bkey", "doc_id", "ts", F.concat_ws(",", "sig").alias("sig_csv")
+    )
+    out_schema = "doc_a long, doc_b long, est_jaccard double, band int"
+    state_schema = "doc_ids array<long>, sigs array<string>"
+
+    def update(key, pdfs, state: GroupState):
+        band, _bkey = key
+        doc_ids, sigs = state.get if state.exists else ([], [])
+        doc_ids, sigs = list(doc_ids), list(sigs)
+        known = set(doc_ids)
+        out_a, out_b, out_j = [], [], []
+        last_ts = None
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts", "doc_id"]).iterrows():
+                did = int(row["doc_id"])
+                last_ts = row["ts"]
+                if did in known:
+                    continue  # replayed doc: already a member, no re-emit
+                sig = row["sig_csv"].split(",")
+                for mid, msig_csv in zip(doc_ids, sigs):
+                    msig = msig_csv.split(",")
+                    agree = sum(a == b for a, b in zip(sig, msig))
+                    est = round(agree / MHD_K, 6)
+                    if est >= MHD_TAU:
+                        a, b = (mid, did) if mid < did else (did, mid)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(est)
+                if len(doc_ids) < MHD_CAP:
+                    doc_ids.append(did)
+                    sigs.append(row["sig_csv"])
+                    known.add(did)
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            state.update((doc_ids, sigs))
+            if last_ts is not None:
+                # Reap the bucket once the watermark passes last-arrival +
+                # horizon. Anchor on EVENT time, not current watermark: at
+                # the first micro-batch the watermark is still the 1970
+                # epoch, so watermark-anchored timeouts expire batch-1
+                # state as soon as the watermark initializes (lost every
+                # cross-batch pair touching chunk 1 before this fix). The
+                # max() guard keeps the timestamp legal for late stragglers
+                # whose last_ts + horizon already trails the watermark.
+                ts_ms = int(pd.Timestamp(last_ts).value // 1_000_000)
+                state.setTimeoutTimestamp(
+                    max(ts_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        yield pd.DataFrame(
+            {
+                "doc_a": pd.array(out_a, dtype="int64"),
+                "doc_b": pd.array(out_b, dtype="int64"),
+                "est_jaccard": pd.array(out_j, dtype="float64"),
+                "band": pd.array([band] * len(out_a), dtype="int32"),
+            }
+        )
+
+    return (
+        bands.withWatermark("ts", watermark)
+        .groupBy("band", "bkey")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
