@@ -289,3 +289,59 @@ def test_mm_image_dims_roundtrip(spark):
     assert list(fmt_by_mod[2]) == ["gif"]
     assert (out["width"] == 16 + (out["doc_id"] * 31) % 625).all()
     assert (out["height"] == 16 + (out["doc_id"] * 17) % 465).all()
+
+
+def test_mm_wav_header_parser_matches_public_spec():
+    """Pin mm_parse_wav_header to the real RIFF spec with hand-built
+    headers: the canonical 44-byte PCM layout, chunk reordering behind a
+    LIST chunk, the odd-size pad-byte rule, and corrupt/truncated edges."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        mm_parse_wav_header,
+    )
+
+    def le(n, nb):
+        return int(n).to_bytes(nb, "little")
+
+    # Canonical 44-byte header: 44100 Hz stereo 16-bit, 1000 frames.
+    fmt = b"fmt " + le(16, 4) + le(1, 2) + le(2, 2) + le(44100, 4) + le(
+        44100 * 4, 4
+    ) + le(4, 2) + le(16, 2)
+    data = b"data" + le(4000, 4)
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + le(len(body), 4) + body
+    assert mm_parse_wav_header(wav) == (44100, 2, 16, 1000, 12)
+
+    # LIST chunk with an ODD 5-byte payload before fmt: the walker must
+    # skip the pad byte or every later chunk id desyncs by one.
+    lst = b"LIST" + le(5, 4) + b"INFOX" + b"\x00"
+    body2 = b"WAVE" + lst + fmt + data
+    wav2 = b"RIFF" + le(len(body2), 4) + body2
+    assert mm_parse_wav_header(wav2) == (44100, 2, 16, 1000, 12 + 8 + 5 + 1)
+
+    # Without the pad byte the stream is genuinely desynced -> reject.
+    body3 = b"WAVE" + b"LIST" + le(5, 4) + b"INFOX" + fmt + data
+    wav3 = b"RIFF" + le(len(body3), 4) + body3
+    assert mm_parse_wav_header(wav3) == (None, None, None, None, None)
+
+    # Corrupt / truncated inputs degrade to the None tuple, never raise.
+    assert mm_parse_wav_header(None) == (None, None, None, None, None)
+    assert mm_parse_wav_header(b"RIFF\x00\x00\x00\x00AVI ") == (
+        None, None, None, None, None,
+    )
+    assert mm_parse_wav_header(wav[:20]) == (None, None, None, None, None)
+    # data chunk before fmt: block_align unknown -> reject, not garbage.
+    body4 = b"WAVE" + data + fmt
+    wav4 = b"RIFF" + le(len(body4), 4) + body4
+    assert mm_parse_wav_header(wav4) == (None, None, None, None, None)
+
+
+def test_mm_audio_meta_roundtrip(spark):
+    """End-to-end over the registered query: every doc parses, and all
+    fields match the builder derivation (cross-engine re-check is the SQL
+    oracle's job at sf0.01)."""
+    out = _run(spark, "mm_audio_meta").toPandas()
+    assert len(out) > 0 and out["sample_rate"].notna().all()
+    rates = [8000, 16000, 22050, 44100, 48000]
+    assert (out["sample_rate"] == out.doc_id.mod(5).map(lambda m: rates[m])).all()
+    assert (out["channels"] == 1 + out.doc_id % 2).all()
+    assert (out["n_frames"] == 100 + out.doc_id % 900).all()

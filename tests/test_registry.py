@@ -153,6 +153,7 @@ def test_survey_registry_sync():
         "match_steps_stream",
         "inter_arrival_gaps",
         "alert_hysteresis_stream",
+        "near_dedup_stream",
     }
     declared = names - test_only
     registered = set(REGISTRY)
