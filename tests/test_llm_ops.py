@@ -345,3 +345,63 @@ def test_mm_audio_meta_roundtrip(spark):
     assert (out["sample_rate"] == out.doc_id.mod(5).map(lambda m: rates[m])).all()
     assert (out["channels"] == 1 + out.doc_id % 2).all()
     assert (out["n_frames"] == 100 + out.doc_id % 900).all()
+
+
+def test_mm_mp4_box_walker_matches_public_spec():
+    """Pin mm_parse_mp4_meta to the real ISO BMFF layout with hand-built
+    fixtures: v0 and v1 mvhd time-field widths, the size==1 largesize
+    escape, decoy 'trak' fourcc bytes inside payloads (the walker must
+    advance by declared sizes, never grep), and corrupt-size truncation."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        mm_parse_mp4_meta,
+    )
+
+    def be(n, nb):
+        return int(n).to_bytes(nb, "big")
+
+    def box(t, payload):
+        return be(8 + len(payload), 4) + t + payload
+
+    ftyp = box(b"ftyp", b"isom" + be(0x200, 4))
+    # v0 mvhd: ver/flags, ctime, mtime, timescale=600, duration=1200,
+    # then 80 filler bytes that EMBED 'trak' decoys.
+    filler = (b"trak" + b"\x00\x00\x00\x00") * 10
+    mvhd0 = box(b"mvhd", be(0, 4) + be(0, 4) + be(0, 4) + be(600, 4) + be(1200, 4) + filler)
+    trak = box(b"trak", be(0, 4))
+    moov = box(b"moov", mvhd0 + trak + trak)
+    mp4 = ftyp + moov
+    assert mm_parse_mp4_meta(mp4) == (600, 1200, 2, len(ftyp), 0)
+
+    # v1 mvhd: 64-bit ctime/mtime/duration — a v0-only reader would read
+    # garbage timescale from the widened ctime bytes.
+    mvhd1 = box(
+        b"mvhd",
+        be(0x01000000, 4) + be(0, 8) + be(0, 8) + be(90000, 4) + be(2**33, 8) + filler,
+    )
+    moov1 = box(b"moov", mvhd1 + trak)
+    assert mm_parse_mp4_meta(ftyp + moov1) == (90000, 2**33, 1, len(ftyp), 1)
+
+    # largesize escape: moov declares size==1 + 64-bit largesize.
+    payload = mvhd0 + trak
+    moov_ls = be(1, 4) + b"moov" + be(16 + len(payload), 8) + payload
+    assert mm_parse_mp4_meta(ftyp + moov_ls) == (600, 1200, 1, len(ftyp), 0)
+
+    # Corrupt declared size (runs past the buffer): reject, don't misread.
+    bad_moov = be(10_000, 4) + b"moov" + mvhd0
+    assert mm_parse_mp4_meta(ftyp + bad_moov) == (None, None, None, None, None)
+    # No ftyp -> not claimed as BMFF.
+    assert mm_parse_mp4_meta(moov) == (None, None, None, None, None)
+    assert mm_parse_mp4_meta(None) == (None, None, None, None, None)
+
+
+def test_mm_video_meta_roundtrip(spark):
+    """End-to-end over the registered query: every doc parses; fields match
+    the builder derivation including the v0/v1 split (SQL oracle re-checks
+    cross-engine at sf0.01)."""
+    out = _run(spark, "mm_video_meta").toPandas()
+    assert len(out) > 0 and out["timescale"].notna().all()
+    scales = [600, 1000, 90000, 48000]
+    assert (out["timescale"] == out.doc_id.mod(4).map(lambda m: scales[m])).all()
+    assert (out["duration"] == out["timescale"] * (1 + out.doc_id % 120)).all()
+    assert (out["n_tracks"] == 1 + out.doc_id % 3).all()
+    assert (out["mvhd_version"] == (out.doc_id % 5 == 0).astype(int)).all()

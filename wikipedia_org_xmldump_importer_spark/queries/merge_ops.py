@@ -614,13 +614,17 @@ WITH pp AS (
 ),
 m AS (SELECT * FROM pp WHERE q1 > 0 AND q2 > 0),
 s AS (
+  -- 128-bit accumulators (HUGEINT / Spark DECIMAL(38)): the micro-cent
+  -- terms are ~1e14 per part, so a BIGINT total overflows near ~1e5
+  -- matched parts — the sf1 scaling sweep (BENCH_SF1) caught exactly
+  -- that long-overflow at 2e5 parts. Per-part terms stay BIGINT.
   SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
-         CAST(SUM(c1) AS BIGINT) AS sum_c1,
-         CAST(SUM(c2) AS BIGINT) AS sum_c2,
+         CAST(SUM(c1) AS HUGEINT) AS sum_c1,
+         CAST(SUM(c2) AS HUGEINT) AS sum_c2,
          CAST(SUM(CAST(ROUND(CAST(c2 AS DOUBLE) * q1 / q2 * 1000000)
-                       AS BIGINT)) AS BIGINT) AS num_l,
+                       AS BIGINT)) AS HUGEINT) AS num_l,
          CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) * q2 / q1 * 1000000)
-                       AS BIGINT)) AS BIGINT) AS den_p
+                       AS BIGINT)) AS HUGEINT) AS den_p
   FROM m
 )
 SELECT n_parts,
@@ -660,15 +664,24 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_p = F.round(
         F.col("c1").cast("double") * F.col("q2") / F.col("q1") * 1000000
     ).cast("long")
+    # DECIMAL(38) accumulators, not long: per-part micro-cent terms are
+    # ~1e14, so a long SUM overflows once matched parts pass ~1e5 — the
+    # sf1 scaling sweep caught this at 2e5 parts (ANSI overflow abort).
+    # Mirrored as HUGEINT in the oracle; epilogue divisions are double
+    # either way, so the 6dp-pinned outputs are unchanged.
     s = m.agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum("c1").cast("long").alias("sum_c1"),
-        F.sum("c2").cast("long").alias("sum_c2"),
-        F.sum(term_l).cast("long").alias("num_l"),
-        F.sum(term_p).cast("long").alias("den_p"),
+        F.sum(F.col("c1").cast("decimal(38,0)")).alias("sum_c1"),
+        F.sum(F.col("c2").cast("decimal(38,0)")).alias("sum_c2"),
+        F.sum(term_l.cast("decimal(38,0)")).alias("num_l"),
+        F.sum(term_p.cast("decimal(38,0)")).alias("den_p"),
     )
-    lasp = (F.col("num_l") / 1000000.0) / F.col("sum_c1")
-    paas = F.col("sum_c2") / (F.col("den_p") / 1000000.0)
+    lasp = (F.col("num_l").cast("double") / 1000000.0) / F.col("sum_c1").cast(
+        "double"
+    )
+    paas = F.col("sum_c2").cast("double") / (
+        F.col("den_p").cast("double") / 1000000.0
+    )
     return s.select(
         "n_parts",
         F.round(lasp, 6).alias("laspeyres"),

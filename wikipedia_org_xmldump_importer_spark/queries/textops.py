@@ -969,6 +969,213 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# real binary video-container decoding (MP4 / ISO BMFF box walk)
+# --------------------------------------------------------------------------
+
+_MP4_TIMESCALES = (600, 1000, 90000, 48000)
+_MP4_MAX_SCAN = 4096
+
+
+def mm_parse_mp4_meta(buf):
+    """Parse (timescale, duration, n_tracks, moov_offset, mvhd_version)
+    from an ISO BMFF (MP4) header — public spec knowledge:
+
+    - The file is a sequence of boxes: ``<size:4 BE> <type:4>``, size
+      INCLUDING the 8-byte header. size == 1 means a 64-bit ``largesize``
+      follows the type (header becomes 16 bytes); size == 0 means the box
+      runs to the end of its container.
+    - ``moov`` is a pure container whose payload is itself a box sequence;
+      movie-level metadata sits in its ``mvhd`` child. Version 0 mvhd
+      carries timescale/duration as 4-byte fields at payload offsets
+      12/16; version 1 widens the times to 8 bytes, moving them to 20/24
+      (duration itself 8-byte). Both versions occur in the wild, so a
+      v0-only reader corrupts durations on v1 files.
+    - Track count = number of ``trak`` children of moov (walked by box
+      size at moov level, never by scanning for the fourcc — trak
+      payloads may contain 'trak' bytes).
+
+    Returns a None-tuple for anything not parseable as BMFF.
+    """
+    bad = (None, None, None, None, None)
+    if buf is None or len(buf) < 16:
+        return bad
+
+    def boxes(start, end):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            payload = i + 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                payload = i + 16
+            elif size == 0:
+                size = end - i
+            if size < payload - i or i + size > end:
+                return  # corrupt size: stop rather than misread
+            yield btype, i, payload, i + size
+            i += size
+
+    limit = min(len(buf), _MP4_MAX_SCAN)
+    saw_ftyp = False
+    timescale = duration = n_tracks = moov_off = version = None
+    for btype, off, payload, bend in boxes(0, limit):
+        if btype == b"ftyp":
+            saw_ftyp = True
+        elif btype == b"moov":
+            moov_off = off
+            n_tracks = 0
+            for ctype, _coff, cpayload, _cend in boxes(payload, bend):
+                if ctype == b"trak":
+                    n_tracks += 1
+                elif ctype == b"mvhd":
+                    version = buf[cpayload]
+                    if version == 0:
+                        timescale = int.from_bytes(
+                            buf[cpayload + 12 : cpayload + 16], "big"
+                        )
+                        duration = int.from_bytes(
+                            buf[cpayload + 16 : cpayload + 20], "big"
+                        )
+                    elif version == 1:
+                        timescale = int.from_bytes(
+                            buf[cpayload + 20 : cpayload + 24], "big"
+                        )
+                        duration = int.from_bytes(
+                            buf[cpayload + 24 : cpayload + 32], "big"
+                        )
+    if not saw_ftyp or None in (timescale, duration, n_tracks, moov_off, version):
+        return bad
+    return (timescale, duration, n_tracks, moov_off, version)
+
+
+_MP4_ORACLE = f"""
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+            WHEN 2 THEN 90000 ELSE 48000 END AS BIGINT) AS timescale,
+       CAST((CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             WHEN 2 THEN 90000 ELSE 48000 END) * (1 + doc_id % 120)
+            AS BIGINT) AS duration,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+       -- ftyp box (16) + free box (8 + doc_id % 9 payload)
+       CAST(16 + 8 + doc_id % 9 AS BIGINT) AS moov_offset,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS mvhd_version
+FROM documents
+"""
+
+
+@register("mm_video_meta", oracle=_MP4_ORACLE)
+def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode completing the multimodal trio (x218
+    image, x219 audio, this video): ISO BMFF headers assembled JVM-side —
+    ftyp + a variable-size free box (so moov's offset is not fixed) + a
+    moov container holding an mvhd (VERSION 0 or 1 per doc: v1 widens the
+    time fields, a layout change real parsers must branch on) and 1-3 trak
+    child stubs — then timescale/duration/track-count/offset/version
+    parsed back by a recursive box walk in Arrow-batched Python.
+
+    The walker advances strictly by declared box sizes (trak payloads are
+    NOT scanned for fourcc strings), handles the largesize escape and
+    corrupt-size truncation, and is pinned to the public BMFF layout by
+    fixture tests (hand-built v0 + v1 + largesize + decoy-fourcc headers,
+    tests/test_llm_ops.py); the arithmetic oracle re-checks every parsed
+    field cross-engine.
+
+    100 TB notes: same economics as x218/x219 — header-only metadata pass,
+    walk capped at _MP4_MAX_SCAN bytes, payload bytes never decoded; the
+    trak child walk is the part that matters at scale, because container
+    boxes nest and a fourcc-grep shortcut corrupts counts exactly when
+    payloads embed box-like bytes."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    timescale = (
+        F.when(doc_id % 4 == 0, 600)
+        .when(doc_id % 4 == 1, 1000)
+        .when(doc_id % 4 == 2, 90000)
+        .otherwise(48000)
+    )
+    duration = (timescale * (F.lit(1) + doc_id % 120)).cast("long")
+    n_tracks = (F.lit(1) + doc_id % 3).cast("int")
+    v1 = doc_id % 5 == 0
+
+    def be(col, nbytes):
+        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+    ftyp = F.concat(
+        be(F.lit(16), 4), F.encode(F.lit("ftypisom"), "utf-8"), be(F.lit(0x200), 4)
+    )
+    free_payload = (doc_id % 9).cast("int")
+    free = F.concat(
+        be(free_payload + 8, 4),
+        F.encode(F.lit("free"), "utf-8"),
+        F.unhex(F.substring(F.repeat(F.lit("6D6F"), 8), F.lit(1), free_payload * 2)),
+    )
+    # mvhd v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4) +
+    # 80 spec-filler bytes (rate..next_track_id) = 100-byte payload.
+    # v1: ver/flags(4) ctime(8) mtime(8) timescale(4) duration(8) + 80
+    # = 112-byte payload. The 'decoy' filler embeds 'trak' fourcc bytes —
+    # a fourcc-grep counter would overcount tracks.
+    filler80 = F.unhex(F.lit(("7472616B" + "00000000") * 10))
+    mvhd_v0 = F.concat(
+        be(F.lit(108), 4),
+        F.encode(F.lit("mvhd"), "utf-8"),
+        be(F.lit(0), 4),
+        be(F.lit(0), 4),
+        be(F.lit(0), 4),
+        be(timescale, 4),
+        be(duration, 4),
+        filler80,
+    )
+    mvhd_v1 = F.concat(
+        be(F.lit(120), 4),
+        F.encode(F.lit("mvhd"), "utf-8"),
+        be(F.lit(0x01000000), 4),
+        be(F.lit(0), 8),
+        be(F.lit(0), 8),
+        be(timescale, 4),
+        be(duration, 8),
+        filler80,
+    )
+    mvhd = F.when(v1, mvhd_v1).otherwise(mvhd_v0)
+    trak = F.concat(be(F.lit(12), 4), F.encode(F.lit("trak"), "utf-8"), be(F.lit(0), 4))
+    traks = F.unhex(
+        F.substring(F.repeat(F.hex(trak), 3), F.lit(1), n_tracks * 24)
+    )
+    moov_payload_len = F.octet_length(mvhd) + n_tracks * 12
+    moov = F.concat(
+        be(moov_payload_len + 8, 4), F.encode(F.lit("moov"), "utf-8"), mvhd, traks
+    )
+    blobs = docs.select("doc_id", F.concat(ftyp, free, moov).alias("payload"))
+
+    def decode(batches):
+        for pdf in batches:
+            parsed = [mm_parse_mp4_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "timescale": pd.array([p[0] for p in parsed], dtype="Int64"),
+                    "duration": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "n_tracks": pd.array([p[2] for p in parsed], dtype="Int64"),
+                    "moov_offset": pd.array([p[3] for p in parsed], dtype="Int64"),
+                    "mvhd_version": pd.array([p[4] for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, timescale long, duration long, n_tracks long, "
+            "moov_offset long, mvhd_version long"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # document chunking with overlap (the pre-tokenization training-data step)
 # --------------------------------------------------------------------------
 
