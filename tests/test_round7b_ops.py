@@ -1,0 +1,131 @@
+"""Invariants for the round-7 continuation batch (x221-x223): Benford digit
+extraction + chi-square replayed in pure Python, peak concurrency vs a
+brute-force interval sweep, and mutual-information marginal/replay checks.
+All at sf0.001 (smoke grain)."""
+
+from __future__ import annotations
+
+import math
+
+from conftest import SF_SMOKE
+
+from wikipedia_org_xmldump_importer_spark.io import load_table
+from wikipedia_org_xmldump_importer_spark.queries.quality_ops import dq_benford
+from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+    events_mutual_info,
+    events_peak_concurrency,
+)
+
+_GAP_US = 1_800_000_000
+_DAY_US = 86_400_000_000
+
+
+def test_benford_matches_python_replay(spark):
+    """Replay the digit histogram + chi-square from raw order totals: exact
+    cents -> decimal string -> first digit, same pinned expected shares."""
+    exp = {
+        1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+        6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+    }
+    totals = [
+        r.o_totalprice
+        for r in load_table(spark, SF_SMOKE, "orders").select("o_totalprice").collect()
+    ]
+    counts: dict[int, int] = {}
+    for p in totals:
+        d = int(str(int(round(p * 100)))[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = sum(counts.values())
+    rows = {r.digit: r for r in dq_benford(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(counts)
+    for d, c in counts.items():
+        r = rows[d]
+        assert r.n_obs == c
+        assert r.exp_share == exp[d]
+        assert abs(r.obs_share - c / n) < 1e-6
+        dev = c - n * exp[d]
+        assert abs(r.chi2_term - dev * dev / (n * exp[d])) < 1e-3
+    # shares partition the probability mass (up to 6dp rounding per digit)
+    assert abs(sum(r.obs_share for r in rows.values()) - 1.0) < 1e-5
+
+
+def _sessions(events):
+    """30-min-gap sessionize: [(start_us, end_us)] per user, Python replay."""
+    by_user: dict[int, list[int]] = {}
+    for uid, ts_us in events:
+        by_user.setdefault(uid, []).append(ts_us)
+    ivs = []
+    for uid, tss in by_user.items():
+        tss.sort()
+        s = e = tss[0]
+        for t in tss[1:]:
+            if t - e > _GAP_US:
+                ivs.append((s, e))
+                s = t
+            e = t
+        ivs.append((s, e))
+    return ivs
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    """Brute-force the daily peak: clip each session to day segments, sweep
+    (+1 at start, -1 at end+1, delta-ASC tie order), track the max."""
+    ev = [
+        (r.user_id, r.ts_us)
+        for r in load_table(spark, SF_SMOKE, "events").select("user_id", "ts_us").collect()
+    ]
+    segs: dict[int, list[tuple[int, int]]] = {}
+    for s, e in _sessions(ev):
+        for day in range(s // _DAY_US, e // _DAY_US + 1):
+            lo = max(s, day * _DAY_US)
+            hi = min(e, (day + 1) * _DAY_US - 1)
+            segs.setdefault(day, []).append((lo, hi))
+    expect = {}
+    for day, ivs in segs.items():
+        pts = [(lo, 1) for lo, _ in ivs] + [(hi + 1, -1) for _, hi in ivs]
+        pts.sort()  # ties: -1 sorts before +1 (delta ASC), matching the op
+        conc = peak = 0
+        for _, d in pts:
+            conc += d
+            peak = max(peak, conc)
+        expect[day] = (len(ivs), peak)
+    got = {
+        r.day_idx: (r.n_sessions, r.peak_concurrent)
+        for r in events_peak_concurrency(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_mutual_info_marginals_and_replay(spark):
+    """Cell counts must tile the corpus; pmi/lift/mi_term replay from the
+    pinned-6dp probability device; total MI (sum of micro-bit terms) >= 0."""
+    ev = [
+        (r.event_type, r.hr)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .selectExpr("event_type", "CAST(hour(ts) AS INT) DIV 6 AS hr")
+        .collect()
+    ]
+    n = len(ev)
+    n_xy: dict = {}
+    n_x: dict = {}
+    n_y: dict = {}
+    for t, h in ev:
+        n_xy[(t, h)] = n_xy.get((t, h), 0) + 1
+        n_x[t] = n_x.get(t, 0) + 1
+        n_y[h] = n_y.get(h, 0) + 1
+    rows = events_mutual_info(spark, SF_SMOKE).collect()
+    assert sum(r.n_xy for r in rows) == n
+    mi_total = 0
+    for r in rows:
+        assert r.n_xy == n_xy[(r.event_type, r.day_part)]
+        p_xy = round(r.n_xy / n, 6)
+        p_x = round(n_x[r.event_type] / n, 6)
+        p_y = round(n_y[r.day_part] / n, 6)
+        ratio = p_xy / (p_x * p_y)
+        assert abs(r.lift - round(ratio, 6)) < 1e-9
+        assert abs(r.pmi - round(math.log2(ratio), 6)) < 1e-9
+        assert r.mi_term_u == round(p_xy * math.log2(ratio) * 1_000_000)
+        mi_total += r.mi_term_u
+    # MI of any joint distribution is non-negative; micro-unit rounding can
+    # only move the sum by ~rows/2 units.
+    assert mi_total >= -len(rows)

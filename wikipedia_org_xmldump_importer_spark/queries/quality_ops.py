@@ -803,3 +803,104 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("n_exposed_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# x221 — Benford first-digit conformance audit (fraud/data-entry screen)
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) pinned to 6dp literals (trap #18: never call a transcendental
+# at query time when the operand set is a 9-value constant — each engine's
+# libm may differ in the last ulp, and a pinned table is also what a real
+# audit would ship for review).
+_BENFORD_EXPECTED = {
+    1: 0.301030,
+    2: 0.176091,
+    3: 0.124939,
+    4: 0.096910,
+    5: 0.079181,
+    6: 0.066947,
+    7: 0.057992,
+    8: 0.051153,
+    9: 0.045757,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_EXPECTED.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+cnt AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
+ex AS (
+  SELECT digit, n_obs,
+         SUM(n_obs) OVER () AS n_total,
+         {_BENFORD_CASE} AS exp_share
+  FROM cnt
+)
+SELECT digit, n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share,
+       exp_share,
+       ROUND((n_obs - n_total * exp_share) * (n_obs - n_total * exp_share)
+             / (n_total * exp_share), 4) AS chi2_term
+FROM ex
+"""
+
+
+@register("dq_benford", oracle=_BENFORD_ORACLE)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x221: BENFORD'S LAW first-digit audit over order totals — the classic
+    fabricated-numbers screen (expenses, invoices, sensor feeds): natural
+    multiplicative amounts put digit d first with probability log10(1+1/d);
+    hand-typed or synthesized amounts don't. Emits, per leading digit, the
+    observed share, the pinned expected share, and the per-digit chi-square
+    contribution (sum them for the 8-dof test statistic).
+
+    Determinism: the leading digit is extracted from the EXACT cents
+    integer's decimal string — never floor(x/10^floor(log10 x)), whose
+    nested float log/pow can mis-bin a price sitting on a power-of-ten
+    boundary. Expected shares are 6dp literals on both engines; obs_share
+    and chi2_term are each ONE identically-parenthesized float expression
+    over (exact integer, pinned literal) operands, then display-rounded.
+
+    100 TB: map-side combine onto a 9-row digit grid, then an unpartitioned
+    window over those 9 rows for the grand total — safe ONLY because the
+    grain is a constant-size digit domain (pareto_abc's rule), never the
+    row grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    cnt = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    exp_share = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(p))
+            for d, p in _BENFORD_EXPECTED.items()
+        ]
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ex = cnt.select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(w_all).alias("n_total"),
+        exp_share.alias("exp_share"),
+    )
+    dev = F.col("n_obs") - F.col("n_total") * F.col("exp_share")
+    return ex.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias(
+            "obs_share"
+        ),
+        "exp_share",
+        F.round(dev * dev / (F.col("n_total") * F.col("exp_share")), 4).alias(
+            "chi2_term"
+        ),
+    )

@@ -5168,3 +5168,235 @@ def events_ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({_SEQ_LOOKS}, {stack_args}) "
         "as (look, n_a, n_b, z, boundary, crossed)"
     )
+
+
+# --------------------------------------------------------------------------
+# x222 — daily peak session concurrency (interval sweep-line)
+# --------------------------------------------------------------------------
+
+_CONC_GAP_US = 1_800_000_000  # 30-min session gap, same as x58/st3
+_US_PER_DAY = 86_400_000_000
+
+_CONC_ORACLE = f"""
+WITH ev AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+flag AS (
+  SELECT user_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {_CONC_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+),
+iv AS (
+  SELECT user_id, sid, MIN(ts_us) AS s, MAX(ts_us) AS e
+  FROM sess GROUP BY user_id, sid
+),
+seg AS (
+  SELECT user_id, s, e, d.day
+  FROM iv, UNNEST(generate_series(s // {_US_PER_DAY}, e // {_US_PER_DAY}))
+            AS d(day)
+),
+pts AS (
+  SELECT day, GREATEST(s, day * {_US_PER_DAY}) AS t, 1 AS delta, user_id, s
+  FROM seg
+  UNION ALL
+  SELECT day, LEAST(e, (day + 1) * {_US_PER_DAY} - 1) + 1 AS t, -1 AS delta,
+         user_id, s
+  FROM seg
+),
+run AS (
+  SELECT day, delta,
+         SUM(delta) OVER (PARTITION BY day
+                          ORDER BY t, delta, user_id, s
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT day AS day_idx,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY day
+"""
+
+
+@register("events_peak_concurrency", oracle=_CONC_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x222: DAILY PEAK CONCURRENCY — the max number of user sessions
+    simultaneously open at any instant of each day, the capacity-planning
+    number behind connection pools, seat licensing, and autoscaling floors.
+    Sessions are x58's 30-minute-gap islands; concurrency is the classic
+    sweep-line: +1 at session start, -1 just after session end, running
+    sum, max. A session active at instant t satisfies s <= t <= e, so the
+    -1 lands at e+1 and SORTS BEFORE ties' +1s (delta ASC): a session
+    ending at t-1 and one starting at t never double-count, and every
+    intermediate running value is a true instantaneous concurrency.
+
+    Sessions that cross midnight are SPLIT into per-day segments first
+    (explode of the spanned day range), which is what makes the sweep
+    PARTITIONABLE: each day's window sees exactly the sessions that touch
+    it (a cross-midnight session is counted open-at-day-start via its
+    clipped segment), so no carry-in prefix pass is needed — the textbook
+    parallel-scan decomposition of a global sweep. All arithmetic is
+    integer epoch-microseconds; day_idx is the epoch-day integer.
+
+    100 TB: shuffle 1 on user_id (sessionize + interval agg, one exchange
+    reused), shuffle 2 on day (sweep windows) — per-day point volume is
+    2x the day's session count, and a pathological single hot day salts
+    like any skewed window key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            F.when(
+                F.lag("ts_us").over(w).isNull()
+                | (F.col("ts_us") - F.lag("ts_us").over(w) > _CONC_GAP_US),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_sess"),
+        )
+        .select(
+            "user_id", "ts_us", F.sum("new_sess").over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+    )
+    seg = sess.select(
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _US_PER_DAY).cast("long"),
+                (F.col("e") / _US_PER_DAY).cast("long"),
+            )
+        ).alias("day"),
+    )
+    starts = seg.select(
+        "day",
+        F.greatest(F.col("s"), F.col("day") * _US_PER_DAY).alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "s",
+    )
+    ends = seg.select(
+        "day",
+        (
+            F.least(F.col("e"), (F.col("day") + 1) * _US_PER_DAY - 1) + 1
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "s",
+    )
+    sweep = Window.partitionBy("day").orderBy(
+        "t", "delta", "user_id", "s"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    run_conc = starts.unionByName(ends).select(
+        "day", "delta", F.sum("delta").over(sweep).alias("conc")
+    )
+    return run_conc.groupBy(F.col("day").alias("day_idx")).agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+        F.max("conc").cast("long").alias("peak_concurrent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x223 — mutual information: event_type × time-of-day dependence
+# --------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH grid AS (
+  SELECT event_type, CAST(hour(ts) // 6 AS INTEGER) AS day_part,
+         COUNT(*) AS n_xy
+  FROM events GROUP BY event_type, hour(ts) // 6
+),
+marg AS (
+  SELECT event_type, day_part, n_xy,
+         SUM(n_xy) OVER (PARTITION BY event_type) AS n_x,
+         SUM(n_xy) OVER (PARTITION BY day_part) AS n_y,
+         SUM(n_xy) OVER () AS n
+  FROM grid
+),
+p AS (
+  SELECT event_type, day_part, n_xy,
+         ROUND(CAST(n_xy AS DOUBLE) / n, 6) AS p_xy,
+         ROUND(CAST(n_x AS DOUBLE) / n, 6) AS p_x,
+         ROUND(CAST(n_y AS DOUBLE) / n, 6) AS p_y
+  FROM marg
+)
+SELECT event_type, day_part, n_xy,
+       ROUND(p_xy / (p_x * p_y), 6) AS lift,
+       ROUND(log2(p_xy / (p_x * p_y)), 6) AS pmi,
+       CAST(ROUND(p_xy * log2(p_xy / (p_x * p_y)) * 1000000) AS BIGINT)
+         AS mi_term_u
+FROM p
+"""
+
+
+@register("events_mutual_info", oracle=_MI_ORACLE)
+def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x223: MUTUAL INFORMATION between event type and time-of-day quarter
+    — "does WHAT users do depend on WHEN?" quantified in bits. Emits the
+    full dependence decomposition per contingency cell: lift
+    p(x,y)/(p(x)p(y)), pointwise MI, and the cell's term of the MI sum in
+    integer micro-bits (sum mi_term_u / 1e6 = the MI estimate; x113's
+    fixed-point device, so the corpus-level number is an exact integer sum
+    no matter how partitions combine).
+
+    Determinism: probabilities pin to 6dp BEFORE any transcendental; lift,
+    pmi, and the micro-unit term are each one identically-parenthesized
+    expression over those pinned values. All three marginals come from
+    windows over the 20-cell grid, not extra scans.
+
+    100 TB: one map-combined aggregate onto a |types| x 4 grid; everything
+    after is window math on a constant-size frame. The same shape serves
+    any categorical-pair dependence audit (feature x label leakage checks
+    included) as long as the cell domain stays dim-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(hour(ts) AS INT) DIV 6").cast("int").alias("day_part"),
+        )
+        .groupBy("event_type", "day_part")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marg = grid.select(
+        "event_type",
+        "day_part",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("event_type")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("day_part")).alias("n_y"),
+        F.sum("n_xy").over(w_all).alias("n"),
+    )
+    p = marg.select(
+        "event_type",
+        "day_part",
+        "n_xy",
+        F.round(F.col("n_xy").cast("double") / F.col("n"), 6).alias("p_xy"),
+        F.round(F.col("n_x").cast("double") / F.col("n"), 6).alias("p_x"),
+        F.round(F.col("n_y").cast("double") / F.col("n"), 6).alias("p_y"),
+    )
+    ratio = F.col("p_xy") / (F.col("p_x") * F.col("p_y"))
+    return p.select(
+        "event_type",
+        "day_part",
+        "n_xy",
+        F.round(ratio, 6).alias("lift"),
+        F.round(F.log2(ratio), 6).alias("pmi"),
+        F.round(F.col("p_xy") * F.log2(ratio) * 1_000_000)
+        .cast("long")
+        .alias("mi_term_u"),
+    )
