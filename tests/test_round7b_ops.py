@@ -129,3 +129,109 @@ def test_mutual_info_marginals_and_replay(spark):
     # MI of any joint distribution is non-negative; micro-unit rounding can
     # only move the sum by ~rows/2 units.
     assert mi_total >= -len(rows)
+
+
+def test_holt_matches_python_replay(spark):
+    """Replay Holt's recursion in pure Python over the daily counts; the
+    fold + recursive CTE must match to double precision."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_holt_linear,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("ts_us").collect()
+    daily: dict[int, int] = {}
+    for r in ev:
+        d = r.ts_us // _DAY_US
+        daily[d] = daily.get(d, 0) + 1
+    ys = [float(daily[d]) for d in sorted(daily)]
+    a, b = 0.3, 0.1
+    lv, tr = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        lnew = a * y + (1 - a) * (lv + tr)
+        tr = b * (lnew - lv) + (1 - b) * tr
+        lv = lnew
+    rows = {r.horizon: r for r in ts_holt_linear(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, 8))
+    for h, r in rows.items():
+        assert abs(r.forecast - round(lv + h * tr, 6)) < 1e-9
+        assert abs(r.level - round(lv, 6)) < 1e-9
+        assert abs(r.trend - round(tr, 6)) < 1e-9
+
+
+def test_pps_sample_invariants(spark):
+    """Systematic PPS: per stratum, total multiplicity == k (the grid has
+    exactly k points and every point lands in exactly one unit's weight
+    interval when offset < step <= W); heavier-than-step units may carry
+    multiplicity > 1; inclusion replays from the closed form."""
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        sample_systematic_pps,
+    )
+
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    ).collect()
+    by_seg: dict[str, list] = {}
+    for r in cust:
+        w = int(round(max(r.c_acctbal, 0) * 100)) + 1
+        by_seg.setdefault(r.c_mktsegment, []).append((r.c_custkey, w))
+    expect: dict = {}
+    k = 20
+    for seg, units in by_seg.items():
+        units.sort()
+        tw = sum(w for _, w in units)
+        step = (tw + k - 1) // k
+        off = step // 2
+        cw = 0
+        for ck, w in units:
+            lo, hi = cw, cw + w
+            n = (hi - off + step) // step - (lo - off + step) // step
+            if n >= 1:
+                expect[(seg, ck)] = (w, n)
+            cw = hi
+    got = {
+        (r.c_mktsegment, r.c_custkey): (r.w, r.n_hits)
+        for r in sample_systematic_pps(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # grid exhaustiveness: multiplicities per stratum sum to ~k (k or k-1 —
+    # the last grid point can fall past the final interval when step*k
+    # overshoots W by more than step-off)
+    for seg in by_seg:
+        tot = sum(n for (s, _), (_, n) in got.items() if s == seg)
+        assert tot in (k - 1, k), (seg, tot)
+
+
+def test_bfs_matches_python_replay(spark):
+    """Brute-force multi-source BFS over the collected edge set."""
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        graph_shortest_hops,
+    )
+    from wikipedia_org_xmldump_importer_spark.io import load_table as lt
+
+    orders = lt(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = lt(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    adj: dict[int, set] = {}
+    for r in pairs:
+        u, v = r.o_custkey, -(r.l_suppkey + 1)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = sorted(((len(vs), n) for n, vs in adj.items()), key=lambda t: (-t[0], t[1]))
+    seeds = [n for _, n in deg[:5]]
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    got = {r.node: r.dist for r in graph_shortest_hops(spark, SF_SMOKE).collect()}
+    assert got == dist

@@ -141,6 +141,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "crossed onto the value-grain CDF tables — bounded by the price "
         "grid, never row count (x155)"
     ),
+    ("ts_holt_linear", "BroadcastNestedLoopJoin"): (
+        "1-row folded (level, trend) state broadcast-crossed onto the "
+        "7-row horizon frame — bounded by construction (x224)"
+    ),
 }
 
 

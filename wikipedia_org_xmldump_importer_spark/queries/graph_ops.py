@@ -870,3 +870,92 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("amplification"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x226 — bounded multi-source BFS: shortest hop distance from hub seeds
+# --------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+_BFS_SEEDS = 5
+
+
+def _bfs_round_sql(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""
+d{k} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.dist + 1 AS dist
+    FROM e JOIN {prev} ON e.src = {prev}.node
+  ) GROUP BY node
+)"""
+
+
+_BFS_ORACLE = (
+    f"""
+WITH eb AS (
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+seeds AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {_BFS_SEEDS}),
+d0 AS (SELECT node, 0 AS dist FROM seeds),
+"""
+    + ",".join(_bfs_round_sql(k) for k in range(1, _BFS_HOPS + 1))
+    + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{_BFS_HOPS}
+"""
+)
+
+
+@register("graph_shortest_hops", oracle=_BFS_ORACLE)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x226: bounded MULTI-SOURCE BFS — min hop distance (<= 4) from the 5
+    highest-degree hub nodes over the undirected customer<->supplier order
+    graph (x63's edge set, sign-disjoint node ids). The influence-radius /
+    network-distance primitive: "how far is every account from the core?"
+    — k-hop generalization of x215's two-hop reach, with x63's
+    unrolled-iteration oracle discipline (hop count is a FIXED small
+    constant, so DuckDB gets plain finitely-unrolled CTEs, no recursion
+    divergence risk).
+
+    Each round relaxes dist via join-on-frontier + MIN regroup; seeds pin
+    ties by (degree DESC, node). All-integer state — nothing to float-pin.
+
+    100 TB: the frontier table is (node, dist) — never edges — and every
+    round is one key-partitioned join + one map-combined MIN; lineage cuts
+    via localCheckpoint per round (the x63/x152 driver-loop contract).
+    Frontier growth is bounded by the reachable set, and a 4-hop ball
+    around 5 hubs is the query's own cap. Sign-disjoint ids mean no node
+    collision at any scale (x63's note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    seeds = deg.orderBy(F.col("d").desc(), "node").limit(_BFS_SEEDS)
+    dist = seeds.select("node", F.lit(0).alias("dist"))
+    for _ in range(_BFS_HOPS):
+        relaxed = e.join(dist, e.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

@@ -717,3 +717,95 @@ def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# x225 — deterministic systematic PPS sampling (probability ∝ size)
+# --------------------------------------------------------------------------
+
+_PPS_K = 20  # target draws per stratum
+
+_PPS_ORACLE = f"""
+WITH wtd AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(ROUND(GREATEST(c_acctbal, 0) * 100) AS BIGINT) + 1 AS w
+  FROM customer
+),
+cum AS (
+  SELECT c_mktsegment, c_custkey, w,
+         SUM(w) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY c_mktsegment) AS tw
+  FROM wtd
+),
+hits AS (
+  SELECT c_mktsegment, c_custkey, w,
+         ((tw + {_PPS_K} - 1) // {_PPS_K}) AS step,
+         (cw - (((tw + {_PPS_K} - 1) // {_PPS_K}) // 2)
+            + ((tw + {_PPS_K} - 1) // {_PPS_K}))
+           // ((tw + {_PPS_K} - 1) // {_PPS_K})
+         - ((cw - w) - (((tw + {_PPS_K} - 1) // {_PPS_K}) // 2)
+            + ((tw + {_PPS_K} - 1) // {_PPS_K}))
+           // ((tw + {_PPS_K} - 1) // {_PPS_K}) AS n_hits
+  FROM cum
+)
+SELECT c_mktsegment, c_custkey, w, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits WHERE n_hits >= 1
+"""
+
+
+@register("sample_systematic_pps", oracle=_PPS_ORACLE)
+def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x225: SYSTEMATIC PPS sampling — k draws per stratum with inclusion
+    probability proportional to account balance, the survey-statistics
+    workhorse (Madow '49) behind audit sampling and weighted eval-set
+    draws. A fixed grid of k points (spacing step = ceil(W/k), offset
+    step//2) is laid over the stratum's cumulative-weight axis; a unit is
+    drawn once per grid point inside its (cum-w, cum] weight interval, so
+    a unit carrying > step weight is drawn with multiplicity (n_hits —
+    certainty units, reported not resampled, exactly as PPS theory says).
+
+    Fully deterministic and exact: weights are cents-integers (+1 floor so
+    zero/negative balances keep a positive draw chance), the grid hit
+    count is a difference of two integer divisions, and every operand is
+    shifted +step so both engines divide strictly positive integers
+    (floored and truncating division agree there — DuckDB // floors,
+    Spark DIV truncates, trap-class: never let a sampling boundary ride
+    negative division).
+
+    100 TB: one running-sum window per stratum (O(1) streaming frame) —
+    the same single shuffle any partitioned window pays. The offset is a
+    PINNED midpoint, not RNG: re-runs and backfills select identical
+    units, which is exactly what an auditable sample requires (o3 covers
+    the RNG case)."""
+    cust = load_table(spark, sf_dir, "customer")
+    wtd = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        (
+            F.round(F.greatest(F.col("c_acctbal"), F.lit(0)) * 100).cast("long")
+            + 1
+        ).alias("w"),
+    )
+    w_run = Window.partitionBy("c_mktsegment").orderBy("c_custkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    cum = wtd.select(
+        "c_mktsegment",
+        "c_custkey",
+        "w",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_seg).alias("tw"),
+    )
+    step = F.expr(f"(tw + {_PPS_K} - 1) DIV {_PPS_K}")
+    hits = cum.withColumn("step", step).withColumn(
+        "n_hits",
+        F.expr(
+            "(cw - (step DIV 2) + step) DIV step"
+            " - ((cw - w) - (step DIV 2) + step) DIV step"
+        ),
+    )
+    return hits.filter(F.col("n_hits") >= 1).select(
+        "c_mktsegment", "c_custkey", "w", F.col("n_hits").cast("long").alias("n_hits")
+    )

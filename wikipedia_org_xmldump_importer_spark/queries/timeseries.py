@@ -5400,3 +5400,119 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mi_term_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# x224 — Holt linear-trend (double exponential smoothing) forecast
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+_HOLT_H = 7
+
+# The recursion l_t = a*y_t + (1-a)*(l+b); b_t = B*(l_t - l) + (1-B)*b is
+# plain IEEE +,-,* on literal coefficients — every step is correctly rounded
+# and ORDER-FIXED by the shared parenthesization below, so Spark's fold and
+# DuckDB's recursive CTE produce bit-identical doubles with NO per-step
+# rounding pin (transcendental-free recursions don't need x63's device).
+_HOLT_ORACLE = f"""
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y FROM daily),
+nn AS (SELECT MAX(i) AS t FROM idx),
+holt(i, l, b) AS (
+  SELECT CAST(2 AS BIGINT),
+         {_HOLT_ALPHA} * (SELECT y FROM idx WHERE i = 2)
+           + {1 - _HOLT_ALPHA} * ((SELECT y FROM idx WHERE i = 1)
+              + ((SELECT y FROM idx WHERE i = 2)
+                 - (SELECT y FROM idx WHERE i = 1))),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * (SELECT y FROM idx WHERE i = 2)
+           + {1 - _HOLT_ALPHA} * ((SELECT y FROM idx WHERE i = 1)
+              + ((SELECT y FROM idx WHERE i = 2)
+                 - (SELECT y FROM idx WHERE i = 1))))
+            - (SELECT y FROM idx WHERE i = 1))
+           + {1 - _HOLT_BETA} * ((SELECT y FROM idx WHERE i = 2)
+              - (SELECT y FROM idx WHERE i = 1))
+  UNION ALL
+  SELECT h.i + 1,
+         {_HOLT_ALPHA} * x.y + {1 - _HOLT_ALPHA} * (h.l + h.b),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * x.y
+                          + {1 - _HOLT_ALPHA} * (h.l + h.b)) - h.l)
+           + {1 - _HOLT_BETA} * h.b
+  FROM holt h JOIN idx x ON x.i = h.i + 1
+  WHERE h.i < (SELECT t FROM nn)
+),
+fin AS (SELECT l, b FROM holt WHERE i = (SELECT t FROM nn))
+SELECT CAST(g.h AS INTEGER) AS horizon,
+       ROUND((SELECT l FROM fin) + g.h * (SELECT b FROM fin), 6) AS forecast,
+       ROUND((SELECT l FROM fin), 6) AS level,
+       ROUND((SELECT b FROM fin), 6) AS trend
+FROM (SELECT UNNEST(generate_series(1, {_HOLT_H})) AS h) g
+"""
+
+
+@register("ts_holt_linear", oracle=_HOLT_ORACLE)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x224: HOLT LINEAR-TREND forecast (double exponential smoothing) of
+    the daily event count — the level+trend upgrade of x90's flat EMA and
+    the classical sibling of x138's seasonal-naive: l_t = αy_t +
+    (1-α)(l_{t-1}+b_{t-1}), b_t = β(l_t-l_{t-1}) + (1-β)b_{t-1}, forecast
+    ŷ_{T+h} = l_T + h·b_T for h = 1..7. Init: l_1 = y_1 via the first
+    update with l_0 = y_0, b_0 = y_1 - y_0 (both engines start the
+    recursion at t = 2 over the same seed).
+
+    An inherently SEQUENTIAL recursion expressed without ANY driver loop:
+    Spark runs it as a Catalyst aggregate() left-fold over the array-sorted
+    daily series (x192's fold device, state = (level, trend) struct);
+    DuckDB as a recursive CTE. Both spell the update with IDENTICAL
+    parenthesization, and basic IEEE ops are correctly rounded on every
+    engine, so the state stays bit-identical for ANY coefficients — no
+    per-step rounding pin needed (contrast x63, whose 1/outdeg division
+    mixes summation orders).
+
+    100 TB: the heavy work is the distributed daily aggregate; the fold is
+    a single-task epilogue over a |days|-length array (years of daily grain
+    = thousands of elements). A per-series variant partitions the same fold
+    by series key via groupBy — the shape is embarrassingly parallel across
+    series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select((F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("arr")
+    ).select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(arr, 2, size(arr) - 1),
+              named_struct(
+                'l', CAST(arr[0].y AS DOUBLE),
+                'b', CAST(arr[1].y - arr[0].y AS DOUBLE)),
+              (acc, x) -> named_struct(
+                'l', {a} * x.y + {1 - a} * (acc.l + acc.b),
+                'b', {b} * (({a} * x.y + {1 - a} * (acc.l + acc.b)) - acc.l)
+                     + {1 - b} * acc.b)
+            ) AS st
+            """
+        )
+    )
+    horizons = spark.range(1, _HOLT_H + 1).select(
+        F.col("id").cast("int").alias("horizon")
+    )
+    fin = series.select(
+        F.col("st.l").alias("l"), F.col("st.b").alias("b")
+    )
+    return horizons.join(F.broadcast(fin)).select(
+        "horizon",
+        F.round(F.col("l") + F.col("horizon") * F.col("b"), 6).alias("forecast"),
+        F.round("l", 6).alias("level"),
+        F.round("b", 6).alias("trend"),
+    )
