@@ -235,3 +235,100 @@ def test_bfs_matches_python_replay(spark):
         frontier = nxt
     got = {r.node: r.dist for r in graph_shortest_hops(spark, SF_SMOKE).collect()}
     assert got == dist
+
+
+def test_burstiness_python_replay(spark):
+    """Replay dispersion/burstiness from raw tokens: exact integer moments,
+    zero-docs implicit; function-word 'a'/'the' should sit near Poisson."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        text_burstiness,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    per: dict = {}
+    for r in docs:
+        for tok in r.text.split(" "):
+            per.setdefault(tok, {}).setdefault(r.doc_id, 0)
+            per[tok][r.doc_id] += 1
+    rows = {r.token: r for r in text_burstiness(spark, SF_SMOKE).collect()}
+    for tok, by_doc in per.items():
+        t = sum(by_doc.values())
+        if t < 50:
+            assert tok not in rows
+            continue
+        s = sum(c * c for c in by_doc.values())
+        num = n_docs * s - t * t
+        den = n_docs * t
+        r = rows[tok]
+        assert r.n_docs == len(by_doc)
+        assert r.total == t
+        assert abs(r.dispersion - round(num / den, 6)) < 1e-9
+        assert abs(r.burstiness - round((num - den) / (num + den), 6)) < 1e-9
+        # variance is non-negative => D >= 0; burstiness bounded in [-1, 1)
+        assert r.dispersion >= 0 and -1 <= r.burstiness < 1
+
+
+def test_payload_entropy_bounds_and_replay(spark):
+    """Entropy in [0, log2(n_distinct)] (+ micro-unit slack); replay one
+    doc's histogram device in Python; uniform-bytes fixture sanity isn't
+    possible here, so check the analytic cap instead."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        mm_payload_entropy,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    rows = mm_payload_entropy(spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.n_distinct == len(set(raw))
+        cap = math.log2(r.n_distinct) if r.n_distinct > 1 else 0.0
+        assert -1e-4 <= r.entropy_bits <= cap + 1e-4
+        # replay the micro-unit device
+        hist: dict = {}
+        for bb in raw:
+            hist[bb] = hist.get(bb, 0) + 1
+        tot = 0
+        for c in hist.values():
+            p = math.floor(c / len(raw) * 1e6 + 0.5) / 1e6
+            tot += math.floor(-p * math.log2(p) * 1e6 + 0.5)
+        assert abs(r.entropy_bits - round(tot / 1e6, 6)) < 1e-9
+
+
+def test_dft_parseval_and_replay(spark):
+    """Replay the 4-harmonic projection from the hourly profile with the
+    module's own trig table; power shares sum to 1."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _DFT_TABLE,
+        ts_seasonality_dft,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "CAST(hour(ts) AS INT) AS h"
+    ).collect()
+    prof: dict[int, int] = {}
+    for r in ev:
+        prof[r.h] = prof.get(r.h, 0) + 1
+    proj: dict[int, list[int]] = {}
+    for k, h, cu, su in _DFT_TABLE:
+        a, b = proj.setdefault(k, [0, 0])
+        n = prof.get(h, 0)
+        proj[k] = [a + n * cu, b + n * su]
+    rows = {r.k: r for r in ts_seasonality_dft(spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    powers = {}
+    for k, (au, bu) in proj.items():
+        a_k = round(au / 1e6, 2)
+        b_k = round(bu / 1e6, 2)
+        powers[k] = round(a_k * a_k + b_k * b_k, 2)
+        assert rows[k].a_k == a_k and rows[k].b_k == b_k
+        assert rows[k].power == powers[k]
+    tot = sum(powers.values())
+    for k, r in rows.items():
+        assert abs(r.power_share - round(powers[k] / tot, 6)) < 1e-9
+    assert abs(sum(r.power_share for r in rows.values()) - 1.0) < 1e-4

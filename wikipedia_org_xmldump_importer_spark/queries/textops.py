@@ -3051,3 +3051,165 @@ def dedup_evidence_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c / F.col("nb"), 6).alias("containment_b"),
         F.round(c / F.least("na", "nb"), 6).alias("overlap"),
     )
+
+
+# --------------------------------------------------------------------------
+# x227 — token burstiness / index of dispersion (corpus statistics)
+# --------------------------------------------------------------------------
+
+_BURST_MIN_TF = 50
+
+_BURST_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS c FROM tok GROUP BY token, doc_id
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+agg AS (
+  SELECT token,
+         COUNT(*) AS n_docs,
+         SUM(c) AS total,
+         SUM(c * c) AS sum_sq
+  FROM per_doc GROUP BY token
+)
+SELECT token, CAST(n_docs AS BIGINT) AS n_docs, CAST(total AS BIGINT) AS total,
+       ROUND(CAST((SELECT n FROM nd) * sum_sq - total * total AS DOUBLE)
+             / ((SELECT n FROM nd) * total), 6) AS dispersion,
+       ROUND(CAST(((SELECT n FROM nd) * sum_sq - total * total)
+                  - (SELECT n FROM nd) * total AS DOUBLE)
+             / (((SELECT n FROM nd) * sum_sq - total * total)
+                + (SELECT n FROM nd) * total), 6) AS burstiness
+FROM agg
+WHERE total >= {_BURST_MIN_TF}
+"""
+
+
+@register("text_burstiness", oracle=_BURST_ORACLE)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x227: token BURSTINESS — the variance-to-mean (index of dispersion)
+    of each token's per-document count over ALL corpus documents, plus the
+    bounded Church-Gale burstiness score (D-1)/(D+1). Content words clump
+    (one doc mentions them many times: D >> 1); function words spread
+    (D ≈ 1, Poisson-like) — the corpus diagnostic separating topical terms
+    from glue, complementary to x161's Zipf slope and x173's hapax rate.
+
+    Exactness device: with per-doc counts c (zeros implicit), N docs,
+    T = Σc, S = Σc², dispersion = var/mean = (N·S - T²)/(N·T) and
+    burstiness = ((N·S - T²) - N·T)/((N·S - T²) + N·T) — both ONE float
+    division of EXACT BIGINT products, so no summation-order exposure at
+    all (the naive E[x²]-µ² spelling would ride float accumulation on both
+    engines). Zero-count docs contribute nothing to S or T, so the
+    all-docs moments come free from the nonzero grain.
+
+    100 TB: explode -> (token, doc) partial-agg -> token agg, the x4 tf
+    shape with map-side combine absorbing stopword skew; N is one
+    metadata-cheap scalar. The >= {_BURST_MIN_TF}-occurrence floor keeps
+    the report on the statistically meaningful vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    num = n_docs * F.col("sum_sq") - F.col("total") * F.col("total")
+    den = n_docs * F.col("total")
+    return agg.filter(F.col("total") >= _BURST_MIN_TF).select(
+        "token",
+        "n_docs",
+        "total",
+        F.round(num.cast("double") / den, 6).alias("dispersion"),
+        F.round((num - den).cast("double") / (num + den), 6).alias("burstiness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x228 — byte-entropy triage over binary payloads
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, substr(text, g.i, 1) AS ch
+  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+),
+hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+docn AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id),
+terms AS (
+  SELECT h.doc_id,
+         CAST(ROUND(-ROUND(CAST(h.c AS DOUBLE) / d.n, 6)
+                    * log2(ROUND(CAST(h.c AS DOUBLE) / d.n, 6))
+                    * 1000000) AS BIGINT) AS t_u
+  FROM hist h JOIN docn d USING (doc_id)
+)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(SUM(t.t_u) AS DOUBLE) / 1000000, 6) AS entropy_bits
+FROM terms t
+JOIN docn d ON t.doc_id = d.doc_id
+GROUP BY d.doc_id, d.n
+"""
+
+
+@register("mm_payload_entropy", oracle=_ENTROPY_ORACLE)
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x228: BYTE-ENTROPY triage over an opaque binary column — the
+    first-pass classifier every blob-lake pipeline runs before decode
+    (x218-x220 siblings): Shannon entropy of the byte histogram separates
+    plaintext (~4-4.5 bits) from structured binary from compressed/
+    encrypted payloads (~8 bits), with n_distinct as the cheap second
+    feature. Payload here is the document's UTF-8 byte stream (the
+    sandbox's only real bytes), so DuckDB can replay the SAME histogram
+    from the string side and the oracle is a true cross-engine check, not
+    an arithmetic twin.
+
+    Python side is Arrow-batched numpy (np.bincount over a frombuffer
+    view — one vectorized pass per payload, no per-byte Python). The
+    micro-unit device (x113): p pins to 6dp, each -p·log2(p) term rounds
+    HALF-UP to an integer micro-bit (np.floor(x*1e6+0.5) — numpy's own
+    round() is banker's and would diverge from Spark/DuckDB ROUND), the
+    per-doc sum is exact integers, display division last.
+
+    100 TB: decode stage sees (doc_id, payload) only; one Arrow pass per
+    partition, output is 4 atomic columns per blob regardless of blob
+    size. Entropy of a 100 MB blob is the same 256-bin reduce — bounded
+    state per row."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def entropy(batches):
+        for pdf in batches:
+            n_bytes, n_distinct, ent = [], [], []
+            for buf in pdf["payload"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                c = np.bincount(arr, minlength=256)
+                c = c[c > 0]
+                n = int(arr.size)
+                p = np.floor(c / n * 1e6 + 0.5) / 1e6  # ROUND(p, 6), half-up
+                t_u = np.floor(-p * np.log2(p) * 1e6 + 0.5).astype(np.int64)
+                n_bytes.append(n)
+                n_distinct.append(int(c.size))
+                ent.append(round(int(t_u.sum()) / 1e6, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array(n_bytes, dtype="int64"),
+                    "n_distinct": pd.array(n_distinct, dtype="int64"),
+                    "entropy_bits": pd.array(ent, dtype="float64"),
+                }
+            )
+
+    return blobs.mapInPandas(
+        entropy,
+        schema="doc_id long, n_bytes long, n_distinct long, entropy_bits double",
+    )

@@ -5516,3 +5516,112 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l", 6).alias("level"),
         F.round("b", 6).alias("trend"),
     )
+
+
+# --------------------------------------------------------------------------
+# x229 — hour-of-day seasonality via a 4-harmonic DFT (micro-unit trig)
+# --------------------------------------------------------------------------
+
+# ONE Python-generated micro-unit trig table feeds BOTH engines (the x217
+# pinned-literal discipline applied to a whole basis): cos/sin(2πkh/24)
+# rounded to integer millionths at module import. Every projection is then
+# Σ n_h · trig_u — EXACT int64 sums, immune to summation order and libm —
+# and floats appear only in the display epilogue.
+import math as _math  # noqa: E402
+
+_DFT_K = 4
+_DFT_TABLE = tuple(
+    (
+        k,
+        h,
+        round(_math.cos(2 * _math.pi * k * h / 24) * 1_000_000),
+        round(_math.sin(2 * _math.pi * k * h / 24) * 1_000_000),
+    )
+    for k in range(1, _DFT_K + 1)
+    for h in range(24)
+)
+
+_DFT_VALUES = ", ".join(f"({k}, {h}, {c}, {s})" for k, h, c, s in _DFT_TABLE)
+
+_DFT_ORACLE = f"""
+WITH prof AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS h, COUNT(*) AS n FROM events
+  GROUP BY hour(ts)
+),
+trig(k, h, cos_u, sin_u) AS (VALUES {_DFT_VALUES}),
+proj AS (
+  SELECT t.k,
+         SUM(p.n * t.cos_u) AS a_u,
+         SUM(p.n * t.sin_u) AS b_u
+  FROM prof p JOIN trig t ON p.h = t.h
+  GROUP BY t.k
+),
+amp AS (
+  SELECT k,
+         ROUND(CAST(a_u AS DOUBLE) / 1000000, 2) AS a_k,
+         ROUND(CAST(b_u AS DOUBLE) / 1000000, 2) AS b_k
+  FROM proj
+),
+pw AS (SELECT k, a_k, b_k, ROUND(a_k * a_k + b_k * b_k, 2) AS power FROM amp)
+SELECT CAST(k AS INTEGER) AS k, a_k, b_k, power,
+       ROUND(power / SUM(power) OVER (), 6) AS power_share
+FROM pw
+"""
+
+
+@register("ts_seasonality_dft", oracle=_DFT_ORACLE)
+def ts_seasonality_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x229: HOUR-OF-DAY SEASONALITY spectrum — project the 24-bin hourly
+    activity profile onto its first 4 Fourier harmonics (k=1 the daily
+    wave, k=2 the 12-hour commute double-hump, ...) and report each
+    harmonic's amplitude components and share of cyclic power. The
+    spectral sibling of x167's weekday index and x180's moving-average
+    decomposition: power concentrated at k=1 means a clean diurnal cycle;
+    spread across k means multi-modal days (bot traffic shows up as flat
+    spectra with high k residue).
+
+    Determinism device: the trig basis is ONE Python-generated micro-unit
+    table injected into BOTH engines as integer literals, so each
+    projection a_k = Σ n_h·cos_u is an EXACT int64 sum — no libm, no
+    summation-order exposure anywhere before the display epilogue
+    (power/share derive from the already-pinned 2dp amplitudes).
+
+    100 TB: the only corpus-size work is the 24-bin hourly aggregate
+    (map-side combined); the DFT itself is a broadcast join of a 96-row
+    constant against 24 rows. Longer periods (weekly=168 bins) and more
+    harmonics change only the constant table."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = (
+        ev.select(F.hour("ts").cast("int").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    trig = spark.createDataFrame(
+        list(_DFT_TABLE), schema="k int, h int, cos_u long, sin_u long"
+    )
+    proj = (
+        prof.join(F.broadcast(trig), "h")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("n") * F.col("cos_u")).alias("a_u"),
+            F.sum(F.col("n") * F.col("sin_u")).alias("b_u"),
+        )
+    )
+    amp = proj.select(
+        "k",
+        F.round(F.col("a_u").cast("double") / 1_000_000, 2).alias("a_k"),
+        F.round(F.col("b_u").cast("double") / 1_000_000, 2).alias("b_k"),
+    )
+    pw = amp.withColumn(
+        "power", F.round(F.col("a_k") * F.col("a_k") + F.col("b_k") * F.col("b_k"), 2)
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return pw.select(
+        "k",
+        "a_k",
+        "b_k",
+        "power",
+        F.round(F.col("power") / F.sum("power").over(w_all), 6).alias(
+            "power_share"
+        ),
+    )
