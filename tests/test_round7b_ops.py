@@ -332,3 +332,99 @@ def test_dft_parseval_and_replay(spark):
     for k, r in rows.items():
         assert abs(r.power_share - round(powers[k] / tot, 6)) < 1e-9
     assert abs(sum(r.power_share for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_psi_drift_python_replay(spark):
+    """Replay the PSI panel from raw events: exact integer binning, +1
+    smoothing, micro-unit terms; identical distributions => PSI ~ 0."""
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        dq_psi_drift,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "CAST(day(ts) AS INT) AS dom",
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+    ).collect()
+    cells: dict = {}
+    n1: dict = {}
+    n2: dict = {}
+    for r in ev:
+        period = 1 if r.dom <= 15 else 2
+        b = r.cents // 5000
+        key = (r.event_type, b)
+        c1, c2 = cells.get(key, (0, 0))
+        cells[key] = (c1 + (period == 1), c2 + (period == 2))
+        if period == 1:
+            n1[r.event_type] = n1.get(r.event_type, 0) + 1
+        else:
+            n2[r.event_type] = n2.get(r.event_type, 0) + 1
+    rows = {(r.event_type, r.bucket): r for r in dq_psi_drift(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(cells)
+    for (t, b), (c1, c2) in cells.items():
+        r = rows[(t, b)]
+        assert (r.c1, r.c2) == (c1, c2)
+        s1 = round((c1 + 1) / (n1[t] + 10), 6)
+        s2 = round((c2 + 1) / (n2[t] + 10), 6)
+        assert (r.s1, r.s2) == (s1, s2)
+        assert r.psi_term_u == round((s1 - s2) * math.log(s1 / s2) * 1_000_000)
+        # PSI terms are individually non-negative: (s1-s2) and ln(s1/s2)
+        # always share a sign
+        assert r.psi_term_u >= 0
+
+
+def test_vintage_curve_monotone_and_complete(spark):
+    """Per cohort: cum_share is non-decreasing in age and ends at 1.0;
+    cumulative counts tile the cohort's line count."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        orders_vintage_curve,
+    )
+
+    rows = orders_vintage_curve(spark, SF_SMOKE).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault((r.cohort_year, r.cohort_month), []).append(r)
+    assert by_cohort
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_k)
+        # the synthetic generator draws shipdate INDEPENDENT of orderdate,
+        # so negative ages are expected here — the curve must report dirty
+        # data, not hide it; the invariants are ordering + completeness
+        cum = 0
+        prev_share = -1.0
+        for r in rs:
+            cum += r.n_shipped
+            assert r.cum_shipped == cum
+            assert r.cum_share >= prev_share
+            prev_share = r.cum_share
+        assert abs(rs[-1].cum_share - 1.0) < 1e-9
+
+
+def test_ema_irregular_python_replay(spark):
+    """Replay the decay-table fold in pure Python (same pinned table, same
+    parenthesization) — must match to double precision."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _EMA_DECAY,
+        _EMA_MAX_BUCKET,
+        ts_ema_irregular,
+    )
+
+    decay = dict(_EMA_DECAY)
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter("day(ts) <= 7")
+        .select("event_type", "ts_us", "event_id", "value")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.ts_us, r.event_id, r.value))
+    rows = {r.event_type: r for r in ts_ema_irregular(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_type)
+    for t, seq in by_type.items():
+        seq.sort()
+        l = seq[0][2]
+        for (pts, _, _), (ts, _, y) in zip(seq, seq[1:]):
+            d = decay[min((ts - pts) // 60_000_000, _EMA_MAX_BUCKET)]
+            l = d * l + (1 - d) * y
+        assert rows[t].n_events == len(seq)
+        assert abs(rows[t].ema_final - round(l, 6)) < 1e-9

@@ -904,3 +904,128 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x230 — PSI population-drift panel (period-over-period distribution shift)
+# --------------------------------------------------------------------------
+
+_PSI_BUCKET_CENTS = 5000  # 50-unit value bins, exact integer binning
+_PSI_B = 10  # Laplace smoothing denominator add (bucket-domain size)
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS period,
+         CAST(ROUND(value * 100) AS BIGINT) // {_PSI_BUCKET_CENTS} AS bucket,
+         COUNT(*) AS c
+  FROM events
+  GROUP BY 1, 2, 3
+),
+p1 AS (SELECT event_type, bucket, c FROM binned WHERE period = 1),
+p2 AS (SELECT event_type, bucket, c FROM binned WHERE period = 2),
+n1 AS (SELECT event_type, SUM(c) AS n FROM p1 GROUP BY event_type),
+n2 AS (SELECT event_type, SUM(c) AS n FROM p2 GROUP BY event_type),
+grid AS (
+  SELECT COALESCE(p1.event_type, p2.event_type) AS event_type,
+         COALESCE(p1.bucket, p2.bucket) AS bucket,
+         COALESCE(p1.c, 0) AS c1, COALESCE(p2.c, 0) AS c2
+  FROM p1 FULL JOIN p2
+    ON p1.event_type = p2.event_type AND p1.bucket = p2.bucket
+),
+shares AS (
+  SELECT g.event_type, g.bucket, g.c1, g.c2,
+         ROUND(CAST(g.c1 + 1 AS DOUBLE) / (n1.n + {_PSI_B}), 6) AS s1,
+         ROUND(CAST(g.c2 + 1 AS DOUBLE) / (n2.n + {_PSI_B}), 6) AS s2
+  FROM grid g
+  JOIN n1 ON n1.event_type = g.event_type
+  JOIN n2 ON n2.event_type = g.event_type
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, s1, s2,
+       CAST(ROUND((s1 - s2) * ln(s1 / s2) * 1000000) AS BIGINT) AS psi_term_u
+FROM shares
+"""
+
+
+@register("dq_psi_drift", oracle=_PSI_ORACLE)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x230: POPULATION STABILITY INDEX drift panel — the model-monitoring
+    standard for "has this feature's distribution shifted?": per event
+    type, the value distribution of the first half-month vs the second,
+    binned on an EXACT integer grid (cents // {_PSI_BUCKET_CENTS} — float
+    binning would let a boundary value flip bins cross-engine), Laplace
+    +1 smoothing so a bucket empty in one period contributes a finite
+    term instead of a division blow-up. Σ psi_term_u / 1e6 per type is
+    the PSI; the panel keeps per-bucket terms because the actionable
+    question is WHERE the mass moved (>0.25 = retrain-grade shift by the
+    usual rule of thumb).
+
+    Determinism: x113's micro-unit device — smoothed shares pinned 6dp,
+    each (s1-s2)·ln(s1/s2) term rounds to integer micro-units, so the
+    per-type PSI is an exact integer sum under any partitioning.
+
+    100 TB: one map-combined (type, period, bucket) agg off one scan;
+    the FULL-JOIN bucket alignment runs on the collapsed grid (|types| ×
+    |buckets| × 2 rows). Periods generalize to week-over-week by swapping
+    the CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = (
+        ev.select(
+            "event_type",
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("period"),
+            (
+                F.round(F.col("value") * 100).cast("long") / _PSI_BUCKET_CENTS
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "period", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p1 = binned.filter(F.col("period") == 1).select(
+        "event_type", "bucket", F.col("c").alias("c1")
+    )
+    p2 = binned.filter(F.col("period") == 2).select(
+        F.col("event_type").alias("event_type2"),
+        F.col("bucket").alias("bucket2"),
+        F.col("c").alias("c2"),
+    )
+    grid = p1.join(
+        p2,
+        (p1.event_type == p2.event_type2) & (p1.bucket == p2.bucket2),
+        "full",
+    ).select(
+        F.coalesce("event_type", "event_type2").alias("event_type"),
+        F.coalesce("bucket", "bucket2").alias("bucket"),
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    w_t = Window.partitionBy("event_type")
+    shares = grid.select(
+        "event_type",
+        "bucket",
+        "c1",
+        "c2",
+        F.round(
+            (F.col("c1") + 1).cast("double")
+            / (F.sum("c1").over(w_t) + _PSI_B),
+            6,
+        ).alias("s1"),
+        F.round(
+            (F.col("c2") + 1).cast("double")
+            / (F.sum("c2").over(w_t) + _PSI_B),
+            6,
+        ).alias("s2"),
+    )
+    return shares.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        "s1",
+        "s2",
+        F.round((F.col("s1") - F.col("s2")) * F.log(F.col("s1") / F.col("s2")) * 1_000_000)
+        .cast("long")
+        .alias("psi_term_u"),
+    )

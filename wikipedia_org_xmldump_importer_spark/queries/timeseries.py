@@ -5625,3 +5625,203 @@ def ts_seasonality_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             "power_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x231 — shipment vintage curves (cohort maturation, credit-risk idiom)
+# --------------------------------------------------------------------------
+
+_VINTAGE_ORACLE = """
+WITH li AS (
+  SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS cohort_m,
+         (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+           - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS age_k
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cell AS (
+  SELECT cohort_m, age_k, COUNT(*) AS n_shipped FROM li GROUP BY cohort_m, age_k
+),
+tot AS (SELECT cohort_m, SUM(n_shipped) AS n_cohort FROM cell GROUP BY cohort_m)
+SELECT CAST(c.cohort_m // 12 AS BIGINT) AS cohort_year,
+       CAST(c.cohort_m % 12 + 1 AS BIGINT) AS cohort_month,
+       CAST(c.age_k AS BIGINT) AS age_k,
+       CAST(c.n_shipped AS BIGINT) AS n_shipped,
+       CAST(SUM(c.n_shipped) OVER (PARTITION BY c.cohort_m ORDER BY c.age_k
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_shipped,
+       ROUND(CAST(SUM(c.n_shipped) OVER (PARTITION BY c.cohort_m
+                                         ORDER BY c.age_k
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / t.n_cohort, 6) AS cum_share
+FROM cell c JOIN tot t ON t.cohort_m = c.cohort_m
+"""
+
+
+@register("orders_vintage_curve", oracle=_VINTAGE_ORACLE)
+def orders_vintage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x231: VINTAGE CURVES — the credit-risk/SaaS maturation idiom applied
+    to fulfilment: for each order-month cohort, the cumulative share of
+    its line items shipped by k months after order. Stacked vintages
+    expose operational drift (a younger cohort maturing slower than older
+    ones at the same age is the early-warning signal that no single
+    aggregate shows) — the order-grain complement of x59's user retention
+    triangle.
+
+    All-integer device: cohort and age are linearized month indices
+    (year*12+month differences — never DATEDIFF('month'), whose day-of-
+    month conventions differ across engines), counts are exact, and
+    cum_share is one float division of a running integer sum by the
+    cohort total.
+
+    100 TB: fact join is orderkey-colocated, the cell agg collapses to a
+    (cohort x age) grid (≤ a few hundred rows for years of data), and the
+    cumulative window runs on that grid — the big data never meets a
+    window."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    mo = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ms = F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+    cell = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(mo.alias("cohort_m"), (ms - mo).alias("age_k"))
+        .groupBy("cohort_m", "age_k")
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    w_run = Window.partitionBy("cohort_m").orderBy("age_k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy("cohort_m")
+    return cell.select(
+        (F.col("cohort_m") / 12).cast("long").alias("cohort_year"),
+        (F.col("cohort_m") % 12 + 1).cast("long").alias("cohort_month"),
+        F.col("age_k").cast("long").alias("age_k"),
+        F.col("n_shipped").cast("long").alias("n_shipped"),
+        F.sum("n_shipped").over(w_run).cast("long").alias("cum_shipped"),
+        F.round(
+            F.sum("n_shipped").over(w_run).cast("double")
+            / F.sum("n_shipped").over(w_tot),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x232 — irregular-spacing EWMA via a pinned decay table (per-type fold)
+# --------------------------------------------------------------------------
+
+_EMA_TAU_MIN = 30.0
+_EMA_MAX_BUCKET = 120
+
+# One Python-generated decay table feeds both engines (x229's shared-basis
+# device): decay(m) = exp(-m/tau) for integer minute-gaps m, capped at
+# _EMA_MAX_BUCKET, rounded to 6dp literals. Inside the recursion only
+# +,-,* touch these literals, so state stays bit-identical cross-engine.
+_EMA_DECAY = tuple(
+    (m, round(_math.exp(-m / _EMA_TAU_MIN), 6)) for m in range(_EMA_MAX_BUCKET + 1)
+)
+_EMA_VALUES = ", ".join(f"({m}, {d})" for m, d in _EMA_DECAY)
+
+_EMA_ORACLE = f"""
+WITH RECURSIVE
+ev AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, value
+  FROM events WHERE day(ts) <= 7
+),
+seq AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS i,
+         LEAST((ts_us - LAG(ts_us) OVER (PARTITION BY event_type
+                                         ORDER BY ts_us, event_id))
+               // 60000000, {_EMA_MAX_BUCKET}) AS gap_m
+  FROM ev
+),
+decay(m, d) AS (VALUES {_EMA_VALUES}),
+wd AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, which would
+  -- re-evaluate the window+join pipeline on EVERY recursion step
+  SELECT s.event_type, s.value, s.i, dc.d
+  FROM seq s LEFT JOIN decay dc ON dc.m = s.gap_m
+),
+nn AS (SELECT event_type, MAX(i) AS t FROM wd GROUP BY event_type),
+ema(event_type, i, l) AS (
+  SELECT event_type, CAST(1 AS BIGINT), value FROM wd WHERE i = 1
+  UNION ALL
+  -- no WHERE guard needed: the i+1 join itself empties the working
+  -- table at each series' end, and dropping the correlated subquery
+  -- keeps the recursion free of per-row rescans
+  SELECT e.event_type, e.i + 1, x.d * e.l + (1 - x.d) * x.value
+  FROM ema e
+  JOIN wd x ON x.event_type = e.event_type AND x.i = e.i + 1
+)
+SELECT e.event_type, CAST(n.t AS BIGINT) AS n_events,
+       ROUND(e.l, 6) AS ema_final
+FROM ema e JOIN nn n ON n.event_type = e.event_type AND e.i = n.t
+"""
+
+
+@register("ts_ema_irregular", oracle=_EMA_ORACLE)
+def ts_ema_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x232: IRREGULAR-SPACING EWMA — time-decayed smoothing where the
+    decay between consecutive observations depends on the ACTUAL gap
+    (decay = exp(-Δt/τ)), the correct treatment for event streams whose
+    arrival spacing carries information (x90's row-EMA assumes regular
+    spacing and over-weights burst samples). Emits the final smoothed
+    value per event type.
+
+    Two determinism devices composed: (1) the decay function is a
+    PINNED Python-generated table over integer minute-gap buckets
+    (capped at {_EMA_MAX_BUCKET} — beyond two hours the memory is
+    negligible anyway), so no engine ever calls exp(); (2) the recursion
+    l' = d·l + (1-d)·y runs as a Catalyst aggregate() fold per type vs
+    DuckDB's recursive CTE with IDENTICAL parenthesization — x224's
+    bit-exact IEEE argument, here with a per-step table-looked-up
+    coefficient.
+
+    100 TB: gap bucketing and the decay join are narrow row-grain maps;
+    the fold state is O(1) but the collected per-key series is O(n_key)
+    — right for per-entity series that fit an executor (metrics per
+    host, prices per symbol). For larger keys, chunk the series and
+    carry the chunk-boundary state via the segment identity
+    l_out = D_chunk·l_in + c_chunk (each chunk folds to an affine map;
+    compose left-to-right) — noted, not needed at this grain."""
+    ev = load_table(spark, sf_dir, "events").filter(F.dayofmonth("ts") <= 7)
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        "ts_us",
+        "event_id",
+        F.least(
+            ((F.col("ts_us") - F.lag("ts_us").over(w)) / 60_000_000).cast("long"),
+            F.lit(_EMA_MAX_BUCKET),
+        ).alias("gap_m"),
+    )
+    decay = spark.createDataFrame(list(_EMA_DECAY), schema="m long, d double")
+    wd = seq.join(F.broadcast(decay), seq.gap_m == decay.m, "left").select(
+        "event_type", "value", "ts_us", "event_id", "d"
+    )
+    folded = (
+        wd.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "value", "d"))
+            ).alias("arr")
+        )
+        .select(
+            "event_type",
+            F.size("arr").cast("long").alias("n_events"),
+            F.expr(
+                """
+                aggregate(
+                  slice(arr, 2, size(arr) - 1),
+                  CAST(arr[0].value AS DOUBLE),
+                  (acc, x) -> x.d * acc + (1 - x.d) * x.value
+                ) AS ema_raw
+                """
+            ),
+        )
+    )
+    return folded.select(
+        "event_type", "n_events", F.round("ema_raw", 6).alias("ema_final")
+    )
