@@ -428,3 +428,102 @@ def test_ema_irregular_python_replay(spark):
             l = d * l + (1 - d) * y
         assert rows[t].n_events == len(seq)
         assert abs(rows[t].ema_final - round(l, 6)) < 1e-9
+
+
+def test_countmin_invariants_and_replay(spark):
+    """CMS never underestimates; estimate replays from the md5 cell
+    construction in pure Python; total mass conservation per hash row."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_countmin_estimate,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type").collect()
+    tc: dict[str, int] = {}
+    for r in ev:
+        tc[r.event_type] = tc.get(r.event_type, 0) + 1
+    cells: dict = {}
+    for t, n in tc.items():
+        for j in range(4):
+            b = int(hashlib.md5(f"cms{j}:{t}".encode()).hexdigest()[:2], 16)
+            cells[(j, b)] = cells.get((j, b), 0) + n
+    rows = {r.event_type: r for r in agg_countmin_estimate(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(tc)
+    for t, n in tc.items():
+        est = min(
+            cells[(j, int(hashlib.md5(f"cms{j}:{t}".encode()).hexdigest()[:2], 16))]
+            for j in range(4)
+        )
+        r = rows[t]
+        assert r.true_count == n
+        assert r.cms_estimate == est
+        assert r.overshoot == est - n >= 0
+
+
+def test_tar_walker_parses_stdlib_archives(spark):
+    """Pin the walker against Python's OWN tar writer (real checksums,
+    real ustar layout): member count, byte totals, offsets, end marker."""
+    import io
+    import tarfile
+
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        mm_parse_tar_members,
+    )
+
+    members = [("a.txt", b"x" * 700), ("b/img.png", b"y" * 13), ("c.bin", b"")]
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        for nm, data in members:
+            ti = tarfile.TarInfo(nm)
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+    buf = bio.getvalue()
+    n, total, second_off, end_off = mm_parse_tar_members(buf)
+    assert n == 3
+    assert total == 713
+    # header(512) + 700->1024 padded + header(512) => member 2 data at 2048
+    assert second_off == 2048
+    # + 13->512 padded + header(512) + 0 data => end marker at 3072
+    assert end_off == 3072
+    # non-tar and truncated payloads reject cleanly
+    assert mm_parse_tar_members(b"\x00" * 100) == (0, 0, None, None)
+    assert mm_parse_tar_members(b"junk" * 300) == (0, 0, None, None)
+
+
+def test_tar_members_registered_op_matches_tarfile_roundtrip(spark):
+    """The registered op's JVM-built archives must be REAL enough for the
+    stdlib to list: rebuild one doc's archive shape with tarfile and
+    compare our walker's outputs on both."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        mm_parse_tar_members,
+        mm_tar_members,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(5)
+        .collect()
+    }
+    rows = {r.doc_id: r for r in mm_tar_members(spark, SF_SMOKE).collect()}
+    import io
+    import tarfile
+
+    for doc_id, text in docs.items():
+        raw = text.encode()
+        bio = io.BytesIO()
+        with tarfile.open(fileobj=bio, mode="w", format=tarfile.USTAR_FORMAT) as t:
+            for nm, data in [
+                (f"doc{doc_id}.txt", raw),
+                (f"doc{doc_id}.meta", raw[:40]),
+            ]:
+                ti = tarfile.TarInfo(nm)
+                ti.size = len(data)
+                t.addfile(ti, io.BytesIO(data))
+        expect = mm_parse_tar_members(bio.getvalue())
+        r = rows[doc_id]
+        got = (r.n_members, r.total_data_bytes, r.second_data_offset,
+               r.end_marker_offset)
+        assert got == expect

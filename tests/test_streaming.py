@@ -809,3 +809,52 @@ def test_near_dedup_stream_pair_emitted_once_per_band(spark, tmp_path):
     # once per band at most: band values unique for the pair
     assert got.band.is_unique
     assert (got.est_jaccard >= 0.5).all()
+
+
+def test_psi_drift_stream_equals_batch(spark, tmp_path):
+    """st18: per-closed-day PSI from append-mode daily histograms scored
+    in foreachBatch through the shared kernel must equal the batch twin
+    for every day the watermark closed."""
+    staged = _staged(spark, tmp_path)
+    out = str(tmp_path / "psi_out")
+    ckpt = str(tmp_path / "psi_ckpt")
+
+    # reference + domain exactly as the batch twin builds them
+    ev = load_table(spark, SF_SMOKE, "events")
+    base = ev.select(
+        (F.col("ts_us") / 86_400_000_000).cast("long").alias("day_idx"),
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long") / 5000)
+        .cast("long")
+        .alias("bucket"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    ref = (
+        base.filter(F.col("dom") <= 7)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    domain = (
+        base.select("event_type", "bucket")
+        .distinct()
+        .union(ref.select("event_type", "bucket"))
+        .distinct()
+    )
+    q = ops.start_psi_drift(read_event_stream(spark, staged), ref, domain, out, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    max_ts_us = ev.agg(F.max("ts_us").alias("m")).collect()[0].m
+    cutoff_us = max_ts_us - 10 * 60 * 1_000_000
+    # a day is closed when its window END <= watermark
+    closed_day_max = cutoff_us // 86_400_000_000 - 1
+    want = (
+        REGISTRY["stream_psi_daily"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("day_idx") <= closed_day_max)
+    )
+    _assert_stream_equals_batch(got, want)

@@ -1780,3 +1780,82 @@ def orders_ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# x233 — count-min sketch as a first-class distributed aggregate
+# --------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row (first md5 hex byte — uniform, no mod bias)
+
+_CMS_ORACLE = f"""
+WITH tc AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+),
+expand AS (
+  SELECT t.event_type, t.n, j.j,
+         ('0x' || substring(md5('cms' || j.j || ':' || t.event_type), 1, 2))
+           ::BIGINT AS bucket
+  FROM tc t, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) j
+),
+cells AS (
+  SELECT j, bucket, SUM(n) AS cell FROM expand GROUP BY j, bucket
+)
+SELECT e.event_type,
+       CAST(MAX(e.n) AS BIGINT) AS true_count,
+       CAST(MIN(c.cell) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cell) - MAX(e.n) AS BIGINT) AS overshoot
+FROM expand e JOIN cells c ON c.j = e.j AND c.bucket = e.bucket
+GROUP BY e.event_type
+"""
+
+
+@register("agg_countmin_estimate", oracle=_CMS_ORACLE)
+def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x233: COUNT-MIN SKETCH (Cormode-Muthukrishnan '05) spelled as
+    DataFrame algebra — {_CMS_D} deterministic md5-derived hash rows x
+    {_CMS_W} buckets, point estimate = min over rows of the landed cell,
+    plus the per-key overshoot against truth (CMS never underestimates;
+    overshoot quantifies collision error at this tiny width). Unlike a21's
+    opaque HLL sketch bytes, THIS sketch is a (j, bucket, count) TABLE:
+    mergeable by plain SUM across partitions/streams/days, inspectable,
+    and hash-oracle-checkable cross-engine — the production shape for
+    heavy-hitter pipelines that must audit their own sketch error.
+
+    All-integer and deterministic: buckets are the first md5 hex byte
+    (exactly 0..255 — no modulo bias), cells and estimates exact BIGINTs.
+
+    100 TB: the value domain collapses FIRST (map-combined count per key),
+    the sketch is built from (key, count) pairs — {_CMS_D}x|keys| rows, not
+    {_CMS_D}x|events| — and the cell table is at most {_CMS_D}x{_CMS_W}
+    rows regardless of corpus size. Estimating a key not in the pre-agg
+    works by hashing it into the same cell table (broadcast lookup)."""
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    expand = tc.select(
+        "event_type",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("j"), F.lit(":"), F.col("event_type"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    cells = expand.groupBy("j", "bucket").agg(F.sum("n").alias("cell"))
+    return (
+        expand.join(cells, ["j", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("true_count"),
+            F.min("cell").cast("long").alias("cms_estimate"),
+            (F.min("cell") - F.max("n")).cast("long").alias("overshoot"),
+        )
+    )

@@ -382,3 +382,102 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# st18 batch twin — daily PSI drift vs a first-week reference histogram
+# --------------------------------------------------------------------------
+
+_ST18_ORACLE = """
+WITH ev AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_idx,
+         event_type,
+         CAST(ROUND(value * 100) AS BIGINT) // 5000 AS bucket,
+         day(ts) AS dom
+  FROM events
+),
+cells AS (
+  SELECT day_idx, event_type, bucket, COUNT(*) AS c_day
+  FROM ev GROUP BY day_idx, event_type, bucket
+),
+ref AS (
+  SELECT event_type, bucket, COUNT(*) AS c_ref
+  FROM ev WHERE dom <= 7 GROUP BY event_type, bucket
+),
+nref AS (SELECT event_type, SUM(c_ref) AS n_ref FROM ref GROUP BY event_type),
+dom AS (
+  SELECT DISTINCT event_type, bucket FROM cells
+  UNION SELECT event_type, bucket FROM ref
+),
+nday AS (
+  SELECT day_idx, event_type, SUM(c_day) AS n_day
+  FROM cells GROUP BY day_idx, event_type
+),
+grid AS (
+  SELECT nd.day_idx, nd.event_type, d.bucket, nd.n_day
+  FROM nday nd JOIN dom d ON d.event_type = nd.event_type
+),
+joined AS (
+  SELECT g.day_idx, g.event_type, g.n_day,
+         COALESCE(c.c_day, 0) AS c_day, COALESCE(r.c_ref, 0) AS c_ref,
+         nr.n_ref
+  FROM grid g
+  LEFT JOIN cells c ON c.day_idx = g.day_idx
+                   AND c.event_type = g.event_type AND c.bucket = g.bucket
+  LEFT JOIN ref r ON r.event_type = g.event_type AND r.bucket = g.bucket
+  JOIN nref nr ON nr.event_type = g.event_type
+),
+terms AS (
+  SELECT day_idx, event_type, n_day,
+         CAST(ROUND((ROUND((c_day + 1.0) / (n_day + 10), 6)
+                     - ROUND((c_ref + 1.0) / (n_ref + 10), 6))
+                    * ln(ROUND((c_day + 1.0) / (n_day + 10), 6)
+                         / ROUND((c_ref + 1.0) / (n_ref + 10), 6))
+                    * 1000000) AS BIGINT) AS t_u
+  FROM joined
+)
+SELECT day_idx, event_type, CAST(MAX(n_day) AS BIGINT) AS n_day,
+       CAST(SUM(t_u) AS BIGINT) AS psi_u
+FROM terms GROUP BY day_idx, event_type
+"""
+
+
+@register("stream_psi_daily", oracle=_ST18_ORACLE)
+def stream_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st18 batch twin: DAILY PSI DRIFT TRAJECTORY — each day's per-type
+    value histogram scored against a static first-week reference with the
+    x230 PSI device (exact integer buckets, +1 smoothing, micro-unit
+    terms). Where x230 answers "did the distribution shift between two
+    periods?", this emits the full drift TIME SERIES a model monitor
+    alerts on — and its streaming half (streaming/ops.py
+    ``start_psi_drift``) computes the identical number live from
+    append-mode daily windows, through the SAME kernel
+    (operators/psi.py), per-closed-day.
+
+    100 TB: one map-combined (day, type, bucket) histogram agg is the
+    only row-scale work; the kernel's joins run on collapsed grids with
+    the reference and domain broadcast. Streaming state = open windows'
+    partial histograms (bounded by |types| x |buckets| per day)."""
+    from ..operators.psi import psi_from_cells  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("ts_us") / 86_400_000_000).cast("long").alias("day_idx"),
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long") / 5000)
+        .cast("long")
+        .alias("bucket"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    cells = base.groupBy("day_idx", "event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("c_day")
+    )
+    ref = (
+        base.filter(F.col("dom") <= 7)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    domain = cells.select("event_type", "bucket").union(
+        ref.select("event_type", "bucket")
+    ).distinct()
+    return psi_from_cells(cells, ref, domain)

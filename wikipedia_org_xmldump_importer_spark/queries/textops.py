@@ -3213,3 +3213,156 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         entropy,
         schema="doc_id long, n_bytes long, n_distinct long, entropy_bits double",
     )
+
+
+# --------------------------------------------------------------------------
+# x234 — ustar (tar) archive member walk over binary payloads
+# --------------------------------------------------------------------------
+
+
+def mm_parse_tar_members(buf):
+    """Walk a POSIX ustar archive: 512-byte header blocks (name@0:100,
+    size@124:12 as NUL/space-terminated OCTAL, typeflag@156, magic
+    'ustar' @257), each followed by the member data padded up to a
+    512-byte boundary; the archive ends with two all-zero blocks. Pure
+    public file-format knowledge — this is the container WebDataset-style
+    multimodal training shards actually use.
+
+    Returns (n_members, total_data_bytes, second_data_offset,
+    end_marker_offset); (0, 0, None, None) for non-tar payloads. The
+    walk advances by DECLARED sizes only — a member whose data embeds
+    'ustar' decoy bytes never desyncs it (same argument as x218's JPEG
+    segment walk vs marker-grepping)."""
+    if buf is None or len(buf) < 1024:
+        return (0, 0, None, None)
+    n_members = 0
+    total = 0
+    second_off = None
+    o = 0
+    while o + 512 <= len(buf):
+        block = bytes(buf[o : o + 512])
+        if block.count(0) == 512:
+            return (n_members, total, second_off, o)
+        if block[257:262] != b"ustar":
+            return (0, 0, None, None)
+        field = block[124:136].split(b"\x00")[0].strip(b" ")
+        try:
+            size = int(field, 8)
+        except ValueError:
+            return (0, 0, None, None)
+        n_members += 1
+        total += size
+        if n_members == 2:
+            second_off = o + 512
+        o += 512 + ((size + 511) // 512) * 512
+    return (n_members, total, second_off, None)
+
+
+_TAR_ORACLE = """
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_members,
+       CAST(n_chars + LEAST(n_chars, 40) AS BIGINT) AS total_data_bytes,
+       CAST(512 + ((n_chars + 511) // 512) * 512 + 512 AS BIGINT)
+         AS second_data_offset,
+       CAST(512 + ((n_chars + 511) // 512) * 512 + 512
+            + ((LEAST(n_chars, 40) + 511) // 512) * 512 AS BIGINT)
+         AS end_marker_offset
+FROM documents
+"""
+
+
+@register("mm_tar_members", oracle=_TAR_ORACLE)
+def mm_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x234: TAR-SHARD member walk — the container decode for
+    WebDataset-style multimodal training shards (a 100 TB image/audio
+    corpus ships as tar shards of paired members, not loose files). Each
+    doc becomes a structurally-valid 2-member POSIX ustar archive built
+    JVM-side (full text as doc{id}.txt + a 40-byte .meta sibling, real
+    octal size fields, magic/version, 512-padding, double zero-block end
+    marker), and the Arrow-batched parser walks it back by declared
+    sizes. The checksum field is left as spaces (disclosed: the parser
+    family validates magic + octal structure; stdlib-generated archives
+    with real checksums are covered by the tarfile fixture test, which
+    pins this walker against Python's own tar writer).
+
+    Oracle is the x218-style arithmetic twin: every output is closed-form
+    in n_chars (offsets are 512-block arithmetic), so DuckDB checks the
+    walk's arithmetic without parsing bytes.
+
+    100 TB: (doc_id, payload)-only mapInPandas; the walk reads 512 bytes
+    per member header and SKIPS data by arithmetic — listing a shard's
+    members never streams the members themselves (the property that makes
+    tar indexable at scale)."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    nul = lambda n: F.unhex(F.repeat(F.lit("00"), n))  # noqa: E731
+
+    def octal12(col):
+        return F.concat(
+            F.encode(F.lpad(F.conv(col.cast("string"), 10, 8), 11, "0"), "UTF-8"),
+            nul(1),
+        )
+
+    def header(name_col, size_col):
+        return F.concat(
+            F.encode(F.rpad(name_col, 100, "\x00"), "UTF-8"),
+            F.encode(F.lit("0000644"), "UTF-8"), nul(1),
+            F.encode(F.lit("0000000"), "UTF-8"), nul(1),
+            F.encode(F.lit("0000000"), "UTF-8"), nul(1),
+            octal12(size_col),
+            F.encode(F.lit("00000000000"), "UTF-8"), nul(1),
+            F.encode(F.lit("        "), "UTF-8"),  # chksum: spaces (disclosed)
+            F.encode(F.lit("0"), "UTF-8"),
+            nul(100),
+            F.encode(F.lit("ustar"), "UTF-8"), nul(1),
+            F.encode(F.lit("00"), "UTF-8"),
+            nul(32), nul(32), nul(8), nul(8), nul(155), nul(12),
+        )
+
+    def pad_to_block(data_col, size_col):
+        # pad data up to the next 512 boundary with NULs; pmod, not `%` —
+        # Spark's `%` keeps the dividend's sign, and a negative repeat
+        # count silently yields an empty pad (walker desync)
+        pad_len = F.pmod(F.lit(512) - F.pmod(size_col, F.lit(512)), F.lit(512))
+        return F.concat(data_col, F.unhex(F.repeat(F.lit("00"), pad_len)))
+
+    size1 = F.col("n_chars").cast("int")
+    size2 = F.least(F.col("n_chars"), F.lit(40)).cast("int")
+    name1 = F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt"))
+    name2 = F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".meta"))
+    payload = F.concat(
+        header(name1, size1),
+        pad_to_block(F.encode(F.col("text"), "UTF-8"), size1),
+        header(name2, size2),
+        pad_to_block(F.encode(F.substring("text", 1, 40), "UTF-8"), size2),
+        nul(512), nul(512),
+    )
+    blobs = docs.select("doc_id", payload.alias("payload"))
+
+    def walk(batches):
+        for pdf in batches:
+            parsed = [mm_parse_tar_members(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_members": pd.array([p[0] for p in parsed], dtype="int64"),
+                    "total_data_bytes": pd.array(
+                        [p[1] for p in parsed], dtype="int64"
+                    ),
+                    "second_data_offset": pd.array(
+                        [p[2] for p in parsed], dtype="Int64"
+                    ),
+                    "end_marker_offset": pd.array(
+                        [p[3] for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(
+        walk,
+        schema=(
+            "doc_id long, n_members long, total_data_bytes long, "
+            "second_data_offset long, end_marker_offset long"
+        ),
+    )

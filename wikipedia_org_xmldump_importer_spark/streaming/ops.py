@@ -751,3 +751,64 @@ def near_dedup_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def start_psi_drift(
+    events: DataFrame,
+    ref: DataFrame,
+    domain: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """st18: LIVE daily PSI drift vs a static reference histogram — the
+    streaming half of stream_psi_daily (queries/streaming_batch.py). The
+    stream maintains append-mode daily-window value histograms per
+    (window, type, bucket); when the watermark closes a day, that day's
+    full histogram arrives in one micro-batch and the foreachBatch hook
+    scores it against the broadcast reference through the SAME kernel the
+    batch twin uses (operators/psi.py — one arithmetic, no twin drift)
+    and appends (day_idx, event_type, n_day, psi_u).
+
+    This is the production online-drift-monitor shape: a model-serving
+    fleet emits feature values; the monitor holds only open-day partial
+    histograms (state bounded by |types| x |buckets| per open window, NOT
+    by event volume) and a reference that updates out-of-band.
+
+    Days still open when the source drains are not emitted — callers
+    compare against the batch twin under the watermark cutoff."""
+    e = _with_event_time(events)
+    cells = (
+        e.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            (F.round(F.col("value") * 100).cast("long") / 5000)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_day"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 86400)
+            .cast("long")
+            .alias("day_idx"),
+            "event_type",
+            "bucket",
+            "c_day",
+        )
+    )
+
+    def score_closed_days(batch: DataFrame, _batch_id: int) -> None:
+        from ..operators.psi import psi_from_cells  # noqa: PLC0415
+
+        if batch.isEmpty():
+            return
+        psi_from_cells(batch, ref, domain).write.mode("append").parquet(out_path)
+
+    return (
+        cells.writeStream.foreachBatch(score_closed_days)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
