@@ -527,3 +527,113 @@ def test_tar_members_registered_op_matches_tarfile_roundtrip(spark):
         got = (r.n_members, r.total_data_bytes, r.second_data_offset,
                r.end_marker_offset)
         assert got == expect
+
+
+def test_simhash_calibration_consistency(spark):
+    """The calibration histogram must tile x64's candidate set: cum_pairs
+    at max distance == total candidates, and the pass-region total equals
+    x64's emitted pair count."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        dedup_simhash_calibration,
+        dedup_simhash_pairs,
+    )
+
+    hist = dedup_simhash_calibration(spark, SF_SMOKE).collect()
+    assert hist
+    hist.sort(key=lambda r: r.hamming)
+    cum = 0
+    for r in hist:
+        assert 0 <= r.hamming <= 48
+        assert abs(r.sim_est - round(1 - r.hamming / 48, 6)) < 1e-9
+        assert r.would_pass == (1 if r.hamming <= 6 else 0)
+        cum += r.n_pairs
+        assert r.cum_pairs == cum
+    n_pass = sum(r.n_pairs for r in hist if r.would_pass)
+    assert n_pass == dedup_simhash_pairs(spark, SF_SMOKE).count()
+
+
+def test_lorenz_decile_invariants(spark):
+    """Deciles tile users and events; cum_share is non-decreasing, ends at
+    1.0, and decile 1 (heaviest users) has the max per-decile share."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_user_lorenz,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    rows = sorted(events_user_lorenz(spark, SF_SMOKE).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_users for r in rows) == n_users
+    assert sum(r.n_events for r in rows) == n_events
+    assert max(r.share_events for r in rows) == rows[0].share_events
+    prev = 0.0
+    for r in rows:
+        assert r.cum_share >= prev
+        prev = r.cum_share
+    assert abs(rows[-1].cum_share - 1.0) < 1e-5
+
+
+def test_haar_reconstruction(spark):
+    """Invert the decomposition in Python: approx+details must reconstruct
+    the exact padded daily series (Haar is orthogonal — lossless)."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_wavelet_haar,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("ts_us").collect()
+    daily: dict[int, int] = {}
+    for r in ev:
+        d = r.ts_us // _DAY_US
+        daily[d] = daily.get(d, 0) + 1
+    d0 = min(daily)
+    series = [float(daily.get(d0 + i, 0)) for i in range(32)]
+    rows = ts_wavelet_haar(spark, SF_SMOKE).collect()
+    approx = {r.pos: r.coef for r in rows if r.kind == "approx"}
+    details = {
+        lvl: {r.pos: r.coef for r in rows if r.kind == "detail" and r.level == lvl}
+        for lvl in range(1, 6)
+    }
+    cur = [approx[i] for i in range(len(approx))]
+    for lvl in range(5, 0, -1):
+        nxt = []
+        for i, a in enumerate(cur):
+            d = details[lvl][i]
+            nxt.extend([a + d, a - d])
+        cur = nxt
+    assert cur == series  # exact — dyadic arithmetic is lossless
+
+
+def test_kmeans_fixed_point_invariants(spark):
+    """Each final centroid must be the half-away-rounded mean of its own
+    members (Lloyd fixed-point property after the last update), members
+    tile the population, and assignment is nearest-centroid."""
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        cluster_kmeans_1d,
+    )
+
+    vals = [
+        int(round(r.c_acctbal * 100))
+        for r in load_table(spark, SF_SMOKE, "customer").select("c_acctbal").collect()
+    ]
+    rows = sorted(cluster_kmeans_1d(spark, SF_SMOKE).collect(), key=lambda r: r.cluster_id)
+    assert [r.cluster_id for r in rows] == [0, 1, 2]
+    assert sum(r.n_members for r in rows) == len(vals)
+    cents = [r.centroid_cents for r in rows]
+    # replay assignment + SAD against the emitted centroids
+    import math
+
+    agg = {j: [0, 0, 0] for j in range(3)}  # n, sum, sad
+    for v in vals:
+        dists = [abs(v - c) for c in cents]
+        j = dists.index(min(dists))
+        agg[j][0] += 1
+        agg[j][1] += v
+        agg[j][2] += abs(v - cents[j])
+    for j, r in enumerate(rows):
+        assert r.n_members == agg[j][0]
+        assert r.sad_cents == agg[j][2]
+        mean = agg[j][1] / agg[j][0]
+        assert r.centroid_cents == int(
+            math.copysign(math.floor(abs(mean) + 0.5), mean)
+        )

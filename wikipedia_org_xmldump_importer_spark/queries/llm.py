@@ -1763,3 +1763,153 @@ def vec_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("variance"),
         F.row_number().over(w).cast("long").alias("low_var_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# x238 — deterministic 1-D k-means over account balances (Lloyd, unrolled)
+# --------------------------------------------------------------------------
+
+_KM_K = 3
+_KM_ITERS = 5
+
+
+def _km_assign_sql(c0: str, c1: str, c2: str) -> str:
+    return f"""CASE
+      WHEN ABS(v - {c0}) <= ABS(v - {c1})
+       AND ABS(v - {c0}) <= ABS(v - {c2}) THEN 0
+      WHEN ABS(v - {c1}) <= ABS(v - {c2}) THEN 1
+      ELSE 2 END"""
+
+
+def _km_iter_sql(n: int) -> str:
+    prev = f"cp{n - 1}"
+    assign = _km_assign_sql("p.c0", "p.c1", "p.c2")
+    return f"""
+ag{n} AS (
+  SELECT j, CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cent
+  FROM (SELECT {assign} AS j, v FROM vals, {prev} p)
+  GROUP BY j
+),
+agp{n} AS (
+  SELECT MAX(CASE WHEN j = 0 THEN cent END) AS m0,
+         MAX(CASE WHEN j = 1 THEN cent END) AS m1,
+         MAX(CASE WHEN j = 2 THEN cent END) AS m2
+  FROM ag{n}
+),
+cp{n} AS (
+  SELECT COALESCE(a.m0, p.c0) AS c0,
+         COALESCE(a.m1, p.c1) AS c1,
+         COALESCE(a.m2, p.c2) AS c2
+  FROM agp{n} a, {prev} p
+)"""
+
+
+_KM_ORACLE = (
+    """
+WITH vals AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer
+),
+cp0 AS (
+  SELECT MIN(v) AS c0,
+         CAST(ROUND((CAST(MIN(v) AS DOUBLE) + MAX(v)) / 2) AS BIGINT) AS c1,
+         MAX(v) AS c2
+  FROM vals
+),"""
+    + ",".join(_km_iter_sql(n) for n in range(1, _KM_ITERS + 1))
+    + f"""
+SELECT j AS cluster_id,
+       MAX(c) AS centroid_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(ABS(v - c)) AS BIGINT) AS sad_cents
+FROM (
+  SELECT v, {_km_assign_sql("p.c0", "p.c1", "p.c2")} AS j,
+         CASE {_km_assign_sql("p.c0", "p.c1", "p.c2")}
+           WHEN 0 THEN p.c0 WHEN 1 THEN p.c1 ELSE p.c2 END AS c
+  FROM vals, cp{_KM_ITERS} p
+)
+GROUP BY j
+"""
+)
+
+
+@register("cluster_kmeans_1d", oracle=_KM_ORACLE)
+def cluster_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x238: DETERMINISTIC 1-D k-means (Lloyd) over customer balance cents
+    — k={_KM_K} segments in {_KM_ITERS} fixed iterations, the first
+    hash-oracle-attested CLUSTERING row (x132's PQ trains Lloyd codebooks
+    but is legitimately rows-only; making the 1-D case exact shows the
+    recipe): integer inputs, centroids re-pinned to integer cents each
+    round (ROUND of one exact-int division), assignment by integer
+    |v - c| with ties to the lower cluster id, empty clusters keep their
+    previous centroid. Init = (min, midrange, max) — pinned, not RNG.
+
+    The Spark side is the x63 driver-loop contract: per round ONE
+    map-combined (sum, count) agg per cluster and a {_KM_K}-value bounded
+    driver collect; assignment recompiles as a literal CASE, so the data
+    path stays in whole-stage codegen with zero joins. DuckDB unrolls the
+    same {_KM_ITERS} rounds as CTEs.
+
+    100 TB: per round = one scan + one 3-group agg (map-side combined);
+    driver state is 3 integers. The d-dimensional version swaps the CASE
+    for a broadcast centroid table + argmin — same loop shape as
+    sim_ann_ivf's coarse quantizer, which is exactly how it would scale."""
+    import math  # noqa: PLC0415
+
+    def round_half_away(x: float) -> int:
+        # SQL ROUND semantics (half AWAY from zero) — Python's round() is
+        # banker's and would diverge from both engines at exact .5 means
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    cust = load_table(spark, sf_dir, "customer")
+    vals = cust.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v")
+    )
+    row = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    cents = [
+        int(row.lo),
+        round_half_away((row.lo + row.hi) / 2),
+        int(row.hi),
+    ]
+    for _ in range(_KM_ITERS):
+        a0 = F.abs(F.col("v") - cents[0])
+        a1 = F.abs(F.col("v") - cents[1])
+        a2 = F.abs(F.col("v") - cents[2])
+        j = (
+            F.when((a0 <= a1) & (a0 <= a2), 0)
+            .when(a1 <= a2, 1)
+            .otherwise(2)
+        )
+        agg = (
+            vals.select(j.alias("j"), "v")
+            .groupBy("j")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        cents_j = {r.j: round_half_away(r.s / r.cnt) for r in agg}
+        cents = [cents_j.get(i, cents[i]) for i in range(_KM_K)]
+    a0 = F.abs(F.col("v") - cents[0])
+    a1 = F.abs(F.col("v") - cents[1])
+    a2 = F.abs(F.col("v") - cents[2])
+    j = (
+        F.when((a0 <= a1) & (a0 <= a2), 0)
+        .when(a1 <= a2, 1)
+        .otherwise(2)
+    )
+    c = (
+        F.when(F.col("cluster_id") == 0, cents[0])
+        .when(F.col("cluster_id") == 1, cents[1])
+        .otherwise(cents[2])
+        .cast("long")
+    )
+    return (
+        vals.select(j.alias("cluster_id"), "v")
+        .withColumn("c", c)
+        .groupBy("cluster_id")
+        .agg(
+            F.max("c").cast("long").alias("centroid_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.abs(F.col("v") - F.col("c"))).cast("long").alias("sad_cents"),
+        )
+    )

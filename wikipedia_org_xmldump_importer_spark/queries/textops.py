@@ -3366,3 +3366,131 @@ def mm_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_data_offset long, end_marker_offset long"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x235 — simhash band-candidate calibration curve (threshold tuning)
+# --------------------------------------------------------------------------
+
+_SH_CALIB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(token), 1, 12))::BIGINT AS th
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash48
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash48, band,
+         (simhash48 >> ({_SH_BAND_BITS} * band)) & {(1 << _SH_BAND_BITS) - 1}
+           AS bv
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_SH_BANDS - 1})) AS band)
+),
+ok AS (
+  SELECT band, bv FROM bands GROUP BY band, bv
+  HAVING COUNT(*) BETWEEN 2 AND {_SH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.simhash48 AS ha, c.simhash48 AS hb
+  FROM bands a
+  JOIN ok ON a.band = ok.band AND a.bv = ok.bv
+  JOIN bands c ON c.band = ok.band AND c.bv = ok.bv AND a.doc_id < c.doc_id
+),
+hist AS (
+  SELECT CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY bit_count(xor(ha, hb))
+)
+SELECT hamming, CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(1 - CAST(hamming AS DOUBLE) / 48, 6) AS sim_est,
+       CAST(CASE WHEN hamming <= {_SH_MAX_HAMMING} THEN 1 ELSE 0 END AS INTEGER)
+         AS would_pass,
+       CAST(SUM(n_pairs) OVER (ORDER BY hamming
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pairs
+FROM hist
+"""
+
+
+@register("dedup_simhash_calibration", oracle=_SH_CALIB_ORACLE)
+def dedup_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x235: THRESHOLD CALIBRATION for the simhash near-dup stage — the
+    Hamming-distance histogram over ALL band candidates (x64 with the
+    verify threshold removed): n_pairs and cumulative pairs per distance,
+    the implied cosine-ish similarity 1 - d/48, and whether x64's current
+    τ={_SH_MAX_HAMMING} would pass each bucket. THIS is how the threshold
+    gets chosen in practice — find the valley between the near-dup mode
+    and the random-collision mode (E[d] = 24 for unrelated docs) and set
+    τ below it; shipping a dedup stage without this curve means τ is
+    folklore.
+
+    Same banding/caps/candidate plan as x64 (one groupBy + bounded
+    double-explode); the histogram collapses candidates to ≤ 49 rows, so
+    the calibration adds ONE map-combined agg + a 49-row window to the
+    pipeline it tunes.
+
+    100 TB: identical to x64's bounds — the curve is computable on the
+    same candidate volume the dedup itself pays, or on a hash-mod doc
+    sample for a cheap preview (note: sampling UNDER-counts the near-dup
+    mode exactly like l2's recall note)."""
+    sh = dedup_simhash(spark, sf_dir)
+    band_vals = F.explode_outer(
+        F.expr(
+            f"transform(sequence(0, {_SH_BANDS - 1}), band -> struct(band, "
+            f"shiftright(simhash48, {_SH_BAND_BITS} * band) & {(1 << _SH_BAND_BITS) - 1} AS bv))"
+        )
+    )
+    bands = sh.select("doc_id", "simhash48", band_vals.alias("bb")).select(
+        "doc_id", "simhash48", "bb.band", "bb.bv"
+    )
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash48")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= _SH_BUCKET_CAP))
+    )
+    pairs = (
+        buckets.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash48").alias("ha"),
+            F.col("b.simhash48").alias("hb"),
+        )
+        .distinct()
+    )
+    hist = (
+        pairs.select(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w_cum = Window.orderBy("hamming").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "hamming",
+        "n_pairs",
+        F.round(1 - F.col("hamming").cast("double") / 48, 6).alias("sim_est"),
+        F.when(F.col("hamming") <= _SH_MAX_HAMMING, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("would_pass"),
+        F.sum("n_pairs").over(w_cum).cast("long").alias("cum_pairs"),
+    )

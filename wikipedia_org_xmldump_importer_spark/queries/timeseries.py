@@ -5825,3 +5825,209 @@ def ts_ema_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "event_type", "n_events", F.round("ema_raw", 6).alias("ema_final")
     )
+
+
+# --------------------------------------------------------------------------
+# x236 — Lorenz concentration deciles of user activity
+# --------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH uv AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, n,
+         NTILE(10) OVER (ORDER BY n DESC, user_id) AS decile
+  FROM uv
+),
+cell AS (
+  SELECT decile, COUNT(*) AS n_users, SUM(n) AS n_events
+  FROM ranked GROUP BY decile
+),
+tot AS (SELECT SUM(n_events) AS t FROM cell)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(n_events AS DOUBLE) / (SELECT t FROM tot), 6) AS share_events,
+       ROUND(CAST(SUM(n_events) OVER (ORDER BY decile
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT t FROM tot), 6) AS cum_share
+FROM cell
+"""
+
+
+@register("events_user_lorenz", oracle=_LORENZ_ORACLE)
+def events_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x236: LORENZ CONCENTRATION deciles — users ranked by event volume,
+    bucketed into deciles (heaviest first), each decile's share and
+    cumulative share of all events. The "top 10% of users generate X% of
+    traffic" table: x135's Gini is this curve's scalar area; the decile
+    table is what capacity, abuse, and monetization teams actually read
+    (and the direct input to x20-style skew-mitigation decisions — decile
+    1's share IS the salting argument).
+
+    Deterministic: NTILE ties pinned by (volume DESC, user_id) — both
+    engines define NTILE by identical row ordering; shares are single
+    float divisions of exact integer sums.
+
+    100 TB: the user-grain agg is the only row-scale work; NTILE needs a
+    total order over |users| — fine to ~10⁸ users on one partition of
+    (user, count) pairs, beyond that swap for approx-quantile volume
+    cutoffs exactly as x68's note prescribes (same trade, documented
+    there)."""
+    ev = load_table(spark, sf_dir, "events")
+    uv = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = uv.select(
+        "n",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n").desc(), F.col("user_id")))
+        .alias("decile"),
+    )
+    cell = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return cell.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w_all), 6
+        ).alias("share_events"),
+        F.round(
+            F.sum("n_events").over(w_cum).cast("double")
+            / F.sum("n_events").over(w_all),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x237 — Haar wavelet multi-resolution decomposition of the daily series
+# --------------------------------------------------------------------------
+
+_HAAR_N = 32  # zero-padded dyadic length for the ~30-day series
+_HAAR_LEVELS = 5
+
+
+def _haar_level_sql(k: int) -> str:
+    prev = f"a{k - 1}"
+    return f"""
+a{k} AS (
+  SELECT pos // 2 AS pos,
+         (MAX(CASE WHEN pos % 2 = 0 THEN v END)
+          + MAX(CASE WHEN pos % 2 = 1 THEN v END)) / 2 AS v,
+         (MAX(CASE WHEN pos % 2 = 0 THEN v END)
+          - MAX(CASE WHEN pos % 2 = 1 THEN v END)) / 2 AS d
+  FROM {prev} GROUP BY pos // 2
+)"""
+
+
+_HAAR_ORACLE = (
+    f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+base AS (SELECT MIN(day) AS d0 FROM daily),
+a0 AS (
+  SELECT g.pos, CAST(COALESCE(dd.n, 0) AS DOUBLE) AS v, CAST(NULL AS DOUBLE) AS d
+  FROM (SELECT unnest(generate_series(0, {_HAAR_N - 1})) AS pos) g
+  LEFT JOIN (SELECT day - (SELECT d0 FROM base) AS pos, n FROM daily) dd
+    ON dd.pos = g.pos
+),"""
+    + ",".join(_haar_level_sql(k) for k in range(1, _HAAR_LEVELS + 1))
+    + f"""
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({k} AS INTEGER) AS level, CAST(pos AS INTEGER) AS pos, "
+      f"'detail' AS kind, ROUND(d, 6) AS coef FROM a{k}"
+      for k in range(1, _HAAR_LEVELS + 1)
+  )}
+  UNION ALL
+  SELECT CAST({_HAAR_LEVELS} AS INTEGER), CAST(pos AS INTEGER), 'approx',
+         ROUND(v, 6) FROM a{_HAAR_LEVELS}
+)
+"""
+)
+
+
+@register("ts_wavelet_haar", oracle=_HAAR_ORACLE)
+def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x237: HAAR WAVELET multi-resolution decomposition of the daily
+    event-count series — the dyadic rollup that keeps BOTH the smoothed
+    signal and what each smoothing step threw away: level-k approx =
+    2^k-day averages, level-k details = the half-difference lost going
+    coarser. Large |detail| pinpoints change at that time-scale (a spike
+    lights small scales; a regime shift lights coarse ones) — the
+    multi-scale sibling of x131's single-scale CUSUM, and the classic
+    compression basis (zero small details, reconstruct).
+
+    Exactness: counts are integers and every Haar step is (a±b)/2 —
+    DYADIC rationals, exact in binary floating point at every level, so
+    cross-engine equality holds to the last bit with no rounding device
+    (the same argument as x224, here with exactly representable state).
+    The series zero-pads to {_HAAR_N} (padding is explicit data, not an
+    engine default).
+
+    100 TB: the daily agg is the only row-scale work; each level is a
+    map-combined groupBy(pos DIV 2) on a frame that HALVES per level.
+    Years of daily data = a few thousand positions; the same plan serves
+    per-key decompositions by adding the key to every grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select((F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    grid = spark.range(_HAAR_N).select(F.col("id").cast("long").alias("pos"))
+    level = (
+        grid.join(
+            F.broadcast(daily.crossJoin(F.broadcast(d0)).select(
+                (F.col("day") - F.col("d0")).alias("pos"), "n"
+            )),
+            "pos",
+            "left",
+        )
+        .select("pos", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("v"))
+    )
+    out = None
+    for k in range(1, _HAAR_LEVELS + 1):
+        paired = level.select(
+            (F.col("pos") / 2).cast("long").alias("pos2"),
+            (F.col("pos") % 2).alias("par"),
+            "v",
+        )
+        even = F.max(F.when(F.col("par") == 0, F.col("v")))
+        odd = F.max(F.when(F.col("par") == 1, F.col("v")))
+        nxt = (
+            paired.groupBy(F.col("pos2").alias("pos"))
+            .agg(
+                ((even + odd) / 2).alias("v"),
+                ((even - odd) / 2).alias("d"),
+            )
+        )
+        # localCheckpoint is load-bearing (trap #11): the final result
+        # UNIONs one branch per level, and Spark reuses plans only at
+        # exchanges — without the cut, level k's branch re-executes levels
+        # 1..k-1 and the union goes quadratic in scheduling floors
+        # (measured 15.2 s -> ~1 s at sf0.1 on 32-row frames)
+        nxt = nxt.localCheckpoint(eager=True)
+        details = nxt.select(
+            F.lit(k).cast("int").alias("level"),
+            F.col("pos").cast("int").alias("pos"),
+            F.lit("detail").alias("kind"),
+            F.round("d", 6).alias("coef"),
+        )
+        out = details if out is None else out.unionByName(details)
+        level = nxt.select("pos", "v")
+    approx = level.select(
+        F.lit(_HAAR_LEVELS).cast("int").alias("level"),
+        F.col("pos").cast("int").alias("pos"),
+        F.lit("approx").alias("kind"),
+        F.round("v", 6).alias("coef"),
+    )
+    return out.unionByName(approx)
