@@ -637,3 +637,96 @@ def test_kmeans_fixed_point_invariants(spark):
         assert r.centroid_cents == int(
             math.copysign(math.floor(abs(mean) + 0.5), mean)
         )
+
+
+def test_theil_python_replay_and_bounds(spark):
+    """Replay Theil terms; total index in [0, ln(k)] (+ micro-unit slack)."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_theil_index,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_totalprice")
+        .collect()
+    )
+    rev: dict[str, float] = {}
+    for r in joined:
+        rev[r.n_name] = rev.get(r.n_name, 0.0) + r.o_totalprice
+    cents = {n: int(round(v * 100)) for n, v in rev.items()}
+    xt = sum(cents.values())
+    k = len(cents)
+    mu = round(xt / k, 2)
+    rows = {r.nation: r for r in agg_theil_index(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(cents)
+    total_u = 0
+    for n, x in cents.items():
+        r = rows[n]
+        assert r.x_cents == x
+        share = round(x / xt, 6)
+        assert abs(r.share - share) < 1e-9
+        assert r.theil_term_u == round(share * math.log(x / mu) * 1_000_000)
+        total_u += r.theil_term_u
+    assert -k <= total_u <= math.log(k) * 1_000_000 + k
+
+
+def test_markov_stationary_is_fixed_point(spark):
+    """π must be a probability vector and (approximately, at the pinned
+    precision) a fixed point of the pinned transition matrix."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_markov_stationary,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts_us", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id, r.event_type))
+    cnt: dict = {}
+    n_src: dict = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+            n_src[a] = n_src.get(a, 0) + 1
+    m = {(a, b): round(c / n_src[a], 6) for (a, b), c in cnt.items()}
+    pi = {r.state: r.stationary_p for r in events_markov_stationary(spark, SF_SMOKE).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-3  # row-stochastic M preserves mass
+    # fixed point: one more application changes nothing beyond pin noise
+    nxt: dict = {}
+    for (a, b), p in m.items():
+        nxt[b] = nxt.get(b, 0.0) + pi[a] * p
+    for s, v in nxt.items():
+        assert abs(v - pi[s]) < 1e-4, (s, v, pi[s])
+
+
+def test_dp_hist_mechanism_replay(spark):
+    """Replay the Laplace draw per cell; |noise| distribution sanity: the
+    median |noise| for Lap(1) is ln(2) ~ 0.693 — check the empirical
+    median lands in a generous band; exact per-cell replay pins values."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        privacy_dp_hist,
+    )
+
+    rows = privacy_dp_hist(spark, SF_SMOKE).collect()
+    errs = []
+    for r in rows:
+        h = int(
+            hashlib.md5(f"dp:{r.c_nationkey}:{r.c_mktsegment}".encode()).hexdigest()[:8],
+            16,
+        )
+        u = (h + 0.5) / 4294967296.0
+        noise = (-1.0 if u >= 0.5 else 1.0) * math.log(1 - 2 * abs(u - 0.5))
+        assert abs(r.noised_n - round(r.true_n + noise, 6)) < 1e-9
+        assert abs(r.abs_err - round(abs(noise), 6)) < 1e-9
+        errs.append(abs(noise))
+    errs.sort()
+    med = errs[len(errs) // 2]
+    assert 0.2 < med < 2.0  # ln 2 with md5-uniform sampling noise

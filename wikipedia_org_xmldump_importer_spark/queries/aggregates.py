@@ -1859,3 +1859,77 @@ def agg_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell") - F.max("n")).cast("long").alias("overshoot"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x239 — Theil index: decomposable inequality (between + within groups)
+# --------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS x_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+tot AS (
+  SELECT SUM(x_cents) AS xt, COUNT(*) AS k,
+         ROUND(CAST(SUM(x_cents) AS DOUBLE) / COUNT(*), 2) AS mu
+  FROM rev
+)
+SELECT nation,
+       x_cents,
+       ROUND(CAST(x_cents AS DOUBLE) / (SELECT xt FROM tot), 6) AS share,
+       CAST(ROUND(ROUND(CAST(x_cents AS DOUBLE) / (SELECT xt FROM tot), 6)
+                  * ln(CAST(x_cents AS DOUBLE) / (SELECT mu FROM tot))
+                  * 1000000) AS BIGINT) AS theil_term_u
+FROM rev
+"""
+
+
+@register("agg_theil_index", oracle=_THEIL_ORACLE)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x239: THEIL T inequality index over per-nation revenue — the
+    DECOMPOSABLE concentration measure x135's Gini is not: Theil terms
+    s_i·ln(x_i/μ) sum to the population index, and a grouped version
+    splits EXACTLY into between-group + within-group inequality, which is
+    why cross-group fairness audits use it. Emits per-nation terms in
+    integer micro-nats (Σ/1e6 = the index; 0 = perfect equality, ln(k) =
+    one nation takes all).
+
+    Determinism: revenue pinned to exact cents BIGINTs first; share pins
+    6dp; μ pins 2dp; the ln() term rounds to micro-units immediately
+    (x113's device — the corpus index is an exact integer sum under any
+    partitioning and both libms).
+
+    100 TB: the star join + agg collapses to |nations| rows before any
+    epilogue; the totals ride an unpartitioned window over that dim-sized
+    frame (pareto_abc's rule). A customer-grain Theil swaps the grain and
+    keeps the same two-pass shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("x_cents")
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    xt = F.sum("x_cents").over(w_all)
+    mu = F.round(xt.cast("double") / F.count(F.lit(1)).over(w_all), 2)
+    share = F.round(F.col("x_cents").cast("double") / xt, 6)
+    return rev.select(
+        "nation",
+        "x_cents",
+        share.alias("share"),
+        F.round(share * F.log(F.col("x_cents").cast("double") / mu) * 1_000_000)
+        .cast("long")
+        .alias("theil_term_u"),
+    )

@@ -1029,3 +1029,90 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_term_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# x241 — Laplace-mechanism DP histogram release (deterministic test seed)
+# --------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # epsilon; count queries have sensitivity 1 => scale b = 1/eps
+
+_DP_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS true_n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+seeded AS (
+  SELECT c_nationkey, c_mktsegment, true_n,
+         (('0x' || substring(md5('dp:' || c_nationkey || ':' || c_mktsegment),
+                             1, 8))::BIGINT + 0.5) / 4294967296.0 AS u
+  FROM cells
+),
+noised AS (
+  SELECT c_nationkey, c_mktsegment, true_n,
+         CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END
+           * ln(1 - 2 * ABS(u - 0.5)) * (1.0 / {_DP_EPS}) AS noise
+  FROM seeded
+)
+SELECT c_nationkey, c_mktsegment, CAST(true_n AS BIGINT) AS true_n,
+       ROUND(true_n + noise, 6) AS noised_n,
+       ROUND(ABS(noise), 6) AS abs_err
+FROM noised
+"""
+
+
+@register("privacy_dp_hist", oracle=_DP_ORACLE)
+def privacy_dp_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x241: LAPLACE-MECHANISM differentially-private histogram release —
+    the (ε=1)-DP count table over (nation, segment) with the exact
+    inverse-CDF noise draw Lap(b=Δ/ε): noise = -sign(u-½)·ln(1-2|u-½|)·b.
+    Completes the privacy family's release side (x145/x162/x189 AUDIT a
+    release; this PRODUCES one) and publishes the per-cell realized error
+    so consumers can calibrate.
+
+    The uniform u is md5-derived from the CELL KEY — deterministic, so
+    re-runs, engines, and backfills release IDENTICAL noise (one noise
+    draw per cell is exactly what parallel composition prescribes; fresh
+    randomness per RERUN would burn budget per execution). That makes
+    this the test/CI-grade mechanism by construction — production swaps
+    the seed string for a launch-scoped secret salt, same plan. u offsets
+    by half an ulp-of-2³² so the CDF never sees 0 or 1.
+
+    100 TB: one map-combined cell agg; noise is a narrow projection on
+    the collapsed grid. ln() rides the x113 acceptance (6dp display
+    rounding over libm)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"),
+                        F.col("c_nationkey"),
+                        F.lit(":"),
+                        F.col("c_mktsegment"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    noise = (
+        F.when(u >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(1 - 2 * F.abs(u - 0.5))
+        * (1.0 / _DP_EPS)
+    )
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("true_n").cast("long").alias("true_n"),
+        F.round(F.col("true_n") + noise, 6).alias("noised_n"),
+        F.round(F.abs(noise), 6).alias("abs_err"),
+    )

@@ -6031,3 +6031,136 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 6).alias("coef"),
     )
     return out.unionByName(approx)
+
+
+# --------------------------------------------------------------------------
+# x240 — stationary distribution of the event-type Markov chain
+# --------------------------------------------------------------------------
+
+_MKSTAT_ITERS = 20
+_MKSTAT_DP = 10  # per-iteration pin: SQL SUM order is unspecified, the fold
+# order is fixed — 10dp absorbs the ~1e-17 five-term drift (x63 discipline)
+
+
+def _mkstat_iter_sql(k: int) -> str:
+    # MATERIALIZED per iteration too: inlining a 20-deep CTE chain makes
+    # DuckDB's planner itself the bottleneck (~8 s of plan expansion for
+    # microseconds of 5-row joins)
+    prev = f"pi{k - 1}"
+    return f"""
+pi{k} AS MATERIALIZED (
+  SELECT m.dst AS state, ROUND(SUM(p.p * m.p), {_MKSTAT_DP}) AS p
+  FROM {prev} p JOIN m ON m.src = p.state
+  GROUP BY m.dst
+)"""
+
+
+_MKSTAT_ORACLE = (
+    f"""
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst
+  FROM events
+),
+cnt AS (
+  SELECT src, dst, COUNT(*) AS c FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+m AS MATERIALIZED (
+  -- MATERIALIZED: 20 unrolled iteration CTEs each reference m, and DuckDB
+  -- inlines plain CTEs — without this the row-scale lag+window pipeline
+  -- re-evaluates once per iteration (x232's lesson; 22.8 s -> ~1 s)
+  SELECT src, dst,
+         ROUND(CAST(c AS DOUBLE)
+               / SUM(c) OVER (PARTITION BY src), 6) AS p
+  FROM cnt
+),
+states AS (SELECT DISTINCT src AS state FROM m),
+nn AS (SELECT COUNT(*) AS k FROM states),
+pi0 AS (
+  SELECT state, ROUND(1.0 / (SELECT k FROM nn), 6) AS p FROM states
+),"""
+    + ",".join(_mkstat_iter_sql(k) for k in range(1, _MKSTAT_ITERS + 1))
+    + f"""
+SELECT state, ROUND(p, 6) AS stationary_p FROM pi{_MKSTAT_ITERS}
+"""
+)
+
+
+@register("events_markov_stationary", oracle=_MKSTAT_ORACLE)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x240: STATIONARY DISTRIBUTION of the x65 event-type Markov chain —
+    where user behavior settles if the observed transition dynamics run
+    forever, the steady-state the per-step matrix only implies. Twenty
+    power iterations π' = πM from uniform; with the chain's small state
+    space the heavy work is BUILDING M (row-scale lag + count), and the
+    iteration is pure epilogue.
+
+    Plan shape: the iteration runs as ONE Catalyst aggregate() fold over
+    a dense k x k matrix assembled by sort+collect from the aggregated
+    transition table (x192's fold device at matrix rank) — zero driver
+    loops, zero per-round scheduling floors (contrast x63's 5 join
+    rounds: right for graph-sized state, waste for k=5). Per-iteration
+    10dp pin (x63's discipline) absorbs the fold-order vs SQL-SUM-order
+    difference; transition probabilities pin 6dp before any iteration.
+
+    100 TB: M's grain is |types|² regardless of event volume; the lag
+    window shuffles once on user_id. A 10⁶-state chain would flip back
+    to x63's join-per-round shape — the crossover is whether k² fits one
+    task's memory."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    m = cnt.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("src")),
+            6,
+        ).alias("p"),
+    )
+    # dense k x k matrix + state list, assembled in one tiny collect-free
+    # aggregation: rows sorted by (src, dst) so indexing is deterministic
+    states = m.select(F.col("src").alias("state")).distinct()
+    idx = states.select(
+        "state",
+        (F.dense_rank().over(Window.orderBy("state")) - 1).alias("i"),
+    )
+    entries = (
+        m.join(idx.withColumnRenamed("state", "src").withColumnRenamed("i", "si"), "src")
+        .join(idx.withColumnRenamed("state", "dst").withColumnRenamed("i", "di"), "dst")
+        .select("si", "di", "p")
+    )
+    packed = entries.agg(
+        F.array_sort(F.collect_list(F.struct("si", "di", "p"))).alias("mm"),
+        F.max("si").alias("kmax"),
+    )
+    folded = packed.select(
+        F.expr(
+            f"""
+            aggregate(
+              sequence(1, {_MKSTAT_ITERS}),
+              transform(sequence(0, kmax),
+                        i -> CAST(round(1.0 / (kmax + 1), 6) AS DOUBLE)),
+              (pi, it) -> transform(
+                sequence(0, kmax),
+                j -> CAST(round(
+                  aggregate(
+                    filter(mm, e -> e.di = j),
+                    CAST(0.0 AS DOUBLE),
+                    (acc, e) -> acc + pi[e.si] * e.p),
+                  {_MKSTAT_DP}) AS DOUBLE))
+            ) AS pif
+            """
+        )
+    )
+    out = folded.select(
+        F.posexplode("pif").alias("i", "p")
+    ).join(F.broadcast(idx), "i")
+    return out.select("state", F.round("p", 6).alias("stationary_p"))
