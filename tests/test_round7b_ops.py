@@ -730,3 +730,65 @@ def test_dp_hist_mechanism_replay(spark):
     errs.sort()
     med = errs[len(errs) // 2]
     assert 0.2 < med < 2.0  # ln 2 with md5-uniform sampling noise
+
+
+def test_binseg_matches_bruteforce(spark):
+    """Brute-force every split of the daily series in Python and compare
+    the winning (day, gain, means)."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_changepoint_binseg,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("ts_us").collect()
+    daily: dict[int, int] = {}
+    for r in ev:
+        d = r.ts_us // _DAY_US
+        daily[d] = daily.get(d, 0) + 1
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    n = len(ys)
+    st, qt = sum(ys), sum(y * y for y in ys)
+    sse_tot = qt - st * st / n
+    best = None
+    s = q = 0
+    for i in range(1, n):
+        s += ys[i - 1]
+        q += ys[i - 1] * ys[i - 1]
+        sse_l = q - s * s / i
+        rs, rq = st - s, qt - q
+        sse_r = rq - rs * rs / (n - i)
+        gain = round(sse_tot - (sse_l + sse_r), 6)
+        cand = (gain, -days[i - 1], round(s / i, 6), round(rs / (n - i), 6))
+        if best is None or cand > best:
+            best = cand
+    row = ts_changepoint_binseg(spark, SF_SMOKE).collect()[0]
+    assert row.split_day == -best[1]
+    assert abs(row.gain - best[0]) < 1e-6
+    assert abs(row.mean_left - best[2]) < 1e-9
+    assert abs(row.mean_right - best[3]) < 1e-9
+
+
+def test_hill_matches_python_replay(spark):
+    """Replay the Hill estimator from the exact cents tail."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_hill_tail_index,
+    )
+
+    cents = sorted(
+        (
+            int(round(r.o_totalprice * 100))
+            for r in load_table(spark, SF_SMOKE, "orders")
+            .select("o_totalprice")
+            .collect()
+        ),
+        reverse=True,
+    )
+    k = 100
+    xk = cents[k]  # k+1-st order statistic
+    sum_u = sum(round(math.log(c / xk) * 1_000_000) for c in cents[:k])
+    row = agg_hill_tail_index(spark, SF_SMOKE).collect()[0]
+    assert row.k == k
+    assert row.xk_cents == xk
+    assert row.sum_log_u == sum_u
+    assert abs(row.alpha_hill - round(k * 1_000_000.0 / sum_u, 6)) < 1e-9
+    assert row.alpha_hill > 0

@@ -1933,3 +1933,83 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("theil_term_u"),
     )
+
+
+# --------------------------------------------------------------------------
+# x243 — Hill estimator: power-law tail index of order values
+# --------------------------------------------------------------------------
+
+_HILL_K = 100  # tail order statistics used
+
+_HILL_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC) AS r
+  FROM v
+),
+kth AS (SELECT cents AS xk FROM ranked WHERE r = {_HILL_K + 1}),
+tail AS (
+  SELECT CAST(ROUND(ln(CAST(cents AS DOUBLE) / (SELECT xk FROM kth))
+                    * 1000000) AS BIGINT) AS l_u
+  FROM ranked WHERE r <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       (SELECT CAST(xk AS BIGINT) FROM kth) AS xk_cents,
+       CAST(SUM(l_u) AS BIGINT) AS sum_log_u,
+       ROUND({_HILL_K} * 1000000.0 / SUM(l_u), 6) AS alpha_hill
+FROM tail
+"""
+
+
+@register("agg_hill_tail_index", oracle=_HILL_ORACLE)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x243: HILL ESTIMATOR of the power-law tail index over order values
+    — α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) on the top-k order statistics, THE
+    standard heavy-tail exponent measurement (risk sizing, capacity
+    head-room, "is this Pareto or lognormal" triage). Complements x161's
+    Zipf slope (rank-frequency regression over vocab) with the
+    order-statistics view over a continuous quantity; small α̂ = heavy
+    tail = your p999 is not an outlier, it's the distribution.
+
+    Determinism: exact-cents inputs; the k+1-st order statistic pins ties
+    by value (duplicates are fine — ROW_NUMBER only selects the value);
+    each log ratio rounds to integer micro-nats (x113), so the sum is
+    exact and α̂ is one pinned division. k is a fixed constant, making
+    the top-k a WindowGroupLimit, not a global sort.
+
+    100 TB: top-(k+1) per partition then merge — Spark's rank-limit
+    pushes the cap map-side; the tail frame is k rows regardless of
+    corpus size. Choosing k: plot α̂ over a k-grid (this query with k
+    parameterized) and read the stable plateau — the Hill plot."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    ranked = v.select(
+        "cents",
+        F.row_number().over(Window.orderBy(F.col("cents").desc())).alias("r"),
+    ).filter(F.col("r") <= _HILL_K + 1)
+    kth = ranked.filter(F.col("r") == _HILL_K + 1).select(
+        F.col("cents").alias("xk")
+    )
+    tail = (
+        ranked.filter(F.col("r") <= _HILL_K)
+        .join(F.broadcast(kth))
+        .select(
+            F.round(
+                F.log(F.col("cents").cast("double") / F.col("xk")) * 1_000_000
+            )
+            .cast("long")
+            .alias("l_u"),
+            "xk",
+        )
+    )
+    return tail.groupBy().agg(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.max("xk").cast("long").alias("xk_cents"),
+        F.sum("l_u").cast("long").alias("sum_log_u"),
+        F.round(_HILL_K * 1_000_000.0 / F.sum("l_u"), 6).alias("alpha_hill"),
+    )

@@ -6164,3 +6164,96 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("pif").alias("i", "p")
     ).join(F.broadcast(idx), "i")
     return out.select("state", F.round("p", 6).alias("stationary_p"))
+
+
+# --------------------------------------------------------------------------
+# x242 — single change-point by binary segmentation (variance reduction)
+# --------------------------------------------------------------------------
+
+_BINSEG_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1
+),
+seq AS MATERIALIZED (
+  SELECT day, y,
+         ROW_NUMBER() OVER (ORDER BY day) AS i,
+         SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s,
+         SUM(y * y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS q,
+         COUNT(*) OVER () AS n,
+         SUM(y) OVER () AS st,
+         SUM(y * y) OVER () AS qt
+  FROM daily
+),
+scored AS (
+  -- split AFTER index i: left = 1..i, right = i+1..n; SSE via the
+  -- prefix-sum identity SSE = Q - S^2/m, all from exact integer S/Q
+  SELECT day, i,
+         ROUND((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+               - ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / i)
+                  + (CAST(qt - q AS DOUBLE)
+                     - CAST(st - s AS DOUBLE) * (st - s) / (n - i))), 6)
+           AS gain,
+         ROUND(CAST(s AS DOUBLE) / i, 6) AS mean_left,
+         ROUND(CAST(st - s AS DOUBLE) / (n - i), 6) AS mean_right
+  FROM seq WHERE i < n
+)
+SELECT day AS split_day, gain, mean_left, mean_right
+FROM scored
+ORDER BY gain DESC, split_day
+LIMIT 1
+"""
+
+
+@register("ts_changepoint_binseg", oracle=_BINSEG_ORACLE)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x242: SINGLE CHANGE-POINT by binary segmentation — the split of the
+    daily series that maximizes variance reduction (total SSE minus the
+    two segments' SSEs), with the segment means on each side. The
+    offline/global complement of x131's sequential CUSUM: binseg answers
+    "WHERE did the level shift?", CUSUM answers "has it shifted YET?";
+    recursing on the winning halves yields the classic multi-change
+    algorithm (one level implemented — the recursion is this same plan
+    re-rooted).
+
+    Exactness: every candidate split is scored from PREFIX SUMS of y and
+    y² — exact BIGINTs — via SSE = Q - S²/m, so each gain is one
+    identically-parenthesized float expression over exact operands; the
+    argmax pins ties by day. No per-split rescan exists anywhere (the
+    naive per-split re-aggregation would be O(n²)).
+
+    100 TB: the day grain collapses first; the scoring window is an
+    ordered prefix scan over |days| rows and the argmax is a 1-row limit.
+    Per-key change-points = partition the windows by key, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select((F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    seq = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("y").over(w_run).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w_run).alias("q"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("y").over(w_all).alias("st"),
+        F.sum(F.col("y") * F.col("y")).over(w_all).alias("qt"),
+    )
+    sse_tot = F.col("qt").cast("double") - F.col("st").cast("double") * F.col("st") / F.col("n")
+    sse_l = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("i")
+    sse_r = (F.col("qt") - F.col("q")).cast("double") - (
+        F.col("st") - F.col("s")
+    ).cast("double") * (F.col("st") - F.col("s")) / (F.col("n") - F.col("i"))
+    scored = seq.filter(F.col("i") < F.col("n")).select(
+        F.col("day").alias("split_day"),
+        F.round(sse_tot - (sse_l + sse_r), 6).alias("gain"),
+        F.round(F.col("s").cast("double") / F.col("i"), 6).alias("mean_left"),
+        F.round(
+            (F.col("st") - F.col("s")).cast("double") / (F.col("n") - F.col("i")), 6
+        ).alias("mean_right"),
+    )
+    return scored.orderBy(F.col("gain").desc(), "split_day").limit(1)
