@@ -154,6 +154,7 @@ def test_survey_registry_sync():
         "inter_arrival_gaps",
         "alert_hysteresis_stream",
         "near_dedup_stream",
+        "stream_cms_cells",
     }
     declared = names - test_only
     registered = set(REGISTRY)

@@ -792,3 +792,50 @@ def test_hill_matches_python_replay(spark):
     assert row.sum_log_u == sum_u
     assert abs(row.alpha_hill - round(k * 1_000_000.0 / sum_u, 6)) < 1e-9
     assert row.alpha_hill > 0
+
+
+def test_trimmed_winsorized_python_replay(spark):
+    """Replay both robust means from sorted cents per flag."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_trimmed_mean,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).collect()
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, r.l_orderkey, r.l_linenumber)
+        )
+    rows = {r.flag: r for r in agg_trimmed_mean(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_flag)
+    for flag, pts in by_flag.items():
+        pts.sort()
+        cents = [int(round(p * 100)) for p, _, _ in pts]
+        n = len(cents)
+        cut = n * 5 // 100
+        mid = cents[cut : n - cut]
+        r = rows[flag]
+        assert r.n_rows == n and r.n_cut == cut
+        assert abs(r.trimmed_mean - round(sum(mid) / len(mid) / 100, 6)) < 1e-9
+        wins = sum(mid) + cut * cents[cut] + cut * cents[n - cut - 1]
+        assert abs(r.winsorized_mean - round(wins / n / 100, 6)) < 1e-9
+        # robust means sit inside the data range
+        assert cents[0] / 100 <= r.trimmed_mean <= cents[-1] / 100
+
+
+def test_waterfall_bridge_identities(spark):
+    """The bridge must be EXACT in integer cents, rates consistent."""
+    from wikipedia_org_xmldump_importer_spark.queries.merge_ops import (
+        finance_margin_waterfall,
+    )
+
+    rows = finance_margin_waterfall(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.net_c == r.gross_c - r.discount_c
+        assert r.charged_c == r.net_c + r.tax_c
+        assert 0 <= r.discount_rate < 1
+        assert 0 <= r.effective_tax_rate < 1
+        assert abs(r.discount_rate - round(r.discount_c / r.gross_c, 6)) < 1e-9

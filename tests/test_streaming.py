@@ -858,3 +858,50 @@ def test_psi_drift_stream_equals_batch(spark, tmp_path):
         .filter(F.col("day_idx") <= closed_day_max)
     )
     _assert_stream_equals_batch(got, want)
+
+
+def test_cms_cells_stream_merges_to_batch_sketch(spark, tmp_path):
+    """st19: SUM over the streamed per-day cells must equal the batch CMS
+    cells over the closed-day events, and the resulting point estimates
+    must match the batch construction — the mergeable-by-SUM property,
+    live."""
+    import hashlib
+
+    staged = _staged(spark, tmp_path)
+    out = str(tmp_path / "cms_out")
+    ckpt = str(tmp_path / "cms_ckpt")
+    q = ops.start_cms_cells(read_event_stream(spark, staged), out, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+
+    merged = {
+        (r.j, r.bucket): r.total
+        for r in got.groupBy("j", "bucket")
+        .agg(F.sum("c").alias("total"))
+        .collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    max_ts_us = ev.agg(F.max("ts_us").alias("m")).collect()[0].m
+    closed_day_max = (max_ts_us - 10 * 60 * 1_000_000) // 86_400_000_000 - 1
+    closed = ev.filter(
+        (F.col("ts_us") / 86_400_000_000).cast("long") <= closed_day_max
+    )
+    tc = {
+        r.event_type: r.n
+        for r in closed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expect: dict = {}
+    for t, n in tc.items():
+        for j in range(4):
+            b = int(hashlib.md5(f"cms{j}:{t}".encode()).hexdigest()[:2], 16)
+            expect[(j, b)] = expect.get((j, b), 0) + n
+    assert merged == expect
+    # point estimates from the merged stream cells == batch CMS estimates
+    for t, n in tc.items():
+        est = min(
+            merged[(j, int(hashlib.md5(f"cms{j}:{t}".encode()).hexdigest()[:2], 16))]
+            for j in range(4)
+        )
+        assert est >= n

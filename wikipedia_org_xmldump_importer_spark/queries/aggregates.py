@@ -2013,3 +2013,109 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_u").cast("long").alias("sum_log_u"),
         F.round(_HILL_K * 1_000_000.0 / F.sum("l_u"), 6).alias("alpha_hill"),
     )
+
+
+# --------------------------------------------------------------------------
+# x244 — robust means: trimmed + winsorized per group (rank-exact)
+# --------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # percent trimmed from EACH side
+
+_TRIM_ORACLE = f"""
+WITH pts AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS r,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+lim AS (
+  SELECT *,
+         (n * {_TRIM_PCT}) // 100 AS cut
+  FROM pts
+),
+stats AS (
+  SELECT flag,
+         MAX(n) AS n_rows,
+         MAX(cut) AS n_cut,
+         SUM(CASE WHEN r > cut AND r <= n - cut THEN cents END) AS s_trim,
+         SUM(CASE WHEN r > cut AND r <= n - cut THEN 1 ELSE 0 END) AS m_trim,
+         MIN(CASE WHEN r = cut + 1 THEN cents END) AS lo_w,
+         MIN(CASE WHEN r = n - cut THEN cents END) AS hi_w,
+         SUM(CASE WHEN r <= cut OR r > n - cut THEN 1 ELSE 0 END) AS m_out
+  FROM lim GROUP BY flag
+)
+SELECT flag,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_cut AS BIGINT) AS n_cut,
+       ROUND(CAST(s_trim AS DOUBLE) / m_trim / 100, 6) AS trimmed_mean,
+       ROUND((CAST(s_trim AS DOUBLE)
+              + CAST(n_cut AS DOUBLE) * lo_w
+              + CAST(n_cut AS DOUBLE) * hi_w) / n_rows / 100, 6)
+         AS winsorized_mean
+FROM stats
+"""
+
+
+@register("agg_trimmed_mean", oracle=_TRIM_ORACLE)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x244: ROBUST MEANS per group — the {_TRIM_PCT}%-trimmed mean (drop
+    the extreme {_TRIM_PCT}% on each side, average the middle) and the
+    winsorized mean (CLAMP the extremes to the cut values instead of
+    dropping them) over line prices per return flag. The robust-location
+    pair every metrics pipeline needs when p999 garbage pollutes plain
+    AVG: trimming ignores outliers, winsorizing caps their leverage —
+    x122 winsorizes VALUES (row transform); this produces the robust
+    STATISTICS directly from rank arithmetic, one pass, no value rewrite.
+
+    Exactness: cents integers; ranks pin ties by (price, orderkey,
+    linenumber); cut = floor(n·{_TRIM_PCT}/100) in integer math; sums of
+    the kept band and the two boundary order statistics are exact, so
+    each mean is one pinned division chain.
+
+    100 TB: one rank window per group (the same shuffle a percentile
+    pays), then a map-combined conditional agg — no second pass over the
+    data for the winsorized variant because the boundary values are
+    picked up by rank equality inside the SAME agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_rank = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_grp = Window.partitionBy("l_returnflag")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_grp).alias("n"),
+    ).withColumn("cut", F.expr(f"(n * {_TRIM_PCT}) DIV 100"))
+    kept = (F.col("r") > F.col("cut")) & (F.col("r") <= F.col("n") - F.col("cut"))
+    stats = pts.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max("cut").cast("long").alias("n_cut"),
+        F.sum(F.when(kept, F.col("cents"))).alias("s_trim"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("m_trim"),
+        F.min(F.when(F.col("r") == F.col("cut") + 1, F.col("cents"))).alias("lo_w"),
+        F.min(F.when(F.col("r") == F.col("n") - F.col("cut"), F.col("cents"))).alias(
+            "hi_w"
+        ),
+    )
+    return stats.select(
+        "flag",
+        "n_rows",
+        "n_cut",
+        F.round(F.col("s_trim").cast("double") / F.col("m_trim") / 100, 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (
+                F.col("s_trim").cast("double")
+                + F.col("n_cut").cast("double") * F.col("lo_w")
+                + F.col("n_cut").cast("double") * F.col("hi_w")
+            )
+            / F.col("n_rows")
+            / 100,
+            6,
+        ).alias("winsorized_mean"),
+    )

@@ -688,3 +688,92 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+# --------------------------------------------------------------------------
+# x245 — margin waterfall: gross -> discount -> tax decomposition per brand
+# --------------------------------------------------------------------------
+
+_WATERFALL_ORACLE = """
+WITH cell AS (
+  SELECT p.p_brand AS brand,
+         CAST(ROUND(SUM(l.l_extendedprice) * 100) AS BIGINT) AS gross_c,
+         CAST(ROUND(SUM(l.l_extendedprice * l.l_discount) * 100) AS BIGINT)
+           AS discount_c,
+         CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount) * l.l_tax)
+                    * 100) AS BIGINT) AS tax_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT brand,
+       gross_c,
+       discount_c,
+       CAST(gross_c - discount_c AS BIGINT) AS net_c,
+       tax_c,
+       CAST(gross_c - discount_c + tax_c AS BIGINT) AS charged_c,
+       ROUND(CAST(discount_c AS DOUBLE) / gross_c, 6) AS discount_rate,
+       ROUND(CAST(tax_c AS DOUBLE) / (gross_c - discount_c), 6)
+         AS effective_tax_rate
+FROM cell
+"""
+
+
+@register("finance_margin_waterfall", oracle=_WATERFALL_ORACLE)
+def finance_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x245: MARGIN WATERFALL per brand — the finance bridge report that
+    decomposes the invoice arithmetic every TPC-H query embeds
+    (price·(1-disc)·(1+tax)) into its ADDITIVE steps: gross -> -discount
+    -> net -> +tax -> charged, plus the two effective rates. Waterfalls
+    are how revenue movements get EXPLAINED ("how much of the delta is
+    discounting vs mix") — the flagship queries compute the endpoints,
+    this exposes the bridge.
+
+    Exactness: each step total pins to cents AFTER the group sum (the
+    per-step sums are plain money aggregates under the standing 2dp
+    discipline); the bridge identities net = gross - discount and
+    charged = net + tax then hold EXACTLY in integer cents — auditable by
+    construction, which is the point of a waterfall. Rates are pinned
+    divisions of those integers.
+
+    100 TB: one fact scan, brand-grain map-combined agg; the part join
+    broadcasts (dim-sized). Period-over-period bridge = two such frames
+    joined on brand, all at grid size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cell = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("gross_c"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("discount_c"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * F.col("l_tax")
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("tax_c"),
+        )
+    )
+    return cell.select(
+        "brand",
+        "gross_c",
+        "discount_c",
+        (F.col("gross_c") - F.col("discount_c")).cast("long").alias("net_c"),
+        "tax_c",
+        (F.col("gross_c") - F.col("discount_c") + F.col("tax_c"))
+        .cast("long")
+        .alias("charged_c"),
+        F.round(F.col("discount_c").cast("double") / F.col("gross_c"), 6).alias(
+            "discount_rate"
+        ),
+        F.round(
+            F.col("tax_c").cast("double") / (F.col("gross_c") - F.col("discount_c")),
+            6,
+        ).alias("effective_tax_rate"),
+    )

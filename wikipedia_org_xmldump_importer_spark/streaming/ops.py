@@ -812,3 +812,69 @@ def start_psi_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cms_cells(
+    events: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """st19: LIVE count-min sketch maintenance — the streaming proof of
+    x233's design claim that a (j, bucket, count) TABLE-form sketch is
+    mergeable by plain SUM. The stream keeps append-mode daily-window
+    cell counts (each event lands in _CMS_D cells via the same md5 row
+    hashes as the batch op); when the watermark closes a day, its final
+    cells append to the sink exactly once. The global sketch at ANY
+    point is `SELECT j, bucket, SUM(c)` over the sink — no sketch-bytes
+    decoding, no special merge operator, and the same query serves
+    per-day, per-week, or all-time estimates by choosing which windows
+    to sum (the time-partitioned-sketch pattern real monitoring stacks
+    use).
+
+    State = open windows x |types| x _CMS_D partial cells — bounded by
+    the key domain, never by event volume. Days still open at drain are
+    not emitted (compare under the watermark cutoff)."""
+    from ..queries.aggregates import _CMS_D  # noqa: PLC0415
+
+    e = _with_event_time(events)
+    cells = (
+        e.select(
+            "ts",
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"), F.col("j"), F.lit(":"), F.col("event_type")
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")) / 86400).cast("long").alias("day_idx"),
+            "j",
+            "bucket",
+            "c",
+        )
+    )
+    return (
+        cells.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
