@@ -839,3 +839,60 @@ def test_waterfall_bridge_identities(spark):
         assert 0 <= r.discount_rate < 1
         assert 0 <= r.effective_tax_rate < 1
         assert abs(r.discount_rate - round(r.discount_c / r.gross_c, 6)) < 1e-9
+
+
+def test_grid_join_matches_bruteforce(spark):
+    """The grid decomposition must find EXACTLY the brute-force band
+    pairs (exhaustiveness = the pigeonhole argument under test)."""
+    from wikipedia_org_xmldump_importer_spark.queries.joins import (
+        join_grid_2d,
+    )
+
+    parts = [
+        (r.p_partkey, r.p_size, int(round(r.p_retailprice * 100)))
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .collect()
+    ]
+    expect = {}
+    for i, (ka, sa, ca) in enumerate(parts):
+        for kb, sb, cb in parts[i + 1 :]:
+            a, b = (ka, kb) if ka < kb else (kb, ka)
+            if abs(sa - sb) <= 1 and abs(ca - cb) <= 100:
+                expect[(a, b)] = (abs(sa - sb), abs(ca - cb))
+    got = {
+        (r.key_a, r.key_b): (r.d_size, r.d_cents)
+        for r in join_grid_2d(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert got  # non-degenerate at smoke grain
+
+
+def test_did_replay_and_identity(spark):
+    """Replay the 2x2 means and the DiD identity from raw events."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_diff_in_diff,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "user_id", "CAST(ROUND(value*100) AS LONG) AS cents", "CAST(day(ts) AS INT) AS dom"
+    ).collect()
+    cells: dict = {}
+    for r in ev:
+        t = int(hashlib.md5(f"did:{r.user_id}".encode()).hexdigest()[:3], 16) % 2
+        p = 1 if r.dom > 15 else 0
+        n, s = cells.get((t, p), (0, 0))
+        cells[(t, p)] = (n + 1, s + r.cents)
+    means = {k: round(s / n / 100, 6) for k, (n, s) in cells.items()}
+    did = round(
+        means[(1, 1)] - means[(1, 0)] - (means[(0, 1)] - means[(0, 0)]), 6
+    )
+    rows = events_diff_in_diff(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        n, _ = cells[(r.treated, r.post)]
+        assert r.n == n
+        assert abs(r.mean_value - means[(r.treated, r.post)]) < 1e-9
+        assert abs(r.did_estimate - did) < 1e-9

@@ -625,3 +625,108 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("stale"))
         .alias("match_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# x246 — 2-D grid-bucketed neighbor join (the spatial-join idiom, no geo)
+# --------------------------------------------------------------------------
+
+_G2D_SIZE_BAND = 1  # |size_a - size_b| <= 1
+_G2D_PRICE_BAND_C = 100  # |retail_a - retail_b| <= $1.00 in cents
+
+_G2D_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         p_size // {_G2D_SIZE_BAND + 1} AS gx,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT)
+           // {_G2D_PRICE_BAND_C} AS gy
+  FROM part
+),
+cand AS (
+  SELECT DISTINCT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         a.p_size AS size_a, b.p_size AS size_b,
+         a.cents AS cents_a, b.cents AS cents_b
+  FROM p a
+  JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) sx ON TRUE
+  JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) sy ON TRUE
+  JOIN p b ON b.gx = a.gx + sx.dx AND b.gy = a.gy + sy.dy
+          AND a.p_partkey < b.p_partkey
+)
+SELECT key_a, key_b,
+       CAST(ABS(size_a - size_b) AS BIGINT) AS d_size,
+       CAST(ABS(cents_a - cents_b) AS BIGINT) AS d_cents
+FROM cand
+WHERE ABS(size_a - size_b) <= {_G2D_SIZE_BAND}
+  AND ABS(cents_a - cents_b) <= {_G2D_PRICE_BAND_C}
+"""
+
+
+@register("join_grid_2d", oracle=_G2D_ORACLE)
+def join_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x246: 2-D GRID-BUCKETED NEIGHBOR JOIN — parts within BOTH a size
+    band (±{_G2D_SIZE_BAND}) and a price band (±$1) of each other, found
+    via the canonical spatial-join decomposition: snap each point to a
+    grid cell sized >= the band, explode each LEFT row to its 3x3
+    neighbor cells, equi-join on the cell id, verify the exact band
+    predicate. This is how geo/spatial joins actually execute at scale
+    (geohash/S2 cells are this with curved cells) — and the 2-D
+    generalization of j10's 1-D binned range join: neither predicate
+    alone is selective, but the CELL is.
+
+    Correctness argument: cell edge = band + 1, so any qualifying pair
+    is at most one cell apart on each axis — the 3x3 neighborhood is
+    EXHAUSTIVE (the pigeonhole that makes grid joins exact, not
+    approximate). One side explodes 9x (cheap, integers); the join
+    stays equi on (gx, gy); the verify is two integer ABS compares in
+    codegen.
+
+    100 TB: candidate volume = Σ per-cell |A_cell|·|B_3x3| — bounded by
+    density, never |A|·|B|; skewed hot cells salt like any join key.
+    Plan-audit-clean: no BNLJ, no cartesian — the band predicate rides
+    an equi-join."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    ).withColumns(
+        {
+            "gx": F.expr(f"p_size DIV {_G2D_SIZE_BAND + 1}"),
+            "gy": F.expr(f"cents DIV {_G2D_PRICE_BAND_C}"),
+        }
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(gx + dx AS gx, gy + dy AS gy))))"
+            )
+        ).alias("cell"),
+    ).select("key_a", "size_a", "cents_a", "cell.gx", "cell.gy")
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("cents").alias("cents_b"),
+        "gx",
+        "gy",
+    )
+    cand = (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "size_a", "size_b", "cents_a", "cents_b")
+        .distinct()
+    )
+    return cand.filter(
+        (F.abs(F.col("size_a") - F.col("size_b")) <= _G2D_SIZE_BAND)
+        & (F.abs(F.col("cents_a") - F.col("cents_b")) <= _G2D_PRICE_BAND_C)
+    ).select(
+        "key_a",
+        "key_b",
+        F.abs(F.col("size_a") - F.col("size_b")).cast("long").alias("d_size"),
+        F.abs(F.col("cents_a") - F.col("cents_b")).cast("long").alias("d_cents"),
+    )

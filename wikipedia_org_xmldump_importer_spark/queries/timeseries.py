@@ -6257,3 +6257,94 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_right"),
     )
     return scored.orderBy(F.col("gain").desc(), "split_day").limit(1)
+
+
+# --------------------------------------------------------------------------
+# x247 — difference-in-differences (quasi-experimental causal estimate)
+# --------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN (('0x' || substring(md5('did:' || user_id), 1, 3))::BIGINT
+                    % 2) = 1 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS post
+  FROM events
+),
+cell AS (
+  SELECT treated, post, COUNT(*) AS n, SUM(cents) AS s
+  FROM tagged GROUP BY treated, post
+),
+means AS (
+  SELECT treated, post, n,
+         ROUND(CAST(s AS DOUBLE) / n / 100, 6) AS mean_value
+  FROM cell
+)
+SELECT m.treated, m.post, CAST(m.n AS BIGINT) AS n, m.mean_value,
+       ROUND((SELECT mean_value FROM means WHERE treated = 1 AND post = 1)
+             - (SELECT mean_value FROM means WHERE treated = 1 AND post = 0)
+             - ((SELECT mean_value FROM means WHERE treated = 0 AND post = 1)
+                - (SELECT mean_value FROM means WHERE treated = 0 AND post = 0)),
+             6) AS did_estimate
+FROM means m
+"""
+
+
+@register("events_diff_in_diff", oracle=_DID_ORACLE)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x247: DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    for when you could NOT randomize at exposure time: effect =
+    (treated_post - treated_pre) - (control_post - control_pre), which
+    cancels both the groups' level difference and the common time trend
+    (the parallel-trends assumption is the price). Completes the causal
+    suite's designs: x126/x175 randomized reads, x151 variance-reduced,
+    x205 gates the randomization itself — DiD is what's left when the
+    rollout was geography/cohort-staggered instead of coin-flipped.
+
+    The 2x2 panel emits all four cell means (the honest way to report
+    DiD — readers check parallel-trends plausibility from the pre-period
+    row pair) with the pooled estimate repeated per row. Treated =
+    deterministic md5 split (stand-in for the real exposure flag);
+    pre/post = calendar half-month. Exact integer cents sums; means and
+    the estimate are pinned divisions/differences.
+
+    100 TB: one map-combined 4-cell aggregate — the entire computation
+    after the scan is constant-size. Clustered standard errors (the
+    production upgrade) group the same scan by cluster first."""
+    ev = load_table(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("did:"), F.col("user_id"))), 1, 3),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).cast("int")
+    tagged = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        treated.alias("treated"),
+        F.when(F.dayofmonth("ts") > 15, 1).otherwise(0).alias("post"),
+    )
+    means = (
+        tagged.groupBy("treated", "post")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .select(
+            "treated",
+            "post",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("s").cast("double") / F.col("n") / 100, 6).alias(
+                "mean_value"
+            ),
+        )
+    )
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_value"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    did = F.round(
+        pick(1, 1).over(w_all)
+        - pick(1, 0).over(w_all)
+        - (pick(0, 1).over(w_all) - pick(0, 0).over(w_all)),
+        6,
+    )
+    return means.select("treated", "post", "n", "mean_value", did.alias("did_estimate"))
