@@ -896,3 +896,46 @@ def test_did_replay_and_identity(spark):
         assert r.n == n
         assert abs(r.mean_value - means[(r.treated, r.post)]) < 1e-9
         assert abs(r.did_estimate - did) < 1e-9
+
+
+def test_bootstrap_ci_replay_and_coverage_shape(spark):
+    """Replay the Poisson-bootstrap machinery in Python (same hash, same
+    pinned CDF) and check the statistical shape: mean inside CI, CI
+    roughly 2x(2x se) wide, se > 0."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        _BOOT_B,
+        _POIS1_CDF,
+        agg_bootstrap_ci,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_id", "CAST(ROUND(value*100) AS LONG) AS cents"
+    ).collect()
+    means_u = []
+    for b in range(_BOOT_B):
+        g, o = b // 4, b % 4
+        sw = swx = 0
+        for r in ev:
+            hx = hashlib.md5(f"boot:{r.event_id}:{g}".encode()).hexdigest()
+            hv = int(hx[8 * o : 8 * o + 8], 16)
+            w = 7
+            for k, c in enumerate(_POIS1_CDF):
+                # hex-threshold semantics: hx < hex(floor(c * 2^32))
+                if hv < int(c * 4294967296):
+                    w = k
+                    break
+            sw += w
+            swx += w * r.cents
+        means_u.append(round(swx / sw / 100 * 1_000_000))
+    means_u.sort()
+    row = agg_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+    assert row.n == len(ev)
+    assert row.n_reps == _BOOT_B
+    assert abs(row.ci_lo - round(means_u[2] / 1e6, 6)) < 1e-9
+    assert abs(row.ci_hi - round(means_u[97] / 1e6, 6)) < 1e-9
+    assert row.ci_lo <= row.mean_full <= row.ci_hi
+    assert row.se_boot > 0
+    # percentile CI width vs 2*1.96*se: same order of magnitude
+    assert 0.3 < (row.ci_hi - row.ci_lo) / (2 * 1.96 * row.se_boot) < 3

@@ -145,6 +145,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row folded (level, trend) state broadcast-crossed onto the "
         "7-row horizon frame — bounded by construction (x224)"
     ),
+    ("agg_bootstrap_ci", "BroadcastNestedLoopJoin"): (
+        "1-row replicate-order-statistics frame broadcast-crossed onto "
+        "the 1-row full-data mean — bounded by construction (x248)"
+    ),
 }
 
 

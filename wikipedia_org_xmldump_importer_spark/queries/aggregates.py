@@ -2119,3 +2119,181 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# x248 — Poisson bootstrap CI (one-pass distributed resampling)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 100  # bootstrap replicates
+
+# Poisson(1) inverse-CDF thresholds, pinned 6dp (trap #18): the Poisson
+# bootstrap replaces multinomial resampling with independent per-row
+# Poisson(1) weights — THE one-pass distributed bootstrap (no global n
+# needed, no second scan). One Python-generated table feeds both engines.
+import math as _math  # noqa: E402
+
+_POIS1_CDF = []
+_acc = 0.0
+for _k in range(7):
+    _acc += _math.exp(-1) / _math.factorial(_k)
+    _POIS1_CDF.append(round(_acc, 6))
+
+# Fixed-width lowercase hex compares ORDER-ISOMORPHIC to the integer value,
+# so the inverse-CDF ladder can run on the md5 substring DIRECTLY — no
+# conv(hex,16,10) string->int parse in the 100x hot path. Thresholds are
+# the same pinned CDF, pre-scaled to 2^32 and hex-printed once.
+_POIS1_HEX = [format(int(c * 4294967296), "08x") for c in _POIS1_CDF]
+
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN hx < '{h}' THEN {k}" for k, h in enumerate(_POIS1_HEX))
+    + " ELSE 7 END"
+)
+
+_BOOT_ORACLE = f"""
+WITH v AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+expl AS (
+  -- one md5 per (row, replicate-GROUP): a 32-hex digest yields FOUR
+  -- independent 8-hex uniforms, so 25 hashes serve 100 replicates
+  -- (b = 4*g + o) — the hash is the hot path at 100x row expansion
+  SELECT cents, 4 * g.g + o.o AS b,
+         substring(md5('boot:' || event_id || ':' || g.g),
+                   1 + 8 * o.o, 8) AS hx
+  FROM v,
+       (SELECT unnest(generate_series(0, {_BOOT_B // 4 - 1})) AS g) g,
+       (SELECT unnest(generate_series(0, 3)) AS o) o
+),
+wtd AS (SELECT b, cents, {_POIS_CASE_SQL} AS w FROM expl),
+reps AS (
+  SELECT b,
+         CAST(ROUND(CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100 * 1000000)
+              AS BIGINT) AS mean_u
+  FROM wtd GROUP BY b
+),
+ranked AS (
+  SELECT mean_u, ROW_NUMBER() OVER (ORDER BY mean_u) AS r FROM reps
+),
+base AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 6) AS mean_full
+  FROM v
+),
+bs AS (
+  SELECT
+    (SELECT CAST(n AS BIGINT) FROM base) AS n,
+    (SELECT mean_full FROM base) AS mean_full,
+    ROUND((SELECT mean_u FROM ranked WHERE r = 3) / 1000000.0, 6) AS ci_lo,
+    ROUND((SELECT mean_u FROM ranked WHERE r = 98) / 1000000.0, 6) AS ci_hi,
+    (SELECT COUNT(*) FROM reps) AS n_reps,
+    (SELECT ROUND(SQRT((CAST(SUM(CAST(mean_u AS DOUBLE) * mean_u) AS DOUBLE)
+                        - CAST(SUM(CAST(mean_u AS DOUBLE)) AS DOUBLE)
+                          * SUM(CAST(mean_u AS DOUBLE)) / COUNT(*))
+                       / (COUNT(*) - 1)) / 1000000, 6)
+       FROM reps) AS se_boot
+)
+SELECT n, mean_full, ci_lo, ci_hi, CAST(n_reps AS BIGINT) AS n_reps, se_boot
+FROM bs
+"""
+
+
+@register("agg_bootstrap_ci", oracle=_BOOT_ORACLE)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x248: POISSON BOOTSTRAP confidence interval for the mean event
+    value — the one-pass distributed bootstrap (Chamandy et al.'s
+    production formulation at web scale): instead of resampling n rows
+    WITH replacement (needs global coordination), every row independently
+    receives a Poisson(1) weight per replicate, which converges to the
+    same resampling distribution and needs NOTHING but a map + per-
+    replicate partial aggregation. Emits the full-data mean, the 2.5/97.5
+    rank-based percentile bounds over {_BOOT_B} replicate means, and the
+    bootstrap SE — the assumption-free uncertainty the x158 median CI and
+    x211 Wilson device cover only for their specific statistics.
+
+    Determinism: weights come from a pinned Poisson(1) inverse-CDF table
+    (Python-generated 6dp literals, both engines) applied to md5-derived
+    uniforms per (row, replicate); replicate means pin to integer
+    micro-units BEFORE ranking and variance, so the CI bounds and SE are
+    exact-integer-order statistics and one correctly-rounded sqrt.
+
+    100 TB: the {_BOOT_B}x row expansion is map-local and collapses to
+    {_BOOT_B} partial sums per partition before the shuffle — the whole
+    bootstrap costs one extra narrow pass over the scan, which is exactly
+    why this formulation displaced driver-side resampling."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    # one md5 per (row, replicate-group); 4 uniforms per digest (see oracle)
+    expl = (
+        v.select(
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 4 - 1))).alias("g"),
+            "event_id",
+        )
+        .withColumn(
+            "h",
+            F.md5(F.concat(F.lit("boot:"), F.col("event_id"), F.lit(":"), F.col("g"))),
+        )
+        .select(
+            "cents",
+            "g",
+            F.posexplode(
+                F.array(*[F.substring("h", 1 + 8 * o, 8) for o in range(4)])
+            ).alias("o", "hx"),
+        )
+        .select(
+            "cents",
+            (F.col("g") * 4 + F.col("o")).alias("b"),
+            "hx",
+        )
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS1_HEX) - 1, -1, -1):
+        w = F.when(F.col("hx") < _POIS1_HEX[k], k).otherwise(w)
+    reps = (
+        expl.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w")
+                / 100
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("mean_u")
+        )
+    )
+    ranked = reps.select(
+        "mean_u", F.row_number().over(Window.orderBy("mean_u")).alias("r")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats = ranked.select(
+        F.min(F.when(F.col("r") == 3, F.col("mean_u"))).over(w_all).alias("lo_u"),
+        F.min(F.when(F.col("r") == 98, F.col("mean_u"))).over(w_all).alias("hi_u"),
+        F.count(F.lit(1)).over(w_all).alias("n_reps"),
+        F.sum(F.col("mean_u").cast("double")).over(w_all).alias("s1"),
+        F.sum(F.col("mean_u").cast("double") * F.col("mean_u")).over(w_all).alias("s2"),
+    ).limit(1)
+    base = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)) / 100, 6).alias(
+            "mean_full"
+        ),
+    )
+    return base.join(F.broadcast(stats)).select(
+        "n",
+        "mean_full",
+        F.round(F.col("lo_u") / 1_000_000.0, 6).alias("ci_lo"),
+        F.round(F.col("hi_u") / 1_000_000.0, 6).alias("ci_hi"),
+        F.col("n_reps").cast("long").alias("n_reps"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_reps"))
+                / (F.col("n_reps") - 1)
+            )
+            / 1_000_000,
+            6,
+        ).alias("se_boot"),
+    )
