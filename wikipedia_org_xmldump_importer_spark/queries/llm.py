@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from math import sqrt as _math_sqrt
+
 from ..functions.vector import as_double, cosine, with_norm
 from ..io import load_table
 from ..registry import register
@@ -1912,4 +1914,281 @@ def cluster_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.sum(F.abs(F.col("v") - F.col("c"))).cast("long").alias("sad_cents"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# x249 — exact spherical k-means on int8-quantized embeddings
+# --------------------------------------------------------------------------
+
+_SKM_K = 4
+_SKM_ITERS = 3
+
+
+def _skm_dims_sql() -> str:
+    return """
+q AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x / mx * 127) AS INTEGER)) AS qv
+  FROM (
+    SELECT vec_id, label, embedding,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> abs(x))) AS mx
+    FROM embeddings
+  ) WHERE mx <> 0
+),
+dims AS MATERIALIZED (
+  SELECT vec_id, label, d.i AS d, qv[d.i] AS v
+  FROM q, UNNEST(generate_series(1, len(qv))) AS d(i)
+)"""
+
+
+def _skm_iter_sql(n: int) -> str:
+    prev = f"c{n - 1}"
+    return f"""
+dot{n} AS (
+  SELECT dm.vec_id, c.j, SUM(dm.v * c.v) AS dp
+  FROM dims dm JOIN {prev} c ON c.d = dm.d
+  GROUP BY dm.vec_id, c.j
+),
+n2_{n} AS (SELECT j, SUM(v * v) AS n2 FROM {prev} GROUP BY j),
+asg{n} AS MATERIALIZED (
+  SELECT vec_id, j FROM (
+    SELECT d.vec_id, d.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY CAST(d.dp AS DOUBLE) / SQRT(CAST(n.n2 AS DOUBLE)) DESC,
+                      d.j) AS r
+    FROM dot{n} d JOIN n2_{n} n ON n.j = d.j
+  ) WHERE r = 1
+),
+cm{n} AS (
+  SELECT a.j, dm.d,
+         CAST(ROUND(CAST(SUM(dm.v) AS DOUBLE) / COUNT(*)) AS INTEGER) AS v
+  FROM asg{n} a JOIN dims dm ON dm.vec_id = a.vec_id
+  GROUP BY a.j, dm.d
+),
+c{n} AS MATERIALIZED (
+  SELECT p.j, p.d, COALESCE(m.v, p.v) AS v
+  FROM {prev} p LEFT JOIN cm{n} m ON m.j = p.j AND m.d = p.d
+)"""
+
+
+_SKM_ORACLE = (
+    "WITH "
+    + _skm_dims_sql().strip()
+    + """,
+seeds AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4),
+c0 AS MATERIALIZED (
+  -- DENSE_RANK, not ROW_NUMBER: the join fans each seed out to its 64
+  -- dims, and ROW_NUMBER would number rows 1..256 instead of seeds 1..4
+  SELECT DENSE_RANK() OVER (ORDER BY s.vec_id) - 1 AS j, dm.d, dm.v
+  FROM seeds s JOIN dims dm ON dm.vec_id = s.vec_id
+),"""
+    + ",".join(_skm_iter_sql(n) for n in range(1, _SKM_ITERS + 1))
+    + f""",
+fdot AS (
+  SELECT dm.vec_id, dm.label, c.j, SUM(dm.v * c.v) AS dp
+  FROM dims dm JOIN c{_SKM_ITERS} c ON c.d = dm.d
+  GROUP BY dm.vec_id, dm.label, c.j
+),
+fn2 AS (SELECT j, SUM(v * v) AS n2 FROM c{_SKM_ITERS} GROUP BY j),
+qn2 AS (SELECT vec_id, SUM(v * v) AS qn2 FROM dims GROUP BY vec_id),
+fasg AS MATERIALIZED (
+  SELECT vec_id, label, j,
+         CAST(ROUND(CAST(dp AS DOUBLE)
+                    / SQRT(CAST(n2 AS DOUBLE)) / SQRT(CAST(qn2 AS DOUBLE))
+                    * 1000000) AS BIGINT) AS cos_u
+  FROM (
+    SELECT f.vec_id, f.label, f.j, f.dp, n.n2, qq.qn2,
+           ROW_NUMBER() OVER (
+             PARTITION BY f.vec_id
+             ORDER BY CAST(f.dp AS DOUBLE) / SQRT(CAST(n.n2 AS DOUBLE)) DESC,
+                      f.j) AS r
+    FROM fdot f
+    JOIN fn2 n ON n.j = f.j
+    JOIN qn2 qq ON qq.vec_id = f.vec_id
+  ) WHERE r = 1
+),
+lab AS (
+  SELECT j, label, COUNT(*) AS nl,
+         ROW_NUMBER() OVER (PARTITION BY j
+                            ORDER BY COUNT(*) DESC, label) AS lr
+  FROM fasg GROUP BY j, label
+)
+, stats AS (
+  SELECT j, COUNT(*) AS n_members, SUM(cos_u) AS s_cos FROM fasg GROUP BY j
+)
+SELECT s.j AS cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       ROUND(CAST(s.s_cos AS DOUBLE) / s.n_members / 1000000, 6) AS avg_cos,
+       CAST(l.label AS INTEGER) AS top_label,
+       CAST(l.nl AS BIGINT) AS n_top_label
+FROM stats s JOIN lab l ON l.j = s.j AND l.lr = 1
+"""
+)
+
+
+@register("vec_kmeans_spherical", oracle=_SKM_ORACLE)
+def vec_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x249: SPHERICAL K-MEANS on int8-quantized embeddings with a FULL
+    hash oracle — the d-dimensional clustering row x238's 1-D recipe
+    promised: quantize (x11's exact device), iterate assignment/update
+    {_SKM_ITERS} rounds with k={_SKM_K}, report per-cluster size, mean
+    member cosine to the centroid, and label purity (majority label) —
+    the corpus-structure report an embedding pipeline runs before
+    choosing IVF cell counts or routing mixtures.
+
+    Exactness chain: codes and centroids are INTEGER vectors end-to-end
+    (updates re-round per dim to int — the d-dimensional analogue of
+    x238's integer-cents centroids), so dots and norms are exact BIGINTs;
+    the only floats are one dot/sqrt(norm) ordering expression (identical
+    IEEE on identical integers => identical argmax, ties pinned by
+    cluster id) and micro-unit-pinned cosine display. Init = the {_SKM_K}
+    lowest vec_ids' codes (pinned, not RNG; k-means++ swaps in a
+    deterministic D² farthest-point sweep at scale).
+
+    Plan shape: assignment runs as a zip_with/aggregate fold against
+    BROADCAST literal centroids (k x d integers collected per round —
+    the x63 bounded-driver-state contract at {_SKM_K}x64 ints); the
+    update is one posexplode + (cluster, dim) map-combined agg per round.
+    DuckDB unrolls the same rounds with MATERIALIZED CTEs (trap #27).
+
+    100 TB: per round = one narrow fold pass + one (k x d)-grain agg —
+    embarrassingly parallel, centroid state is KB-sized at any corpus
+    size; this is literally the IVF trainer (l10) promoted to a
+    first-class attested operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    ).withColumn("mx", F.array_max(F.transform(F.col("e"), F.abs)))
+    q = staged.filter(F.col("mx") != 0).select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("e"), lambda x: F.round(x / F.col("mx") * 127, 0).cast("int")
+        ).alias("qv"),
+    )
+    q = q.localCheckpoint(eager=True)
+
+    seeds = q.orderBy("vec_id").limit(_SKM_K).collect()
+    cents = [list(r.qv) for r in seeds]
+
+    def dot_expr(c):
+        arr = "array(" + ",".join(str(int(x)) for x in c) + ")"
+        return F.expr(
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> CAST(a AS BIGINT) * b), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    for _ in range(_SKM_ITERS):
+        n2 = [sum(int(x) * int(x) for x in c) for c in cents]
+        scored = q.select(
+            "vec_id",
+            "qv",
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            (
+                                -dot_expr(cents[j]).cast("double")
+                                / float(_math_sqrt(n2[j]))
+                            ).alias("negcos"),
+                            F.lit(j).alias("j"),
+                        )
+                        for j in range(_SKM_K)
+                    ]
+                )
+            ).alias("best"),
+        ).select("vec_id", "qv", F.col("best.j").alias("j"))
+        upd = (
+            scored.select("j", F.posexplode("qv").alias("d0", "v"))
+            .groupBy("j", "d0")
+            .agg(
+                F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("int")
+                .alias("v")
+            )
+            .collect()
+        )
+        new = {}
+        for r in upd:
+            new.setdefault(r.j, {})[r.d0] = r.v
+        cents = [
+            [new.get(j, {}).get(d, cents[j][d]) for d in range(len(cents[j]))]
+            for j in range(_SKM_K)
+        ]
+
+    n2 = [sum(int(x) * int(x) for x in c) for c in cents]
+    fin = q.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + CAST(x AS BIGINT) * x)"
+        ).alias("qn2"),
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            -dot_expr(cents[j]).cast("double")
+                            / float(_math_sqrt(n2[j]))
+                        ).alias("negcos"),
+                        F.lit(j).alias("j"),
+                        dot_expr(cents[j]).alias("dp"),
+                    )
+                    for j in range(_SKM_K)
+                ]
+            )
+        ).alias("best"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("best.j").alias("j"),
+        F.round(
+            F.col("best.dp").cast("double")
+            / F.element_at(
+                F.array(*[F.lit(float(_math_sqrt(x))) for x in n2]),
+                F.col("best.j") + 1,
+            )
+            / F.sqrt(F.col("qn2").cast("double"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("cos_u"),
+    )
+    lab = (
+        fin.groupBy("j", "label")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                Window.partitionBy("j").orderBy(F.col("nl").desc(), "label")
+            ),
+        )
+    )
+    # aggregate members FIRST, then attach the single lr=1 label row —
+    # joining the per-label frame before counting would multiply every
+    # member by its cluster's label count (caught by the Python replay;
+    # cross-engine parity alone missed it because both sides inflated
+    # identically — the reason replay tests exist)
+    stats = fin.groupBy("j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum("cos_u").cast("double") / F.count(F.lit(1)) / 1_000_000, 6
+        ).alias("avg_cos"),
+    )
+    top = lab.filter(F.col("lr") == 1).select(
+        "j",
+        F.col("label").cast("int").alias("top_label"),
+        F.col("nl").cast("long").alias("n_top_label"),
+    )
+    return stats.join(top, "j").select(
+        F.col("j").alias("cluster_id"),
+        "n_members",
+        "avg_cos",
+        "top_label",
+        "n_top_label",
     )
