@@ -1009,3 +1009,75 @@ def test_spherical_kmeans_python_replay(spark):
         assert abs(r.avg_cos - round(su / n / 1e6, 6)) < 1e-9
         tl, tn = sorted(labs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert (r.top_label, r.n_top_label) == (tl, tn)
+
+
+def test_causal_impact_replay(spark):
+    """Replay the pre-period OLS and post-period counterfactual chain."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_causal_impact,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "user_id", "ts_us", "CAST(day(ts) AS INT) AS dom",
+        "CAST(ROUND(value*100) AS LONG) AS cents",
+    ).collect()
+    daily: dict = {}
+    for r in ev:
+        d = r.ts_us // _DAY_US
+        t = int(hashlib.md5(f"ci:{r.user_id}".encode()).hexdigest()[:3], 16) % 2
+        y, x, dom = daily.get(d, (0, 0, r.dom))
+        daily[d] = (y + (r.cents if t else 0), x + (0 if t else r.cents), r.dom)
+    pre = [(x, y) for (y, x, dom) in daily.values() if dom <= 15]
+    n = len(pre)
+    sx = float(sum(x for x, _ in pre)); sy = float(sum(y for _, y in pre))
+    sxy = sum(float(x) * y for x, y in pre); sxx = sum(float(x) * x for x, _ in pre)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ybar, xbar = sy / n, sx / n
+    rows = sorted(events_causal_impact(spark, SF_SMOKE).collect(), key=lambda r: r.day_idx)
+    cum = 0.0
+    for r in rows:
+        y, x, dom = daily[r.day_idx]
+        assert dom > 15
+        pred = (ybar + b * (x - xbar)) / 100
+        actual = round(y / 100, 2)
+        assert r.actual == actual
+        assert abs(r.predicted - round(pred, 6)) < 1e-9
+        assert abs(r.effect - round(actual - pred, 6)) < 1e-9
+        cum += actual - pred
+        assert abs(r.cum_effect - round(cum, 6)) < 1e-6
+
+
+def test_hits_scores_normalized_and_bipartite(spark):
+    """Hub scores sum to 1, auth scores sum to 1 (L1-normalized halves);
+    hubs are customer ids (positive custkeys), auths are supplier ids."""
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        graph_hits,
+    )
+
+    rows = graph_hits(spark, SF_SMOKE).collect()
+    hubs = [r for r in rows if r.side == "hub"]
+    auths = [r for r in rows if r.side == "auth"]
+    assert hubs and auths
+    assert abs(sum(r.score for r in hubs) - 1.0) < 1e-3
+    assert abs(sum(r.score for r in auths) - 1.0) < 1e-3
+    assert all(r.score >= 0 for r in rows)
+
+
+def test_jsd_matrix_properties(spark):
+    """JSD is symmetric-by-construction (pairs emitted once), bounded in
+    [0, 1] bits, and the full |sources| choose 2 matrix is present;
+    jsd_bits must equal jsd2_u/2e6 exactly."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        source_jsd_matrix,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_src = docs.select("source").distinct().count()
+    rows = source_jsd_matrix(spark, SF_SMOKE).collect()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert -1e-6 <= r.jsd_bits <= 1.0 + 1e-6
+        assert r.jsd_bits == r.jsd2_u / 2_000_000.0

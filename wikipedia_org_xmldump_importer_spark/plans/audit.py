@@ -149,6 +149,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row replicate-order-statistics frame broadcast-crossed onto "
         "the 1-row full-data mean — bounded by construction (x248)"
     ),
+    ("events_causal_impact", "BroadcastNestedLoopJoin"): (
+        "1-row pre-period OLS fit broadcast-crossed onto the |post-days| "
+        "grid — bounded by construction (x250)"
+    ),
 }
 
 

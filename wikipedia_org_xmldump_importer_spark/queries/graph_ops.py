@@ -959,3 +959,110 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# x251 — HITS hubs & authorities on the bipartite order graph
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 5
+_HITS_DP = 10  # per-iteration pin (x63 discipline)
+
+
+def _hits_iter_sql(k: int) -> str:
+    ph, pa = f"h{k - 1}", f"a{k - 1}"
+    return f"""
+ar{k} AS (
+  SELECT e.supp AS node, SUM(h.s) AS raw
+  FROM eb e JOIN {ph} h ON h.node = e.cust GROUP BY e.supp
+),
+a{k} AS MATERIALIZED (
+  SELECT node, ROUND(raw / SUM(raw) OVER (), {_HITS_DP}) AS s FROM ar{k}
+),
+hr{k} AS (
+  SELECT e.cust AS node, SUM(a.s) AS raw
+  FROM eb e JOIN a{k} a ON a.node = e.supp GROUP BY e.cust
+),
+h{k} AS MATERIALIZED (
+  SELECT node, ROUND(raw / SUM(raw) OVER (), {_HITS_DP}) AS s FROM hr{k}
+)"""
+
+
+_HITS_ORACLE = (
+    f"""
+WITH eb AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nh AS (SELECT COUNT(DISTINCT cust) AS n FROM eb),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT cust AS node,
+         ROUND(1.0 / (SELECT n FROM nh), {_HITS_DP}) AS s
+  FROM eb
+),"""
+    + ",".join(_hits_iter_sql(k) for k in range(1, _HITS_ITERS + 1))
+    + f"""
+SELECT 'hub' AS side, node, ROUND(s, 6) AS score FROM h{_HITS_ITERS}
+UNION ALL
+SELECT 'auth' AS side, node, ROUND(s, 6) AS score FROM a{_HITS_ITERS}
+"""
+)
+
+
+@register("graph_hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x251: HITS (Kleinberg '99) hubs & authorities on the BIPARTITE
+    customer->supplier order graph — the natural second spectral ranking
+    beside x63's PageRank, and the one whose structure FITS bipartite
+    data: hub score (customers who buy from well-sourced suppliers) and
+    authority score (suppliers bought by strong customers) reinforce
+    each other through {_HITS_ITERS} alternating propagation rounds.
+    L1 normalization per half-round (sum-to-1 — equivalent ranking to
+    the classical L2, but the normalizer is a SUM, which pins exactly;
+    an L2 norm would put a sqrt inside the iteration).
+
+    Determinism: x63's discipline verbatim — scores re-round to
+    {_HITS_DP}dp after every normalized half-round, so cross-engine
+    summation-order drift can never accumulate.
+
+    100 TB: each half-round is one key-partitioned join + map-combined
+    SUM at node grain; the normalizer is a 1-row aggregate broadcast
+    back (window over the collapsed node frame here). localCheckpoint
+    per round cuts lineage (x63/x152 contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_cust = eb.select("cust").distinct().count()
+    h = eb.select("cust").distinct().select(
+        F.col("cust").alias("node"),
+        F.round(F.lit(1.0) / n_cust, _HITS_DP).alias("s"),
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            eb.join(h.withColumnRenamed("node", "cust"), "cust")
+            .groupBy(F.col("supp").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        a = ar.select(
+            "node", F.round(F.col("raw") / F.sum("raw").over(w_all), _HITS_DP).alias("s")
+        ).localCheckpoint(eager=True)
+        hr = (
+            eb.join(a.withColumnRenamed("node", "supp"), "supp")
+            .groupBy(F.col("cust").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        h = hr.select(
+            "node", F.round(F.col("raw") / F.sum("raw").over(w_all), _HITS_DP).alias("s")
+        ).localCheckpoint(eager=True)
+    return h.select(
+        F.lit("hub").alias("side"), "node", F.round("s", 6).alias("score")
+    ).unionByName(
+        a.select(F.lit("auth").alias("side"), "node", F.round("s", 6).alias("score"))
+    )

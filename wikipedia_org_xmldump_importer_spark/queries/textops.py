@@ -3494,3 +3494,684 @@ def dedup_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("would_pass"),
         F.sum("n_pairs").over(w_cum).cast("long").alias("cum_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# x252 — Jensen-Shannon divergence matrix between source distributions
+# --------------------------------------------------------------------------
+
+_JSD_TOP_V = 200  # restrict to the top-V corpus vocabulary
+
+_JSD_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS r
+    FROM tok GROUP BY token
+  ) WHERE r <= {_JSD_TOP_V}
+),
+cnt AS (
+  SELECT t.source, t.token, COUNT(*) AS c
+  FROM tok t JOIN vocab v ON v.token = t.token
+  GROUP BY t.source, t.token
+),
+dist AS MATERIALIZED (
+  SELECT source, token,
+         ROUND(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY source), 6) AS p
+  FROM cnt
+),
+srcs AS (SELECT DISTINCT source FROM dist),
+grid AS (
+  -- explicit (pair x vocab) grid: a token one feed lacks still contributes
+  -- its p bits to the divergence (an inner/full join keyed on token would
+  -- silently drop the asymmetric-vocab terms)
+  SELECT a.source AS src_a, b.source AS src_b, v.token
+  FROM srcs a JOIN srcs b ON a.source < b.source, vocab v
+),
+pairs AS (
+  SELECT g.src_a, g.src_b, g.token,
+         COALESCE(da.p, 0) AS p, COALESCE(db.p, 0) AS q
+  FROM grid g
+  LEFT JOIN dist da ON da.source = g.src_a AND da.token = g.token
+  LEFT JOIN dist db ON db.source = g.src_b AND db.token = g.token
+),
+st0 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN p > 0 THEN p / ((p + q) / 2) ELSE 1.0 END AS yp,
+         CASE WHEN q > 0 THEN q / ((p + q) / 2) ELSE 1.0 END AS yq,
+         0.0 AS ep, 0.0 AS eq_, 0.0 AS ap, 0.0 AS aq, 0.5 AS w
+  FROM pairs
+),
+st1 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st0
+),
+st2 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st1
+),
+st3 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st2
+),
+st4 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st3
+),
+st5 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st4
+),
+st6 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st5
+),
+st7 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st6
+),
+st8 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st7
+),
+st9 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st8
+),
+st10 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st9
+),
+st11 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st10
+),
+st12 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st11
+),
+st13 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st12
+),
+st14 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st13
+),
+st15 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st14
+),
+st16 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st15
+),
+st17 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st16
+),
+st18 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st17
+),
+st19 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st18
+),
+st20 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st19
+),
+st21 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st20
+),
+st22 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st21
+),
+st23 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st22
+),
+st24 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp < 1 THEN yp * 2 ELSE yp END AS yp,
+         CASE WHEN yq < 1 THEN yq * 2 ELSE yq END AS yq,
+         CASE WHEN yp < 1 THEN ep - 1 ELSE ep END AS ep,
+         CASE WHEN yq < 1 THEN eq_ - 1 ELSE eq_ END AS eq_,
+         ap, aq, w
+  FROM st23
+),
+st25 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st24
+),
+st26 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st25
+),
+st27 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st26
+),
+st28 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st27
+),
+st29 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st28
+),
+st30 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st29
+),
+st31 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st30
+),
+st32 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st31
+),
+st33 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st32
+),
+st34 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st33
+),
+st35 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st34
+),
+st36 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st35
+),
+st37 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st36
+),
+st38 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st37
+),
+st39 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st38
+),
+st40 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st39
+),
+st41 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st40
+),
+st42 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st41
+),
+st43 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st42
+),
+st44 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st43
+),
+st45 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st44
+),
+st46 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st45
+),
+st47 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st46
+),
+st48 AS (
+  SELECT src_a, src_b, p, q,
+         CASE WHEN yp * yp >= 2 THEN yp * yp / 2 ELSE yp * yp END AS yp,
+         CASE WHEN yq * yq >= 2 THEN yq * yq / 2 ELSE yq * yq END AS yq,
+         ep, eq_,
+         CASE WHEN yp * yp >= 2 THEN ap + w ELSE ap END AS ap,
+         CASE WHEN yq * yq >= 2 THEN aq + w ELSE aq END AS aq,
+         w / 2 AS w
+  FROM st47
+),
+terms AS (
+  -- engine-independent log2 by square-and-compare (steps above): only
+  -- IEEE *, /, >= touch the value, so Spark and DuckDB produce BIT-equal
+  -- logs by construction (F.log2 is JVM log(x)/log(2), a different
+  -- algorithm than libm log2 — removing the libm dependence entirely
+  -- beats auditing its ulp behavior); abs err <= 6e-8 after 24 fraction
+  -- steps, and the SAME value on both engines
+  SELECT src_a, src_b,
+         CAST(CASE WHEN p > 0
+              THEN ROUND(p * (ep + ap) * 1000000) ELSE 0 END AS BIGINT)
+           AS kp_u,
+         CAST(CASE WHEN q > 0
+              THEN ROUND(q * (eq_ + aq) * 1000000) ELSE 0 END AS BIGINT)
+           AS kq_u
+  FROM st48
+)
+SELECT src_a, src_b,
+       CAST(SUM(kp_u) + SUM(kq_u) AS BIGINT) AS jsd2_u,
+       -- one exact-integer division, NO display round: the sum is odd half
+       -- the time, (k/2)/1e6 then sits exactly on a decimal .5 where Spark
+       -- ROUND (BigDecimal HALF_UP on the shortest-decimal string) and
+       -- DuckDB ROUND (binary double) disagree — trap #28
+       (CAST(SUM(kp_u) + SUM(kq_u) AS DOUBLE) / 2000000.0) AS jsd_bits
+FROM terms GROUP BY src_a, src_b
+"""
+
+
+@register("source_jsd_matrix", oracle=_JSD_ORACLE)
+def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x252: JENSEN-SHANNON DIVERGENCE matrix between per-source unigram
+    distributions over the shared top-{_JSD_TOP_V} vocabulary — the
+    DISTRIBUTION-level duplicate-feed detector: doc-level dedup (x6/x95)
+    catches copied documents, THIS catches two feeds scraping the same
+    underlying population even when no single document repeats (near-zero
+    JSD = redundant source; the symmetric, bounded [0,1]-bit alternative
+    to x113's one-sided KL). Feeds mixture design: merging two low-JSD
+    sources adds bytes, not diversity.
+
+    Determinism: per-source probabilities pin 6dp over the restricted
+    vocab; m = (p+q)/2 is exact halving of pinned values; each KL term
+    rounds to micro-bits (x113), so every pair's JSD is an exact integer
+    sum halved once.
+
+    100 TB: the vocab restriction is the scale device — distributions
+    collapse to |sources| x {_JSD_TOP_V} rows BEFORE the pair join, so
+    the pair volume is |sources|²·V/2 regardless of corpus size (20
+    sources x 200 tokens here). Full-vocab JSD over millions of types
+    would instead sketch with hashed buckets (same plan, bucketed
+    token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "token"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= _JSD_TOP_V)
+        .select("token")
+    )
+    cnt = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dist = cnt.select(
+        "source",
+        "token",
+        F.round(
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("source")),
+            6,
+        ).alias("p"),
+    ).localCheckpoint(eager=True)
+    # explicit (pair x vocab) grid — a token one feed lacks still
+    # contributes its p bits (join-on-token would drop asymmetric terms)
+    srcs = dist.select("source").distinct()
+    spair = srcs.select(F.col("source").alias("src_a")).join(
+        srcs.select(F.col("source").alias("src_b")),
+        F.col("src_a") < F.col("src_b"),
+    )
+    grid = spair.crossJoin(F.broadcast(vocab))
+    da = dist.select(
+        F.col("source").alias("src_a"), "token", F.col("p").alias("pa")
+    )
+    db = dist.select(
+        F.col("source").alias("src_b"), "token", F.col("p").alias("pb")
+    )
+    pairs = (
+        grid.join(F.broadcast(da), ["src_a", "token"], "left")
+        .join(F.broadcast(db), ["src_b", "token"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("pa", F.lit(0.0)).alias("p"),
+            F.coalesce("pb", F.lit(0.0)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    # engine-independent log2 by square-and-compare (see oracle comment):
+    # only IEEE *, /, >= touch the value — no libm on either engine
+    st = pairs.select(
+        "src_a",
+        "src_b",
+        "p",
+        "q",
+        F.when(F.col("p") > 0, F.col("p") / m).otherwise(1.0).alias("yp"),
+        F.when(F.col("q") > 0, F.col("q") / m).otherwise(1.0).alias("yq"),
+        F.lit(0.0).alias("ep"),
+        F.lit(0.0).alias("eq_"),
+        F.lit(0.0).alias("ap"),
+        F.lit(0.0).alias("aq"),
+        F.lit(0.5).alias("w"),
+    )
+    for _ in range(24):  # normalize into [1, 2)
+        st = st.withColumns(
+            {
+                "ep": F.when(F.col("yp") < 1, F.col("ep") - 1).otherwise(F.col("ep")),
+                "eq_": F.when(F.col("yq") < 1, F.col("eq_") - 1).otherwise(
+                    F.col("eq_")
+                ),
+                "yp": F.when(F.col("yp") < 1, F.col("yp") * 2).otherwise(F.col("yp")),
+                "yq": F.when(F.col("yq") < 1, F.col("yq") * 2).otherwise(F.col("yq")),
+            }
+        )
+    for _ in range(24):  # fraction bits by square-and-compare
+        yp2 = F.col("yp") * F.col("yp")
+        yq2 = F.col("yq") * F.col("yq")
+        st = st.withColumns(
+            {
+                "ap": F.when(yp2 >= 2, F.col("ap") + F.col("w")).otherwise(
+                    F.col("ap")
+                ),
+                "aq": F.when(yq2 >= 2, F.col("aq") + F.col("w")).otherwise(
+                    F.col("aq")
+                ),
+                "yp": F.when(yp2 >= 2, yp2 / 2).otherwise(yp2),
+                "yq": F.when(yq2 >= 2, yq2 / 2).otherwise(yq2),
+                "w": F.col("w") / 2,
+            }
+        )
+    kp = (
+        F.when(
+            F.col("p") > 0,
+            F.round(F.col("p") * (F.col("ep") + F.col("ap")) * 1_000_000),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    kq = (
+        F.when(
+            F.col("q") > 0,
+            F.round(F.col("q") * (F.col("eq_") + F.col("aq")) * 1_000_000),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    return (
+        st.select("src_a", "src_b", kp.alias("kp_u"), kq.alias("kq_u"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (F.sum("kp_u") + F.sum("kq_u")).cast("long").alias("jsd2_u"),
+            # exact integer / one division, NO display round (trap #28: the
+            # odd-sum /2 sits exactly on a decimal .5 at micro scale, where
+            # Spark's decimal-string HALF_UP and DuckDB's binary-double
+            # ROUND disagree)
+            (
+                (F.sum("kp_u") + F.sum("kq_u")).cast("double") / 2_000_000.0
+            ).alias("jsd_bits"),
+        )
+    )

@@ -6348,3 +6348,134 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return means.select("treated", "post", "n", "mean_value", did.alias("did_estimate"))
+
+
+# --------------------------------------------------------------------------
+# x250 — counterfactual impact vs a control-series regression forecast
+# --------------------------------------------------------------------------
+
+_CI_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_idx,
+         CASE WHEN (('0x' || substring(md5('ci:' || user_id), 1, 3))::BIGINT
+                    % 2) = 1 THEN 1 ELSE 0 END AS treated,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         day(ts) AS dom
+  FROM events
+),
+daily AS MATERIALIZED (
+  SELECT day_idx, MAX(dom) AS dom,
+         SUM(CASE WHEN treated = 1 THEN cents ELSE 0 END) AS y,
+         SUM(CASE WHEN treated = 0 THEN cents ELSE 0 END) AS x
+  FROM tagged GROUP BY day_idx
+),
+fit AS MATERIALIZED (
+  SELECT (COUNT(*) * SUM(CAST(x AS DOUBLE) * y)
+          - CAST(SUM(x) AS DOUBLE) * SUM(y))
+         / (COUNT(*) * SUM(CAST(x AS DOUBLE) * x)
+            - CAST(SUM(x) AS DOUBLE) * SUM(x)) AS b,
+         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar,
+         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS xbar
+  FROM daily WHERE dom <= 15
+),
+post AS (
+  SELECT d.day_idx,
+         ROUND(CAST(d.y AS DOUBLE) / 100, 2) AS actual,
+         (f.ybar + f.b * (d.x - f.xbar)) / 100 AS pred_raw
+  FROM daily d, fit f
+  WHERE d.dom > 15
+),
+eff AS (
+  SELECT day_idx, actual, ROUND(pred_raw, 6) AS predicted,
+         CAST(actual - pred_raw AS DOUBLE) AS e_raw,
+         SUM(actual - pred_raw) OVER (ORDER BY day_idx
+                                      ROWS UNBOUNDED PRECEDING) AS cum_raw
+  FROM post
+)
+SELECT day_idx, actual, predicted,
+       ROUND(e_raw, 6) AS effect,
+       ROUND(cum_raw, 6) AS cum_effect
+FROM eff
+"""
+
+
+@register("events_causal_impact", oracle=_CI_ORACLE)
+def events_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x250: COUNTERFACTUAL IMPACT via a control-series regression — the
+    CausalImpact idea in its minimal honest form: fit treated-vs-control
+    daily totals on the PRE period (one-regressor OLS in the centered
+    spelling ŷ = ȳ + b·(x − x̄)), forecast the post period from the live
+    control, and report per-day and CUMULATIVE effect = actual − predicted.
+    The time-series complement of x247's four-cell DiD: DiD assumes
+    parallel trends, this LEARNS the treated↔control mapping from the
+    pre-window and hands you the running total a launch review quotes.
+
+    Determinism: the OLS moments are sums of exact cent integers; b, the
+    predictions, and the ordered running sum are identically-
+    parenthesized float chains (an ORDERED prefix sum is sequential on
+    both engines — x98's argument), each display-rounded at 6dp.
+
+    100 TB: the user-hash split and daily collapse are one map-combined
+    pass; everything after runs on the |days| grid with the 1-row fit
+    broadcast. More regressors = x196's normal-equations device on the
+    same grid."""
+    ev = load_table(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ci:"), F.col("user_id"))), 1, 3),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    daily = (
+        ev.select(
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day_idx"),
+            F.dayofmonth("ts").alias("dom"),
+            treated.alias("treated"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.max("dom").alias("dom"),
+            F.sum(F.when(F.col("treated") == 1, F.col("cents")).otherwise(0)).alias(
+                "y"
+            ),
+            F.sum(F.when(F.col("treated") == 0, F.col("cents")).otherwise(0)).alias(
+                "x"
+            ),
+        )
+    )
+    daily = daily.localCheckpoint(eager=True)
+    pre = daily.filter(F.col("dom") <= 15)
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum(F.col("x").cast("double") * F.col("y"))
+    sxx = F.sum(F.col("x").cast("double") * F.col("x"))
+    fit = pre.agg(
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("b"),
+        (sy / n).alias("ybar"),
+        (sx / n).alias("xbar"),
+    )
+    post = (
+        daily.filter(F.col("dom") > 15)
+        .join(F.broadcast(fit))
+        .select(
+            "day_idx",
+            F.round(F.col("y").cast("double") / 100, 2).alias("actual"),
+            (
+                (F.col("ybar") + F.col("b") * (F.col("x") - F.col("xbar"))) / 100
+            ).alias("pred_raw"),
+        )
+    )
+    w_run = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return post.select(
+        "day_idx",
+        "actual",
+        F.round("pred_raw", 6).alias("predicted"),
+        F.round(F.col("actual") - F.col("pred_raw"), 6).alias("effect"),
+        F.round(
+            F.sum(F.col("actual") - F.col("pred_raw")).over(w_run), 6
+        ).alias("cum_effect"),
+    )
