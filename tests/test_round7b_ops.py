@@ -1081,3 +1081,41 @@ def test_jsd_matrix_properties(spark):
         assert r.src_a < r.src_b
         assert -1e-6 <= r.jsd_bits <= 1.0 + 1e-6
         assert r.jsd_bits == r.jsd2_u / 2_000_000.0
+
+
+def test_holt_winters_python_replay(spark):
+    """Replay the triple-exponential recursion with the rolling seasonal
+    buffer in pure Python — must match to double precision."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_holt_winters,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("ts_us").collect()
+    daily: dict[int, int] = {}
+    for r in ev:
+        d = r.ts_us // _DAY_US
+        daily[d] = daily.get(d, 0) + 1
+    ys = [float(daily[d]) for d in sorted(daily)]
+    a, b, g, m = 0.3, 0.1, 0.2, 7
+    l = sum(ys[:m]) / m
+    tr = (sum(ys[m : 2 * m]) / m - sum(ys[:m]) / m) / m
+    s = [y - l for y in ys[:m]]
+    i = m  # 1-based count of consumed elements
+    for y in ys[m:]:
+        slot = i % m
+        lnew = a * (y - s[slot]) + (1 - a) * (l + tr)
+        tr = b * (lnew - l) + (1 - b) * tr
+        s[slot] = g * (y - lnew) + (1 - g) * s[slot]
+        l = lnew
+        i += 1
+    t = len(ys)
+    rows = {r.horizon: r for r in ts_holt_winters(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, 8))
+    for h in range(1, 8):
+        slot = (t + h - 1) % m
+        assert abs(rows[h].seasonal - round(s[slot], 6)) < 1e-9
+        assert abs(rows[h].forecast - round(l + h * tr + s[slot], 6)) < 1e-9
+    # seasonal components of a weekly cycle roughly cancel over the week
+    assert abs(sum(r.seasonal for r in rows.values())) < sum(
+        abs(r.seasonal) for r in rows.values()
+    ) + 1e-9

@@ -153,6 +153,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row pre-period OLS fit broadcast-crossed onto the |post-days| "
         "grid — bounded by construction (x250)"
     ),
+    ("ts_holt_winters", "BroadcastNestedLoopJoin"): (
+        "1-row folded (level, trend, seasonal[7]) state broadcast-crossed "
+        "onto the 7-row horizon frame — bounded by construction (x253)"
+    ),
 }
 
 

@@ -6479,3 +6479,161 @@ def events_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("actual") - F.col("pred_raw")).over(w_run), 6
         ).alias("cum_effect"),
     )
+
+
+# --------------------------------------------------------------------------
+# x253 — Holt-Winters additive (level + trend + weekly seasonality)
+# --------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+_HW_M = 7
+_HW_H = 7
+
+_HW_ORACLE = f"""
+WITH RECURSIVE
+daily AS MATERIALIZED (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y FROM daily
+),
+nn AS (SELECT MAX(i) AS t FROM idx),
+seed AS MATERIALIZED (
+  -- integer-valued doubles: the seed sums are exact under ANY order
+  SELECT (SELECT SUM(y) FROM idx WHERE i <= {_HW_M}) / {_HW_M} AS l0,
+         ((SELECT SUM(y) FROM idx WHERE i > {_HW_M} AND i <= {2 * _HW_M})
+            / {_HW_M}
+          - (SELECT SUM(y) FROM idx WHERE i <= {_HW_M}) / {_HW_M})
+           / {_HW_M} AS b0
+),
+s0 AS MATERIALIZED (
+  -- lambda captures sd.l0 as an outer COLUMN: DuckDB rejects subqueries
+  -- inside lambda bodies
+  SELECT list_transform(l.ys, v -> v - sd.l0) AS s
+  FROM (SELECT list(y ORDER BY i) AS ys FROM idx WHERE i <= {_HW_M}) l,
+       seed sd
+),
+hw(i, l, b, s) AS (
+  SELECT CAST({_HW_M} AS BIGINT), (SELECT l0 FROM seed),
+         (SELECT b0 FROM seed), (SELECT s FROM s0)
+  UNION ALL
+  SELECT h.i + 1,
+         {_HW_A} * (x.y - h.s[CAST((h.i) % {_HW_M} + 1 AS INTEGER)])
+           + {1 - _HW_A} * (h.l + h.b),
+         {_HW_B} * (({_HW_A} * (x.y - h.s[CAST((h.i) % {_HW_M} + 1 AS INTEGER)])
+                     + {1 - _HW_A} * (h.l + h.b)) - h.l)
+           + {1 - _HW_B} * h.b,
+         list_transform(generate_series(1, {_HW_M}), k ->
+           CASE WHEN k = CAST((h.i) % {_HW_M} + 1 AS INTEGER)
+                THEN {_HW_G} * (x.y
+                       - ({_HW_A} * (x.y
+                            - h.s[CAST((h.i) % {_HW_M} + 1 AS INTEGER)])
+                          + {1 - _HW_A} * (h.l + h.b)))
+                     + {1 - _HW_G} * h.s[CAST((h.i) % {_HW_M} + 1 AS INTEGER)]
+                ELSE h.s[k] END)
+  FROM hw h JOIN idx x ON x.i = h.i + 1
+),
+fin AS (SELECT l, b, s FROM hw WHERE i = (SELECT t FROM nn))
+SELECT CAST(g.h AS INTEGER) AS horizon,
+       ROUND((SELECT l FROM fin) + g.h * (SELECT b FROM fin)
+             + (SELECT s[CAST(((SELECT t FROM nn) + g.h - 1) % {_HW_M} + 1
+                              AS INTEGER)] FROM fin), 6) AS forecast,
+       ROUND((SELECT s[CAST(((SELECT t FROM nn) + g.h - 1) % {_HW_M} + 1
+                            AS INTEGER)] FROM fin), 6) AS seasonal
+FROM (SELECT unnest(generate_series(1, {_HW_H})) AS h) g
+"""
+
+
+@register("ts_holt_winters", oracle=_HW_ORACLE)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x253: HOLT-WINTERS ADDITIVE — level + trend + weekly seasonality,
+    completing the classical smoothing ladder (x90 flat EMA -> x224
+    level+trend -> x232 irregular spacing -> THIS): l_t = α(y_t − s_{t−m})
+    + (1−α)(l+b); b_t as in Holt; s_t = γ(y_t − l_t) + (1−γ)s_{t−m};
+    forecast ŷ_{T+h} = l_T + h·b_T + s_{(T+h−1) mod m + 1}. The go-to for
+    any weekly-cyclic operational series; emits the 7-day forecast with
+    its seasonal component broken out.
+
+    Engineering point: the seasonal state is a LENGTH-7 ARRAY carried
+    INSIDE the Catalyst aggregate() fold (updated functionally via
+    transform-with-index), mirrored by a DuckDB recursive CTE carrying a
+    LIST column — both engines walk identical IEEE arithmetic over
+    identical operand order, so state stays bit-exact (x224's argument
+    extended to array state). Seeds: l₀ = week-1 mean, b₀ = (week-2 mean
+    − week-1 mean)/7, s seeds = week-1 deviations — integer-valued
+    doubles, exact under any summation order.
+
+    100 TB: the daily agg is the only row-scale work; the fold is a
+    single-task epilogue over |days|; per-key series parallelize by
+    adding the key to the groupBy (x224's note)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select((F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    a, b, g, m = _HW_A, _HW_B, _HW_G, _HW_M
+    folded = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("arr")
+    ).select(
+        F.size("arr").alias("t"),
+        F.expr(
+            f"""
+            aggregate(
+              slice(arr, {m + 1}, size(arr) - {m}),
+              named_struct(
+                'i', CAST({m} AS INT),
+                'l', aggregate(slice(arr, 1, {m}), CAST(0.0 AS DOUBLE),
+                               (acc, e) -> acc + e.y) / {m},
+                'b', (aggregate(slice(arr, {m + 1}, {m}), CAST(0.0 AS DOUBLE),
+                                (acc, e) -> acc + e.y) / {m}
+                      - aggregate(slice(arr, 1, {m}), CAST(0.0 AS DOUBLE),
+                                  (acc, e) -> acc + e.y) / {m}) / {m},
+                's', transform(sequence(1, {m}), k ->
+                       arr[k - 1].y
+                       - aggregate(slice(arr, 1, {m}), CAST(0.0 AS DOUBLE),
+                                   (acc, e) -> acc + e.y) / {m})),
+              (st, x) -> named_struct(
+                'i', st.i + 1,
+                'l', {a} * (x.y - st.s[st.i % {m}])
+                     + {1 - a} * (st.l + st.b),
+                'b', {b} * (({a} * (x.y - st.s[st.i % {m}])
+                             + {1 - a} * (st.l + st.b)) - st.l)
+                     + {1 - b} * st.b,
+                's', transform(sequence(1, {m}), k ->
+                       CASE WHEN k - 1 = st.i % {m}
+                            THEN {g} * (x.y
+                                   - ({a} * (x.y - st.s[st.i % {m}])
+                                      + {1 - a} * (st.l + st.b)))
+                                 + {1 - g} * st.s[st.i % {m}]
+                            ELSE st.s[k - 1] END))
+            ) AS st
+            """
+        ).alias("st"),
+    )
+    horizons = spark.range(1, _HW_H + 1).select(
+        F.col("id").cast("int").alias("horizon")
+    )
+    fin = folded.select(
+        "t", F.col("st.l").alias("l"), F.col("st.b").alias("b"), F.col("st.s").alias("s")
+    )
+    out = horizons.join(F.broadcast(fin)).select(
+        "horizon",
+        F.round(
+            F.col("l")
+            + F.col("horizon") * F.col("b")
+            + F.element_at(
+                F.col("s"), ((F.col("t") + F.col("horizon") - 1) % _HW_M + 1).cast("int")
+            ),
+            6,
+        ).alias("forecast"),
+        F.round(
+            F.element_at(
+                F.col("s"), ((F.col("t") + F.col("horizon") - 1) % _HW_M + 1).cast("int")
+            ),
+            6,
+        ).alias("seasonal"),
+    )
+    return out
