@@ -157,6 +157,15 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row folded (level, trend, seasonal[7]) state broadcast-crossed "
         "onto the 7-row horizon frame — bounded by construction (x253)"
     ),
+    ("agg_hill_tail_index", "BroadcastNestedLoopJoin"): (
+        "1-row k+1-st order-statistic frame broadcast-crossed onto the "
+        "k-row tail — bounded by construction (x243)"
+    ),
+    ("source_jsd_matrix", "BroadcastNestedLoopJoin"): (
+        "|sources| x |sources| non-equi pair frame and the (pair x top-V "
+        "vocab) grid — both bounded by the source/vocab dims, never corpus "
+        "size (x252)"
+    ),
 }
 
 
