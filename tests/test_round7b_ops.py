@@ -1119,3 +1119,94 @@ def test_holt_winters_python_replay(spark):
     assert abs(sum(r.seasonal for r in rows.values())) < sum(
         abs(r.seasonal) for r in rows.values()
     ) + 1e-9
+
+
+def test_xcorr_replay_and_symmetry_bound(spark):
+    """Replay the lag-0 correlation from raw counts; all values in
+    [-1, 1]; lag 0 present."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_xcorr_lagged,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "CAST(ts_us DIV 86400000000 AS LONG) AS day", "event_type"
+    ).collect()
+    daily: dict = {}
+    for r in ev:
+        if r.event_type in ("view", "purchase"):
+            a, b = daily.get(r.day, (0, 0))
+            daily[r.day] = (a + (r.event_type == "view"), b + (r.event_type == "purchase"))
+    xs = [a for a, _ in daily.values()]
+    ys = [b for _, b in daily.values()]
+    n = len(xs)
+    sa, sb = sum(xs), sum(ys)
+    sab = sum(a * b for a, b in zip(xs, ys))
+    saa = sum(a * a for a in xs)
+    sbb = sum(b * b for b in ys)
+    r0 = (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    rows = {r.lag: r for r in ts_xcorr_lagged(spark, SF_SMOKE).collect()}
+    assert 0 in rows
+    assert abs(rows[0].xcorr - round(r0, 6)) < 1e-9
+    assert rows[0].n_days == n
+    for r in rows.values():
+        assert -1.000001 <= r.xcorr <= 1.000001
+
+
+def test_shard_manifest_partitions_and_checksum(spark):
+    """Shards tile the corpus exactly; checksum replays from the hash and
+    is invariant to member order by construction."""
+    import hashlib
+
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        pipeline_shard_manifest,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()
+    agg: dict = {}
+    for r in docs:
+        shard = int(hashlib.md5(f"shard:{r.doc_id}".encode()).hexdigest()[:4], 16) % 16
+        h = int(
+            hashlib.md5(f"member:{r.doc_id}:{r.n_chars}".encode()).hexdigest()[:12],
+            16,
+        )
+        n, tc, lo, hi, ck = agg.get(shard, (0, 0, None, None, 0))
+        agg[shard] = (
+            n + 1,
+            tc + r.n_chars,
+            r.doc_id if lo is None else min(lo, r.doc_id),
+            r.doc_id if hi is None else max(hi, r.doc_id),
+            ck + h,
+        )
+    rows = {r.shard: r for r in pipeline_shard_manifest(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
+    for shard, (n, tc, lo, hi, ck) in agg.items():
+        r = rows[shard]
+        assert (r.n_docs, r.total_chars, r.min_doc_id, r.max_doc_id, r.member_checksum) == (
+            n, tc, lo, hi, ck
+        )
+
+
+def test_binary_codecs_roundtrips_all_green(spark):
+    """Every row must round-trip through both codecs; b64/hex replay."""
+    import base64
+
+    from wikipedia_org_xmldump_importer_spark.queries.scalar_fns import (
+        fn_binary_codecs,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    rows = fn_binary_codecs(spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        raw24 = texts[r.doc_id][:24].encode()
+        raw12 = texts[r.doc_id][:12].encode()
+        assert r.b64 == base64.b64encode(raw24).decode()
+        assert r.hx == raw12.hex().upper()
+        assert r.b64_roundtrip_ok == 1 and r.hex_roundtrip_ok == 1
+        assert r.n_bytes == len(raw24)

@@ -809,3 +809,93 @@ def sample_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.filter(F.col("n_hits") >= 1).select(
         "c_mktsegment", "c_custkey", "w", F.col("n_hits").cast("long").alias("n_hits")
     )
+
+
+# --------------------------------------------------------------------------
+# x255 — deterministic shard assignment + order-independent manifest
+# --------------------------------------------------------------------------
+
+_SHARD_N = 16
+
+_MANIFEST_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substring(md5('shard:' || doc_id), 1, 4))::BIGINT
+           % {_SHARD_N} AS shard,
+         -- 48-bit member hashes: an int64 SUM then holds ~32k members
+         -- per shard before overflow (ANSI long overflow is an ABORT in
+         -- Spark — the price_index lesson); wider shards widen the
+         -- accumulator to DECIMAL(38)/HUGEINT, same plan
+         ('0x' || substring(md5('member:' || doc_id || ':' || n_chars),
+                            1, 12))::BIGINT AS member_h
+  FROM documents
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(SUM(member_h) AS BIGINT) AS member_checksum
+FROM assigned GROUP BY shard
+"""
+
+
+@register("pipeline_shard_manifest", oracle=_MANIFEST_ORACLE)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x255: SHARD MANIFEST — deterministic doc->shard assignment (md5 of
+    the key, x47's membership device) plus the per-shard manifest a
+    corpus release actually ships: doc count, byte budget, id range, and
+    an ORDER-INDEPENDENT member checksum (sum of per-member content-keyed
+    hashes — commutative, so any writer parallelism or retry order yields
+    the same checksum, and a reader can verify a shard without sorting
+    it). This is the publish step after x46/x47/x48 decide what goes in:
+    WebDataset/tar-shard pipelines (x234 reads the container this writes
+    the plan for) need exactly this manifest to validate transfers.
+
+    Determinism: everything is integer — hash-derived shard and member
+    hashes, exact sums. The checksum hashes (doc_id : n_chars) so a
+    truncated or substituted member changes it (content-sensitive via the
+    size field; a full-content checksum would hash the payload bytes —
+    same plan, disclosed simplification for the text column).
+
+    100 TB: one narrow hash projection + a {_SHARD_N}-group map-combined
+    agg; zero shuffles beyond the final collapse. The shard count scales
+    with target shard bytes, not row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % _SHARD_N
+        ).alias("shard"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("member:"),
+                        F.col("doc_id"),
+                        F.lit(":"),
+                        F.col("n_chars"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("member_h"),
+    )
+    return assigned.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.sum("member_h").cast("long").alias("member_checksum"),
+    )

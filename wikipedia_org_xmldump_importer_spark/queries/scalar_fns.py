@@ -650,3 +650,64 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("safe_div_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# x256 — binary codec round-trips (base64 / hex) as a checked surface
+# --------------------------------------------------------------------------
+
+_CODEC_ORACLE = """
+SELECT doc_id,
+       to_base64(CAST(substr(text, 1, 24) AS BLOB)) AS b64,
+       hex(CAST(substr(text, 1, 12) AS BLOB)) AS hx,
+       CASE WHEN CAST(from_base64(to_base64(CAST(substr(text, 1, 24) AS BLOB)))
+                      AS VARCHAR) = substr(text, 1, 24)
+            THEN 1 ELSE 0 END AS b64_roundtrip_ok,
+       CASE WHEN CAST(unhex(hex(CAST(substr(text, 1, 12) AS BLOB)))
+                      AS VARCHAR) = substr(text, 1, 12)
+            THEN 1 ELSE 0 END AS hex_roundtrip_ok,
+       CAST(octet_length(CAST(substr(text, 1, 24) AS BLOB)) AS BIGINT)
+         AS n_bytes
+FROM documents
+"""
+
+
+@register("fn_binary_codecs", oracle=_CODEC_ORACLE)
+def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x256: BINARY CODEC surface — base64 and hex encodings of document
+    prefixes with EXPLICIT round-trip verification columns, completing
+    §2.8's string/binary coverage (f10 hashes content; this moves it
+    between representations losslessly — the wire-format conversions
+    every ingest/egress boundary performs). The round-trip flags make the
+    op self-auditing: a padding or case bug on either engine fails the
+    hash oracle AND shows up as a 0 flag.
+
+    Cross-engine notes: base64 of a 24-byte prefix never emits '=' padding
+    ambiguity differences (24 % 3 == 0 — chosen deliberately; 22-byte
+    prefixes would expose Spark's RFC 4648 padding vs any chunked-MIME
+    variant); hex() is uppercase on both engines.
+
+    100 TB: narrow per-row projection, zero shuffles — the codec cost is
+    the bytes themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    p24 = F.encode(F.substring("text", 1, 24), "UTF-8")
+    p12 = F.encode(F.substring("text", 1, 12), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.base64(p24).alias("b64"),
+        F.hex(p12).alias("hx"),
+        F.when(
+            F.decode(F.unbase64(F.base64(p24)), "UTF-8")
+            == F.substring("text", 1, 24),
+            1,
+        )
+        .otherwise(0)
+        .alias("b64_roundtrip_ok"),
+        F.when(
+            F.decode(F.unhex(F.hex(p12)), "UTF-8") == F.substring("text", 1, 12),
+            1,
+        )
+        .otherwise(0)
+        .alias("hex_roundtrip_ok"),
+        F.octet_length(p24).cast("long").alias("n_bytes"),
+    )

@@ -6637,3 +6637,120 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonal"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# x254 — lagged cross-correlation between two event-type series
+# --------------------------------------------------------------------------
+
+_XC_MAX_LAG = 7
+_XC_A, _XC_B = "view", "purchase"
+
+_XCORR_ORACLE = f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         SUM(CASE WHEN event_type = '{_XC_A}' THEN 1 ELSE 0 END) AS xa,
+         SUM(CASE WHEN event_type = '{_XC_B}' THEN 1 ELSE 0 END) AS xb
+  FROM events WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+  GROUP BY 1
+),
+lags AS (SELECT unnest(generate_series(-{_XC_MAX_LAG}, {_XC_MAX_LAG})) AS lag),
+joined AS (
+  SELECT l.lag, a.xa, b.xb
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + l.lag
+),
+mo AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(xa) AS sa, SUM(xb) AS sb,
+         SUM(xa * xb) AS sab, SUM(xa * xa) AS saa, SUM(xb * xb) AS sbb
+  FROM joined GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb)
+             / SQRT((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                    * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb)),
+             6) AS xcorr
+FROM mo WHERE n >= {_XC_MAX_LAG}
+"""
+
+
+@register("ts_xcorr_lagged", oracle=_XCORR_ORACLE)
+def ts_xcorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x254: LAGGED CROSS-CORRELATION between the daily '{_XC_A}' and
+    '{_XC_B}' series over lags -{_XC_MAX_LAG}..+{_XC_MAX_LAG} — the
+    lead/lag detector ("do views lead purchases, and by how many
+    days?"): the argmax lag is the causal-delay hypothesis every funnel
+    model starts from, and the symmetric profile distinguishes shared
+    seasonality (flat ridge) from genuine lead (off-center peak). The
+    cross-series sibling of x147's autocorrelation.
+
+    Exactness: daily counts are integers, so all five Pearson moments
+    per lag are EXACT integer sums (no order exposure); the correlation
+    is one identically-parenthesized float expression with a correctly-
+    rounded sqrt, display-pinned at 6dp. Short-overlap lags (< 
+    {_XC_MAX_LAG} shared days) are dropped rather than reported on
+    meaningless support.
+
+    100 TB: the series collapse to |days| rows first; the lag expansion
+    is a bounded 15x explode JOINED ON DAY (an equi-join — never a
+    window-per-lag rescan), and the moment agg is map-combined per
+    lag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(_XC_A, _XC_B))
+        .select(
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+            F.when(F.col("event_type") == _XC_A, 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == _XC_B, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("day")
+        .agg(F.sum("ia").alias("xa"), F.sum("ib").alias("xb"))
+        .localCheckpoint(eager=True)
+    )
+    expanded = daily.select(
+        "day",
+        "xa",
+        F.explode(
+            F.sequence(F.lit(-_XC_MAX_LAG), F.lit(_XC_MAX_LAG))
+        ).alias("lag"),
+    ).withColumn("bday", F.col("day") + F.col("lag"))
+    joined = expanded.join(
+        daily.select(F.col("day").alias("bday"), "xb"), "bday"
+    )
+    n = F.count(F.lit(1))
+    sa = F.sum("xa")
+    sb = F.sum("xb")
+    sab = F.sum(F.col("xa") * F.col("xb"))
+    saa = F.sum(F.col("xa") * F.col("xa"))
+    sbb = F.sum(F.col("xb") * F.col("xb"))
+    mo = joined.groupBy("lag").agg(
+        n.alias("n"),
+        sa.alias("sa"),
+        sb.alias("sb"),
+        sab.alias("sab"),
+        saa.alias("saa"),
+        sbb.alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("saa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa")
+        )
+        * (
+            F.col("n") * F.col("sbb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb")
+        )
+    )
+    return (
+        mo.filter(F.col("n") >= _XC_MAX_LAG)
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(num / den, 6).alias("xcorr"),
+        )
+    )
