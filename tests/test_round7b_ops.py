@@ -1210,3 +1210,67 @@ def test_binary_codecs_roundtrips_all_green(spark):
         assert r.hx == raw12.hex().upper()
         assert r.b64_roundtrip_ok == 1 and r.hex_roundtrip_ok == 1
         assert r.n_bytes == len(raw24)
+
+
+def test_backtest_replay(spark):
+    """Replay both baselines' absolute-error sums from daily counts."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        ts_backtest_naive,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "CAST(ts_us DIV 86400000000 AS LONG) AS day"
+    ).collect()
+    daily: dict = {}
+    for r in ev:
+        daily[(r.event_type, r.day)] = daily.get((r.event_type, r.day), 0) + 1
+    dmax = max(d for _, d in daily)
+    agg: dict = {}
+    for (t, d), y in daily.items():
+        if d <= dmax - 14:
+            continue
+        y1 = daily.get((t, d - 1))
+        y7 = daily.get((t, d - 7))
+        if y1 is None or y7 is None:
+            continue
+        n, s1, s7 = agg.get(t, (0, 0, 0))
+        agg[t] = (n + 1, s1 + abs(y - y1), s7 + abs(y - y7))
+    rows = {r.event_type: r for r in ts_backtest_naive(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(agg)
+    for t, (n, s1, s7) in agg.items():
+        r = rows[t]
+        assert (r.n_origins, r.sae_naive, r.sae_snaive) == (n, s1, s7)
+        assert r.snaive_wins == (1 if s7 < s1 else 0)
+        assert abs(r.mae_naive - round(s1 / n, 6)) < 1e-9
+
+
+def test_var_cvar_replay_and_coherence(spark):
+    """Replay VaR/CVaR from sorted cents; CVaR >= VaR (coherence of the
+    tail mean beyond the quantile)."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_var_cvar,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()
+    by_seg: dict = {}
+    for r in orders:
+        by_seg.setdefault(r.o_orderpriority, []).append(
+            (r.o_totalprice, r.o_orderkey)
+        )
+    rows = {r.seg: r for r in agg_var_cvar(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(by_seg)
+    for seg, pts in by_seg.items():
+        pts.sort()
+        cents = [int(round(p * 100)) for p, _ in pts]
+        n = len(cents)
+        r_var = math.ceil(n * 0.95)
+        var_c = cents[r_var - 1]
+        tail = cents[r_var:]
+        r = rows[seg]
+        assert r.n_orders == n
+        assert r.var_cents == var_c
+        assert r.n_tail == len(tail)
+        assert abs(r.cvar - round(sum(tail) / len(tail) / 100, 6)) < 1e-9
+        assert r.cvar >= r.var_cents / 100

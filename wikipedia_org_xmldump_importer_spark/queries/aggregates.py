@@ -2297,3 +2297,80 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("se_boot"),
     )
+
+
+# --------------------------------------------------------------------------
+# x258 — Value-at-Risk and expected shortfall (CVaR) per segment
+# --------------------------------------------------------------------------
+
+_VAR_Q = 0.95
+
+_VAR_ORACLE = f"""
+WITH pts AS (
+  SELECT o_orderpriority AS seg,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+lim AS (
+  SELECT *, CAST(ceil(n * {_VAR_Q}) AS BIGINT) AS r_var FROM pts
+)
+SELECT seg,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MIN(CASE WHEN r = r_var THEN cents END) AS BIGINT) AS var_cents,
+       CAST(SUM(CASE WHEN r > r_var THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail,
+       ROUND(CAST(SUM(CASE WHEN r > r_var THEN cents END) AS DOUBLE)
+             / SUM(CASE WHEN r > r_var THEN 1 ELSE 0 END) / 100, 6)
+         AS cvar
+FROM lim GROUP BY seg
+"""
+
+
+@register("agg_var_cvar", oracle=_VAR_ORACLE)
+def agg_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x258: VALUE-AT-RISK and EXPECTED SHORTFALL (CVaR) at the
+    {_VAR_Q:.0%} level per order priority — the finance risk pair: VaR is
+    the {_VAR_Q:.0%} order statistic ("losses exceed this 1 day in 20"),
+    CVaR the MEAN of everything beyond it — the coherent tail measure
+    regulators moved to precisely because VaR ignores how bad the tail
+    is. The tail-risk complement of x243's Hill exponent (which says how
+    FAST the tail decays; this prices its first moment). Rank-discrete
+    VaR (x106's device: the ceil(q·n)-th order statistic, ties pinned by
+    orderkey) so no interpolation ever touches float.
+
+    All-integer until the one CVaR division; the boundary order statistic
+    and the tail membership come from rank equality inside the same agg
+    (x244's no-second-pass trick).
+
+    100 TB: one rank window per segment (the percentile shuffle) + a
+    map-combined conditional agg. At extreme cardinality swap the exact
+    rank for x184's GK-sketch quantile and take the tail mean over the
+    sketch cutoff — same report, bounded state."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_seg = Window.partitionBy("o_orderpriority")
+    pts = orders.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_seg).alias("n"),
+    ).withColumn("r_var", F.ceil(F.col("n") * _VAR_Q).cast("long"))
+    tail = F.col("r") > F.col("r_var")
+    return pts.groupBy("seg").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min(F.when(F.col("r") == F.col("r_var"), F.col("cents")))
+        .cast("long")
+        .alias("var_cents"),
+        F.sum(F.when(tail, 1).otherwise(0)).cast("long").alias("n_tail"),
+        F.round(
+            F.sum(F.when(tail, F.col("cents"))).cast("double")
+            / F.sum(F.when(tail, 1).otherwise(0))
+            / 100,
+            6,
+        ).alias("cvar"),
+    )

@@ -6754,3 +6754,105 @@ def ts_xcorr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / den, 6).alias("xcorr"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x257 — rolling-origin backtest: naive vs seasonal-naive forecasters
+# --------------------------------------------------------------------------
+
+_BT_HORIZON_DAYS = 14
+
+_BT_ORACLE = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY event_type, 2
+),
+mx AS (SELECT MAX(day) AS dmax FROM daily),
+scored AS (
+  SELECT c.event_type,
+         ABS(c.y - n1.y) AS e_naive,
+         ABS(c.y - n7.y) AS e_snaive
+  FROM daily c
+  JOIN daily n1 ON n1.event_type = c.event_type AND n1.day = c.day - 1
+  JOIN daily n7 ON n7.event_type = c.event_type AND n7.day = c.day - 7
+  WHERE c.day > (SELECT dmax FROM mx) - {_BT_HORIZON_DAYS}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_origins,
+       CAST(SUM(e_naive) AS BIGINT) AS sae_naive,
+       CAST(SUM(e_snaive) AS BIGINT) AS sae_snaive,
+       ROUND(CAST(SUM(e_naive) AS DOUBLE) / COUNT(*), 6) AS mae_naive,
+       ROUND(CAST(SUM(e_snaive) AS DOUBLE) / COUNT(*), 6) AS mae_snaive,
+       CAST(CASE WHEN SUM(e_snaive) < SUM(e_naive) THEN 1 ELSE 0 END
+         AS INTEGER) AS snaive_wins
+FROM scored GROUP BY event_type
+"""
+
+
+@register("ts_backtest_naive", oracle=_BT_ORACLE)
+def ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x257: ROLLING-ORIGIN BACKTEST of the two baseline forecasters —
+    naive (ŷ_t = y_{t-1}) vs seasonal-naive (ŷ_t = y_{t-7}) — per event
+    type over the last {_BT_HORIZON_DAYS} origins. THE forecast-eval
+    methodology in its minimal form: every model in the suite (x138,
+    x224, x253) must beat these two on exactly this protocol before it
+    ships, and snaive-beats-naive IS the standard test for "does this
+    series have weekly structure worth modeling". Origins where a lag is
+    missing drop out (join semantics — never a silently-imputed zero
+    error).
+
+    All-integer: counts, absolute errors, and their sums are exact;
+    MAE is the only division, display-pinned. The winner flag compares
+    the INTEGER sums, so it can never disagree with the displayed MAEs.
+
+    100 TB: the day-grain collapse is the only row-scale work; the two
+    lag alignments are equi self-joins on (type, day) — x138's
+    sparse-series argument: row-offset lags mis-align on missing days,
+    calendar joins cannot."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    dmax = daily.agg(F.max("day").alias("dmax"))
+    n1 = daily.select(
+        F.col("event_type").alias("event_type"),
+        (F.col("day") + 1).alias("day"),
+        F.col("y").alias("y1"),
+    )
+    n7 = daily.select(
+        F.col("event_type").alias("event_type"),
+        (F.col("day") + 7).alias("day"),
+        F.col("y").alias("y7"),
+    )
+    scored = (
+        daily.join(n1, ["event_type", "day"])
+        .join(n7, ["event_type", "day"])
+        .join(F.broadcast(dmax))
+        .filter(F.col("day") > F.col("dmax") - _BT_HORIZON_DAYS)
+        .select(
+            "event_type",
+            F.abs(F.col("y") - F.col("y1")).alias("e_naive"),
+            F.abs(F.col("y") - F.col("y7")).alias("e_snaive"),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_origins"),
+        F.sum("e_naive").cast("long").alias("sae_naive"),
+        F.sum("e_snaive").cast("long").alias("sae_snaive"),
+        F.round(F.sum("e_naive").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae_naive"
+        ),
+        F.round(F.sum("e_snaive").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae_snaive"
+        ),
+        F.when(F.sum("e_snaive") < F.sum("e_naive"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("snaive_wins"),
+    )
