@@ -6819,7 +6819,6 @@ def ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
         .localCheckpoint(eager=True)
     )
-    dmax = daily.agg(F.max("day").alias("dmax"))
     n1 = daily.select(
         F.col("event_type").alias("event_type"),
         (F.col("day") + 1).alias("day"),
@@ -6830,10 +6829,14 @@ def ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("day") + 7).alias("day"),
         F.col("y").alias("y7"),
     )
+    # global max day via an unpartitioned window over the COLLAPSED
+    # day-grain frame (pareto_abc's rule) — a 1-row broadcast cross would
+    # be a needless BNLJ allowlist entry
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     scored = (
-        daily.join(n1, ["event_type", "day"])
+        daily.withColumn("dmax", F.max("day").over(w_all))
+        .join(n1, ["event_type", "day"])
         .join(n7, ["event_type", "day"])
-        .join(F.broadcast(dmax))
         .filter(F.col("day") > F.col("dmax") - _BT_HORIZON_DAYS)
         .select(
             "event_type",
