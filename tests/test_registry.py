@@ -113,6 +113,26 @@ def test_driver_window_covers_oldest_never_attested():
     )
 
 
+def test_next_window_tool_matches_policy():
+    """r7 verdict task 6: the rotation pre-flight tool must derive exactly
+    the window the policy test above enforces, so running it before a
+    round-final commit is sufficient to prevent a stale tuple."""
+    import sys
+    from pathlib import Path
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import next_window
+
+    from wikipedia_org_xmldump_importer_spark.queries import DRIVER_PRIORITY
+
+    exp = next_window.expected_window()
+    assert len(exp) == 50
+    assert exp == DRIVER_PRIORITY, "tool derivation drifted from committed window"
+    assert next_window.main(["--check"]) == 0
+
+
 def test_survey_registry_sync():
     """SURVEY.md §2 is the declared contract; REGISTRY is the machine-checked
     mirror. Parse the §2 tables and fail on drift in either direction
