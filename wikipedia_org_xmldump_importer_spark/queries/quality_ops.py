@@ -934,12 +934,15 @@ grid AS (
     ON p1.event_type = p2.event_type AND p1.bucket = p2.bucket
 ),
 shares AS (
+  -- LEFT joins + COALESCE(n,0): a type seen in only one half-month keeps its
+  -- rows with the empty period's denominator = 0 + smoothing, matching the
+  -- Spark side's per-type window sum over all-zero counts (r7 advisor note).
   SELECT g.event_type, g.bucket, g.c1, g.c2,
-         ROUND(CAST(g.c1 + 1 AS DOUBLE) / (n1.n + {_PSI_B}), 6) AS s1,
-         ROUND(CAST(g.c2 + 1 AS DOUBLE) / (n2.n + {_PSI_B}), 6) AS s2
+         ROUND(CAST(g.c1 + 1 AS DOUBLE) / (COALESCE(n1.n, 0) + {_PSI_B}), 6) AS s1,
+         ROUND(CAST(g.c2 + 1 AS DOUBLE) / (COALESCE(n2.n, 0) + {_PSI_B}), 6) AS s2
   FROM grid g
-  JOIN n1 ON n1.event_type = g.event_type
-  JOIN n2 ON n2.event_type = g.event_type
+  LEFT JOIN n1 ON n1.event_type = g.event_type
+  LEFT JOIN n2 ON n2.event_type = g.event_type
 )
 SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
        CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, s1, s2,

@@ -3259,15 +3259,27 @@ def mm_parse_tar_members(buf):
 
 
 _TAR_ORACLE = """
+-- sizes are UTF-8 OCTET lengths of what the builder actually writes
+-- (encode(text) and encode(substring(text,1,40))), not n_chars: FIXTURES.md
+-- warns n_chars may differ from byte length, and any non-ASCII text would
+-- otherwise desync the declared size from the written payload (r7 advisor
+-- note). substring is char-based in both engines; byte length is taken
+-- after encoding, so the closed forms match the builder exactly.
+WITH sized AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS b1,
+         octet_length(encode(substring(text, 1, 40))) AS b2
+  FROM documents
+)
 SELECT doc_id,
        CAST(2 AS BIGINT) AS n_members,
-       CAST(n_chars + LEAST(n_chars, 40) AS BIGINT) AS total_data_bytes,
-       CAST(512 + ((n_chars + 511) // 512) * 512 + 512 AS BIGINT)
+       CAST(b1 + b2 AS BIGINT) AS total_data_bytes,
+       CAST(512 + ((b1 + 511) // 512) * 512 + 512 AS BIGINT)
          AS second_data_offset,
-       CAST(512 + ((n_chars + 511) // 512) * 512 + 512
-            + ((LEAST(n_chars, 40) + 511) // 512) * 512 AS BIGINT)
+       CAST(512 + ((b1 + 511) // 512) * 512 + 512
+            + ((b2 + 511) // 512) * 512 AS BIGINT)
          AS end_marker_offset
-FROM documents
+FROM sized
 """
 
 
@@ -3286,8 +3298,9 @@ def mm_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins this walker against Python's own tar writer).
 
     Oracle is the x218-style arithmetic twin: every output is closed-form
-    in n_chars (offsets are 512-block arithmetic), so DuckDB checks the
-    walk's arithmetic without parsing bytes.
+    in the UTF-8 octet lengths of the written members (offsets are
+    512-block arithmetic), so DuckDB checks the walk's arithmetic without
+    parsing bytes.
 
     100 TB: (doc_id, payload)-only mapInPandas; the walk reads 512 bytes
     per member header and SKIPS data by arithmetic — listing a shard's
@@ -3327,8 +3340,10 @@ def mm_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         pad_len = F.pmod(F.lit(512) - F.pmod(size_col, F.lit(512)), F.lit(512))
         return F.concat(data_col, F.unhex(F.repeat(F.lit("00"), pad_len)))
 
-    size1 = F.col("n_chars").cast("int")
-    size2 = F.least(F.col("n_chars"), F.lit(40)).cast("int")
+    # declared sizes = UTF-8 byte lengths of the written payloads (NOT
+    # n_chars — a multi-byte char would desync the walker; r7 advisor note)
+    size1 = F.octet_length("text").cast("int")
+    size2 = F.octet_length(F.substring("text", 1, 40)).cast("int")
     name1 = F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt"))
     name2 = F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".meta"))
     payload = F.concat(

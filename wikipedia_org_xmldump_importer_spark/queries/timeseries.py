@@ -6083,7 +6083,13 @@ pi0 AS (
 ),"""
     + ",".join(_mkstat_iter_sql(k) for k in range(1, _MKSTAT_ITERS + 1))
     + f"""
+-- restrict to states with observed OUTGOING transitions: a state seen only
+-- as a sequence terminator (dst-only) would otherwise survive here as an
+-- output row while the Spark side's src-built index drops it (r8 parity
+-- fix; both engines now report the distribution over src states, where
+-- dst-only sinks absorb mass without re-emitting it in either engine)
 SELECT state, ROUND(p, 6) AS stationary_p FROM pi{_MKSTAT_ITERS}
+WHERE state IN (SELECT state FROM states)
 """
 )
 
