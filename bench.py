@@ -18,11 +18,19 @@ far is >= 1 s stops repeating after two shots — noise is proportionally
 small there, and repeating the slow tail would triple the sweep's wall
 clock for nothing.
 
+Rows whose in-sweep median exceeds 2x their committed BENCH.json budget are
+automatically re-measured in an isolated pass at the end of the sweep (5
+repeats, median) and the isolated number is reported, with the substitution
+logged to stderr and listed under ``"isolated"`` in the JSON. This kills the
+recurring sweep-order false alarms (trap #14) at the source; disable with
+``SPARK_GRAFT_BENCH_ISOLATE=0`` to see raw in-sweep numbers.
+
 Usage:
     python bench.py                  # all queries, warm timing
     python bench.py q1 q2 ...        # subset
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
     SPARK_GRAFT_BENCH_REPEATS=1 python bench.py   # old single-shot mode
+    SPARK_GRAFT_BENCH_ISOLATE=0 python bench.py   # no auto-re-measure pass
 """
 
 from __future__ import annotations
@@ -119,6 +127,55 @@ def main() -> None:
             continue
         timings[name] = round(statistics.median(samples), 3)
 
+    # Isolated re-measure pass (r7 verdict task 7): sweep-order interference
+    # (residual codegen compilation, GC pressure from a heavy predecessor)
+    # keeps producing false 2x-budget alarms that previously needed manual
+    # trap-#14 adjudication each round. Any row whose in-sweep median
+    # exceeds 2x its committed BENCH.json budget is re-measured here at the
+    # END of the sweep — same session, cache cleared, 5 repeats — and the
+    # isolated median replaces the in-sweep number. A genuine regression
+    # stays >2x under isolation and still trips the budget check; a
+    # neighbor-noise artifact melts away without human adjudication.
+    isolated: list[str] = []
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+        budgets = {}
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH.json")) as fh:
+                budgets = json.load(fh).get("queries", {})
+        except Exception:
+            pass
+        suspects = [
+            n
+            for n, t in timings.items()
+            if t > 0 and budgets.get(n, 0) > 0 and t > 2.0 * budgets[n]
+        ]
+        for name in suspects:
+            spark.catalog.clearCache()
+            samples = []
+            try:
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    materialize(REGISTRY[name].fn(spark, sf_dir))
+                    samples.append(time.perf_counter() - t0)
+                    if (
+                        len(samples) >= 2
+                        and min(samples) >= 1.0
+                        and max(samples) / min(samples) < 2.0
+                    ):
+                        break
+            except Exception as e:
+                print(f"BENCH ISOLATE FAIL {name}: {e}", file=sys.stderr)
+                continue
+            iso = round(statistics.median(samples), 3)
+            print(
+                f"BENCH ISOLATE {name}: sweep {timings[name]} -> isolated {iso} "
+                f"(budget {budgets[name]})",
+                file=sys.stderr,
+            )
+            timings[name] = iso
+            isolated.append(name)
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
     print(
@@ -132,6 +189,7 @@ def main() -> None:
                 "n_queries": len(names),
                 "n_failed": len(timings) - len(ok),
                 "repeats": repeats,
+                "isolated": isolated,
             }
         )
     )
