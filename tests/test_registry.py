@@ -276,3 +276,23 @@ def test_bench_budget_rows_in_lockstep():
     stale = sorted(budgeted - registered)
     assert not missing, f"registered queries with no BENCH.json budget row: {missing}"
     assert not stale, f"BENCH.json rows for unregistered queries: {stale}"
+
+
+def test_bench_sf1_rows_in_lockstep():
+    """r7 verdict task 5: the sf1 (10x replica) scaling sweep is the scale
+    evidence for every operator, so BENCH_SF1.json must track registration
+    the same way BENCH.json does — a new operator lands with an sf1 row
+    from tools/make_scale_data.py data, or the 100x-survival claim has a
+    hole exactly where the newest (least battle-tested) code is."""
+    import json
+    from pathlib import Path
+
+    sf1 = json.loads(
+        Path(__file__).resolve().parent.parent.joinpath("BENCH_SF1.json").read_text()
+    )
+    swept = set(sf1["queries"])
+    registered = set(REGISTRY)
+    missing = sorted(registered - swept)
+    stale = sorted(swept - registered)
+    assert not missing, f"registered queries with no BENCH_SF1.json row: {missing}"
+    assert not stale, f"BENCH_SF1.json rows for unregistered queries: {stale}"
