@@ -32,6 +32,25 @@ RED_FLAGS: dict[str, str] = {
 #: SURVEY row / docstring gives. Keep justifications honest — this list is
 #: audited by humans, not just tests.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    ("agg_qq_normal", "BroadcastNestedLoopJoin"): (
+        "19-row z-literal table crossed with the 1-row moment frame "
+        "before probing ranks — bounded by construction (x263); the "
+        "rank probe itself is an equi hash join"
+    ),
+    ("vocab_growth_heaps", "BroadcastNestedLoopJoin"): (
+        "10-row decile probe BNLJ onto the |docs|-grain curve (rank = "
+        "ceil(k/10*nd) mixes sides, not equi-joinable) — 10 predicate "
+        "evals per curve row, linear; plus the 1-row beta-fit cross "
+        "(x269)"
+    ),
+    ("ts_theta_forecast", "BroadcastNestedLoopJoin"): (
+        "1-row SES-level and 1-row drift frames broadcast-crossed onto "
+        "the 7-row horizon frame — bounded by construction (x265)"
+    ),
+    ("ts_hurst_rs", "BroadcastNestedLoopJoin"): (
+        "3-row block-size constant broadcast-crossed onto the day-grain "
+        "series (3 rows out per day) — bounded by construction (x266)"
+    ),
     ("join_theta_range", "BroadcastNestedLoopJoin"): (
         "j5 is a non-equi band join against a broadcast-size bounded "
         "band table; BNLJ over the broadcast side is the intended plan"

@@ -2374,3 +2374,536 @@ def agg_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvar"),
     )
+
+
+# --------------------------------------------------------------------------
+# x259 — two-sample Kolmogorov-Smirnov drift test (exact integer D)
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS period,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cnt AS (
+  SELECT event_type, cents,
+         SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS d1,
+         SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS d2
+  FROM pts GROUP BY event_type, cents
+),
+ecdf AS (
+  SELECT event_type, cents,
+         SUM(d1) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(d2) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS c2,
+         SUM(d1) OVER (PARTITION BY event_type) AS n1,
+         SUM(d2) OVER (PARTITION BY event_type) AS n2
+  FROM cnt
+),
+stat AS (
+  SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
+         MAX(ABS(c1 * n2 - c2 * n1)) AS d_num
+  FROM ecdf GROUP BY event_type
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(d_num AS BIGINT) AS d_num,
+       ROUND(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+       ROUND((CAST(d_num AS DOUBLE) / (n1 * n2))
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS ks_lambda,
+       ROUND(2 * exp(-2 * ((CAST(d_num AS DOUBLE) / (n1 * n2))
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+             * ((CAST(d_num AS DOUBLE) / (n1 * n2))
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_one_term
+FROM stat
+"""
+
+
+@register("agg_ks_twosample", oracle=_KS_ORACLE)
+def agg_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x259: TWO-SAMPLE KOLMOGOROV-SMIRNOV test per event type — first
+    half-month values vs second, the distribution-free "did the whole
+    SHAPE shift?" companion to x230's binned PSI (KS needs no bin grid
+    and is sensitive to any ECDF gap; PSI localizes WHERE mass moved).
+    D is computed EXACTLY as an integer: at each distinct value,
+    |c1·n2 − c2·n1| (cross-multiplied ECDF gap, no division), maxed per
+    type, divided once for display. The asymptotic one-term p-value
+    2·exp(−2λ²) is the standard large-sample approximation (Smirnov);
+    λ and p are display-pinned 6dp, exp's ≤1-ulp libm spread vanishing
+    at that scale.
+
+    100 TB: one (type, value) grain agg off one scan, two windows on the
+    collapsed value-grain frame (|distinct values| rows, not row grain).
+    The int64 cross-product c·n caps at ~3e18 near n≈1.7e9 per side per
+    type; beyond that rescale to DECIMAL(38) or swap the exact ECDF for
+    a KLL-sketch ECDF at fixed rank error — same max-gap epilogue."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cnt = pts.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    ecdf = cnt.select(
+        "event_type",
+        F.sum("d1").over(w_cum).alias("c1"),
+        F.sum("d2").over(w_cum).alias("c2"),
+        F.sum("d1").over(w_all).alias("n1"),
+        F.sum("d2").over(w_all).alias("n2"),
+    )
+    stat = ecdf.groupBy("event_type").agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+        .cast("long")
+        .alias("d_num"),
+    )
+    ks_d = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
+    lam = ks_d * F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    return stat.select(
+        "event_type",
+        "n1",
+        "n2",
+        "d_num",
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(lam, 6).alias("ks_lambda"),
+        F.round(2 * F.exp(-2 * lam * lam), 6).alias("p_one_term"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x260 — Mann-Kendall trend test + rank-discrete Sen slope
+# --------------------------------------------------------------------------
+
+_US_PER_DAY_AGG = 86_400_000_000
+
+_MK_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+pr AS MATERIALIZED (
+  SELECT a.event_type,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg,
+         CAST(b.y - a.y AS DOUBLE) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day > a.day
+),
+sstat AS (
+  SELECT event_type, SUM(sg) AS s, COUNT(*) AS m FROM pr GROUP BY event_type
+),
+nn AS (
+  SELECT event_type, COUNT(*) AS n FROM daily GROUP BY event_type
+),
+ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie18
+  FROM (SELECT event_type, y, COUNT(*) AS t FROM daily GROUP BY event_type, y)
+  GROUP BY event_type
+),
+sen AS (
+  SELECT event_type, slope
+  FROM (SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS m
+        FROM pr)
+  WHERE r = (m + 1) // 2
+)
+SELECT s.event_type, CAST(n.n AS BIGINT) AS n_days, CAST(s.s AS BIGINT) AS s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS BIGINT) AS var18,
+       ROUND(CASE WHEN s.s > 0 THEN (s.s - 1)
+                  WHEN s.s < 0 THEN (s.s + 1) ELSE 0 END
+             / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18) / 18.0),
+             6) AS z_mk,
+       ROUND(se.slope, 6) AS sen_slope
+FROM sstat s
+JOIN nn n ON n.event_type = s.event_type
+JOIN ties t ON t.event_type = s.event_type
+JOIN sen se ON se.event_type = s.event_type
+"""
+
+
+@register("agg_mann_kendall", oracle=_MK_ORACLE)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x260: MANN-KENDALL monotonic-trend test + SEN SLOPE per event
+    type's daily series — the nonparametric trend pair every ops/climate
+    dashboard uses when x62's z-scores assume too much: S counts
+    concordant minus discordant day pairs (distribution-free), the
+    tie-corrected variance normalizes it, and Sen's slope is the median
+    pairwise slope — robust where OLS (x66) chases one outlier day.
+
+    Determinism: S, the tie term, and 18·Var(S) are pure integers; Sen's
+    slope is RANK-DISCRETE (the lower-median pairwise slope, ties broken
+    by slope value only — IEEE division of integer counts by integer day
+    gaps is correctly rounded, so the slope doubles are bit-identical
+    cross-engine and sorting them agrees).
+
+    100 TB: the pair grid is |days|² per type AT DAY GRAIN (30 days →
+    435 pairs; a decade → 6.7M per type, still tiny next to the
+    row-grain daily agg that feeds it) — the classic safe quadratic:
+    collapse to series grain FIRST, then pair."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY_AGG).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("da"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    pr = a.join(b, "et").filter(F.col("db") > F.col("da")).select(
+        "et",
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sg"),
+        (
+            (F.col("yb") - F.col("ya")).cast("double") / (F.col("db") - F.col("da"))
+        ).alias("slope"),
+    )
+    sstat = pr.groupBy("et").agg(F.sum("sg").alias("s"))
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18")
+        )
+    )
+    w_sen = Window.partitionBy("et").orderBy("slope")
+    w_cnt = Window.partitionBy("et")
+    sen = (
+        pr.select(
+            "et",
+            "slope",
+            F.row_number().over(w_sen).alias("r"),
+            F.count(F.lit(1)).over(w_cnt).alias("m"),
+        )
+        .filter(F.col("r") == ((F.col("m") + 1) / 2).cast("long"))
+        .select("et", "slope")
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie18")
+    )
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var18 / 18.0)
+    ).when(
+        F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var18 / 18.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        sstat.join(nn, sstat.et == nn.event_type)
+        .join(ties.withColumnRenamed("event_type", "et2"), F.col("et") == F.col("et2"))
+        .join(sen.withColumnRenamed("et", "et3").withColumnRenamed("slope", "sen_s"),
+              F.col("et") == F.col("et3"))
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("s_stat"),
+            var18.cast("long").alias("var18"),
+            F.round(z, 6).alias("z_mk"),
+            F.round("sen_s", 6).alias("sen_slope"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x261 — circular statistics of event hour-of-day (micro-unit trig table)
+# --------------------------------------------------------------------------
+
+# x229's device at period 24: one Python-generated micro-unit cos/sin table
+# feeds BOTH engines as integer literals, so the resultant components are
+# EXACT int64 sums; atan2/sqrt appear only in the pinned display epilogue.
+_CIRC_TABLE = tuple(
+    (
+        h,
+        round(_math.cos(2 * _math.pi * h / 24) * 1_000_000),
+        round(_math.sin(2 * _math.pi * h / 24) * 1_000_000),
+    )
+    for h in range(24)
+)
+_CIRC_VALUES = ", ".join(f"({h}, {c}, {s})" for h, c, s in _CIRC_TABLE)
+
+_CIRC_ORACLE = f"""
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+trig(h, cos_u, sin_u) AS (VALUES {_CIRC_VALUES}),
+res AS (
+  SELECT p.event_type, SUM(p.n) AS n,
+         SUM(p.n * t.cos_u) AS c_u, SUM(p.n * t.sin_u) AS s_u
+  FROM prof p JOIN trig t ON p.h = t.h
+  GROUP BY p.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(c_u AS BIGINT) AS c_u, CAST(s_u AS BIGINT) AS s_u,
+       ROUND(sqrt(CAST(c_u AS DOUBLE) * c_u + CAST(s_u AS DOUBLE) * s_u)
+             / (n * 1000000.0), 6) AS resultant_r,
+       ROUND(1 - sqrt(CAST(c_u AS DOUBLE) * c_u + CAST(s_u AS DOUBLE) * s_u)
+             / (n * 1000000.0), 6) AS circ_variance,
+       ROUND(fmod(atan2(CAST(s_u AS DOUBLE), CAST(c_u AS DOUBLE))
+                  / (2 * pi()) * 24 + 24, 24), 4) AS mean_hour
+FROM res
+"""
+
+
+@register("agg_circular_hour", oracle=_CIRC_ORACLE)
+def agg_circular_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x261: CIRCULAR MEAN + resultant length of event hour-of-day per
+    type — the correct average for clock data, where the linear mean of
+    {23h, 1h} is a nonsense noon and the circular mean is midnight.
+    Resultant length R near 1 = sharply peaked daily habit, near 0 =
+    uniform (bot-like) activity; circular variance 1−R is x185's
+    regularity signal done properly on the circle.
+
+    Determinism: hour counts hit x229's micro-unit trig table (integer
+    literals shared by both engines), so C = Σ n_h·cos_u and S are EXACT
+    int64 sums under any partitioning; sqrt is correctly-rounded IEEE,
+    and atan2 (the one libm call) takes bit-identical integer-cast
+    arguments on both engines with the result pinned to 4dp hours.
+
+    100 TB: the only row-grain work is the (type, hour) agg (map-side
+    combined, ≤ 24·|types| rows out); the trig join is a 24-row
+    broadcast. Weekly rhythm = same table at period 168."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = (
+        ev.select("event_type", F.hour("ts").cast("int").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    trig = spark.createDataFrame(
+        list(_CIRC_TABLE), schema="h int, cos_u long, sin_u long"
+    )
+    res = (
+        prof.join(F.broadcast(trig), "h")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("n") * F.col("cos_u")).alias("c_u"),
+            F.sum(F.col("n") * F.col("sin_u")).alias("s_u"),
+        )
+    )
+    mag = F.sqrt(
+        F.col("c_u").cast("double") * F.col("c_u")
+        + F.col("s_u").cast("double") * F.col("s_u")
+    )
+    r = mag / (F.col("n") * 1_000_000.0)
+    hour = (
+        F.atan2(F.col("s_u").cast("double"), F.col("c_u").cast("double"))
+        / (2 * _math.pi)
+        * 24
+        + 24
+    )
+    return res.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("c_u").cast("long").alias("c_u"),
+        F.col("s_u").cast("long").alias("s_u"),
+        F.round(r, 6).alias("resultant_r"),
+        F.round(1 - r, 6).alias("circ_variance"),
+        F.round(hour % 24, 4).alias("mean_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x262 — Pythagorean mean family (geometric / harmonic / quadratic)
+# --------------------------------------------------------------------------
+
+_MEANS_ORACLE = """
+WITH pts AS (
+  SELECT o_orderpriority AS seg,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+acc AS (
+  SELECT seg, COUNT(*) AS n, SUM(cents) AS sc,
+         SUM(CAST(ROUND(ln(cents) * 1000000) AS BIGINT)) AS sln_u,
+         SUM(CAST(ROUND(1e15 / cents) AS BIGINT)) AS sinv_f,
+         SUM(cents * cents) AS ssq
+  FROM pts GROUP BY seg
+)
+SELECT seg, CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(sc AS DOUBLE) / n / 100, 6) AS mean_arith,
+       ROUND(exp(CAST(sln_u AS DOUBLE) / (n * 1e6)) / 100, 4) AS mean_geom,
+       ROUND(n * 1e15 / CAST(sinv_f AS DOUBLE) / 100, 4) AS mean_harm,
+       ROUND(sqrt(CAST(ssq AS DOUBLE) / n) / 100, 4) AS mean_quad
+FROM acc
+"""
+
+
+@register("agg_mean_family", oracle=_MEANS_ORACLE)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x262: the PYTHAGOREAN MEAN FAMILY per order priority — arithmetic,
+    geometric (the right average for multiplicative quantities: growth
+    factors, ratios), harmonic (the right one for rates: $/unit averaged
+    over units), quadratic/RMS (the energy mean) — with the AM ≥ GM ≥ HM
+    inequality as a built-in sanity invariant (property-tested).
+
+    Determinism: x113's micro-unit device for every transcendental —
+    each row's ln(cents) rounds to integer micro-nats and each 1/cents
+    to integer femto-units BEFORE summation, so all four accumulators
+    are exact integers under any order; the squared sum rides DECIMAL(38)
+    (Spark) / HUGEINT (DuckDB) — cents² terms near 3.6e15 overflow an
+    int64 accumulator past ~2500 rows, the x204 overflow lesson applied
+    at registration time, not discovered at sf1. exp/sqrt touch only
+    identical pinned operands in the 4dp display epilogue.
+
+    100 TB: one map-combined agg, 5 output rows; nothing but the scan is
+    row-grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.col("o_orderpriority").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    acc = pts.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.round(F.log("cents") * 1_000_000).cast("long")).alias("sln_u"),
+        F.sum(F.round(F.lit(1e15) / F.col("cents")).cast("long")).alias("sinv_f"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("ssq"),
+    )
+    return acc.select(
+        "seg",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("sc").cast("double") / F.col("n") / 100, 6).alias("mean_arith"),
+        F.round(
+            F.exp(F.col("sln_u").cast("double") / (F.col("n") * 1e6)) / 100, 4
+        ).alias("mean_geom"),
+        F.round(
+            F.col("n") * 1e15 / F.col("sinv_f").cast("double") / 100, 4
+        ).alias("mean_harm"),
+        F.round(
+            F.sqrt(F.col("ssq").cast("double") / F.col("n")) / 100, 4
+        ).alias("mean_quad"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x263 — Q-Q panel against the fitted normal (literal z-score table)
+# --------------------------------------------------------------------------
+
+# Theoretical normal quantiles come from Python's stdlib NormalDist at
+# module import, shipped to BOTH engines as micro-unit literals — the
+# pinned-literal discipline (x217/x229) instead of an in-SQL inverse-CDF
+# approximation that would have to agree bit-for-bit across engines.
+from statistics import NormalDist as _NormalDist  # noqa: E402
+
+_QQ_PCTS = tuple(range(5, 100, 5))
+_QQ_TABLE = tuple(
+    (p, round(_NormalDist().inv_cdf(p / 100) * 1_000_000)) for p in _QQ_PCTS
+)
+_QQ_VALUES = ", ".join(f"({p}, {z})" for p, z in _QQ_TABLE)
+
+_QQ_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+acc AS (
+  SELECT COUNT(*) AS n, SUM(cents) AS sc, SUM(cents * cents) AS ssq FROM pts
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS r FROM pts
+),
+zt(pct, z_u) AS (VALUES {_QQ_VALUES}),
+obs AS (
+  SELECT z.pct, z.z_u, rk.cents AS obs_cents
+  FROM zt z JOIN acc a ON TRUE
+  JOIN ranked rk ON rk.r = CAST(CEIL(z.pct / 100.0 * a.n) AS BIGINT)
+)
+SELECT o.pct,
+       ROUND(o.z_u / 1e6, 6) AS z_theo,
+       ROUND(o.obs_cents / 100.0, 2) AS q_obs,
+       ROUND((CAST(a.sc AS DOUBLE) / a.n
+              + o.z_u / 1e6
+                * sqrt((CAST(a.ssq AS DOUBLE) - CAST(a.sc AS DOUBLE) * a.sc / a.n)
+                       / (a.n - 1))) / 100, 2) AS q_theo
+FROM obs o JOIN acc a ON TRUE
+"""
+
+
+@register("agg_qq_normal", oracle=_QQ_ORACLE)
+def agg_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x263: Q-Q PANEL of order totals against the fitted normal — the
+    distribution-diagnostic table behind every "is it normal enough?"
+    decision (t-tests, control charts, z-score fences): observed
+    rank-discrete quantiles at 5%-steps vs μ̂ + z_p·σ̂. Heavy upper tail
+    ⇒ q_obs pulls above q_theo at high percentiles — the visual cousin
+    of x243's Hill tail index.
+
+    Determinism: theoretical z_p are PYTHON-STDLIB NormalDist literals
+    (micro-units) shared by both engines — no in-SQL inverse CDF to
+    drift; observed quantiles are tie-pinned order statistics (x106);
+    μ̂/σ̂ come from exact integer sums (cents² over DECIMAL/HUGEINT, the
+    x204 overflow lesson) with sqrt in the 2dp epilogue only.
+
+    100 TB: one rank window (the percentile shuffle) + a one-row moment
+    agg broadcast onto 19 rows; swap the exact rank for x184's GK sketch
+    at extreme n — same panel, bounded memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    acc = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("ssq"),
+    )
+    ranked = pts.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_orderkey")).alias("r"),
+    )
+    zt = spark.createDataFrame(list(_QQ_TABLE), schema="pct int, z_u long")
+    obs = (
+        F.broadcast(zt)
+        .join(F.broadcast(acc))
+        .join(
+            ranked,
+            F.col("r")
+            == F.ceil(F.col("pct") / 100.0 * F.col("n")).cast("long"),
+        )
+    )
+    sd = F.sqrt(
+        (
+            F.col("ssq").cast("double")
+            - F.col("sc").cast("double") * F.col("sc") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    return obs.select(
+        "pct",
+        F.round(F.col("z_u") / 1e6, 6).alias("z_theo"),
+        F.round(F.col("cents") / 100.0, 2).alias("q_obs"),
+        F.round(
+            (F.col("sc").cast("double") / F.col("n") + F.col("z_u") / 1e6 * sd)
+            / 100,
+            2,
+        ).alias("q_theo"),
+    )

@@ -1066,3 +1066,195 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         a.select(F.lit("auth").alias("side"), "node", F.round("s", 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# x271 — Adamic-Adar link prediction (inverse-log-degree weighted)
+# --------------------------------------------------------------------------
+
+_AA_TOPN = 25
+
+_AA_ORACLE = f"""
+WITH eb AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+cdeg AS (
+  SELECT cust, COUNT(*) AS cd,
+         CAST(ROUND(1e6 / ln(COUNT(*))) AS BIGINT) AS w_u
+  FROM eb GROUP BY cust HAVING COUNT(*) >= 2
+),
+pairs AS (
+  SELECT a.supp AS supp_a, b.supp AS supp_b,
+         COUNT(*) AS common, SUM(c.w_u) AS aa_u
+  FROM eb a
+  JOIN eb b ON a.cust = b.cust AND a.supp < b.supp
+  JOIN cdeg c ON c.cust = a.cust
+  GROUP BY a.supp, b.supp
+),
+rk AS (
+  SELECT supp_a, supp_b, common, aa_u,
+         ROW_NUMBER() OVER (ORDER BY aa_u DESC, supp_a, supp_b) AS rank
+  FROM pairs
+)
+SELECT CAST(supp_a AS BIGINT) AS supp_a, CAST(supp_b AS BIGINT) AS supp_b,
+       CAST(common AS BIGINT) AS common, CAST(aa_u AS BIGINT) AS aa_u,
+       ROUND(aa_u / 1e6, 6) AS adamic_adar, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {_AA_TOPN}
+"""
+
+
+@register("graph_adamic_adar", oracle=_AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x271: ADAMIC-ADAR link prediction on the customer↔supplier
+    bipartite graph — x157's Jaccard re-weighted the way link prediction
+    actually wants: a shared RARE neighbor (customer touching 2
+    suppliers) is strong evidence, a shared hub customer is nearly none,
+    so each common neighbor contributes 1/ln(degree) instead of 1. The
+    degree-discounted sibling of x157 (same candidate generator, same
+    bounded shared-neighbor join).
+
+    Determinism: each neighbor's 1/ln(deg) rounds to integer micro-units
+    ONCE (x113's device, at the neighbor grain where deg is a small
+    integer — identical ln argument on both engines), so every pair
+    score is an exact int64 SUM and the top-{_AA_TOPN} ranking orders on
+    that integer with (supp_a, supp_b) tie-breaks — engine-independent
+    end to end; the float column is display only. Degree-1 neighbors
+    drop (ln 1 = 0 would blow up; they predict nothing anyway).
+
+    100 TB: same scale shape as x157 — edge dedup + per-customer
+    self-join bounded by customer degree; hub customers are the skew
+    knob (cap/sample their neighbor lists, x7's mitigation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    cdeg = (
+        eb.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .filter(F.col("cd") >= 2)
+        .select(
+            "cust",
+            F.round(F.lit(1e6) / F.log("cd")).cast("long").alias("w_u"),
+        )
+    )
+    a = eb.select("cust", F.col("supp").alias("supp_a"))
+    b = eb.select("cust", F.col("supp").alias("supp_b"))
+    pairs = (
+        a.join(b, "cust")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .join(cdeg, "cust")
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("w_u").cast("long").alias("aa_u"),
+        )
+    )
+    wr = Window.orderBy(F.col("aa_u").desc(), "supp_a", "supp_b")
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _AA_TOPN)
+        .select(
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            "common",
+            "aa_u",
+            F.round(F.col("aa_u") / 1e6, 6).alias("adamic_adar"),
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x272 — bipartite projection: event-type co-engagement graph
+# --------------------------------------------------------------------------
+
+_BIPROJ_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+deg AS (
+  SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS common
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, CAST(p.common AS BIGINT) AS common_users,
+       CAST(da.n_users AS BIGINT) AS n_a, CAST(db.n_users AS BIGINT) AS n_b,
+       ROUND(p.common / sqrt(CAST(da.n_users AS DOUBLE) * db.n_users), 6)
+         AS cosine_affinity,
+       ROUND(CAST(p.common AS DOUBLE)
+             / (da.n_users + db.n_users - p.common), 6) AS jaccard
+FROM pairs p
+JOIN deg da ON da.event_type = p.type_a
+JOIN deg db ON db.event_type = p.type_b
+"""
+
+
+@register("graph_bipartite_project", oracle=_BIPROJ_ORACLE)
+def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x272: BIPARTITE PROJECTION of the user↔event-type graph onto the
+    type side — the co-engagement network ("users who view also
+    purchase"), the same device x100 applies to market baskets and x157
+    to suppliers, here producing the behavior-affinity matrix that seeds
+    recommendation and funnel design. Cosine affinity (common/√(n_a·n_b))
+    and Jaccard per pair, both from exact integer counts.
+
+    100 TB: the projection never materializes user-pair grain — edges
+    dedup to (user, type), the self-join is keyed on user_id with
+    per-user fan-out bounded by |types| (≤5 here, ≤ a few hundred in any
+    real taxonomy), and output is |types|² rows. The type-side
+    projection of a 1e9-user graph is a few-KB result."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_users"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                deg.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_users").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_users").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "common_users",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("common_users")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("cosine_affinity"),
+            F.round(
+                F.col("common_users").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common_users")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

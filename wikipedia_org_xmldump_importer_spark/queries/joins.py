@@ -8,7 +8,7 @@ never materializes an O(n²) shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -729,4 +729,102 @@ def join_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_b",
         F.abs(F.col("size_a") - F.col("size_b")).cast("long").alias("d_size"),
         F.abs(F.col("cents_a") - F.col("cents_b")).cast("long").alias("d_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x275 — blocked fuzzy join (sorted-neighborhood edit-distance matching)
+# --------------------------------------------------------------------------
+
+_FUZZY_MAXDIST = 6
+_FUZZY_NEIGHBORS = 10
+
+_FUZZY_ORACLE = f"""
+WITH rk AS (
+  SELECT p_partkey, p_brand, p_size, p_name,
+         ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
+                            ORDER BY p_name, p_partkey) AS r
+  FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_brand, a.p_size,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM rk a JOIN rk b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND b.r BETWEEN a.r + 1 AND a.r + {_FUZZY_NEIGHBORS}
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAXDIST}
+"""
+
+
+@register("join_fuzzy_blocked", oracle=_FUZZY_ORACLE)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x275: BLOCKED FUZZY JOIN by SORTED NEIGHBORHOOD (Hernandez &
+    Stolfo) — entity resolution\'s scale-sane shape: candidate pairs come
+    from equi-joinable blocking keys (brand x size), and WITHIN a block
+    only name-sort neighbors within rank distance {_FUZZY_NEIGHBORS}
+    are compared (near-duplicate names share prefixes and sort
+    adjacent), with levenshtein <= {_FUZZY_MAXDIST} as the match
+    predicate. The deliberate middle ground between exact equi-join
+    (j1, misses typos) and all-pairs similarity (x7\'s anti-pattern) —
+    and unlike naive blocking, pair volume is |block|·w LINEAR in block
+    size, not |block|² (the sf1 sweep caught the quadratic form at 35x
+    wall for 10x data; this form is the fix, not a cap bolted on).
+
+    Determinism: the neighborhood is defined by a (p_name, p_partkey)
+    tie-pinned rank, and levenshtein is an exact integer on identical
+    definitions in both engines — no float surface anywhere.
+
+    100 TB: one (brand, size) shuffle for the rank window, one more for
+    the self-join; per-row fan-out is the constant w. Recall tuning is
+    the published knob set: widen w, add a second sort pass on a
+    different key (multi-pass sorted neighborhood), or swap the sort key
+    for a phonetic/fingerprint key."""
+    part = load_table(spark, sf_dir, "part")
+    rk = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_name",
+        F.row_number()
+        .over(
+            Window.partitionBy("p_brand", "p_size").orderBy(
+                "p_name", "p_partkey"
+            )
+        )
+        .alias("r"),
+    )
+    a = rk.select(
+        F.col("p_partkey").alias("key_a"),
+        "p_brand",
+        "p_size",
+        F.col("p_name").alias("name_a"),
+        F.col("r").alias("ra"),
+    )
+    b = rk.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("r").alias("rb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("p_size") == F.col("size_b"))
+            & (F.col("rb") > F.col("ra"))
+            & (F.col("rb") <= F.col("ra") + _FUZZY_NEIGHBORS),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= _FUZZY_MAXDIST)
+        .select(
+            "key_a",
+            "key_b",
+            "p_brand",
+            "p_size",
+            "name_a",
+            "name_b",
+            "edit_dist",
+        )
     )

@@ -899,3 +899,133 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_doc_id"),
         F.sum("member_h").cast("long").alias("member_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# x273 — time-based split with embargo gap (purged time split audit)
+# --------------------------------------------------------------------------
+
+_EMBARGO_TRAIN_END = 20  # last day-of-month in train
+_EMBARGO_DAYS = 3  # purged gap between train and test
+
+_EMBARGO_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type, user_id,
+         CASE WHEN day(ts) <= {_EMBARGO_TRAIN_END} THEN 'train'
+              WHEN day(ts) <= {_EMBARGO_TRAIN_END + _EMBARGO_DAYS} THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS n_embargo,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test,
+         COUNT(DISTINCT CASE WHEN split = 'train' THEN user_id END)
+           AS users_train,
+         COUNT(DISTINCT CASE WHEN split = 'test' THEN user_id END)
+           AS users_test
+  FROM tagged GROUP BY event_type
+),
+overlap AS (
+  SELECT event_type, COUNT(*) AS users_both
+  FROM (
+    SELECT event_type, user_id FROM tagged WHERE split = 'train'
+    INTERSECT
+    SELECT event_type, user_id FROM tagged WHERE split = 'test'
+  ) GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.n_train AS BIGINT) AS n_train,
+       CAST(p.n_embargo AS BIGINT) AS n_embargo,
+       CAST(p.n_test AS BIGINT) AS n_test,
+       CAST(p.users_train AS BIGINT) AS users_train,
+       CAST(p.users_test AS BIGINT) AS users_test,
+       CAST(COALESCE(o.users_both, 0) AS BIGINT) AS users_both,
+       ROUND(CAST(COALESCE(o.users_both, 0) AS DOUBLE)
+             / NULLIF(p.users_test, 0), 6) AS entity_overlap_rate
+FROM per p LEFT JOIN overlap o ON o.event_type = p.event_type
+"""
+
+
+@register("split_time_embargo", oracle=_EMBARGO_ORACLE)
+def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x273: TIME-BASED train/test split with an EMBARGO gap — the
+    leakage-safe evaluation protocol for anything with temporal
+    autocorrelation (de Prado's purged split): train ends day
+    {_EMBARGO_TRAIN_END}, the next {_EMBARGO_DAYS} days are DISCARDED so
+    trailing features computed at train time (x274's windows, x90's
+    EMAs) cannot straddle the boundary, test is the remainder. The audit
+    reports what x181 reports for random splits: per-type volumes plus
+    the ENTITY overlap between train and test users — time splits stop
+    temporal leakage but users recur across both sides, and
+    entity_overlap_rate is the number you must disclose (or push through
+    x216's group holdout) before claiming generalization.
+
+    Determinism: split boundaries are integer day-of-month comparisons;
+    overlap is an exact set intersection at (type, user) grain.
+
+    100 TB: tag-and-aggregate off one scan (map-combined); the overlap
+    intersect runs at distinct (type, user) grain — both sides collapse
+    before any join, nothing pairs at event grain."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        "user_id",
+        F.when(F.dayofmonth("ts") <= _EMBARGO_TRAIN_END, "train")
+        .when(
+            F.dayofmonth("ts") <= _EMBARGO_TRAIN_END + _EMBARGO_DAYS, "embargo"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "embargo", 1).otherwise(0))
+        .cast("long")
+        .alias("n_embargo"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.countDistinct(
+            F.when(F.col("split") == "train", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("users_train"),
+        F.countDistinct(
+            F.when(F.col("split") == "test", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("users_test"),
+    )
+    tr = (
+        tagged.filter(F.col("split") == "train")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    te = (
+        tagged.filter(F.col("split") == "test")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    overlap = (
+        tr.join(te, ["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("users_both"))
+    )
+    return per.join(overlap, "event_type", "left").select(
+        "event_type",
+        "n_train",
+        "n_embargo",
+        "n_test",
+        "users_train",
+        "users_test",
+        F.coalesce("users_both", F.lit(0)).cast("long").alias("users_both"),
+        F.round(
+            F.coalesce("users_both", F.lit(0)).cast("double")
+            / F.nullif(F.col("users_test"), F.lit(0)),
+            6,
+        ).alias("entity_overlap_rate"),
+    )

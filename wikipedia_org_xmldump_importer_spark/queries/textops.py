@@ -4190,3 +4190,196 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd_bits"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x269 — Heaps'-law vocabulary growth curve (first-occurrence device)
+# --------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+first_occ AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+),
+per_doc AS (
+  -- n_new counts DISTINCT first-seen tokens (an occurrence count would
+  -- overstate V by each new token's in-doc frequency)
+  SELECT t.doc_id, COUNT(*) AS n_tok,
+         COUNT(DISTINCT CASE WHEN f.first_doc = t.doc_id THEN t.token END)
+           AS n_new
+  FROM tok t JOIN first_occ f ON f.token = t.token
+  GROUP BY t.doc_id
+),
+curve AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS r,
+         COUNT(*) OVER () AS nd,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok,
+         SUM(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_voc
+  FROM per_doc
+),
+chk AS (
+  SELECT k, c.r, c.cum_tok, c.cum_voc,
+         CAST(ROUND(ln(c.cum_tok) * 1000000) AS BIGINT) AS lnt_u,
+         CAST(ROUND(ln(c.cum_voc) * 1000000) AS BIGINT) AS lnv_u
+  FROM (SELECT UNNEST(generate_series(1, 10)) AS k) g
+  JOIN curve c ON c.r = CAST(CEIL(k / 10.0 * c.nd) AS BIGINT)
+),
+fit AS (
+  SELECT ROUND((COUNT(*) * SUM(CAST(lnt_u AS DOUBLE) / 1e6 * lnv_u / 1e6)
+                - SUM(CAST(lnt_u AS DOUBLE) / 1e6) * SUM(CAST(lnv_u AS DOUBLE) / 1e6))
+               / (COUNT(*) * SUM(CAST(lnt_u AS DOUBLE) / 1e6 * lnt_u / 1e6)
+                  - SUM(CAST(lnt_u AS DOUBLE) / 1e6) * SUM(CAST(lnt_u AS DOUBLE) / 1e6)),
+               6) AS heaps_beta
+  FROM chk
+)
+SELECT CAST(c.k AS INTEGER) AS decile, CAST(c.r AS BIGINT) AS n_docs,
+       CAST(c.cum_tok AS BIGINT) AS cum_tokens,
+       CAST(c.cum_voc AS BIGINT) AS cum_vocab,
+       ROUND(CAST(c.cum_voc AS DOUBLE) / c.cum_tok, 6) AS ttr,
+       f.heaps_beta
+FROM chk c JOIN fit f ON TRUE
+"""
+
+
+@register("vocab_growth_heaps", oracle=_HEAPS_ORACLE)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x269: HEAPS'-LAW vocabulary growth — distinct vocabulary V as a
+    function of tokens seen T at ten corpus checkpoints (doc-id order),
+    with the fitted exponent β from V ≈ K·T^β. THE corpus-health
+    fingerprint the curation loop watches: natural text grows β≈0.5;
+    β falling off a cliff mid-corpus means a duplicated feed stopped
+    contributing vocabulary (x252's distribution-level signal seen
+    longitudinally), β near 1 means id-like noise tokens.
+
+    The cumulative-distinct problem is made one-pass by the
+    FIRST-OCCURRENCE device: V(d) = #tokens whose min(doc_id) ≤ d, so
+    "running distinct" becomes a running SUM of per-doc new-token counts
+    (x75's trick at corpus scale — no per-prefix re-aggregation).
+    Checkpoints are rank-discrete doc deciles; β fits on micro-nat
+    integer logs (x113) so all OLS moments are exact.
+
+    100 TB: token explode + (token) min-agg + (doc) agg — all map-
+    combined on their keys; the running sums act on the |docs| curve,
+    and the decile probe + 10-point fit are constant-size epilogue."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    first_occ = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        tok.join(first_occ, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            # distinct first-seen tokens, not occurrences (a new token's
+            # in-doc repeats must count once toward V)
+            F.countDistinct(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("token"))
+            ).alias("n_new"),
+        )
+    )
+    w_ord = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = per_doc.select(
+        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+        F.sum("n_tok").over(w_ord).alias("cum_tok"),
+        F.sum("n_new").over(w_ord).alias("cum_voc"),
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    chk = F.broadcast(ks).join(
+        curve,
+        F.col("r") == F.ceil(F.col("decile") / 10.0 * F.col("nd")).cast("long"),
+    ).select(
+        "decile",
+        "r",
+        "cum_tok",
+        "cum_voc",
+        F.round(F.log("cum_tok") * 1_000_000).cast("long").alias("lnt_u"),
+        F.round(F.log("cum_voc") * 1_000_000).cast("long").alias("lnv_u"),
+    )
+    lt = F.col("lnt_u").cast("double") / 1e6
+    lv = F.col("lnv_u").cast("double") / 1e6
+    fit = chk.agg(
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(lt * F.col("lnv_u") / 1e6)
+                - F.sum(lt) * F.sum(lv)
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(lt * F.col("lnt_u") / 1e6)
+                - F.sum(lt) * F.sum(lt)
+            ),
+            6,
+        ).alias("heaps_beta")
+    )
+    return chk.join(F.broadcast(fit)).select(
+        "decile",
+        F.col("r").cast("long").alias("n_docs"),
+        F.col("cum_tok").cast("long").alias("cum_tokens"),
+        F.col("cum_voc").cast("long").alias("cum_vocab"),
+        F.round(F.col("cum_voc").cast("double") / F.col("cum_tok"), 6).alias(
+            "ttr"
+        ),
+        "heaps_beta",
+    )
+
+
+# --------------------------------------------------------------------------
+# x270 — zlib compression-ratio quality signal (rows-only: stdlib codec)
+# --------------------------------------------------------------------------
+
+_ZLIB_LEVEL = 6
+
+
+@register("text_zlib_ratio", oracle=None)
+def text_zlib_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x270: ZLIB COMPRESSION RATIO per document — the crude-but-
+    unreasonably-effective quality filter every big web-corpus pipeline
+    ships (CCNet/RefinedWeb class): compressed/raw byte ratio is a
+    model-free proxy for information density. Near-zero = degenerate
+    repetition (x72's repetition score seen by an actual coder), near 1
+    = random/encrypted junk; natural prose sits in a stable band, and
+    BOTH tails get culled.
+
+    Rows-only by declaration (SURVEY §2): DEFLATE output is
+    library-internal (bit-stream depends on zlib's matcher), so no SQL
+    engine can replay the byte count; correctness is property-tested
+    (ratio bounds, repetition ⇒ lower ratio than shuffled text,
+    round-trip identity) against Python's stdlib zlib at a FIXED level
+    {_ZLIB_LEVEL} — pinned so any zlib build change is a visible test
+    diff, not silent drift.
+
+    100 TB: (doc_id, text)-projected mapInPandas — Arrow-batched, no
+    shuffle at all; compression is embarrassingly parallel and CPU-bound
+    exactly like production curation. Binary/multimodal columns reuse
+    the same shape on raw bytes (x228's entropy is the no-codec
+    fallback)."""
+    import pandas as pd  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def comp(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            cz = [len(zlib.compress(b, _ZLIB_LEVEL)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array([len(b) for b in raw], dtype="int64"),
+                    "n_compressed": pd.array(cz, dtype="int64"),
+                    "zlib_ratio": [
+                        round(c / len(b), 6) if len(b) else 1.0
+                        for c, b in zip(cz, raw)
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        comp,
+        schema="doc_id long, n_bytes long, n_compressed long, zlib_ratio double",
+    )

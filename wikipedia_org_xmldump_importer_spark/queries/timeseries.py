@@ -6865,3 +6865,817 @@ def ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("snaive_wins"),
     )
+
+
+# --------------------------------------------------------------------------
+# x264 — per-type spectral entropy of the hourly profile (full spectrum)
+# --------------------------------------------------------------------------
+
+# x229's micro-unit trig discipline extended to the full positive spectrum
+# (k = 1..11, Nyquist-1 for period 24): one Python-generated integer table
+# feeds both engines, so every projection is an exact int64 sum.
+_SPEC_K = 11
+_SPEC_TABLE = tuple(
+    (
+        k,
+        h,
+        round(_math.cos(2 * _math.pi * k * h / 24) * 1_000_000),
+        round(_math.sin(2 * _math.pi * k * h / 24) * 1_000_000),
+    )
+    for k in range(1, _SPEC_K + 1)
+    for h in range(24)
+)
+_SPEC_VALUES = ", ".join(f"({k}, {h}, {c}, {s})" for k, h, c, s in _SPEC_TABLE)
+
+_SPECENT_ORACLE = f"""
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+trig(k, h, cos_u, sin_u) AS (VALUES {_SPEC_VALUES}),
+proj AS (
+  SELECT p.event_type, t.k,
+         SUM(p.n * t.cos_u) AS a_u, SUM(p.n * t.sin_u) AS b_u
+  FROM prof p JOIN trig t ON p.h = t.h
+  GROUP BY p.event_type, t.k
+),
+pw AS (
+  SELECT event_type, k,
+         ROUND((CAST(a_u AS DOUBLE) / 1e6) * (a_u / 1e6)
+               + (CAST(b_u AS DOUBLE) / 1e6) * (b_u / 1e6), 2) AS power
+  FROM proj
+),
+sh AS (
+  SELECT event_type, k, power,
+         ROUND(power / SUM(power) OVER (PARTITION BY event_type), 6) AS p_share
+  FROM pw
+),
+ent AS (
+  SELECT event_type,
+         SUM(CASE WHEN p_share > 0
+                  THEN CAST(ROUND(-p_share * ln(p_share) * 1000000) AS BIGINT)
+                  ELSE 0 END) AS h_u
+  FROM sh GROUP BY event_type
+)
+SELECT s.event_type, s.k, s.power, s.p_share,
+       ROUND(e.h_u / 1e6 / ln({_SPEC_K}), 6) AS spectral_entropy
+FROM sh s JOIN ent e ON e.event_type = s.event_type
+"""
+
+
+@register("ts_spectral_entropy", oracle=_SPECENT_ORACLE)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x264: SPECTRAL ENTROPY of each type's hourly profile — x229's DFT
+    extended per-type to the full positive spectrum (k=1..{_SPEC_K}) with
+    the one-number summary on top: normalized Shannon entropy of the
+    power shares. Near 0 = all cyclic power in one harmonic (clean
+    diurnal habit); near 1 = flat spectrum — the standard
+    "is there any rhythm at all?" signal (bot/noise traffic scores
+    high), complementing x185's variance-based regularity and x261's
+    circular concentration.
+
+    Determinism: integer trig projections (x229's table at k≤{_SPEC_K}),
+    power pinned 2dp, shares pinned 6dp, each entropy term −p·ln p
+    rounded to integer micro-nats BEFORE the sum (x113's device) so the
+    per-type entropy is an exact integer sum under any order.
+
+    100 TB: row grain touches only the (type, hour) agg; everything
+    after is |types|·24 rows against a 264-row broadcast constant."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = (
+        ev.select("event_type", F.hour("ts").cast("int").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    trig = spark.createDataFrame(
+        list(_SPEC_TABLE), schema="k int, h int, cos_u long, sin_u long"
+    )
+    proj = (
+        prof.join(F.broadcast(trig), "h")
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.col("n") * F.col("cos_u")).alias("a_u"),
+            F.sum(F.col("n") * F.col("sin_u")).alias("b_u"),
+        )
+    )
+    pw = proj.select(
+        "event_type",
+        "k",
+        F.round(
+            (F.col("a_u").cast("double") / 1e6) * (F.col("a_u") / 1e6)
+            + (F.col("b_u").cast("double") / 1e6) * (F.col("b_u") / 1e6),
+            2,
+        ).alias("power"),
+    )
+    w_t = Window.partitionBy("event_type")
+    sh = pw.select(
+        "event_type",
+        "k",
+        "power",
+        F.round(F.col("power") / F.sum("power").over(w_t), 6).alias("p_share"),
+    )
+    ent = sh.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("p_share") > 0,
+                F.round(-F.col("p_share") * F.log("p_share") * 1_000_000).cast(
+                    "long"
+                ),
+            ).otherwise(0)
+        ).alias("h_u")
+    )
+    return sh.join(ent, "event_type").select(
+        "event_type",
+        "k",
+        "power",
+        "p_share",
+        F.round(F.col("h_u") / 1e6 / _math.log(_SPEC_K), 6).alias(
+            "spectral_entropy"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x265 — theta-method forecast (SES + half-drift, M3 baseline)
+# --------------------------------------------------------------------------
+
+_THETA_ALPHA = 0.3
+_THETA_H = 7
+
+_THETA_ORACLE = f"""
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y FROM daily),
+nn AS (SELECT MAX(i) AS t, COUNT(*) AS n FROM idx),
+mom AS (
+  SELECT COUNT(*) AS n, SUM(i) AS si, SUM(y) AS sy,
+         SUM(i * i) AS sii, SUM(i * y) AS siy
+  FROM idx
+),
+ses(i, l) AS (
+  SELECT CAST(1 AS BIGINT), (SELECT y FROM idx WHERE i = 1)
+  UNION ALL
+  SELECT s.i + 1, {_THETA_ALPHA} * x.y + {1 - _THETA_ALPHA} * s.l
+  FROM ses s JOIN idx x ON x.i = s.i + 1
+  WHERE s.i < (SELECT t FROM nn)
+),
+fin AS (SELECT l FROM ses WHERE i = (SELECT t FROM nn)),
+drift AS (
+  SELECT (CAST(n * siy - si * sy AS DOUBLE) / (n * sii - si * si)) / 2 AS d
+  FROM mom
+)
+SELECT CAST(g.h AS INTEGER) AS horizon,
+       ROUND((SELECT l FROM fin) + g.h * (SELECT d FROM drift), 6) AS forecast,
+       ROUND((SELECT l FROM fin), 6) AS ses_level,
+       ROUND((SELECT d FROM drift), 6) AS half_drift
+FROM (SELECT UNNEST(generate_series(1, {_THETA_H})) AS h) g
+"""
+
+
+@register("ts_theta_forecast", oracle=_THETA_ORACLE)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x265: THETA-METHOD forecast of the daily count — the M3
+    competition's surprise winner and still the baseline every neural
+    forecaster is measured against: average of the theta=0 line (pure
+    linear trend) and theta=2 curve, algebraically equivalent to SES
+    plus HALF the OLS drift. Slots between x224's Holt (adaptive trend)
+    and x138's seasonal naive on the ladder; x257's backtest protocol is
+    how you pick among them.
+
+    Determinism: the SES recursion runs as a Catalyst aggregate() fold
+    vs DuckDB's recursive CTE with identical parenthesization —
+    bit-identical state (x224's argument); the drift comes from exact
+    integer OLS moments (day index × integer counts), one expression.
+
+    100 TB: distributed daily agg, then a single-task |days| fold + a
+    1-row broadcast onto the horizon frame — x224's shape exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select((F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    a = _THETA_ALPHA
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "y"
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").alias("si"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i") * F.col("i")).alias("sii"),
+        F.sum(F.col("i") * F.col("y")).alias("siy"),
+    )
+    ses = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("arr")
+    ).select(
+        F.expr(
+            f"""
+            aggregate(
+              slice(arr, 2, size(arr) - 1),
+              CAST(arr[0].y AS DOUBLE),
+              (acc, x) -> {a} * x.y + {1 - a} * acc
+            ) AS l
+            """
+        )
+    )
+    drift = mom.select(
+        (
+            (
+                F.col("n") * F.col("siy") - F.col("si") * F.col("sy")
+            ).cast("double")
+            / (F.col("n") * F.col("sii") - F.col("si") * F.col("si"))
+            / 2
+        ).alias("d")
+    )
+    horizons = spark.range(1, _THETA_H + 1).select(
+        F.col("id").cast("int").alias("horizon")
+    )
+    return (
+        horizons.join(F.broadcast(ses))
+        .join(F.broadcast(drift))
+        .select(
+            "horizon",
+            F.round(F.col("l") + F.col("horizon") * F.col("d"), 6).alias(
+                "forecast"
+            ),
+            F.round("l", 6).alias("ses_level"),
+            F.round("d", 6).alias("half_drift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x266 — Hurst exponent by rescaled-range (R/S) analysis
+# --------------------------------------------------------------------------
+
+_HURST_SIZES = (5, 10, 15)
+_HURST_SIZES_SQL = ", ".join(str(m) for m in _HURST_SIZES)
+
+_HURST_ORACLE = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+sz(m) AS (SELECT UNNEST(ARRAY[{_HURST_SIZES_SQL}])),
+blk AS (
+  SELECT x.event_type, s.m, (x.i - 1) // s.m AS b, (x.i - 1) % s.m + 1 AS t,
+         x.y
+  FROM idx x CROSS JOIN sz s
+),
+full_blk AS (
+  SELECT event_type, m, b,
+         SUM(y) AS s, SUM(y * y) AS ssq, COUNT(*) AS cnt
+  FROM blk GROUP BY 1, 2, 3 HAVING COUNT(*) = m
+),
+dev AS (
+  SELECT k.event_type, k.m, k.b,
+         MAX(pd.d) - MIN(pd.d) AS rng_m,
+         k.s, k.ssq
+  FROM full_blk k JOIN (
+    SELECT event_type, m, b, t,
+           m * SUM(y) OVER (PARTITION BY event_type, m, b ORDER BY t
+                            ROWS UNBOUNDED PRECEDING)
+             - t * SUM(y) OVER (PARTITION BY event_type, m, b) AS d
+    FROM blk
+  ) pd ON pd.event_type = k.event_type AND pd.m = k.m AND pd.b = k.b
+  GROUP BY 1, 2, 3, k.s, k.ssq
+),
+rs AS (
+  SELECT event_type, m, b,
+         CAST(ROUND(CAST(rng_m AS DOUBLE)
+                    / sqrt(CAST(m * ssq - s * s AS DOUBLE)) * 1000000)
+              AS BIGINT) AS rs_u
+  FROM dev WHERE m * ssq - s * s > 0
+),
+lvl AS (
+  SELECT event_type, m, COUNT(*) AS n_blocks,
+         ROUND(SUM(rs_u) / (COUNT(*) * 1e6), 6) AS rs_mean,
+         CAST(ROUND(ln(SUM(rs_u) / (COUNT(*) * 1e6)) * 1000000) AS BIGINT)
+           AS lny_u,
+         CAST(ROUND(ln(m) * 1000000) AS BIGINT) AS lnx_u
+  FROM rs GROUP BY event_type, m
+),
+fit AS (
+  SELECT event_type,
+         ROUND((COUNT(*) * SUM(CAST(lnx_u AS DOUBLE) / 1e6 * lny_u / 1e6)
+                - SUM(CAST(lnx_u AS DOUBLE) / 1e6) * SUM(CAST(lny_u AS DOUBLE) / 1e6))
+               / (COUNT(*) * SUM(CAST(lnx_u AS DOUBLE) / 1e6 * lnx_u / 1e6)
+                  - SUM(CAST(lnx_u AS DOUBLE) / 1e6) * SUM(CAST(lnx_u AS DOUBLE) / 1e6)),
+               6) AS hurst
+  FROM lvl GROUP BY event_type
+)
+SELECT l.event_type, CAST(l.m AS INTEGER) AS m, CAST(l.n_blocks AS BIGINT)
+         AS n_blocks,
+       l.rs_mean, f.hurst
+FROM lvl l JOIN fit f ON f.event_type = l.event_type
+"""
+
+
+@register("ts_hurst_rs", oracle=_HURST_ORACLE)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x266: HURST EXPONENT by classical rescaled-range analysis per
+    event type — the long-memory diagnostic (H≈0.5 random walk, H>0.5
+    persistent/trending, H<0.5 mean-reverting) that says whether x62's
+    anomaly fences can assume independent days at all. Block sizes
+    {_HURST_SIZES}: each type's day series splits into full blocks, R =
+    range of cumulative mean-deviations, S = block std, H = log-log
+    slope of mean(R/S) against block size.
+
+    Determinism: inside a block, the t-th cumulative deviation times m
+    is the INTEGER m·prefix_t − t·sum (no rational mean ever
+    materializes), so R·m and m·ssq − s² are exact; each block's R/S
+    rounds to integer micro-units before averaging (x113), and the
+    3-point log-log OLS runs on micro-nat integer logs. The one sqrt is
+    correctly-rounded IEEE.
+
+    100 TB: all work after the daily agg is at (type, size, block)
+    grain — a decade of days is ~730 blocks/type. The window prefix-sum
+    partitions by (type, m, b): bounded m-length frames, perfectly
+    parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    sz = spark.createDataFrame([(m,) for m in _HURST_SIZES], schema="m int")
+    blk = idx.join(F.broadcast(sz)).select(
+        "event_type",
+        "m",
+        ((F.col("i") - 1) / F.col("m")).cast("long").alias("b"),
+        ((F.col("i") - 1) % F.col("m") + 1).alias("t"),
+        "y",
+    )
+    w_pre = (
+        Window.partitionBy("event_type", "m", "b")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_blk = Window.partitionBy("event_type", "m", "b")
+    pd_ = blk.select(
+        "event_type",
+        "m",
+        "b",
+        "y",
+        (
+            F.col("m") * F.sum("y").over(w_pre)
+            - F.col("t") * F.sum("y").over(w_blk)
+        ).alias("d"),
+    )
+    agg = pd_.groupBy("event_type", "m", "b").agg(
+        (F.max("d") - F.min("d")).alias("rng_m"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ssq"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).filter(F.col("cnt") == F.col("m"))
+    disc = F.col("m") * F.col("ssq") - F.col("s") * F.col("s")
+    rs = agg.filter(disc > 0).select(
+        "event_type",
+        "m",
+        F.round(
+            F.col("rng_m").cast("double") / F.sqrt(disc.cast("double")) * 1_000_000
+        )
+        .cast("long")
+        .alias("rs_u"),
+    )
+    lvl = rs.groupBy("event_type", "m").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.round(F.sum("rs_u") / (F.count(F.lit(1)) * 1e6), 6).alias("rs_mean"),
+        F.round(
+            F.log(F.sum("rs_u") / (F.count(F.lit(1)) * 1e6)) * 1_000_000
+        )
+        .cast("long")
+        .alias("lny_u"),
+        F.round(F.log(F.col("m").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("lnx_u"),
+    )
+    lx = F.col("lnx_u").cast("double") / 1e6
+    ly = F.col("lny_u").cast("double") / 1e6
+    fit = lvl.groupBy("event_type").agg(
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(lx * F.col("lny_u") / 1e6)
+                - F.sum(lx) * F.sum(ly)
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(lx * F.col("lnx_u") / 1e6)
+                - F.sum(lx) * F.sum(lx)
+            ),
+            6,
+        ).alias("hurst")
+    )
+    return lvl.join(fit, "event_type").select(
+        "event_type",
+        F.col("m").cast("int").alias("m"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "rs_mean",
+        "hurst",
+    )
+
+
+# --------------------------------------------------------------------------
+# x267 — Granger-style lead test: does "view" yesterday predict "purchase"?
+# --------------------------------------------------------------------------
+
+_GRANGER_SRC = "view"
+_GRANGER_DST = "purchase"
+
+_GRANGER_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events WHERE event_type IN ('{_GRANGER_SRC}', '{_GRANGER_DST}')
+  GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT d.day, d.y AS yt, dl.y AS yl, xl.y AS xl
+  FROM daily d
+  JOIN daily dl ON dl.event_type = '{_GRANGER_DST}' AND dl.day = d.day - 1
+  JOIN daily xl ON xl.event_type = '{_GRANGER_SRC}' AND xl.day = d.day - 1
+  WHERE d.event_type = '{_GRANGER_DST}'
+),
+mom AS (
+  SELECT COUNT(*) AS n, SUM(yt) AS sy, SUM(yl) AS s1, SUM(xl) AS s2,
+         SUM(yl * yl) AS s11r, SUM(xl * xl) AS s22r, SUM(yl * xl) AS s12r,
+         SUM(yl * yt) AS s1yr, SUM(xl * yt) AS s2yr, SUM(yt * yt) AS syyr
+  FROM rows_
+),
+cen AS (
+  SELECT n,
+         n * s11r - s1 * s1 AS s11, n * s22r - s2 * s2 AS s22,
+         n * s12r - s1 * s2 AS s12, n * s1yr - s1 * sy AS s1y,
+         n * s2yr - s2 * sy AS s2y, n * syyr - sy * sy AS syy
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(s1y AS DOUBLE) * s1y / (CAST(s11 AS DOUBLE) * syy), 6)
+         AS r2_restricted,
+       ROUND((CAST(s22 AS DOUBLE) * s1y * s1y
+              - 2 * CAST(s12 AS DOUBLE) * s1y * s2y
+              + CAST(s11 AS DOUBLE) * s2y * s2y)
+             / ((CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+                * syy), 6) AS r2_full,
+       ROUND(((CAST(s22 AS DOUBLE) * s1y * s1y
+               - 2 * CAST(s12 AS DOUBLE) * s1y * s2y
+               + CAST(s11 AS DOUBLE) * s2y * s2y)
+              / ((CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+                 * syy)
+              - CAST(s1y AS DOUBLE) * s1y / (CAST(s11 AS DOUBLE) * syy))
+             / (1 - (CAST(s22 AS DOUBLE) * s1y * s1y
+                     - 2 * CAST(s12 AS DOUBLE) * s1y * s2y
+                     + CAST(s11 AS DOUBLE) * s2y * s2y)
+                    / ((CAST(s11 AS DOUBLE) * s22
+                        - CAST(s12 AS DOUBLE) * s12) * syy))
+             * (n - 3), 6) AS f_stat
+FROM cen
+"""
+
+
+@register("ts_granger_lite", oracle=_GRANGER_ORACLE)
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x267: GRANGER-STYLE lead-lag test at lag 1 — does yesterday's
+    '{_GRANGER_SRC}' count improve the prediction of today's
+    '{_GRANGER_DST}' count beyond what yesterday's own value gives?
+    Restricted AR(1) model y_t ~ y_{{t-1}} vs full y_t ~ (y_{{t-1}},
+    x_{{t-1}}); F = ΔR²/(1−R²_full)·(n−3) is the incremental-explanatory
+    test. The hypothesis-testing sibling of x254's lagged
+    cross-correlation (which finds the peak lag; this prices lag 1's
+    significance against the autoregression baseline).
+
+    Determinism: both models' R² come from ONE set of exact integer
+    moments (counts × counts; lag alignment by CALENDAR equi-join on
+    day−1, x257's device, so missing days drop instead of silently
+    shifting), composed in one fixed-parenthesization expression — the
+    x253 bit-exactness argument; 2-regressor closed form is x196's
+    Cramer solve.
+
+    100 TB: row grain is the daily agg; everything else is |days| rows,
+    two self-equi-joins on day, and a 1-row moment reduce. At daily
+    counts ≥ ~3e9 the n·Σxx products need DECIMAL(38) (x196's note)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(_GRANGER_SRC, _GRANGER_DST))
+        .select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    d = daily.filter(F.col("event_type") == _GRANGER_DST).select(
+        "day", F.col("y").alias("yt")
+    )
+    dl = daily.filter(F.col("event_type") == _GRANGER_DST).select(
+        (F.col("day") + 1).alias("day"), F.col("y").alias("yl")
+    )
+    xl = daily.filter(F.col("event_type") == _GRANGER_SRC).select(
+        (F.col("day") + 1).alias("day"), F.col("y").alias("xl")
+    )
+    rows_ = d.join(dl, "day").join(xl, "day")
+    mom = rows_.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yt").alias("sy"),
+        F.sum("yl").alias("s1"),
+        F.sum("xl").alias("s2"),
+        F.sum(F.col("yl") * F.col("yl")).alias("s11r"),
+        F.sum(F.col("xl") * F.col("xl")).alias("s22r"),
+        F.sum(F.col("yl") * F.col("xl")).alias("s12r"),
+        F.sum(F.col("yl") * F.col("yt")).alias("s1yr"),
+        F.sum(F.col("xl") * F.col("yt")).alias("s2yr"),
+        F.sum(F.col("yt") * F.col("yt")).alias("syyr"),
+    )
+    cen = mom.select(
+        "n",
+        (F.col("n") * F.col("s11r") - F.col("s1") * F.col("s1")).alias("s11"),
+        (F.col("n") * F.col("s22r") - F.col("s2") * F.col("s2")).alias("s22"),
+        (F.col("n") * F.col("s12r") - F.col("s1") * F.col("s2")).alias("s12"),
+        (F.col("n") * F.col("s1yr") - F.col("s1") * F.col("sy")).alias("s1y"),
+        (F.col("n") * F.col("s2yr") - F.col("s2") * F.col("sy")).alias("s2y"),
+        (F.col("n") * F.col("syyr") - F.col("sy") * F.col("sy")).alias("syy"),
+    )
+    r2_r = (
+        F.col("s1y").cast("double")
+        * F.col("s1y")
+        / (F.col("s11").cast("double") * F.col("syy"))
+    )
+    num_f = (
+        F.col("s22").cast("double") * F.col("s1y") * F.col("s1y")
+        - 2 * F.col("s12").cast("double") * F.col("s1y") * F.col("s2y")
+        + F.col("s11").cast("double") * F.col("s2y") * F.col("s2y")
+    )
+    den_f = (
+        F.col("s11").cast("double") * F.col("s22")
+        - F.col("s12").cast("double") * F.col("s12")
+    ) * F.col("syy")
+    r2_f = num_f / den_f
+    return cen.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r2_r, 6).alias("r2_restricted"),
+        F.round(r2_f, 6).alias("r2_full"),
+        F.round((r2_f - r2_r) / (1 - r2_f) * (F.col("n") - 3), 6).alias(
+            "f_stat"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x268 — SAX symbolization of the daily series (PAA + rank terciles)
+# --------------------------------------------------------------------------
+
+_SAX_W = 5  # days per PAA block
+
+_SAX_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+paa AS (
+  SELECT event_type, (i - 1) // {_SAX_W} AS blk,
+         SUM(y) AS s, COUNT(*) AS cnt
+  FROM idx GROUP BY 1, 2 HAVING COUNT(*) = {_SAX_W}
+),
+rk AS (
+  SELECT event_type, blk, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s, blk) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM paa
+)
+SELECT event_type, CAST(blk AS BIGINT) AS blk,
+       ROUND(CAST(s AS DOUBLE) / {_SAX_W}, 6) AS paa_mean,
+       CAST(r AS BIGINT) AS paa_rank,
+       CASE WHEN r * 3 <= m THEN 'a'
+            WHEN r * 3 <= 2 * m THEN 'b'
+            ELSE 'c' END AS symbol
+FROM rk
+"""
+
+
+@register("ts_sax_symbols", oracle=_SAX_ORACLE)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x268: SAX SYMBOLIZATION (Lin/Keogh) of each type's daily series —
+    Piecewise Aggregate Approximation over {_SAX_W}-day blocks, then a
+    3-letter alphabet by RANK terciles: the dimensionality reduction
+    that turns a numeric series into a short string, unlocking string
+    machinery (x67's pattern matching, x5's fingerprints, motif/anomaly
+    discovery by symbol n-gram counts) on time-series data.
+
+    Rank terciles instead of the classical Gaussian breakpoints: the
+    symbol is decided by integer comparison r·3 ≤ m (ties pinned by
+    block index) — no float threshold a cross-engine .5 can straddle,
+    and no normality assumption on counts data. paa_mean is display
+    only (exact integer sum / constant).
+
+    100 TB: all work past the daily agg is at block grain (|days|/{_SAX_W}
+    rows per type); the rank window partitions per type — a decade is
+    ~730 blocks, trivially in-memory per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    paa = (
+        idx.groupBy(
+            "event_type",
+            ((F.col("i") - 1) / _SAX_W).cast("long").alias("blk"),
+        )
+        .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == _SAX_W)
+    )
+    rk = paa.select(
+        "event_type",
+        "blk",
+        "s",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("s", "blk"))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    return rk.select(
+        "event_type",
+        F.col("blk").cast("long").alias("blk"),
+        F.round(F.col("s").cast("double") / _SAX_W, 6).alias("paa_mean"),
+        F.col("r").cast("long").alias("paa_rank"),
+        F.when(F.col("r") * 3 <= F.col("m"), "a")
+        .when(F.col("r") * 3 <= 2 * F.col("m"), "b")
+        .otherwise("c")
+        .alias("symbol"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x276 — day-over-day KS drift trajectory (x259's device at day grain)
+# --------------------------------------------------------------------------
+
+_KSD_ORACLE = """
+WITH pts AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cnt AS (
+  SELECT event_type, day, cents, COUNT(*) AS c FROM pts GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT event_type, day, cents, c, 2 AS side FROM cnt
+  UNION ALL
+  SELECT event_type, day + 1 AS day, cents, c, 1 AS side FROM cnt
+),
+grid AS (
+  SELECT event_type, day, cents,
+         SUM(CASE WHEN side = 1 THEN c ELSE 0 END) AS d1,
+         SUM(CASE WHEN side = 2 THEN c ELSE 0 END) AS d2
+  FROM paired GROUP BY 1, 2, 3
+),
+ecdf AS (
+  SELECT event_type, day,
+         SUM(d1) OVER (PARTITION BY event_type, day ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(d2) OVER (PARTITION BY event_type, day ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS c2,
+         SUM(d1) OVER (PARTITION BY event_type, day) AS n1,
+         SUM(d2) OVER (PARTITION BY event_type, day) AS n2
+  FROM grid
+),
+stat AS (
+  SELECT event_type, day, MAX(n1) AS n1, MAX(n2) AS n2,
+         MAX(ABS(c1 * n2 - c2 * n1)) AS d_num
+  FROM ecdf GROUP BY event_type, day
+  HAVING MAX(n1) > 0 AND MAX(n2) > 0
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(n1 AS BIGINT) AS n_prev, CAST(n2 AS BIGINT) AS n_cur,
+       CAST(d_num AS BIGINT) AS d_num,
+       ROUND(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+       CAST(CASE WHEN (CAST(d_num AS DOUBLE) / (n1 * n2))
+                      * (CAST(d_num AS DOUBLE) / (n1 * n2))
+                      * (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) > 1.8444
+                 THEN 1 ELSE 0 END AS INTEGER) AS drift_flag
+FROM stat
+"""
+
+
+@register("events_ks_drift_daily", oracle=_KSD_ORACLE)
+def events_ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x276: DAY-OVER-DAY KS drift trajectory — x259's exact-integer
+    two-sample KS statistic computed for every (type, day) against the
+    previous day: the monitoring TIME SERIES (st18's PSI trajectory with
+    a bin-free, shape-sensitive statistic). drift_flag fires when
+    λ² = D²·n₁n₂/(n₁+n₂) exceeds 1.8444 — the α=5% Smirnov critical
+    value ((K⁻¹(0.95)/1)² with 2e^{-2λ²}=0.05 ⇒ λ²=ln(40)/2), spelled
+    as an INTEGER-derived comparison so the flag cannot straddle a
+    rounding boundary the way a pinned p-value could.
+
+    The day-pairing is the UNION device (each day's value histogram
+    participates once as "current", once shifted +1 as "previous") —
+    one extra copy of the (type, day, value) grain, no self-join of
+    row-grain data, missing days simply produce no paired row.
+
+    100 TB: row grain collapses to (type, day, value) counts first
+    (map-combined); the ECDF windows run per (type, day) partition over
+    |distinct values| rows. Same int64 headroom note as x259."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    paired = cnt.select(
+        "event_type", "day", "cents", "c", F.lit(2).alias("side")
+    ).unionByName(
+        cnt.select(
+            "event_type",
+            (F.col("day") + 1).alias("day"),
+            "cents",
+            "c",
+            F.lit(1).alias("side"),
+        )
+    )
+    grid = paired.groupBy("event_type", "day", "cents").agg(
+        F.sum(F.when(F.col("side") == 1, F.col("c")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("side") == 2, F.col("c")).otherwise(0)).alias("d2"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type", "day")
+    ecdf = grid.select(
+        "event_type",
+        "day",
+        F.sum("d1").over(w_cum).alias("c1"),
+        F.sum("d2").over(w_cum).alias("c2"),
+        F.sum("d1").over(w_all).alias("n1"),
+        F.sum("d2").over(w_all).alias("n2"),
+    )
+    stat = (
+        ecdf.groupBy("event_type", "day")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("d_num"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+    )
+    ks_d = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
+    lam2 = (
+        ks_d
+        * ks_d
+        * (F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    )
+    return stat.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("n1").cast("long").alias("n_prev"),
+        F.col("n2").cast("long").alias("n_cur"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.round(ks_d, 6).alias("ks_d"),
+        F.when(lam2 > 1.8444, 1).otherwise(0).cast("int").alias("drift_flag"),
+    )

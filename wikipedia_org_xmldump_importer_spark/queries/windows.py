@@ -554,3 +554,100 @@ def win_reflected_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("bal").cast("double") / 100.0, 2).alias("peak_balance"),
         F.sum((F.col("bal") == 0).cast("int")).cast("long").alias("n_floor_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# x274 — trailing-window feature generation (7/30/90-day range frames)
+# --------------------------------------------------------------------------
+
+_TRAIL_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                           RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            AS BIGINT) AS cnt_7d,
+       CAST(COALESCE(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                                      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cents_7d,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                           RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+            AS BIGINT) AS cnt_30d,
+       CAST(COALESCE(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                                      RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cents_30d,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                           RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+            AS BIGINT) AS cnt_90d,
+       CAST(COALESCE(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                                      RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cents_90d
+FROM o
+"""
+
+
+@register("feature_trailing_windows", oracle=_TRAIL_ORACLE)
+def feature_trailing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x274: TRAILING-WINDOW FEATURE GENERATION — per order, the
+    customer's prior-order count and spend over the trailing 7/30/90
+    days, all EXCLUSIVE of the current day (RANGE ... 1 PRECEDING): the
+    standard anti-leakage discipline for point-in-time ML features
+    (same-day sibling orders must not see each other, x273's embargo
+    argument at row grain). This is w5's range-frame machinery doing its
+    real production job: one shuffle, six features.
+
+    Exclusive-bound subtlety: a same-day order is OUTSIDE the frame in
+    BOTH engines because the frame is on the integer day value, not row
+    position — ROWS frames would be partition-order-dependent with
+    same-day ties; RANGE frames are value-determined and tie-safe.
+
+    100 TB: ONE shuffle on o_custkey serves all six windows (Catalyst
+    collapses same-partitioning window specs into one sort); frames are
+    value-bounded so state per customer is the 90-day slice, not
+    history. Features at entity grain = the feature-store fill pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    # epoch-day by pure NTZ integer arithmetic (io.load_table's device) —
+    # unix_timestamp() would reinterpret the NTZ date in the SESSION zone,
+    # silently shifting day boundaries on any non-UTC driver session
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "timestampdiff(DAY, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ),"
+            " o_orderdate)"
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def trail(days: int):
+        return (
+            Window.partitionBy("o_custkey")
+            .orderBy("day")
+            .rangeBetween(-days, -1)
+        )
+
+    out = o
+    for d in (7, 30, 90):
+        out = out.withColumn(
+            f"cnt_{d}d", F.count(F.lit(1)).over(trail(d)).cast("long")
+        ).withColumn(
+            f"cents_{d}d",
+            F.coalesce(F.sum("cents").over(trail(d)), F.lit(0)).cast("long"),
+        )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        "cnt_7d",
+        "cents_7d",
+        "cnt_30d",
+        "cents_30d",
+        "cnt_90d",
+        "cents_90d",
+    )
