@@ -446,3 +446,314 @@ def test_ks_drift_daily_consistency(spark):
         ks = r.d_num / (r.n_prev * r.n_cur)
         lam2 = ks * ks * (r.n_prev * r.n_cur / (r.n_prev + r.n_cur))
         assert r.drift_flag == (1 if lam2 > 1.8444 else 0)
+
+
+# ---------------------------------------------------------------------------
+# second round-8 batch (x277-x286)
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_python_replay(spark):
+    """C/D/tie counts and tau-b replayed from the joint daily series."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        corr_kendall_tau,
+    )
+
+    daily = _daily_counts(spark, types={"view", "purchase"})
+    days = sorted(set(daily["view"]) & set(daily["purchase"]))
+    pts = [(daily["view"][d], daily["purchase"][d]) for d in days]
+    c = d = tx = ty = txy = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            dx = pts[j][0] - pts[i][0]
+            dy = pts[j][1] - pts[i][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    r = corr_kendall_tau(spark, SF_SMOKE).collect()[0]
+    assert (r.n_days, r.concordant, r.discordant) == (len(pts), c, d)
+    assert (r.ties_x, r.ties_y, r.ties_xy) == (tx, ty, txy)
+    tau = (c - d) / math.sqrt((c + d + tx + txy) * (c + d + ty + txy))
+    assert abs(r.tau_b - tau) < 1e-6
+    assert -1 <= r.tau_b <= 1
+
+
+def test_spearman_python_replay(spark):
+    """Average-rank Spearman replayed from raw lineitem rows."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        corr_spearman,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    qs = [round(r.l_quantity * 100) for r in li]
+    ps = [round(r.l_extendedprice * 100) for r in li]
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        ranks = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = avg
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(qs), avg_ranks(ps)
+    n = len(rx)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    r = corr_spearman(spark, SF_SMOKE).collect()[0]
+    assert r.n_rows == n
+    assert abs(r.spearman_rho - num / den) < 1e-6
+
+
+def test_entropy_family_replay_and_ordering(spark):
+    """Shannon >= Renyi-2 (Renyi is non-increasing in order); exact
+    Simpson replay from hourly counts."""
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        agg_entropy_family,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    cnt = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        cnt[r.event_type][r.ts.hour] += 1
+    rows = {r.event_type: r for r in agg_entropy_family(spark, SF_SMOKE).collect()}
+    for et, hours in cnt.items():
+        n = sum(hours.values())
+        sc2 = sum(c * c for c in hours.values())
+        r = rows[et]
+        assert r.n_events == n and r.k_hours == len(hours)
+        assert abs(r.gini_simpson - (1 - sc2 / n / n)) < 1e-6
+        assert abs(r.effective_hours - n * n / sc2) < 1e-3
+        assert r.shannon_norm >= r.renyi2_norm - 1e-6
+        sh = -sum(
+            (c / n) * math.log(c / n) for c in hours.values()
+        ) / math.log(24)
+        assert abs(r.shannon_norm - sh) < 1e-4
+
+
+def test_stopword_profile_replay(spark):
+    """Top-20 df stopword set + per-source density replayed exactly."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        _STOPK,
+        text_stopword_profile,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    df = defaultdict(int)
+    for r in docs:
+        for t in r.text.split(" "):
+            df[t] += 1
+    stop = set(
+        t for t, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_STOPK]
+    )
+    per = defaultdict(lambda: [0, 0])
+    for r in docs:
+        toks = r.text.split(" ")
+        per[r.source][0] += len(toks)
+        per[r.source][1] += sum(1 for t in toks if t in stop)
+    rows = {r.source: r for r in text_stopword_profile(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(per)
+    for src, (ntok, nstop) in per.items():
+        r = rows[src]
+        assert (r.n_tokens, r.n_stopword_tokens) == (ntok, nstop)
+        assert abs(r.stopword_density - nstop / ntok) < 1e-6
+
+
+def test_cos_histogram_mass_and_bounds(spark):
+    """Histogram covers exactly the sampled pair count; bins inside
+    [-1, 1]; shares sum to 1."""
+    from wikipedia_org_xmldump_importer_spark.queries.llm import (
+        _COSH_TARGET,
+        embed_cos_histogram,
+    )
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    rows = embed_cos_histogram(spark, SF_SMOKE).collect()
+    total = sum(r.n_pairs for r in rows)
+    assert total > 0
+    # pair mass can never exceed the full sample's C(n,2)
+    assert total <= n * (n - 1) // 2
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert -1.0 <= r.cos_lo <= 1.0
+    assert _COSH_TARGET >= 1
+
+
+def test_dispersion_panel_replay(spark):
+    """Fano/CV2/burstiness replayed from daily counts."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        events_dispersion_panel,
+    )
+
+    daily = _daily_counts(spark)
+    rows = {r.event_type: r for r in events_dispersion_panel(spark, SF_SMOKE).collect()}
+    for et, series in daily.items():
+        ys = list(series.values())
+        n = len(ys)
+        mean = sum(ys) / n
+        var = sum((y - mean) ** 2 for y in ys) / (n - 1)
+        sd = math.sqrt(var)
+        r = rows[et]
+        assert r.n_days == n
+        assert abs(r.mean_daily - mean) < 1e-4
+        assert abs(r.var_daily - var) < 1e-3
+        assert abs(r.fano - var / mean) < 1e-4
+        assert abs(r.cv2 - var / mean**2) < 1e-4
+        assert abs(r.burstiness - (sd - mean) / (sd + mean)) < 1e-5
+        assert -1 < r.burstiness < 1
+
+
+def test_lttb_structure_and_area_argmax(spark):
+    """One point per bucket; endpoints kept; the area winner replayed for
+    every interior bucket."""
+    from wikipedia_org_xmldump_importer_spark.queries.timeseries import (
+        _LTTB_W,
+        ts_downsample_lttb,
+    )
+
+    daily = _daily_counts(spark)
+    rows = ts_downsample_lttb(spark, SF_SMOKE).collect()
+    by_type = defaultdict(dict)
+    for r in rows:
+        assert r.bucket not in by_type[r.event_type]
+        by_type[r.event_type][r.bucket] = r
+    for et, series in daily.items():
+        days = sorted(series)
+        pts = [(d, series[d]) for d in days]
+        buckets = [pts[i : i + _LTTB_W] for i in range(0, len(pts), _LTTB_W)]
+        got = by_type[et]
+        assert set(got) == set(range(len(buckets)))
+        assert got[0].day == buckets[0][0][0] and got[0].rule == "first"
+        last_b = len(buckets) - 1
+        assert got[last_b].day == buckets[last_b][-1][0]
+        assert got[last_b].rule == "last"
+        for b in range(1, last_b):
+            sxp = sum(x for x, _ in buckets[b - 1])
+            syp = sum(y for _, y in buckets[b - 1])
+            mp = len(buckets[b - 1])
+            sxn = sum(x for x, _ in buckets[b + 1])
+            syn = sum(y for _, y in buckets[b + 1])
+            mn = len(buckets[b + 1])
+            best = max(
+                (
+                    (
+                        abs(
+                            (sxp * mn - sxn * mp) * (y * mp - syp)
+                            - (sxp - x * mp) * (syn * mp - syp * mn)
+                        ),
+                        -x,
+                    ),
+                    (x, y),
+                )
+                for x, y in buckets[b]
+            )
+            # max by (area, -day) == argmax area with min-day tie-break
+            assert got[b].day == best[1][0]
+            assert got[b].area_key == best[0][0]
+            assert got[b].rule == "area"
+
+
+def test_fd_discovery_known_dependencies(spark):
+    """c_custkey -> c_nationkey must hold exactly (custkey is a key);
+    the reverse direction must violate heavily; g3 replay for one pair."""
+    from wikipedia_org_xmldump_importer_spark.queries.quality_ops import (
+        dq_fd_discovery,
+    )
+
+    rows = {
+        (r.determinant, r.dependent): r
+        for r in dq_fd_discovery(spark, SF_SMOKE).collect()
+    }
+    key_fd = rows[("c_custkey", "c_nationkey")]
+    assert key_fd.violation_rate == 0.0
+    assert key_fd.n_conforming == key_fd.n_rows
+    rev = rows[("c_nationkey", "c_custkey")]
+    assert rev.violation_rate > 0.5
+    cust = load_table(spark, SF_SMOKE, "customer").collect()
+    cell = defaultdict(lambda: defaultdict(int))
+    for r in cust:
+        cell[r.c_nationkey][r.c_mktsegment] += 1
+    conforming = sum(max(d.values()) for d in cell.values())
+    fd = rows[("c_nationkey", "c_mktsegment")]
+    assert fd.n_conforming == conforming
+    assert abs(fd.violation_rate - (1 - conforming / len(cust))) < 1e-6
+
+
+def test_curriculum_phase_balance_and_determinism(spark):
+    """Phases are balanced rank quartiles; order keys are md5-derived and
+    stable across runs; score replay."""
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        _CURR_PHASES,
+        curriculum_schedule,
+    )
+
+    rows1 = sorted(curriculum_schedule(spark, SF_SMOKE).collect(), key=lambda r: r.doc_id)
+    rows2 = sorted(curriculum_schedule(spark, SF_SMOKE).collect(), key=lambda r: r.doc_id)
+    assert rows1 == rows2  # deterministic end to end
+    n = len(rows1)
+    from collections import Counter
+
+    phases = Counter(r.phase for r in rows1)
+    assert set(phases) == set(range(1, _CURR_PHASES + 1))
+    assert max(phases.values()) - min(phases.values()) <= 1
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    import hashlib
+
+    for r in rows1[:20]:
+        toks = docs[r.doc_id].split(" ")
+        assert r.n_tok == len(toks)
+        assert r.n_uniq == len(set(toks))
+        assert r.score_u == len(set(toks)) * 1_000_000 // len(toks)
+        assert r.order_key == hashlib.md5(f"curr:{r.doc_id}".encode()).hexdigest()[:16]
+    # phase ordering follows score ordering
+    by_phase = defaultdict(list)
+    for r in rows1:
+        by_phase[r.phase].append(r.score_u)
+    for ph in range(1, _CURR_PHASES):
+        assert max(by_phase[ph]) <= min(by_phase[ph + 1])
+
+
+def test_degree_powerlaw_replay(spark):
+    """Degree histogram exact; Hill alpha replayed with the same
+    micro-nat pinning."""
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        _DEGPL_K,
+        graph_degree_powerlaw,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in orders}
+    edges = {(cust_of[r.l_orderkey], r.l_suppkey) for r in li}
+    deg = defaultdict(int)
+    for _, s in edges:
+        deg[s] += 1
+    hist = defaultdict(int)
+    for d in deg.values():
+        hist[d] += 1
+    ranked = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
+    keff = min(_DEGPL_K, len(ranked) - 1)
+    dk1 = ranked[keff][1]
+    s_u = sum(round(math.log(d / dk1) * 1e6) for _, d in ranked[:keff])
+    alpha = round(keff * 1e6 / s_u, 6)
+    rows = graph_degree_powerlaw(spark, SF_SMOKE).collect()
+    got_hist = {r.degree: r.n_nodes for r in rows}
+    assert got_hist == dict(hist)
+    assert all(abs(r.alpha_hill - alpha) < 1e-6 for r in rows)

@@ -32,6 +32,26 @@ RED_FLAGS: dict[str, str] = {
 #: SURVEY row / docstring gives. Keep justifications honest — this list is
 #: audited by humans, not just tests.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    ("corr_kendall_tau", "CartesianProduct"): (
+        "the day-pair grid of the SINGLE joint daily series (x260's "
+        "bounded quadratic: collapse to |days| rows FIRST, then pair; "
+        "a decade is ~6.7M pairs) — no equi key exists because there is "
+        "exactly one series"
+    ),
+    ("corr_kendall_tau", "BroadcastNestedLoopJoin"): (
+        "1-row n_days frame broadcast-crossed onto the 1-row tau "
+        "aggregate — bounded by construction (x277)"
+    ),
+    ("embed_cos_histogram", "BroadcastNestedLoopJoin"): (
+        "1-row count-derived modulus frame broadcast-crossed onto the "
+        "scan for the hash-sample filter — bounded by construction "
+        "(x280)"
+    ),
+    ("graph_degree_powerlaw", "BroadcastNestedLoopJoin"): (
+        "1-row d_(k+1) cutoff and 1-row Hill-alpha frames broadcast-"
+        "crossed onto k-row / degree-grain frames — bounded by "
+        "construction (x284)"
+    ),
     ("agg_qq_normal", "BroadcastNestedLoopJoin"): (
         "19-row z-literal table crossed with the 1-row moment frame "
         "before probing ranks — bounded by construction (x263); the "

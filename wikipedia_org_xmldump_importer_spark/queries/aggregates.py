@@ -2907,3 +2907,279 @@ def agg_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("q_theo"),
     )
+
+
+# --------------------------------------------------------------------------
+# x277 — Kendall tau-b between two daily series (exact integer C/D/ties)
+# --------------------------------------------------------------------------
+
+_TAU_A = "view"
+_TAU_B = "purchase"
+
+_TAU_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events WHERE event_type IN ('{_TAU_A}', '{_TAU_B}') GROUP BY 1, 2
+),
+joint AS (
+  SELECT a.day, a.y AS x, b.y AS y
+  FROM daily a JOIN daily b ON b.day = a.day
+  WHERE a.event_type = '{_TAU_A}' AND b.event_type = '{_TAU_B}'
+),
+pr AS (
+  SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END AS tie_y,
+         CASE WHEN b.x = a.x AND b.y = a.y THEN 1 ELSE 0 END AS tie_xy
+  FROM joint a JOIN joint b ON b.day > a.day
+)
+SELECT CAST((SELECT COUNT(*) FROM joint) AS BIGINT) AS n_days,
+       CAST(SUM(conc) AS BIGINT) AS concordant,
+       CAST(SUM(disc) AS BIGINT) AS discordant,
+       CAST(SUM(tie_x) AS BIGINT) AS ties_x,
+       CAST(SUM(tie_y) AS BIGINT) AS ties_y,
+       CAST(SUM(tie_xy) AS BIGINT) AS ties_xy,
+       ROUND((SUM(conc) - SUM(disc))
+             / sqrt(CAST((SUM(conc) + SUM(disc) + SUM(tie_x) + SUM(tie_xy))
+                         AS DOUBLE)
+                    * (SUM(conc) + SUM(disc) + SUM(tie_y) + SUM(tie_xy))),
+             6) AS tau_b
+FROM pr
+"""
+
+
+@register("corr_kendall_tau", oracle=_TAU_ORACLE)
+def corr_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x277: KENDALL τ-b between the daily '{_TAU_A}' and '{_TAU_B}'
+    series — the rank-concordance correlation that x195's Pearson matrix
+    cannot give you when the relationship is monotone-but-nonlinear, and
+    the natural companion of x260 (Mann-Kendall IS Kendall tau against
+    time; this is tau against another series). Tie-corrected tau-b:
+    (C−D)/√((n₀−Tx)(n₀−Ty)) with every count an exact integer off the
+    bounded day-pair grid; the single sqrt is display epilogue.
+
+    Note the identity n₀ = C+D+Tx+Ty+Txy per denominator leg, spelled as
+    integer sums so both engines assemble the same operands.
+
+    100 TB: x260's shape — collapse to day grain first, pair the
+    |days|² grid (decade ≈ 6.7M pairs, trivial next to the row-grain
+    agg). Row-scale Kendall (not series-grain) needs the O(n log n)
+    merge-sort inversion count — noted, different op."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(_TAU_A, _TAU_B))
+        .select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY_AGG).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.filter(F.col("event_type") == _TAU_A).select(
+        "day", F.col("y").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == _TAU_B).select(
+        "day", F.col("y").alias("y")
+    )
+    joint = a.join(b, "day")
+    l = joint.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    r = joint.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pr = l.join(r, F.col("db") > F.col("da"))
+    dx = F.col("xb") - F.col("xa")
+    dy = F.col("yb") - F.col("ya")
+    agg = pr.agg(
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).alias("d"),
+        F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0)).alias("tx"),
+        F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0)).alias("ty"),
+        F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0)).alias("txy"),
+    )
+    n = joint.agg(F.count(F.lit(1)).alias("n_days"))
+    leg_x = (F.col("c") + F.col("d") + F.col("tx") + F.col("txy")).cast("double")
+    leg_y = F.col("c") + F.col("d") + F.col("ty") + F.col("txy")
+    return agg.join(F.broadcast(n)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("tx").cast("long").alias("ties_x"),
+        F.col("ty").cast("long").alias("ties_y"),
+        F.col("txy").cast("long").alias("ties_xy"),
+        F.round(
+            (F.col("c") - F.col("d")) / F.sqrt(leg_x * leg_y), 6
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x278 — Spearman rank correlation (average-rank ties, doubled-rank ints)
+# --------------------------------------------------------------------------
+
+_SPEAR_ORACLE = """
+WITH pts AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+rk AS (
+  -- doubled average ranks: 2*avg_rank = 2*min_rank + (t-1) is ALWAYS an
+  -- integer (ties step by halves), so all moments stay exact
+  SELECT CAST(2 * RANK() OVER (ORDER BY q) - 1
+              + COUNT(*) OVER (PARTITION BY q) AS BIGINT) AS rx2,
+         CAST(2 * RANK() OVER (ORDER BY p) - 1
+              + COUNT(*) OVER (PARTITION BY p) AS BIGINT) AS ry2
+  FROM pts
+),
+mom AS (
+  SELECT COUNT(*) AS n, SUM(rx2) AS sx, SUM(ry2) AS sy,
+         SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy, SUM(rx2 * ry2) AS sxy
+  FROM rk
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS spearman_rho
+FROM mom
+"""
+
+
+@register("corr_spearman", oracle=_SPEAR_ORACLE)
+def corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x278: SPEARMAN rank correlation between line quantity and
+    extended price — Pearson on ranks: monotone-association strength
+    immune to the outliers and curvature that bend x195's raw-value
+    correlations. Tie handling is the textbook AVERAGE rank, carried as
+    DOUBLED ranks (2·avg = 2·min_rank + t − 1, always an integer since
+    tied averages step by halves) so every moment is an exact integer
+    sum and ρ is one pinned expression — the scale factor cancels.
+
+    100 TB: two global rank windows are the cost (a percentile-class
+    shuffle each, x106's rationale); at extreme n swap exact ranks for
+    x184's GK sketch ranks at fixed rank error. Doubled-rank products
+    reach ~4n³ — int64 holds to ~10⁶ rows, the DECIMAL(38) swap beyond
+    (x195's overflow note; applies at sf1 already for lineitem — wired
+    as DECIMAL here for exactly that reason)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+    )
+    rk = pts.select(
+        (
+            2 * F.rank().over(Window.orderBy("q"))
+            - 1
+            + F.count(F.lit(1)).over(Window.partitionBy("q"))
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(Window.orderBy("p"))
+            - 1
+            + F.count(F.lit(1)).over(Window.partitionBy("p"))
+        ).alias("ry2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(dec("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(dec("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(dec("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * (
+                    F.col("n").cast("double") * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x286 — diversity/entropy family over each type's hourly profile
+# --------------------------------------------------------------------------
+
+_ENTFAM_ORACLE = """
+WITH prof AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+acc AS (
+  SELECT event_type, SUM(c) AS n, COUNT(*) AS k, SUM(c * c) AS sc2,
+         SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS clnc_u
+  FROM prof GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS k_hours,
+       ROUND((ln(n) - clnc_u / (CAST(n AS DOUBLE) * 1e6)) / ln(24), 6)
+         AS shannon_norm,
+       ROUND(-ln(CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * n)) / ln(24), 6)
+         AS renyi2_norm,
+       ROUND(1 - CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+         AS gini_simpson,
+       ROUND((CAST(n AS DOUBLE) * n) / sc2, 4) AS effective_hours
+FROM acc
+"""
+
+
+@register("agg_entropy_family", oracle=_ENTFAM_ORACLE)
+def agg_entropy_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x286: the DIVERSITY-INDEX FAMILY over each type's hour-of-day
+    profile — normalized Shannon entropy (via the exact identity
+    H = ln n − Σc·ln c / n, each c·ln c micro-nat pinned at count grain:
+    x113's device where the ROUNDING happens on integer-argument logs),
+    Rényi-2 collision entropy (−ln Σp², and Σp² = Σc²/n² is EXACT
+    integer arithmetic — the only diversity index computable with zero
+    transcendental exposure), Gini-Simpson 1−Σp², and Hill-number
+    "effective hours" n²/Σc² — ecology's answer to "how many hours does
+    this type effectively live in?". One family, one agg: x264 asks the
+    same question of the SPECTRUM; this asks it of the raw profile.
+
+    100 TB: one (type, hour) map-combined agg; everything else is
+    |types| rows. Σc² caps int64 at ~3e9 events/hour-cell — DECIMAL
+    swap noted past that."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = (
+        ev.select("event_type", F.hour("ts").cast("int").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    acc = prof.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.sum(
+            F.round(F.col("c") * F.log("c") * 1_000_000).cast("long")
+        ).alias("clnc_u"),
+    )
+    p2 = F.col("sc2").cast("double") / (F.col("n").cast("double") * F.col("n"))
+    return acc.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("k").cast("long").alias("k_hours"),
+        F.round(
+            (F.log("n") - F.col("clnc_u") / (F.col("n").cast("double") * 1e6))
+            / _math.log(24),
+            6,
+        ).alias("shannon_norm"),
+        F.round(-F.log(p2) / _math.log(24), 6).alias("renyi2_norm"),
+        F.round(1 - p2, 6).alias("gini_simpson"),
+        F.round(1 / p2, 4).alias("effective_hours"),
+    )

@@ -1258,3 +1258,114 @@ def graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x284 — degree distribution + power-law tail exponent (Hill on degrees)
+# --------------------------------------------------------------------------
+
+_DEGPL_K = 50  # Hill order statistics
+
+_DEGPL_ORACLE = f"""
+WITH eb AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (
+  SELECT supp, COUNT(*) AS d FROM eb GROUP BY supp
+),
+hist AS (
+  SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d
+),
+topk AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC, supp) AS r,
+         -- adaptive Hill order: k = min({_DEGPL_K}, n-1) so small graphs
+         -- (smoke SF has 10 suppliers) still produce an estimate
+         LEAST({_DEGPL_K}, COUNT(*) OVER () - 1) AS keff
+  FROM deg
+),
+cut AS (SELECT d AS dk1, keff FROM topk WHERE r = keff + 1),
+hill AS (
+  SELECT ROUND(MAX(c.keff) * 1e6 /
+               NULLIF(SUM(CAST(ROUND(ln(CAST(t.d AS DOUBLE) / c.dk1) * 1000000)
+                        AS BIGINT)), 0), 6) AS alpha_hill
+  FROM topk t, cut c WHERE t.r <= c.keff
+)
+SELECT CAST(h.d AS BIGINT) AS degree, CAST(h.n_nodes AS BIGINT) AS n_nodes,
+       ROUND(CAST(h.n_nodes AS DOUBLE)
+             / SUM(h.n_nodes) OVER (), 6) AS node_share,
+       hill.alpha_hill
+FROM hist h, hill
+"""
+
+
+@register("graph_degree_powerlaw", oracle=_DEGPL_ORACLE)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x284: DEGREE DISTRIBUTION of the supplier side of the bipartite
+    graph plus the HILL tail exponent over the top-{_DEGPL_K} degrees —
+    the scale-free-or-not diagnostic that decides every graph op's skew
+    strategy in this module: a heavy tail (small α) means hub nodes
+    WILL dominate x157/x271's shared-neighbor joins and the documented
+    cap/salt mitigations are mandatory, not paranoia. x243's Hill
+    estimator applied to graph degrees (same micro-nat log pinning, same
+    rank-discrete cutoff d_(k+1) with supp tie-break).
+
+    100 TB: edge dedup + degree agg collapse to node grain; the
+    histogram is degree-grain (hundreds of rows), the Hill sum touches
+    {_DEGPL_K}+1 rows via a rank-limit window (WindowGroupLimit k-heap,
+    not a global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = eb.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w_all_rows = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    topk = deg.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.col("d").desc(), "supp"))
+        .alias("r"),
+        # adaptive Hill order: k = min(K, n-1) so small graphs (smoke SF
+        # has 10 suppliers) still produce an estimate
+        F.least(
+            F.lit(_DEGPL_K), F.count(F.lit(1)).over(w_all_rows) - 1
+        ).alias("keff"),
+    )
+    cut = topk.filter(F.col("r") == F.col("keff") + 1).select(
+        F.col("d").alias("dk1"), F.col("keff").alias("kc")
+    )
+    hill = (
+        topk.join(F.broadcast(cut))
+        .filter(F.col("r") <= F.col("kc"))
+        .agg(
+            F.round(
+                F.max("kc")
+                * 1e6
+                / F.nullif(
+                    F.sum(
+                        F.round(
+                            F.log(F.col("d").cast("double") / F.col("dk1"))
+                            * 1_000_000
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("alpha_hill")
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.join(F.broadcast(hill)).select(
+        F.col("d").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.round(
+            F.col("n_nodes").cast("double") / F.sum("n_nodes").over(w_all), 6
+        ).alias("node_share"),
+        "alpha_hill",
+    )

@@ -2192,3 +2192,131 @@ def vec_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_label",
         "n_top_label",
     )
+
+
+# --------------------------------------------------------------------------
+# x280 — embedding-space cosine histogram (hash-pinned sample pairs)
+# --------------------------------------------------------------------------
+
+_COSH_TARGET = 2000  # sample size target; modulus derives from corpus count
+_COSH_BIN_CENTS = 500  # 0.05-wide bins over pinned 4dp cosine micro-cents
+
+_COSH_ORACLE = f"""
+WITH mod_ AS (
+  SELECT CAST(CEIL(COUNT(*) / {_COSH_TARGET}.0) AS BIGINT) AS m FROM embeddings
+),
+samp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings, mod_
+  WHERE ('0x' || substring(md5('cosh:' || vec_id), 1, 8))::BIGINT % mod_.m = 0
+),
+pairs AS (
+  SELECT CAST(ROUND(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT)
+           AS cos4_u
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+),
+binned AS (
+  SELECT (cos4_u + 10000) // {_COSH_BIN_CENTS} AS bin, COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       ROUND((bin * {_COSH_BIN_CENTS} - 10000) / 10000.0, 2) AS cos_lo,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(CAST(n_pairs AS DOUBLE)
+             / SUM(n_pairs) OVER (), 6) AS share
+FROM binned
+"""
+
+
+@register("embed_cos_histogram", oracle=_COSH_ORACLE)
+def embed_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x280: COSINE-SIMILARITY HISTOGRAM of the embedding space over a
+    hash-pinned sample — the anisotropy/collapse diagnostic every
+    embedding pipeline should watch: healthy spaces put random-pair mass
+    in a band well below 1; a histogram lump near 1.0 means the encoder
+    collapsed (all vectors same direction) and every downstream
+    similarity op (l3/l4/x16/x19) silently degrades. The
+    distribution-level sibling of x190's per-vector outliers.
+
+    Sample modulus DERIVES FROM THE CORPUS COUNT (⌈n/{_COSH_TARGET}⌉ via
+    salted md5 — the llm.py fixed-divisor OOM lesson in reverse: fixed
+    TARGET, scaling divisor), so pair volume is ≤ {_COSH_TARGET}²/2
+    regardless of corpus size and both engines pick the identical rows.
+    Cosines pin to 4dp micro-cents, then bins are INTEGER division on
+    the shifted non-negative value — Spark's truncating div and
+    DuckDB's floor agree exactly there (trap: they disagree below
+    zero).
+
+    100 TB: the count agg + broadcast modulus + hash filter is one scan;
+    the ≤2M-pair self-join of a ~{_COSH_TARGET}-row frame is a single
+    broadcast join. The JVM HOF cosine (functions/vector.py) keeps
+    evaluation order identical to DuckDB's list kernel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mod_ = emb.agg(
+        F.ceil(F.count(F.lit(1)) / float(_COSH_TARGET)).cast("long").alias("m")
+    )
+    hashed = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).join(F.broadcast(mod_)).filter(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cosh:"), F.col("vec_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.col("m")
+        == 0
+    )
+    # bounded-by-construction broadcast (<= _COSH_TARGET + slack rows — the
+    # hash-modulus fixed-target device, same contract as the IVF/PQ train
+    # samples); each Arrow batch of the sample GEMMs against the full
+    # sample matrix and emits only its upper-triangle pinned cosines — the
+    # interpreted per-pair HOF fold this replaced was 15x slower (trap #5).
+    import numpy as _np  # noqa: PLC0415
+
+    srows = hashed.select("vec_id", "v").collect()
+    sids = _np.array([r.vec_id for r in srows], dtype=_np.int64)
+    smat = _np.array([r.v for r in srows], dtype=_np.float64)
+    smat /= _np.linalg.norm(smat, axis=1, keepdims=True)
+    b_all = spark.sparkContext.broadcast((sids, smat))
+
+    def pair_cos(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        ids_all, mat_all = b_all.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = mat @ mat_all.T
+            li, ri = np.nonzero(ids[:, None] < ids_all[None, :])
+            # half-AWAY-FROM-ZERO to match both engines' ROUND (np.rint is
+            # half-to-even — a .00005-boundary cosine would drift a bin)
+            x = cos[li, ri] * 10000
+            yield pd.DataFrame(
+                {
+                    "cos4_u": (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    pairs = hashed.select("vec_id", "v").mapInPandas(
+        pair_cos, schema="cos4_u long"
+    )
+    binned = pairs.groupBy(
+        ((F.col("cos4_u") + 10000) / _COSH_BIN_CENTS).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return binned.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round((F.col("bin") * _COSH_BIN_CENTS - 10000) / 10000.0, 2).alias(
+            "cos_lo"
+        ),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(w_all), 6
+        ).alias("share"),
+    )

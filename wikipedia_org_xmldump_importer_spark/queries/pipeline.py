@@ -1029,3 +1029,97 @@ def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entity_overlap_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# x283 — curriculum schedule: quality-phase buckets + deterministic order
+# --------------------------------------------------------------------------
+
+_CURR_PHASES = 4
+
+_CURR_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         length(string_split(text, ' ')) AS n_tok,
+         length(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_tok, n_uniq,
+         n_uniq * 1000000 // n_tok AS score_u,
+         substring(md5('curr:' || doc_id), 1, 16) AS order_key
+  FROM scored
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_u, doc_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM keyed
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(n_uniq AS BIGINT) AS n_uniq,
+       CAST(score_u AS BIGINT) AS score_u,
+       CAST((r - 1) * {_CURR_PHASES} // n + 1 AS INTEGER) AS phase,
+       order_key
+FROM ranked
+"""
+
+
+@register("curriculum_schedule", oracle=_CURR_ORACLE)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x283: CURRICULUM SCHEDULE — the training-order stage between
+    curation and x255's shard manifest: docs rank into {_CURR_PHASES}
+    quality phases (here by lexical-diversity score, unique/total tokens
+    in exact integer micro-units — swap in any x9/x73/x270 gate score),
+    and WITHIN a phase the order key is a salted md5 — a deterministic
+    shuffle, so every re-run of the pipeline materializes the identical
+    epoch order (x47's hash-split philosophy applied to ordering:
+    curriculum experiments must be reproducible to be comparable).
+
+    Phase boundaries are rank-discrete integer arithmetic
+    ((r−1)·{_CURR_PHASES} // n, ties doc_id-pinned) — every phase gets
+    ⌊n/{_CURR_PHASES}⌋±1 docs with no float threshold.
+
+    100 TB: scoring is per-doc map work; the rank is ONE global sort at
+    doc grain (the x98 caveat — bin scores first at extreme corpus
+    sizes); writers consume (phase, order_key) as the sort spec, which
+    is exactly the x255 shard writer's input."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
+    )
+    keyed = scored.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        F.floor(F.col("n_uniq") * 1_000_000 / F.col("n_tok"))
+        .cast("long")
+        .alias("score_u"),
+        F.substring(
+            F.md5(F.concat(F.lit("curr:"), F.col("doc_id"))), 1, 16
+        ).alias("order_key"),
+    )
+    w_r = Window.orderBy("score_u", "doc_id")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = keyed.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_uniq").cast("long").alias("n_uniq"),
+        "score_u",
+        F.row_number().over(w_r).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        "order_key",
+    )
+    # exact INTEGER division (div, not `/`-then-cast: float quotients can
+    # land a hair under an exact boundary and truncate differently than
+    # DuckDB's //)
+    return ranked.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        "score_u",
+        (F.expr(f"(r - 1) * {_CURR_PHASES} div n") + 1)
+        .cast("int")
+        .alias("phase"),
+        "order_key",
+    )

@@ -1119,3 +1119,85 @@ def privacy_dp_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n") + noise, 6).alias("noised_n"),
         F.round(F.abs(noise), 6).alias("abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# x282 — functional-dependency discovery audit (candidate FD panel)
+# --------------------------------------------------------------------------
+
+# Candidate determinant -> dependent pairs probed on the customer table.
+# A held FD has violation_rate 0; near-FDs (the interesting ones for
+# schema docs and DQ rules) sit just above.
+_FD_PAIRS = (
+    ("c_nationkey", "c_mktsegment"),
+    ("c_mktsegment", "c_nationkey"),
+    ("c_custkey", "c_nationkey"),
+    ("c_nationkey", "c_custkey"),
+)
+
+
+def _fd_leg_sql(det: str, dep: str) -> str:
+    return f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(DISTINCT {det}) AS BIGINT) AS n_det_values,
+       CAST(SUM(mx) AS BIGINT) AS n_conforming,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       ROUND(1 - CAST(SUM(mx) AS DOUBLE) / SUM(n), 6) AS violation_rate
+FROM (
+  SELECT {det}, MAX(c) AS mx, SUM(c) AS n
+  FROM (SELECT {det}, {dep}, COUNT(*) AS c FROM customer GROUP BY 1, 2)
+  GROUP BY {det}
+)"""
+
+
+_FD_ORACLE = "\nUNION ALL\n".join(_fd_leg_sql(a, b) for a, b in _FD_PAIRS)
+
+
+@register("dq_fd_discovery", oracle=_FD_ORACLE)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x282: FUNCTIONAL-DEPENDENCY DISCOVERY audit — for each candidate
+    determinant→dependent pair, the g3-style conformance measure from
+    the FD-mining literature (TANE/HyFD's error): keep the modal
+    dependent value per determinant value, count everything else as a
+    violation. violation_rate 0 ⇒ the FD holds exactly (a key you can
+    document and enforce with x93's constraint gate); small-but-nonzero
+    ⇒ a dirty near-key worth x275's fuzzy resolution. Probing BOTH
+    directions of each pair distinguishes key→attr from attr→key.
+
+    Determinism: counts all the way down — the modal count per
+    determinant is MAX over exact integers (no tie-breaking needed:
+    ties change which value is modal, never the max count itself).
+
+    100 TB: per pair, one (det, dep) map-combined agg collapsed to a
+    (det) agg — grain is the determinant's cardinality, never rows. The
+    candidate list is static here; full FD mining prunes the lattice by
+    these same measures level by level."""
+    cust = load_table(spark, sf_dir, "customer")
+    legs = []
+    for det, dep in _FD_PAIRS:
+        cell = cust.groupBy(det, dep).agg(F.count(F.lit(1)).alias("c"))
+        leg = (
+            cell.groupBy(det)
+            .agg(F.max("c").alias("mx"), F.sum("c").alias("n"))
+            .agg(
+                F.countDistinct(det).cast("long").alias("n_det_values"),
+                F.sum("mx").cast("long").alias("n_conforming"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.round(
+                    1 - F.sum("mx").cast("double") / F.sum("n"), 6
+                ).alias("violation_rate"),
+            )
+            .select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_det_values",
+                "n_conforming",
+                "n_rows",
+                "violation_rate",
+            )
+        )
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -4383,3 +4383,82 @@ def text_zlib_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp,
         schema="doc_id long, n_bytes long, n_compressed long, zlib_ratio double",
     )
+
+
+# --------------------------------------------------------------------------
+# x279 — data-driven stopword profile per source
+# --------------------------------------------------------------------------
+
+_STOPK = 20
+
+_STOPPROF_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+df_ AS (
+  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+),
+stop AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r FROM df_
+  ) WHERE r <= {_STOPK}
+),
+per AS (
+  SELECT t.source, COUNT(*) AS n_tok,
+         SUM(CASE WHEN s.token IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+  FROM tok t LEFT JOIN stop s ON s.token = t.token
+  GROUP BY t.source
+)
+SELECT source, CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stopword_tokens,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stopword_density
+FROM per
+"""
+
+
+@register("text_stopword_profile", oracle=_STOPPROF_ORACLE)
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x279: DATA-DRIVEN STOPWORD PROFILE per source — the corpus's own
+    top-{_STOPK} highest-frequency tokens (rank-pinned: frequency desc,
+    token asc) play the stopword list, and each source is scored by its
+    stopword token density. The language-agnostic version of the classic
+    quality gate (x9/x73 use fixed heuristics): machine text and keyword
+    spam sit far BELOW the natural-prose density band, template boiler-
+    plate far above — and because the list derives from the corpus, the
+    gate needs no per-language dictionary (Zipf guarantees the top-k IS
+    the function-word set in any natural language).
+
+    100 TB: token df agg (map-combined) → a {_STOPK}-row rank probe →
+    broadcast LEFT join back onto the token stream — the stream is
+    scanned twice (df pass + profile pass), both passes map-side
+    combined, no row-grain shuffle. The rank window runs at vocab grain
+    (x98's rationale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    stop = (
+        df_.select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "token"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= _STOPK)
+        .select("token", F.lit(1).alias("is_stop"))
+    )
+    per = (
+        tok.join(F.broadcast(stop), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce("is_stop", F.lit(0))).alias("n_stop"),
+        )
+    )
+    return per.select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.col("n_stop").cast("long").alias("n_stopword_tokens"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tok"), 6).alias(
+            "stopword_density"
+        ),
+    )

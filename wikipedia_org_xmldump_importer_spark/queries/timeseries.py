@@ -7679,3 +7679,263 @@ def events_ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ks_d, 6).alias("ks_d"),
         F.when(lam2 > 1.8444, 1).otherwise(0).cast("int").alias("drift_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# x281 — dispersion panel: Fano factor / CV² / burstiness per type
+# --------------------------------------------------------------------------
+
+_DISP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+acc AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ssq
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_daily,
+       ROUND((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1), 6)
+         AS var_daily,
+       ROUND(((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             / (CAST(s AS DOUBLE) / n), 6) AS fano,
+       ROUND(((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6) AS cv2,
+       ROUND((sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+              - CAST(s AS DOUBLE) / n)
+             / (sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                + CAST(s AS DOUBLE) / n), 6) AS burstiness
+FROM acc
+"""
+
+
+@register("events_dispersion_panel", oracle=_DISP_ORACLE)
+def events_dispersion_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x281: DISPERSION PANEL of each type's daily counts — the three
+    standard over/under-dispersion diagnostics in one agg: FANO factor
+    (var/mean; 1 = Poisson, >1 clumped arrivals, <1 regular/rate-limited
+    — the statistical test x185's bot detector applies informally), CV²
+    (the scale-free version), and Goh-Barabási BURSTINESS B =
+    (σ−μ)/(σ+μ) ∈ (−1, 1) — the index the human-dynamics literature
+    standardized on. x260 asks "is there a trend?"; this asks "is the
+    noise even Poisson?" — the answer decides whether x62's z fences or
+    a negative-binomial model is honest.
+
+    Determinism: all three derive from the exact integer moments
+    (n, Σy, Σy²) in ONE fixed-parenthesization expression each; sqrt is
+    correctly-rounded IEEE. Sample (n−1) variance, pinned 6dp.
+
+    100 TB: x260's shape — a map-combined daily agg then |types| rows.
+    Σy² caps int64 at ~3e9 events/day-cell (DECIMAL swap noted)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    acc = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ssq").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    sd = F.sqrt(var)
+    return acc.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("fano"),
+        F.round(var / (mean * mean), 6).alias("cv2"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x285 — largest-triangle downsampling with fixed bucket-mean anchors
+# --------------------------------------------------------------------------
+
+_LTTB_W = 3  # days per bucket
+
+_LTTB_ORACLE = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1)
+           // {_LTTB_W} AS b
+  FROM daily
+),
+anch AS (
+  SELECT event_type, b, SUM(day) AS sx, SUM(y) AS sy, COUNT(*) AS m
+  FROM idx GROUP BY event_type, b
+),
+lim AS (
+  SELECT event_type, MAX(b) AS bmax FROM idx GROUP BY event_type
+),
+scored AS (
+  SELECT i.event_type, i.b, i.day, i.y,
+         ABS((p.sx * n.m - n.sx * p.m) * (i.y * p.m - p.sy)
+             - (p.sx - i.day * p.m) * (n.sy * p.m - p.sy * n.m)) AS area_key
+  FROM idx i
+  JOIN anch p ON p.event_type = i.event_type AND p.b = i.b - 1
+  JOIN anch n ON n.event_type = i.event_type AND n.b = i.b + 1
+),
+picked AS (
+  SELECT event_type, b, day, y, area_key,
+         ROW_NUMBER() OVER (PARTITION BY event_type, b
+                            ORDER BY area_key DESC, day) AS r
+  FROM scored
+),
+edges AS (
+  SELECT i.event_type, i.b, i.day, i.y,
+         CAST(NULL AS BIGINT) AS area_key,
+         CASE WHEN i.b = 0 THEN \'first\' ELSE \'last\' END AS rule,
+         ROW_NUMBER() OVER (PARTITION BY i.event_type, i.b
+                            ORDER BY CASE WHEN i.b = 0 THEN i.day END ASC,
+                                     i.day DESC) AS r
+  FROM idx i JOIN lim l ON l.event_type = i.event_type
+  WHERE i.b = 0 OR i.b = l.bmax
+)
+SELECT event_type, CAST(b AS BIGINT) AS bucket, CAST(day AS BIGINT) AS day,
+       CAST(y AS BIGINT) AS y, CAST(area_key AS BIGINT) AS area_key,
+       \'area\' AS rule
+FROM picked WHERE r = 1
+UNION ALL
+SELECT event_type, CAST(b AS BIGINT), CAST(day AS BIGINT), CAST(y AS BIGINT),
+       area_key, rule
+FROM edges WHERE r = 1
+"""
+
+
+@register("ts_downsample_lttb", oracle=_LTTB_ORACLE)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x285: LARGEST-TRIANGLE DOWNSAMPLING (Steinarsson\'s LTTB, the
+    plot-decimation standard) with FIXED bucket-mean anchors: per
+    {_LTTB_W}-day bucket keep the point subtending the largest triangle
+    against the neighboring buckets\' mean points — the point a human eye
+    would miss most if dropped. Classical LTTB anchors on the previously
+    SELECTED point (inherently sequential); the fixed-anchor variant
+    anchors both sides on bucket means, which parallelizes perfectly and
+    is the documented accuracy-neutral simplification for monitoring
+    dashboards. First/last buckets keep their boundary points (the
+    series endpoints must survive any decimation).
+
+    Determinism: the triangle area is ranked by |cross product| SCALED
+    THROUGH by both anchor divisors — area·2·m_prev·m_next =
+    |(Sx_p·m_n − Sx_n·m_p)(y·m_p − Sy_p) − (Sx_p − x·m_p)(Sy_n·m_p −
+    Sy_p·m_n)| — an exact int64 on both engines (the x266 clear-the-
+    rational-mean device on a 2-D cross product); ties pin by day.
+
+    100 TB: everything past the daily agg is at day/bucket grain; the
+    anchor join is bucket-grain equi, the argmax one bounded window per
+    bucket. Decimating a row-grain series swaps \'day\' for the raw
+    timestamp — same shape, W spans more rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        (
+            (
+                F.row_number()
+                .over(Window.partitionBy("event_type").orderBy("day"))
+                - 1
+            )
+            / _LTTB_W
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    anch = idx.groupBy("event_type", "b").agg(
+        F.sum("day").alias("sx"), F.sum("y").alias("sy"), F.count(F.lit(1)).alias("m")
+    )
+    lim = idx.groupBy("event_type").agg(F.max("b").alias("bmax"))
+    p = anch.select(
+        F.col("event_type").alias("et_p"),
+        (F.col("b") + 1).alias("b_p"),
+        F.col("sx").alias("sxp"),
+        F.col("sy").alias("syp"),
+        F.col("m").alias("mp"),
+    )
+    n = anch.select(
+        F.col("event_type").alias("et_n"),
+        (F.col("b") - 1).alias("b_n"),
+        F.col("sx").alias("sxn"),
+        F.col("sy").alias("syn"),
+        F.col("m").alias("mn"),
+    )
+    scored = (
+        idx.join(
+            p, (F.col("event_type") == F.col("et_p")) & (F.col("b") == F.col("b_p"))
+        )
+        .join(
+            n, (F.col("event_type") == F.col("et_n")) & (F.col("b") == F.col("b_n"))
+        )
+        .select(
+            "event_type",
+            "b",
+            "day",
+            "y",
+            F.abs(
+                (F.col("sxp") * F.col("mn") - F.col("sxn") * F.col("mp"))
+                * (F.col("y") * F.col("mp") - F.col("syp"))
+                - (F.col("sxp") - F.col("day") * F.col("mp"))
+                * (F.col("syn") * F.col("mp") - F.col("syp") * F.col("mn"))
+            ).alias("area_key"),
+        )
+    )
+    w_pick = Window.partitionBy("event_type", "b").orderBy(
+        F.col("area_key").desc(), "day"
+    )
+    picked = (
+        scored.withColumn("r", F.row_number().over(w_pick))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("bucket"),
+            F.col("day").cast("long").alias("day"),
+            F.col("y").cast("long").alias("y"),
+            F.col("area_key").cast("long").alias("area_key"),
+            F.lit("area").alias("rule"),
+        )
+    )
+    edge_rows = idx.join(lim, "event_type").filter(
+        (F.col("b") == 0) | (F.col("b") == F.col("bmax"))
+    )
+    w_edge = Window.partitionBy("event_type", "b").orderBy(
+        F.when(F.col("b") == 0, F.col("day")).asc(), F.col("day").desc()
+    )
+    edges = (
+        edge_rows.withColumn("r", F.row_number().over(w_edge))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("bucket"),
+            F.col("day").cast("long").alias("day"),
+            F.col("y").cast("long").alias("y"),
+            F.lit(None).cast("long").alias("area_key"),
+            F.when(F.col("b") == 0, "first").otherwise("last").alias("rule"),
+        )
+    )
+    return picked.unionByName(edges)
