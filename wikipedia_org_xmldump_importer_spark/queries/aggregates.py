@@ -3183,3 +3183,522 @@ def agg_entropy_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - p2, 6).alias("gini_simpson"),
         F.round(1 / p2, 4).alias("effective_hours"),
     )
+
+
+# --------------------------------------------------------------------------
+# x287 — Jarque-Bera normality panel per event type (exact raw moments)
+# --------------------------------------------------------------------------
+
+_JB_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         SUM(CAST(cents AS HUGEINT) * cents) AS s2,
+         SUM(CAST(cents AS HUGEINT) * cents * cents) AS s3,
+         SUM(CAST(cents AS HUGEINT) * cents * cents * cents) AS s4
+  FROM v GROUP BY event_type
+),
+e AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n AS r2,
+         CAST(s3 AS DOUBLE) / n AS r3,
+         CAST(s4 AS DOUBLE) / n AS r4
+  FROM m
+),
+c AS (
+  SELECT event_type, n,
+         r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4
+  FROM e
+),
+s AS (
+  SELECT event_type, n,
+         ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+         ROUND(m4 / (m2 * m2) - 3, 6) AS kurt_excess
+  FROM c
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows, skewness, kurt_excess,
+       ROUND(n * (skewness * skewness + kurt_excess * kurt_excess / 4) / 6, 4)
+         AS jb_stat,
+       CAST(CASE WHEN n * (skewness * skewness + kurt_excess * kurt_excess / 4)
+                      / 6 > 5.991465
+                 THEN 1 ELSE 0 END AS INTEGER) AS normal_reject
+FROM s
+"""
+
+
+@register("agg_jarque_bera", oracle=_JB_ORACLE)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x287: JARQUE-BERA normality panel per event type — skewness,
+    excess kurtosis, and JB = n/6(S^2 + K^2/4) vs the pinned chi2(2) 95%
+    critical value 5.991465: the moment-based test that tells you whether
+    x62's z-score fences (which assume normal tails) are honest for this
+    type's value distribution, from ONE pass of exact integer raw
+    moments. The significance sibling of x134's descriptive moments.
+
+    Exactness: cents-pinned values; S1 in BIGINT, S2-S4 in DECIMAL(38,0)
+    / HUGEINT accumulators (cents^4 ~ 6e18 per row overflows int64 in the
+    SUM at any realistic n — the price_index lesson applied up-moment).
+    Both engines cast the SAME exact integer to double (correctly
+    rounded, bit-identical) and run one identically-parenthesized central
+    -moment epilogue; skew/kurt publish at 6dp and JB is assembled FROM
+    the published values (x196's compose-from-published device).
+
+    100 TB: one map-combined groupBy at |types| grain; the epilogue is
+    |types| rows. DECIMAL(38) holds to ~1e19 rows of cents^4 partials."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(dec("cents") * F.col("cents")).alias("s2"),
+        F.sum(dec("cents") * F.col("cents") * F.col("cents")).alias("s3"),
+        F.sum(
+            dec("cents") * F.col("cents") * F.col("cents") * F.col("cents")
+        ).alias("s4"),
+    )
+    e = m.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        (F.col("s2").cast("double") / F.col("n")).alias("r2"),
+        (F.col("s3").cast("double") / F.col("n")).alias("r3"),
+        (F.col("s4").cast("double") / F.col("n")).alias("r4"),
+    )
+    mu = F.col("mu")
+    c = e.select(
+        "event_type",
+        "n",
+        (F.col("r2") - mu * mu).alias("m2"),
+        (F.col("r3") - 3 * mu * F.col("r2") + 2 * mu * mu * mu).alias("m3"),
+        (
+            F.col("r4")
+            - 4 * mu * F.col("r3")
+            + 6 * mu * mu * F.col("r2")
+            - 3 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    s = c.select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6
+        ).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6).alias(
+            "kurt_excess"
+        ),
+    )
+    jb = (
+        F.col("n")
+        * (
+            F.col("skewness") * F.col("skewness")
+            + F.col("kurt_excess") * F.col("kurt_excess") / 4
+        )
+        / 6
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        "skewness",
+        "kurt_excess",
+        F.round(jb, 4).alias("jb_stat"),
+        F.when(jb > 5.991465, 1).otherwise(0).cast("int").alias("normal_reject"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x288 — Cramér's V: event_type × weekday association (integer contingency)
+# --------------------------------------------------------------------------
+
+_CRAMV_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(((CAST(epoch_us(ts) AS BIGINT) // 86400000000) + 4) % 7
+              AS INTEGER) AS wd
+  FROM events
+),
+cell AS (
+  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+),
+marg AS (
+  SELECT event_type, wd, o,
+         SUM(o) OVER (PARTITION BY event_type) AS r,
+         SUM(o) OVER (PARTITION BY wd) AS c,
+         SUM(o) OVER () AS n
+  FROM cell
+),
+term AS (
+  SELECT n,
+         CAST(ROUND(
+           CAST((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                AS DOUBLE)
+           / (CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)) * 1000000)
+         AS BIGINT) AS t_u
+  FROM marg
+),
+chi AS (
+  SELECT MAX(n) AS n, ROUND(SUM(t_u) / 1e6, 6) AS chi2 FROM term GROUP BY n
+)
+SELECT CAST(n AS BIGINT) AS n_events, chi2, CAST(24 AS INTEGER) AS df,
+       ROUND(sqrt(chi2 / (n * 4.0)), 6) AS cramers_v,
+       CAST(CASE WHEN chi2 > 36.415029 THEN 1 ELSE 0 END AS INTEGER)
+         AS indep_reject
+FROM chi
+"""
+
+
+@register("corr_cramers_v", oracle=_CRAMV_ORACLE)
+def corr_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x288: CRAMÉR'S V association between event_type and weekday — the
+    bounded [0,1] EFFECT-SIZE companion to x223's mutual information
+    (bits answer "how much structure"; V answers "how strong vs the
+    maximum possible"), via chi2 = Σ (N·O − r·c)^2 / (N·r·c) on the 5×7
+    contingency grid and V = sqrt(chi2 / (N·min(r−1,c−1))).
+
+    Weekday is pure integer arithmetic on the epoch day ((day+4) mod 7,
+    1970-01-01 = Thursday) — no engine calendar/locale surface (the
+    fn_datepart lesson). Each cell's numerator (N·O − r·c)^2 runs in
+    HUGEINT/DECIMAL(38) (N·O ~ 3e10 at sf1 squares past int64); the
+    per-cell float term is micro-unit pinned (x113) so the 35-cell sum
+    is an exact integer — zero summation-order exposure. chi2 publishes
+    at 6dp; V composes FROM the published chi2 (x196's device). The
+    reject flag compares to the pinned chi2(24) 95% value 36.415029.
+
+    100 TB: one map-combined (type, weekday) agg; every window after it
+    runs on the 35-row grid. DECIMAL swap for r·c noted past ~1e9 rows
+    per margin."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    base = ev.select(
+        "event_type",
+        (((F.col("ts_us") / 86_400_000_000).cast("long") + 4) % 7)
+        .cast("int")
+        .alias("wd"),
+    )
+    cell = base.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    marg = cell.select(
+        "event_type",
+        "wd",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("wd")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    d = dec("n") * F.col("o") - dec("r") * F.col("c")
+    term = marg.select(
+        "n",
+        F.round(
+            (d * d).cast("double")
+            / (dec("n") * F.col("r") * F.col("c")).cast("double")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("t_u"),
+    )
+    chi = term.groupBy("n").agg(
+        F.round(F.sum("t_u") / 1e6, 6).alias("chi2")
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_events"),
+        "chi2",
+        F.lit(24).cast("int").alias("df"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * 4.0)), 6).alias(
+            "cramers_v"
+        ),
+        F.when(F.col("chi2") > 36.415029, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("indep_reject"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x289 — Brown-Forsythe robust variance-equality test across event types
+# --------------------------------------------------------------------------
+
+_LEVENE_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+rk AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+  FROM rk GROUP BY event_type
+),
+z AS (
+  SELECT v.event_type, ABS(v.cents - m.med) AS z
+  FROM v JOIN med m ON v.event_type = m.event_type
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(z) AS BIGINT) AS tg,
+         SUM(CAST(z AS HUGEINT) * z) AS sg2
+  FROM z GROUP BY event_type
+),
+q AS (
+  SELECT ng, tg, sg2,
+         CAST(ROUND(CAST(CAST(tg AS HUGEINT) * tg AS DOUBLE) / ng * 100)
+              AS BIGINT) AS qg_u
+  FROM g
+),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(tg) AS BIGINT) AS t,
+         CAST(SUM(sg2) AS DOUBLE) AS s2,
+         CAST(SUM(qg_u) AS BIGINT) AS q_u
+  FROM q
+),
+e AS (
+  SELECT n, k,
+         q_u / 1e2 - (CAST(t AS DOUBLE) / n) * t AS ssb,
+         s2 - q_u / 1e2 AS ssw
+  FROM tot
+)
+SELECT (SELECT n FROM tot) AS n_rows, (SELECT k FROM tot) AS k_groups,
+       CAST((SELECT k FROM tot) - 1 AS BIGINT) AS df1,
+       CAST((SELECT n FROM tot) - (SELECT k FROM tot) AS BIGINT) AS df2,
+       ROUND((ssb / ((SELECT k FROM tot) - 1))
+             / (ssw / ((SELECT n FROM tot) - (SELECT k FROM tot))), 6)
+         AS f_stat,
+       CAST(CASE WHEN (ssb / ((SELECT k FROM tot) - 1))
+                      / (ssw / ((SELECT n FROM tot) - (SELECT k FROM tot)))
+                      > 2.372 THEN 1 ELSE 0 END AS INTEGER) AS var_hetero
+FROM e
+"""
+
+
+@register("agg_levene_bf", oracle=_LEVENE_ORACLE)
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x289: BROWN-FORSYTHE test (Levene's test with group MEDIANS) for
+    variance equality across event types — the gate before any pooled-
+    variance readout (x126's Welch sidesteps it per-pair; this answers
+    it once for all k groups, robustly: median centers are immune to the
+    heavy tails that break classical Levene-with-means). One-way ANOVA F
+    on z = |cents − group-median|.
+
+    Exactness: rank-discrete LOWER median per group (x129's device — an
+    actual data value, never an interpolated float), deviations z exact
+    integer cents, per-group Σz and Σz² exact (HUGEINT second moments),
+    and the only rational per-group quantity tg²/ng centi-unit pinned
+    (x113 at 1e2 grain — value ~5e12 at sf1 keeps the int64 sum safe)
+    so SSB/SSW assemble from exact integers in one identically-
+    parenthesized epilogue. Flag vs the pinned F(4,∞)=chi2(4)/4 95%
+    value 2.372 (df2 ~ N makes the asymptote honest).
+
+    100 TB: one per-(type,cents) rank pass for medians (cents domain is
+    small — swap for count-grain midrank rollup past ~1e9 distinct), one
+    map-combined 3-moment agg, then a k-row epilogue."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w_t = Window.partitionBy("event_type")
+    rk = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_t.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    med = rk.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("cents")
+            )
+        ).alias("med")
+    )
+    z = v.join(med, "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("z").alias("tg"),
+        F.sum(dec("z") * F.col("z")).alias("sg2"),
+    )
+    q = g.select(
+        "ng",
+        "tg",
+        "sg2",
+        F.round(
+            (dec("tg") * F.col("tg")).cast("double") / F.col("ng") * 100
+        )
+        .cast("long")
+        .alias("qg_u"),
+    )
+    tot = q.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("tg").cast("long").alias("t"),
+        F.sum("sg2").cast("double").alias("s2"),
+        F.sum("qg_u").cast("long").alias("q_u"),
+    )
+    e = tot.select(
+        "n",
+        "k",
+        (
+            F.col("q_u") / 1e2
+            - (F.col("t").cast("double") / F.col("n")) * F.col("t")
+        ).alias("ssb"),
+        (F.col("s2") - F.col("q_u") / 1e2).alias("ssw"),
+    )
+    f = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("n") - F.col("k"))
+    )
+    return e.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(f, 6).alias("f_stat"),
+        F.when(f > 2.372, 1).otherwise(0).cast("int").alias("var_hetero"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x296 — iterative proportional fitting (raking) to uniform margins
+# --------------------------------------------------------------------------
+
+_IPF_ROUNDS = 3
+
+def _ipf_round_sql(t: int) -> str:
+    """One IPF iteration (row scale then column scale) as two chained
+    CTEs over integer micro-unit weights. ``r{t}``/``c{t}`` naming."""
+    prev = "w0" if t == 1 else f"c{t - 1}"
+    return f"""
+r{t} AS (
+  SELECT event_type, wd, o, n,
+         CAST(ROUND(CAST(w_u AS DOUBLE)
+              * ((CAST(n AS DOUBLE) * 200000) /
+                 CAST(SUM(w_u) OVER (PARTITION BY event_type) AS DOUBLE)))
+              AS BIGINT) AS w_u
+  FROM {prev}
+),
+c{t} AS (
+  SELECT event_type, wd, o, n,
+         CAST(ROUND(CAST(w_u AS DOUBLE)
+              * ((CAST(n AS DOUBLE) * 1000000 / 7) /
+                 CAST(SUM(w_u) OVER (PARTITION BY wd) AS DOUBLE)))
+              AS BIGINT) AS w_u
+  FROM r{t}
+)"""
+
+
+_IPF_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(((CAST(epoch_us(ts) AS BIGINT) // 86400000000) + 4) % 7
+              AS INTEGER) AS wd
+  FROM events
+),
+cell AS (
+  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+),
+w0 AS (
+  SELECT event_type, wd, o, SUM(o) OVER () AS n, o * 1000000 AS w_u FROM cell
+),
+{",".join(_ipf_round_sql(t) for t in range(1, _IPF_ROUNDS + 1))}
+SELECT event_type, wd, o AS n_obs,
+       ROUND(w_u / 1e6, 6) AS w_raked,
+       ROUND(CAST(w_u AS DOUBLE) / (CAST(o AS DOUBLE) * 1000000), 6)
+         AS rake_factor
+FROM c{_IPF_ROUNDS}
+"""
+
+
+@register("agg_ipf_raking", oracle=_IPF_ORACLE)
+def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x296: ITERATIVE PROPORTIONAL FITTING (raking, Deming-Stephan) of
+    the event_type × weekday contingency table to UNIFORM margins — the
+    survey-weighting workhorse: after 3 row/column scaling rounds every
+    type carries N/5 and every weekday N/7 of the total weight, and the
+    per-cell rake_factor is the reweight a debiasing pipeline applies
+    (x209's temperature sampling asks "what to draw"; this asks "what
+    to count each draw as"). x288 measures the dependence; this removes
+    it.
+
+    Determinism: weights live as INTEGER MICRO-UNITS between scalings —
+    margin sums are exact integer window sums (zero summation-order
+    exposure), each scaling is one identically-parenthesized double
+    ratio (row target N·200000 micro-units is exact; the /7 column
+    literal parses to the same double in both engines) re-pinned to
+    integers by half-away ROUND. Fixed 3 iterations = 6 scalings,
+    unrolled as chained CTEs vs chained selects — no driver loop.
+
+    100 TB: one map-combined (type, wd) agg; all 6 scalings run on the
+    35-row grid. Margins past ~9e12 events switch w_u to DECIMAL(38)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (((F.col("ts_us") / 86_400_000_000).cast("long") + 4) % 7)
+        .cast("int")
+        .alias("wd"),
+    )
+    cell = base.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    cur = cell.select(
+        "event_type",
+        "wd",
+        "o",
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+        (F.col("o") * 1_000_000).alias("w_u"),
+    )
+    for _ in range(_IPF_ROUNDS):
+        cur = cur.select(
+            "event_type",
+            "wd",
+            "o",
+            "n",
+            F.round(
+                F.col("w_u").cast("double")
+                * (
+                    (F.col("n").cast("double") * 200000)
+                    / F.sum("w_u")
+                    .over(Window.partitionBy("event_type"))
+                    .cast("double")
+                )
+            )
+            .cast("long")
+            .alias("w_u"),
+        )
+        cur = cur.select(
+            "event_type",
+            "wd",
+            "o",
+            "n",
+            F.round(
+                F.col("w_u").cast("double")
+                * (
+                    (F.col("n").cast("double") * 1000000 / 7)
+                    / F.sum("w_u").over(Window.partitionBy("wd")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("w_u"),
+        )
+    return cur.select(
+        "event_type",
+        "wd",
+        F.col("o").alias("n_obs"),
+        F.round(F.col("w_u") / 1e6, 6).alias("w_raked"),
+        F.round(
+            F.col("w_u").cast("double") / (F.col("o").cast("double") * 1000000),
+            6,
+        ).alias("rake_factor"),
+    )

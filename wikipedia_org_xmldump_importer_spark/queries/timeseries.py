@@ -7939,3 +7939,876 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return picked.unionByName(edges)
+
+
+# --------------------------------------------------------------------------
+# x290 — Ljung-Box portmanteau whiteness test on the daily series
+# --------------------------------------------------------------------------
+
+_LB_MAXLAG = 7
+# chi2 95% critical values for df = 1..7, pinned literals (trap #18: never
+# an in-SQL inverse CDF; both engines compare against the same constant).
+_LB_CRIT = (3.841459, 5.991465, 7.814728, 9.487729, 11.070498, 12.591587,
+            14.067140)
+_LB_CRIT_SQL = " ".join(
+    f"WHEN k = {i + 1} THEN {c}" for i, c in enumerate(_LB_CRIT)
+)
+
+_LB_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         SUM(y) OVER (PARTITION BY event_type) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+dev AS (
+  SELECT event_type, i, n, CAST(n * y - t AS BIGINT) AS d FROM idx
+),
+den AS (
+  SELECT event_type, MAX(n) AS n, SUM(CAST(d AS HUGEINT) * d) AS s0
+  FROM dev GROUP BY event_type
+),
+lags AS (SELECT UNNEST(generate_series(1, {_LB_MAXLAG})) AS k),
+num AS (
+  SELECT a.event_type, l.k, SUM(CAST(a.d AS HUGEINT) * b.d) AS sk
+  FROM dev a
+  JOIN lags l ON a.i > l.k
+  JOIN dev b ON b.event_type = a.event_type AND b.i = a.i - l.k
+  GROUP BY a.event_type, l.k
+),
+acf AS (
+  SELECT nm.event_type, nm.k, dn.n,
+         ROUND(CAST(nm.sk AS DOUBLE) / CAST(dn.s0 AS DOUBLE), 6) AS r_k
+  FROM num nm JOIN den dn ON nm.event_type = dn.event_type
+),
+q AS (
+  SELECT event_type, k, n, r_k,
+         ROUND(n * (n + 2)
+               * SUM(r_k * r_k / (n - k))
+                 OVER (PARTITION BY event_type ORDER BY k
+                       ROWS UNBOUNDED PRECEDING), 4) AS q_k
+  FROM acf
+)
+SELECT event_type, CAST(k AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_days,
+       r_k, q_k,
+       CAST(CASE WHEN q_k > (CASE {_LB_CRIT_SQL} END)
+                 THEN 1 ELSE 0 END AS INTEGER) AS wn_reject
+FROM q
+"""
+
+
+@register("ts_ljung_box", oracle=_LB_ORACLE)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x290: LJUNG-BOX portmanteau test per event type — cumulative
+    Q(K) = n(n+2) Σ r_k²/(n−k) over lags 1..7 on the daily
+    count series, each lag's Q against its own pinned chi2(k) 95%
+    critical value: the WHITENESS gate that says whether x229's ACF
+    peaks are signal or noise, and whether a forecast's residual ladder
+    (x257's backtest) has left structure on the table.
+
+    Exactness: r_k's numerator and denominator both use the n·y−T
+    integer-deviation device (x266 — no rational mean ever
+    materializes; the n² factors cancel in the ratio), products in
+    HUGEINT/DECIMAL(38); r_k publishes at 6dp and Q composes FROM the
+    published r_k (x196's device) through an ORDERED prefix window —
+    sequential in the same lag order on both engines. Critical values
+    are pinned literals (trap #18).
+
+    100 TB: everything past the daily agg is |types|·|days| grain; the
+    lag joins are |days|-row equi self-joins per type partition."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w_t.orderBy("day")).alias("i"),
+        F.sum("y").over(w_t).alias("t"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    dev = idx.select(
+        "event_type",
+        "i",
+        "n",
+        (F.col("n") * F.col("y") - F.col("t")).cast("long").alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.sum(dec("d") * F.col("d")).alias("s0")
+    )
+    # lag fan-out by EXPLODE of a pinned literal array (not a cross join —
+    # keeps the plan BNLJ-free; the equi self-join below is a hash join)
+    b = dev.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("i").alias("i_b"),
+        F.col("d").alias("d_b"),
+    )
+    num = (
+        dev.withColumn(
+            "k",
+            F.explode(
+                F.array(*[F.lit(k).cast("long") for k in range(1, _LB_MAXLAG + 1)])
+            ),
+        )
+        .filter(F.col("i") > F.col("k"))
+        .join(
+            b,
+            (F.col("event_type_b") == F.col("event_type"))
+            & (F.col("i_b") == F.col("i") - F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(F.sum(dec("d") * F.col("d_b")).alias("sk"))
+    )
+    acf = num.join(den, "event_type").select(
+        "event_type",
+        "k",
+        "n",
+        F.round(
+            F.col("sk").cast("double") / F.col("s0").cast("double"), 6
+        ).alias("r_k"),
+    )
+    wq = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = acf.select(
+        "event_type",
+        "k",
+        "n",
+        "r_k",
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2)
+            * F.sum(
+                F.col("r_k") * F.col("r_k") / (F.col("n") - F.col("k"))
+            ).over(wq),
+            4,
+        ).alias("q_k"),
+    )
+    crit = F.lit(None).cast("double")
+    for i, cv in enumerate(_LB_CRIT):
+        crit = F.when(F.col("k") == i + 1, F.lit(cv)).otherwise(crit)
+    return q.select(
+        "event_type",
+        F.col("k").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        "r_k",
+        "q_k",
+        F.when(F.col("q_k") > crit, 1).otherwise(0).cast("int").alias(
+            "wn_reject"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x291 — Wald-Wolfowitz runs test on the daily series vs its median
+# --------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+med AS (
+  SELECT event_type, MIN(CASE WHEN rn = (n + 1) // 2 THEN y END) AS med
+  FROM rk GROUP BY event_type
+),
+s AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS sgn
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+  WHERE d.y <> m.med
+),
+runs AS (
+  SELECT event_type, sgn,
+         CASE WHEN LAG(sgn) OVER (PARTITION BY event_type ORDER BY day)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS brk
+  FROM s
+),
+agg AS (
+  SELECT event_type, CAST(SUM(brk) AS BIGINT) AS r,
+         CAST(SUM(sgn) AS BIGINT) AS n1,
+         CAST(SUM(1 - sgn) AS BIGINT) AS n2
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, r AS n_runs, n1 AS n_above, n2 AS n_below,
+       ROUND(1 + 2.0 * n1 * n2 / (n1 + n2), 6) AS expected_runs,
+       ROUND((r - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+             / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                       * (n1 + n2 - 1))), 6) AS z_score
+FROM agg
+"""
+
+
+@register("ts_runs_test", oracle=_RUNS_ORACLE)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x291: WALD-WOLFOWITZ runs test per event type — is the daily
+    series RANDOM around its own median, or does it trend/oscillate?
+    Too few runs = persistence (x266's H>0.5 read as a test), too many
+    = alternation. The distribution-free sibling of x262's Mann-Kendall
+    (which needs a direction; this only needs exchangeability).
+
+    Signs vs the rank-discrete LOWER median (x129's device), ties AT
+    the median dropped (the textbook convention — keeps n1/n2 exact
+    integers); runs counted as sign-change breaks via LAG over the day
+    order (IS DISTINCT FROM makes the first row a break, so R = Σbrk
+    directly). R, n1, n2 exact integers; E[R], Var[R], z one
+    identically-parenthesized float epilogue at 6dp.
+
+    100 TB: daily agg then |types|·|days| windows; the median rank pass
+    partitions per type. Nothing leaves type-partition grain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w_t = Window.partitionBy("event_type")
+    rk = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(w_t.orderBy("y", "day")).alias("rn"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    med = rk.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("y"))
+        ).alias("med")
+    )
+    s = (
+        daily.join(med, "event_type")
+        .filter(F.col("y") != F.col("med"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("y") > F.col("med"), 1).otherwise(0).alias("sgn"),
+        )
+    )
+    runs = s.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn")
+            .over(w_t.orderBy("day"))
+            .eqNullSafe(F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("brk").cast("long").alias("r"),
+        F.sum("sgn").cast("long").alias("n1"),
+        F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    e_r = 1 + 2.0 * n1 * n2 / (n1 + n2)
+    var_r = (
+        2.0
+        * n1
+        * n2
+        * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "event_type",
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round(e_r, 6).alias("expected_runs"),
+        F.round((r - e_r) / F.sqrt(var_r), 6).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x292 — Pettitt change-point test (exact integer U trajectory)
+# --------------------------------------------------------------------------
+
+_PETTITT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+cnt AS (
+  SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, y,
+         COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS c_lt,
+         SUM(c) OVER (PARTITION BY event_type) AS n_tot, c
+  FROM cnt
+),
+wi AS (
+  SELECT event_type, y,
+         CAST(n_tot - c_lt - c AS BIGINT) - CAST(c_lt AS BIGINT) AS wv
+  FROM w
+),
+u AS (
+  SELECT d.event_type, d.day,
+         SUM(wi.wv) OVER (PARTITION BY d.event_type ORDER BY d.day
+                          ROWS UNBOUNDED PRECEDING) AS u_t,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn,
+         COUNT(*) OVER (PARTITION BY d.event_type) AS n
+  FROM daily d JOIN wi ON d.event_type = wi.event_type AND d.y = wi.y
+),
+inner_u AS (SELECT * FROM u WHERE rn < n),
+k AS (
+  SELECT event_type, MAX(ABS(u_t)) AS k_stat, MAX(n) AS n
+  FROM inner_u GROUP BY event_type
+)
+SELECT k.event_type, CAST(k.n AS BIGINT) AS n_days,
+       CAST(k.k_stat AS BIGINT) AS k_stat,
+       CAST(MIN(i.day) AS BIGINT) AS change_day,
+       ROUND(2 * EXP(-6.0 * k.k_stat * k.k_stat
+                     / (CAST(k.n AS DOUBLE) * k.n * k.n
+                        + CAST(k.n AS DOUBLE) * k.n)), 6) AS p_approx,
+       CAST(CASE WHEN 6 * k.k_stat * k.k_stat
+                      > 3.688879 * (CAST(k.n AS DOUBLE) * k.n * k.n
+                                    + CAST(k.n AS DOUBLE) * k.n)
+                 THEN 1 ELSE 0 END AS INTEGER) AS shift_detected
+FROM k JOIN inner_u i
+  ON i.event_type = k.event_type AND ABS(i.u_t) = k.k_stat
+GROUP BY k.event_type, k.n, k.k_stat
+"""
+
+
+@register("ts_pettitt", oracle=_PETTITT_ORACLE)
+def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x292: PETTITT change-point test per event type — the rank-based
+    (distribution-free) sibling of x228's CUSUM: K = max_t |U_t| with
+    U_t = Σ_{i≤t, j>t} sgn(y_j − y_i), locating the most probable
+    single level shift without assuming normal residuals.
+
+    The trajectory is EXACT integers end-to-end via the antisymmetry
+    identity U_t = Σ_{i≤t} W_i where W_i = #{j: y_j > y_i} − #{j: y_j <
+    y_i} (the i,j≤t half cancels): W comes from one value-grain count
+    rollup + prefix window (no pairwise join — x259's ECDF philosophy),
+    U_t is a prefix sum over days. change_day is the EARLIEST argmax
+    (tie-pinned by MIN). Significance two ways: shift_detected is the
+    integer-sided compare 6K² > ln(2/α)·(n³+n²) with ln(40)=3.688879
+    pinned (no exp at the decision point), p_approx is the display-only
+    2·exp(−6K²/(n³+n²)) rounded 6dp.
+
+    100 TB: value-grain collapse first (|distinct y| per type), then
+    |days| windows per type partition; no row-grain pairing ever."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w_t = Window.partitionBy("event_type")
+    cnt = daily.groupBy("event_type", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = cnt.select(
+        "event_type",
+        "y",
+        F.coalesce(
+            F.sum("c").over(
+                w_t.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("c_lt"),
+        F.sum("c").over(w_t).alias("n_tot"),
+        "c",
+    )
+    wi = w.select(
+        "event_type",
+        "y",
+        (
+            (F.col("n_tot") - F.col("c_lt") - F.col("c")).cast("long")
+            - F.col("c_lt").cast("long")
+        ).alias("wv"),
+    )
+    u = daily.join(wi, ["event_type", "y"]).select(
+        "event_type",
+        "day",
+        F.sum("wv")
+        .over(
+            w_t.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("u_t"),
+        F.row_number().over(w_t.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    inner_u = u.filter(F.col("rn") < F.col("n"))
+    k = inner_u.groupBy("event_type").agg(
+        F.max(F.abs(F.col("u_t"))).alias("k_stat"), F.max("n").alias("n")
+    )
+    n, ks = F.col("n"), F.col("k_stat")
+    cubic = n.cast("double") * n * n + n.cast("double") * n
+    return (
+        k.join(inner_u.select("event_type", "day", "u_t"), "event_type")
+        .filter(F.abs(F.col("u_t")) == ks)
+        .groupBy("event_type", "n", "k_stat")
+        .agg(F.min("day").cast("long").alias("change_day"))
+        .select(
+            "event_type",
+            n.cast("long").alias("n_days"),
+            ks.cast("long").alias("k_stat"),
+            "change_day",
+            F.round(2 * F.exp(-6.0 * ks * ks / cubic), 6).alias("p_approx"),
+            F.when(6 * ks * ks > 3.688879 * cubic, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("shift_detected"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x293 — Croston's method for intermittent demand (partitioned SES folds)
+# --------------------------------------------------------------------------
+
+_CRO_ALPHA = 0.2
+_CRO_TOPK = 25
+
+_CRO_ORACLE = f"""
+WITH RECURSIVE
+demand AS (
+  SELECT l_partkey AS pk,
+         CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+origin AS (SELECT MIN(day) AS d0 FROM demand),
+top AS (
+  SELECT pk, m FROM (
+    SELECT pk, COUNT(*) AS m,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pk) AS rk
+    FROM demand GROUP BY pk) t
+  WHERE rk <= {_CRO_TOPK} AND m >= 3
+),
+seq AS (
+  SELECT d.pk, t.m, d.q,
+         ROW_NUMBER() OVER (PARTITION BY d.pk ORDER BY d.day) AS i,
+         CAST(COALESCE(
+           d.day - LAG(d.day) OVER (PARTITION BY d.pk ORDER BY d.day),
+           d.day - (SELECT d0 FROM origin) + 1) AS DOUBLE) AS gap
+  FROM demand d JOIN top t ON d.pk = t.pk
+),
+cro(pk, i, z, p) AS (
+  SELECT pk, CAST(1 AS BIGINT), q, gap FROM seq WHERE i = 1
+  UNION ALL
+  SELECT c.pk, c.i + 1,
+         {_CRO_ALPHA} * s.q + {1 - _CRO_ALPHA} * c.z,
+         {_CRO_ALPHA} * s.gap + {1 - _CRO_ALPHA} * c.p
+  FROM cro c JOIN seq s ON s.pk = c.pk AND s.i = c.i + 1
+),
+fin AS (
+  SELECT c.pk, c.z, c.p, s.m
+  FROM cro c
+  JOIN (SELECT pk, MAX(i) AS mi, MAX(m) AS m FROM seq GROUP BY pk) s
+    ON s.pk = c.pk AND c.i = s.mi
+)
+SELECT CAST(pk AS BIGINT) AS partkey, CAST(m AS BIGINT) AS n_demands,
+       ROUND(z, 6) AS z_level, ROUND(p, 6) AS p_level,
+       ROUND(ROUND(z, 6) / ROUND(p, 6), 6) AS demand_rate
+FROM fin
+"""
+
+
+@register("ts_croston", oracle=_CRO_ORACLE)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x293: CROSTON'S METHOD for intermittent demand — the forecasting
+    standard for sparse series where x224/x265 are wrong by construction
+    (SES over mostly-zero days converges to ~0 and misses every spike):
+    separate SES folds over the NONZERO demand sizes z and the
+    inter-demand intervals p, forecast rate = z/p per day. Run per part
+    over the top-25 most-regularly-demanded parts (rank-pinned ties by
+    partkey, ≥3 demand days).
+
+    Determinism: x224's argument — both engines spell the recursion
+    z' = αq + (1−α)z, p' = αgap + (1−α)p with identical parenthesization
+    over literal coefficients, so the folds are bit-identical (Spark
+    Catalyst aggregate() with a (z,p) named_struct state vs DuckDB
+    recursive CTE joined on (pk, i)). Init: z = first demand, p = days
+    from the GLOBAL first demand day (+1) — pure integers cast to
+    double. demand_rate composes FROM the published 6dp levels.
+
+    100 TB: the fold is partitioned BY PART (embarrassingly parallel —
+    x224's 'per-series variant' made real): one (part, day) map-combined
+    agg, a top-k rank, then |parts| independent |demands|-length array
+    folds. The 1-row origin frame is a broadcast cross (bounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = _CRO_ALPHA
+    demand = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.expr(
+                "timestampdiff(DAY, CAST('1970-01-01 00:00:00' AS"
+                " TIMESTAMP_NTZ), l_shipdate)"
+            )
+            .cast("long")
+            .alias("day"),
+            F.round("l_quantity").cast("long").alias("qi"),
+        )
+        .groupBy("pk", "day")
+        .agg(F.sum("qi").cast("double").alias("q"))
+    )
+    origin = demand.agg(F.min("day").alias("d0"))
+    top = (
+        demand.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .select(
+            "pk",
+            "m",
+            F.row_number()
+            .over(Window.orderBy(F.col("m").desc(), "pk"))
+            .alias("rk"),
+        )
+        .filter((F.col("rk") <= _CRO_TOPK) & (F.col("m") >= 3))
+        .drop("rk")
+    )
+    w_p = Window.partitionBy("pk").orderBy("day")
+    seq = (
+        demand.join(top, "pk")
+        .crossJoin(F.broadcast(origin))
+        .select(
+            "pk",
+            "m",
+            "q",
+            F.row_number().over(w_p).alias("i"),
+            F.coalesce(
+                F.col("day") - F.lag("day").over(w_p),
+                F.col("day") - F.col("d0") + 1,
+            )
+            .cast("double")
+            .alias("gap"),
+        )
+    )
+    folded = (
+        seq.groupBy("pk", "m")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "q", "gap"))).alias(
+                "arr"
+            )
+        )
+        .select(
+            "pk",
+            "m",
+            F.expr(
+                f"""
+                aggregate(
+                  slice(arr, 2, size(arr) - 1),
+                  named_struct(
+                    'z', CAST(arr[0].q AS DOUBLE),
+                    'p', CAST(arr[0].gap AS DOUBLE)),
+                  (acc, x) -> named_struct(
+                    'z', {a} * x.q + {1 - a} * acc.z,
+                    'p', {a} * x.gap + {1 - a} * acc.p)
+                ) AS st
+                """
+            ),
+        )
+    )
+    return folded.select(
+        F.col("pk").cast("long").alias("partkey"),
+        F.col("m").cast("long").alias("n_demands"),
+        F.round(F.col("st.z"), 6).alias("z_level"),
+        F.round(F.col("st.p"), 6).alias("p_level"),
+        F.round(F.round(F.col("st.z"), 6) / F.round(F.col("st.p"), 6), 6).alias(
+            "demand_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x294 — Bollinger bands (7-day trailing mean ± 2σ breach monitor)
+# --------------------------------------------------------------------------
+
+_BOLL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, y,
+         CAST(SUM(y) OVER w AS BIGINT) AS s1,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS s2,
+         COUNT(*) OVER w AS c
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, y,
+       ROUND(s1 / 7.0, 6) AS ma7,
+       ROUND(sqrt((7.0 * s2 - CAST(s1 AS DOUBLE) * s1) / 42.0), 6) AS sd7,
+       ROUND(s1 / 7.0
+             + 2 * sqrt((7.0 * s2 - CAST(s1 AS DOUBLE) * s1) / 42.0), 6)
+         AS upper_band,
+       ROUND(s1 / 7.0
+             - 2 * sqrt((7.0 * s2 - CAST(s1 AS DOUBLE) * s1) / 42.0), 6)
+         AS lower_band,
+       CAST(CASE
+         WHEN y > s1 / 7.0
+                  + 2 * sqrt((7.0 * s2 - CAST(s1 AS DOUBLE) * s1) / 42.0)
+           THEN 1
+         WHEN y < s1 / 7.0
+                  - 2 * sqrt((7.0 * s2 - CAST(s1 AS DOUBLE) * s1) / 42.0)
+           THEN -1
+         ELSE 0 END AS INTEGER) AS breach
+FROM win WHERE c = 7
+"""
+
+
+@register("ts_bollinger", oracle=_BOLL_ORACLE)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x294: BOLLINGER BANDS per event type — 7-day trailing mean ± 2
+    sample-σ with a breach flag (+1 above, −1 below): the classic
+    volatility-adaptive monitor that sits between x62's global z fences
+    (one σ for the whole history) and x90's EMA (no band at all). Bands
+    include the current day (the charting convention); the frame is ROW
+    -based over OBSERVED days — densifying gaps first is x36's job.
+
+    Exactness: integer window sums S1, S2 (Σy² in int64 to ~3e9
+    events/day); mean and σ via the n·S2 − S1² closed form in ONE
+    identically-parenthesized expression; the breach compare runs
+    integer y against the UNROUNDED band expression (same expression
+    both engines — no published-value straddle), bands display at 6dp.
+
+    100 TB: one shuffle on event_type, value-bounded 7-row frames;
+    Catalyst collapses all window specs into a single sort."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.sum("y").over(w).cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("s2"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    ).filter(F.col("c") == 7)
+    sd = F.sqrt(
+        (7.0 * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / 42.0
+    )
+    ma = F.col("s1") / 7.0
+    return win.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "y",
+        F.round(ma, 6).alias("ma7"),
+        F.round(sd, 6).alias("sd7"),
+        F.round(ma + 2 * sd, 6).alias("upper_band"),
+        F.round(ma - 2 * sd, 6).alias("lower_band"),
+        F.when(F.col("y") > ma + 2 * sd, 1)
+        .when(F.col("y") < ma - 2 * sd, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breach"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x295 — rolling-origin forecast tournament (3 closed-form baselines)
+# --------------------------------------------------------------------------
+
+_TOUR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+tr AS (
+  SELECT event_type, CAST(SUM(y) AS BIGINT) AS t_tr,
+         CAST(COUNT(*) AS BIGINT) AS n_tr,
+         CAST(MAX(CASE WHEN i = n - 7 THEN y END) AS BIGINT) AS y_last
+  FROM idx WHERE i <= n - 7 GROUP BY event_type
+),
+te AS (
+  SELECT a.event_type, a.y, b.y AS y_l7
+  FROM idx a
+  JOIN idx b ON b.event_type = a.event_type AND b.i = a.i - 7
+  WHERE a.i > a.n - 7
+),
+err AS (
+  SELECT e.event_type,
+         CAST(SUM(ABS(e.y - t.y_last)) AS BIGINT) AS e_naive,
+         CAST(SUM(ABS(e.y - e.y_l7)) AS BIGINT) AS e_snaive,
+         CAST(SUM(ABS(t.n_tr * e.y - t.t_tr)) AS BIGINT) AS e_mean_sc,
+         CAST(SUM(e.y) AS BIGINT) AS d, CAST(MAX(t.n_tr) AS BIGINT) AS n_tr
+  FROM te e JOIN tr t ON t.event_type = e.event_type
+  GROUP BY e.event_type
+),
+keyed AS (
+  SELECT event_type, 'mean' AS model, e_mean_sc AS ekey,
+         ROUND(CAST(e_mean_sc AS DOUBLE) / (n_tr * d), 6) AS wape
+  FROM err
+  UNION ALL
+  SELECT event_type, 'naive', e_naive * n_tr,
+         ROUND(CAST(e_naive AS DOUBLE) / d, 6)
+  FROM err
+  UNION ALL
+  SELECT event_type, 'snaive', e_snaive * n_tr,
+         ROUND(CAST(e_snaive AS DOUBLE) / d, 6)
+  FROM err
+)
+SELECT event_type, model, wape,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY ekey, model) = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_winner
+FROM keyed
+"""
+
+
+@register("ts_backtest_tournament", oracle=_TOUR_ORACLE)
+def ts_backtest_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x295: FORECAST TOURNAMENT per event type — x257's rolling-origin
+    protocol run as a three-way closed-form bake-off on the last-7-day
+    holdout: naive (last train value), seasonal-naive (lag-7), train
+    mean; WAPE per model and an EXACT winner flag. The model-selection
+    layer above the forecaster ladder (x138/x224/x265/x293): you don't
+    ship a forecaster that loses to last-week's value.
+
+    Exact winner: all three error sums are integers brought to the
+    COMMON denominator n_tr·D (the mean model's |n_tr·y − T| device
+    avoids a rational prediction; the others scale by n_tr), so the
+    argmin is a pure integer compare, ties pinned by model name. WAPE
+    displays at 6dp from the same integers.
+
+    100 TB: one daily agg, one |days|-grain lag-7 equi self-join per
+    type, a |types|-row integer reduce, 3 rows per type out."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w_t.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    tr = (
+        idx.filter(F.col("i") <= F.col("n") - 7)
+        .groupBy("event_type")
+        .agg(
+            F.sum("y").cast("long").alias("t_tr"),
+            F.count(F.lit(1)).cast("long").alias("n_tr"),
+            F.max(F.when(F.col("i") == F.col("n") - 7, F.col("y")))
+            .cast("long")
+            .alias("y_last"),
+        )
+    )
+    b = idx.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("i").alias("i_b"),
+        F.col("y").alias("y_l7"),
+    )
+    te = (
+        idx.filter(F.col("i") > F.col("n") - 7)
+        .join(
+            b,
+            (F.col("event_type_b") == F.col("event_type"))
+            & (F.col("i_b") == F.col("i") - 7),
+        )
+        .select("event_type", "y", "y_l7")
+    )
+    err = te.join(tr, "event_type").groupBy("event_type").agg(
+        F.sum(F.abs(F.col("y") - F.col("y_last"))).cast("long").alias("e_naive"),
+        F.sum(F.abs(F.col("y") - F.col("y_l7"))).cast("long").alias("e_snaive"),
+        F.sum(F.abs(F.col("n_tr") * F.col("y") - F.col("t_tr")))
+        .cast("long")
+        .alias("e_mean_sc"),
+        F.sum("y").cast("long").alias("d"),
+        F.max("n_tr").cast("long").alias("n_tr"),
+    )
+    keyed = err.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mean").alias("model"),
+                    F.col("e_mean_sc").alias("ekey"),
+                    F.round(
+                        F.col("e_mean_sc").cast("double")
+                        / (F.col("n_tr") * F.col("d")),
+                        6,
+                    ).alias("wape"),
+                ),
+                F.struct(
+                    F.lit("naive").alias("model"),
+                    (F.col("e_naive") * F.col("n_tr")).alias("ekey"),
+                    F.round(F.col("e_naive").cast("double") / F.col("d"), 6).alias(
+                        "wape"
+                    ),
+                ),
+                F.struct(
+                    F.lit("snaive").alias("model"),
+                    (F.col("e_snaive") * F.col("n_tr")).alias("ekey"),
+                    F.round(
+                        F.col("e_snaive").cast("double") / F.col("d"), 6
+                    ).alias("wape"),
+                ),
+            )
+        ).alias("m"),
+    ).select("event_type", "m.model", "m.ekey", "m.wape")
+    wr = Window.partitionBy("event_type").orderBy("ekey", "model")
+    return keyed.select(
+        "event_type",
+        "model",
+        "wape",
+        F.when(F.row_number().over(wr) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_winner"),
+    )
