@@ -3702,3 +3702,477 @@ def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rake_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# x297 — Welch's unequal-variance t-test (purchase vs click values)
+# --------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      AS BIGINT) AS t1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+      AS BIGINT) AS t2,
+    SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(cents AS DECIMAL(38, 0)) * cents ELSE 0 END) AS s1,
+    SUM(CASE WHEN event_type = 'click'
+             THEN CAST(cents AS DECIMAL(38, 0)) * cents ELSE 0 END) AS s2
+  FROM v
+),
+m AS (
+  SELECT n1, n2,
+         CAST(t1 AS DOUBLE) / n1 - CAST(t2 AS DOUBLE) / n2 AS md,
+         (CAST(s1 AS DOUBLE) - CAST(t1 AS DOUBLE) / n1 * t1) / (n1 - 1) / n1
+           AS se1,
+         (CAST(s2 AS DOUBLE) - CAST(t2 AS DOUBLE) / n2 * t2) / (n2 - 1) / n2
+           AS se2
+  FROM g
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       ROUND(md, 6) AS mean_diff_cents,
+       ROUND(md / sqrt(se1 + se2), 6) AS t_stat,
+       ROUND((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS df_welch,
+       CAST(CASE WHEN abs(md / sqrt(se1 + se2)) > 1.959964 THEN 1 ELSE 0 END
+            AS INTEGER) AS mean_differs
+FROM m
+"""
+
+
+@register("agg_welch_ttest", oracle=_WELCH_ORACLE)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x297: WELCH'S UNEQUAL-VARIANCE t-TEST, purchase vs click values —
+    the two-sample mean test that does NOT assume equal variances (which
+    x289's Brown-Forsythe just showed can fail): Satterthwaite df, large
+    -sample reject vs the pinned z 1.959964 (df ~ thousands makes the
+    normal asymptote honest; the literal keeps the flag integer-sided).
+    Complements x144 (rank test, no moments) and x126 (z on conversion
+    rates): this one reads cents directly.
+
+    Exactness: per-group moments are exact integers (S1 BIGINT, S2
+    DECIMAL(38) — cents² sums overflow int64 by sf1); mean diff, the
+    two standard-error components, t, and df are ONE identically-
+    parenthesized double epilogue on a 1-row frame. The reject flag
+    compares the UNROUNDED |t| against the literal so no published-
+    value straddle exists (x294's device).
+
+    100 TB: a single map-combined conditional-sum aggregate over the
+    filtered scan (predicate pushdown on event_type) → 1 row. Nothing
+    shuffles but partial aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    is_p = F.col("event_type") == "purchase"
+    cdec = F.col("cents").cast("decimal(38,0)")
+    g = v.agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~is_p, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is_p, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(~is_p, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+        F.sum(F.when(is_p, cdec * F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(~is_p, cdec * F.col("cents")).otherwise(0)).alias("s2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    md = F.col("t1").cast("double") / n1 - F.col("t2").cast("double") / n2
+    se1 = (
+        (F.col("s1").cast("double") - F.col("t1").cast("double") / n1 * F.col("t1"))
+        / (n1 - 1)
+        / n1
+    )
+    se2 = (
+        (F.col("s2").cast("double") - F.col("t2").cast("double") / n2 * F.col("t2"))
+        / (n2 - 1)
+        / n2
+    )
+    t = md / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+    )
+    return g.select(
+        n1.alias("n_purchase"),
+        n2.alias("n_click"),
+        F.round(md, 6).alias("mean_diff_cents"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df_welch"),
+        F.when(F.abs(t) > 1.959964, 1).otherwise(0).cast("int").alias(
+            "mean_differs"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x298 — Tukey box-plot panel (quartile fences, whiskers, outlier counts)
+# --------------------------------------------------------------------------
+
+_BOX_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+rk AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+q AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+  FROM rk GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n, q1, med, q3,
+         2 * q1 - 3 * (q3 - q1) AS lo2,
+         2 * q3 + 3 * (q3 - q1) AS hi2
+  FROM q
+)
+SELECT v.event_type, MAX(f.n) AS n,
+       ROUND(MAX(f.q1) / 100.0, 2) AS q1,
+       ROUND(MAX(f.med) / 100.0, 2) AS median,
+       ROUND(MAX(f.q3) / 100.0, 2) AS q3,
+       CAST(MAX(f.q3 - f.q1) AS BIGINT) AS iqr_cents,
+       ROUND(MIN(CASE WHEN 2 * v.cents >= f.lo2 THEN v.cents END) / 100.0, 2)
+         AS whisker_lo,
+       ROUND(MAX(CASE WHEN 2 * v.cents <= f.hi2 THEN v.cents END) / 100.0, 2)
+         AS whisker_hi,
+       CAST(SUM(CASE WHEN 2 * v.cents < f.lo2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_outliers,
+       CAST(SUM(CASE WHEN 2 * v.cents > f.hi2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_outliers
+FROM v JOIN f ON f.event_type = v.event_type
+GROUP BY v.event_type
+"""
+
+
+@register("agg_boxplot_tukey", oracle=_BOX_ORACLE)
+def agg_boxplot_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x298: TUKEY BOX-PLOT PANEL per event type — rank-discrete
+    quartiles, 1.5·IQR fences, whisker values (extreme observations
+    INSIDE the fences) and per-side outlier counts: the distribution-
+    free outlier screen beside x127's MAD (median-centered) and x287's
+    JB (moment-based). Quartile ranks are pure integer arithmetic
+    (q1 at rank ceil(n/4) = (n+3) div 4 — spelled identically in both
+    engines, never a float percentile), and the fence compare runs in
+    DOUBLED cents (2x vs 2q1−3·IQR) so the half-integer 1.5·IQR never
+    materializes — every comparison is exact int64.
+
+    100 TB: one rank pass per type (value-grain; swap for the count-
+    grain midrank rollup past ~1e9 distinct cents — x289's note), one
+    broadcast of the 5-row fence frame back across the scan, one
+    map-combined conditional agg."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w_t = Window.partitionBy("event_type")
+    rk = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_t.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    q = rk.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("med"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents"))
+        ).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "med",
+        "q3",
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    j = v.join(F.broadcast(f), "event_type")
+    x2 = 2 * F.col("cents")
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("q1") / 100.0, 2).alias("q1"),
+        F.round(F.max("med") / 100.0, 2).alias("median"),
+        F.round(F.max("q3") / 100.0, 2).alias("q3"),
+        F.max(F.col("q3") - F.col("q1")).cast("long").alias("iqr_cents"),
+        F.round(
+            F.min(F.when(x2 >= F.col("lo2"), F.col("cents"))) / 100.0, 2
+        ).alias("whisker_lo"),
+        F.round(
+            F.max(F.when(x2 <= F.col("hi2"), F.col("cents"))) / 100.0, 2
+        ).alias("whisker_hi"),
+        F.sum(F.when(x2 < F.col("lo2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.sum(F.when(x2 > F.col("hi2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_outliers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x299 — association rules with lift (support / confidence over baskets)
+# --------------------------------------------------------------------------
+
+_RULES_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM ob),
+bc AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS nb FROM ob GROUP BY brand
+),
+pr AS (
+  SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM ob a JOIN ob b ON b.ok = a.ok AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+),
+dir AS (
+  SELECT ba AS ante, bb AS cons, nab FROM pr
+  UNION ALL
+  SELECT bb, ba, nab FROM pr
+)
+SELECT d.ante AS antecedent, d.cons AS consequent,
+       d.nab AS n_joint,
+       ROUND(CAST(d.nab AS DOUBLE) / t.n, 6) AS support,
+       ROUND(CAST(d.nab AS DOUBLE) / ca.nb, 6) AS confidence,
+       ROUND(CAST(d.nab AS DOUBLE) * t.n
+             / (CAST(ca.nb AS DOUBLE) * cb.nb), 6) AS lift
+FROM dir d
+JOIN bc ca ON ca.brand = d.ante
+JOIN bc cb ON cb.brand = d.cons
+CROSS JOIN tot t
+WHERE d.nab * 100 >= t.n
+"""
+
+
+@register("basket_association_rules", oracle=_RULES_ORACLE)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x299: ASSOCIATION RULES over order baskets at brand grain —
+    support / confidence / LIFT per directed rule, min-support 1%:
+    x100 stops at pair counts (support); this adds the margins that
+    make a recommendation signal (confidence = P(cons|ante), lift =
+    joint over independence). The min-support gate is INTEGER-SIDED
+    (100·n_ab >= N — a float support can't straddle it).
+
+    Exactness: every count is an exact integer off the distinct
+    (order, brand) collapse; the three ratios are single divisions of
+    integers, 6dp-pinned; lift keeps the n_a·n_b product in DOUBLE
+    (n_a up to ~1e10 at 100 TB squares past int64).
+
+    100 TB: the pair join is WITHIN-ORDER (basket-bounded, never
+    corpus-quadratic — x100's design), brand margins are a broadcast
+    (|brands| rows), and the 1-row total crosses as a broadcast too.
+    Apriori beyond pairs = iterate the same bounded join on the
+    surviving itemsets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("ok").cast("long").alias("n"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("b.ok") == F.col("a.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nab"))
+    )
+    dirn = pr.select(
+        F.col("ba").alias("ante"), F.col("bb").alias("cons"), "nab"
+    ).unionAll(pr.select(F.col("bb").alias("ante"), F.col("ba").alias("cons"), "nab"))
+    ca = bc.select(F.col("brand").alias("ante"), F.col("nb").alias("na"))
+    cb = bc.select(F.col("brand").alias("cons"), F.col("nb").alias("nc"))
+    j = (
+        dirn.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cb), "cons")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nab") * 100 >= F.col("n"))
+    )
+    return j.select(
+        F.col("ante").alias("antecedent"),
+        F.col("cons").alias("consequent"),
+        F.col("nab").alias("n_joint"),
+        F.round(F.col("nab").cast("double") / F.col("n"), 6).alias("support"),
+        F.round(F.col("nab").cast("double") / F.col("na"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("nab").cast("double")
+            * F.col("n")
+            / (F.col("na").cast("double") * F.col("nc")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x300 — decision-stump split search (one-vs-rest Gini, value-grain grid)
+# --------------------------------------------------------------------------
+
+_STUMP_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_STUMP_ORACLE = f"""
+WITH cell AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.target, c.v,
+         CAST(SUM(c.c) AS BIGINT) AS n_v,
+         CAST(SUM(CASE WHEN c.event_type = t.target THEN c.c ELSE 0 END)
+              AS BIGINT) AS pos_v
+  FROM cell c
+  CROSS JOIN (VALUES {", ".join(f"('{t}')" for t in _STUMP_TYPES)})
+    AS t(target)
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT target, v,
+         CAST(SUM(n_v) OVER w AS BIGINT) AS nl,
+         CAST(SUM(pos_v) OVER w AS BIGINT) AS pl,
+         CAST(SUM(n_v) OVER (PARTITION BY target) AS BIGINT) AS n,
+         CAST(SUM(pos_v) OVER (PARTITION BY target) AS BIGINT) AS p
+  FROM grid
+  WINDOW w AS (PARTITION BY target ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+imp AS (
+  SELECT target, v, n, p,
+    (CAST(nl AS DOUBLE)
+     - (CAST(pl AS DOUBLE) * pl
+        + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl)
+    + (CAST(n - nl AS DOUBLE)
+       - (CAST(p - pl AS DOUBLE) * (p - pl)
+          + CAST((n - nl) - (p - pl) AS DOUBLE) * ((n - nl) - (p - pl)))
+         / (n - nl)) AS w_split
+  FROM pre WHERE nl < n
+),
+best AS (
+  SELECT target, v, n, p, w_split,
+         ROW_NUMBER() OVER (PARTITION BY target ORDER BY w_split, v) AS rk
+  FROM imp
+)
+SELECT target AS target_type, n AS n_rows, p AS n_positive,
+       ROUND(v / 100.0, 2) AS split_value,
+       ROUND((CAST(n AS DOUBLE)
+              - (CAST(p AS DOUBLE) * p + CAST(n - p AS DOUBLE) * (n - p)) / n)
+             / n, 6) AS gini_parent,
+       ROUND(w_split / n, 6) AS gini_split,
+       ROUND(((CAST(n AS DOUBLE)
+               - (CAST(p AS DOUBLE) * p + CAST(n - p AS DOUBLE) * (n - p)) / n)
+              - w_split) / n, 6) AS gini_gain
+FROM best WHERE rk = 1
+"""
+
+
+@register("ml_gini_stump", oracle=_STUMP_ORACLE)
+def ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x300: DECISION-STUMP SPLIT SEARCH — for each event type as a
+    one-vs-rest target, the value threshold minimizing weighted Gini
+    impurity (the CART split criterion): the single-feature tree
+    primitive under every GBDT/random-forest trainer, and the
+    quantitative answer to "does value separate this type at all"
+    (gini_gain ~ 0 ⇒ no). Candidate splits are ALL distinct cents
+    values, evaluated in one prefix-sum pass — never a per-candidate
+    scan.
+
+    Exactness: the (value, type) rollup and its prefix sums are exact
+    integers; each candidate's weighted impurity n_side − (pos² +
+    neg²)/n_side is ONE identically-parenthesized double expression of
+    those integers, so the per-target argmin (ties → smallest value)
+    picks the same row in both engines (x294's shared-expression
+    argument applied to an argmin).
+
+    100 TB: one map-combined (cents, type) agg bounds everything after
+    at the value grain (~49k rows × 5 targets); the prefix windows run
+    per target partition. Unbounded-domain features swap the exact grid
+    for a quantile-grid candidate set (x184's sketch) — same pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("v"), "event_type"
+        )
+        .groupBy("v", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    targets = F.explode(
+        F.array(*[F.lit(t) for t in _STUMP_TYPES])
+    ).alias("target")
+    grid = (
+        cell.select("v", "event_type", "c", targets)
+        .groupBy("target", "v")
+        .agg(
+            F.sum("c").cast("long").alias("n_v"),
+            F.sum(F.when(F.col("event_type") == F.col("target"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("pos_v"),
+        )
+    )
+    w_t = Window.partitionBy("target")
+    w_pre = w_t.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = grid.select(
+        "target",
+        "v",
+        F.sum("n_v").over(w_pre).cast("long").alias("nl"),
+        F.sum("pos_v").over(w_pre).cast("long").alias("pl"),
+        F.sum("n_v").over(w_t).cast("long").alias("n"),
+        F.sum("pos_v").over(w_t).cast("long").alias("p"),
+    ).filter(F.col("nl") < F.col("n"))
+    nl, pl, n, p = F.col("nl"), F.col("pl"), F.col("n"), F.col("p")
+    left = nl.cast("double") - (
+        pl.cast("double") * pl + (nl - pl).cast("double") * (nl - pl)
+    ) / nl
+    right = (n - nl).cast("double") - (
+        (p - pl).cast("double") * (p - pl)
+        + ((n - nl) - (p - pl)).cast("double") * ((n - nl) - (p - pl))
+    ) / (n - nl)
+    imp = pre.select("target", "v", "n", "p", (left + right).alias("w_split"))
+    best = imp.select(
+        "*",
+        F.row_number()
+        .over(w_t.orderBy("w_split", "v"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    parent = n.cast("double") - (
+        p.cast("double") * p + (n - p).cast("double") * (n - p)
+    ) / n
+    return best.select(
+        F.col("target").alias("target_type"),
+        n.alias("n_rows"),
+        p.alias("n_positive"),
+        F.round(F.col("v") / 100.0, 2).alias("split_value"),
+        F.round(parent / n, 6).alias("gini_parent"),
+        F.round(F.col("w_split") / n, 6).alias("gini_split"),
+        F.round((parent - F.col("w_split")) / n, 6).alias("gini_gain"),
+    )

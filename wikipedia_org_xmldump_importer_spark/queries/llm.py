@@ -2320,3 +2320,160 @@ def embed_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs").cast("double") / F.sum("n_pairs").over(w_all), 6
         ).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# x305 — multinomial Naive Bayes language classifier (confusion matrix)
+# --------------------------------------------------------------------------
+
+# Integer micro-nat log: ROUND(LN(k) * 1e6) of an integer k — the same
+# pinning device as the entropy family (x286): both engines' libm ln
+# differ by <= 1 ulp, invisible at the 1e-6 grain except on a
+# measure-zero straddle set no integer count hits in practice.
+_NB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, lang, token
+),
+train AS (
+  SELECT token, lang, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM tok GROUP BY token, lang
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM train),
+lg AS (
+  SELECT t.lang, CAST(SUM(t.c) AS BIGINT) AS tot,
+         CAST(ROUND(LN(CAST(SUM(t.c) + MAX(vocab.v) AS DOUBLE)) * 1e6)
+              AS BIGINT) AS ln_den_u
+  FROM train t CROSS JOIN vocab GROUP BY t.lang
+),
+prior AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l,
+         CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS ln_pri_u
+  FROM documents GROUP BY lang
+),
+dsum AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS m_d FROM tok GROUP BY doc_id
+),
+sc1 AS (
+  SELECT k.doc_id, tr.lang AS lang_model,
+         CAST(SUM(k.cnt * CAST(ROUND(LN(CAST(tr.c + 1 AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS BIGINT) AS s1
+  FROM tok k JOIN train tr ON tr.token = k.token
+  GROUP BY k.doc_id, tr.lang
+),
+scored AS (
+  SELECT d.doc_id, d.lang AS lang_true, p.lang AS lang_model,
+         COALESCE(s.s1, 0) - ds.m_d * l.ln_den_u + p.ln_pri_u AS score_u
+  FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+  CROSS JOIN prior p
+  JOIN lg l ON l.lang = p.lang
+  JOIN dsum ds ON ds.doc_id = d.doc_id
+  LEFT JOIN sc1 s ON s.doc_id = d.doc_id AND s.lang_model = p.lang
+),
+pred AS (
+  SELECT doc_id, lang_true, lang_model AS lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_u DESC, lang_model) AS rk
+  FROM scored
+)
+SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY lang_true, lang_pred
+"""
+
+
+@register("ml_naive_bayes_lang", oracle=_NB_ORACLE)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x305: MULTINOMIAL NAIVE BAYES language classifier — train add-1
+    -smoothed token likelihoods P(t|lang) and document priors on the
+    corpus, score every document, output the confusion matrix: the
+    supervised MapReduce-classic classifier beside x8's unsupervised
+    n-gram heuristic (and x172's confusion harness for it). The N-
+    constant ln(N) term is dropped (same for every class — argmax
+    invariant).
+
+    Determinism: scores are INTEGER micro-nat sums — Σ cnt·lnµ(c+1) −
+    m_d·lnµ(tot+V) + lnµ(n_l), every lnµ a ROUND(LN(int)·1e6) pin
+    (x286's device) — so the per-doc argmax is an exact integer
+    compare, ties lang-name pinned. Unseen (token, lang) pairs
+    contribute cnt·lnµ(0+1) = 0, which is why the token join can stay
+    INNER + COALESCE instead of a doc×lang×vocab blow-up.
+
+    100 TB: the classic NB shape — token-grain shuffles only
+    (vocab-bounded train state, ≤|langs|× expansion on the score
+    join), the 5-row lang/prior frames broadcast, no iteration."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    train = tok.groupBy("token", "lang").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    vocab = train.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    lnmu = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")  # noqa: E731
+    lg = (
+        train.groupBy("lang")
+        .agg(F.sum("c").cast("long").alias("tot"))
+        .crossJoin(F.broadcast(vocab))
+        .select("lang", lnmu(F.col("tot") + F.col("v")).alias("ln_den_u"))
+    )
+    prior = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    ).select("lang", lnmu(F.col("n_l")).alias("ln_pri_u"))
+    dsum = tok.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("m_d"))
+    sc1 = (
+        tok.select("doc_id", "token", "cnt")
+        .join(
+            train.select(
+                "token", F.col("lang").alias("lang_model"), lnmu(F.col("c") + 1).alias("ln_c1_u")
+            ),
+            "token",
+        )
+        .groupBy("doc_id", "lang_model")
+        .agg(F.sum(F.col("cnt") * F.col("ln_c1_u")).cast("long").alias("s1"))
+    )
+    langs = F.broadcast(
+        prior.join(lg, "lang").select(
+            F.col("lang").alias("lang_model"), "ln_pri_u", "ln_den_u"
+        )
+    )
+    scored = (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .crossJoin(langs)
+        .join(dsum, "doc_id")
+        .join(sc1, ["doc_id", "lang_model"], "left")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_model",
+            (
+                F.coalesce(F.col("s1"), F.lit(0))
+                - F.col("m_d") * F.col("ln_den_u")
+                + F.col("ln_pri_u")
+            ).alias("score_u"),
+        )
+    )
+    pred = scored.select(
+        "lang_true",
+        F.col("lang_model").alias("lang_pred"),
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score_u").desc(), "lang_model"
+            )
+        )
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

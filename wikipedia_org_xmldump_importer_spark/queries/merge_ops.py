@@ -777,3 +777,121 @@ def finance_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_tax_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# x306 — log-log demand elasticity per brand (grouped OLS on pinned logs)
+# --------------------------------------------------------------------------
+
+_ELAST_ORACLE = """
+WITH pq AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey
+),
+pts AS (
+  SELECT p.p_brand AS brand,
+         CAST(ROUND(LN(CAST(ROUND(p.p_retailprice * 100) AS DOUBLE)) * 1e6)
+              AS BIGINT) AS x,
+         CAST(ROUND(LN(CAST(q.qty AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM part p JOIN pq q ON q.pk = p.p_partkey
+  WHERE q.qty >= 1
+),
+mo AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS DECIMAL(38, 0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38, 0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38, 0)) * y) AS syy
+  FROM pts GROUP BY brand
+),
+sl AS (
+  SELECT brand, n, sx, sy,
+         CAST(n * sxy - CAST(sx AS DECIMAL(38, 0)) * sy AS DOUBLE) AS covn,
+         CAST(n * sxx - CAST(sx AS DECIMAL(38, 0)) * sx AS DOUBLE) AS varxn,
+         CAST(n * syy - CAST(sy AS DECIMAL(38, 0)) * sy AS DOUBLE) AS varyn
+  FROM mo
+)
+SELECT brand, n AS n_parts,
+       ROUND(covn / varxn, 6) AS elasticity,
+       ROUND((CAST(sy AS DOUBLE) - covn / varxn * sx) / n / 1e6, 6)
+         AS intercept_ln,
+       ROUND(covn * covn / (varxn * varyn), 6) AS r2
+FROM sl
+"""
+
+
+@register("part_price_elasticity", oracle=_ELAST_ORACLE)
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x306: PRICE ELASTICITY OF DEMAND per brand — OLS slope of
+    ln(total quantity) on ln(retail price) across the brand's parts
+    (the log-log regression whose slope IS the elasticity, scale-free):
+    the econometric readout beside x204's price index (which measures
+    price movement, not response). Also emits the ln-space intercept
+    and R² so a pricing model can judge the fit before trusting the
+    slope.
+
+    Determinism: both logs are INTEGER MICRO-NAT pins of integer
+    inputs (price cents, summed quantity — x305's lnµ device), so all
+    five OLS moments are exact integers (DECIMAL(38)/HUGEINT: the
+    micro-nat products reach ~1.4e14 per part and overflow int64 by
+    ~1e4 parts per group); slope/intercept/R² are one double epilogue
+    per brand on those exact moments — and the µ-nat scale cancels in
+    both slope and R² (elasticity is dimensionless).
+
+    100 TB: one map-combined part-grain demand agg, one part→brand
+    equi-join, one map-combined 6-moment agg → |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    pq = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.round("l_quantity").cast("long").alias("qi"),
+        )
+        .groupBy("pk")
+        .agg(F.sum("qi").cast("long").alias("qty"))
+        .filter(F.col("qty") >= 1)
+    )
+    lnmu = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")  # noqa: E731
+    pts = pt.join(pq, pt.p_partkey == pq.pk).select(
+        F.col("p_brand").alias("brand"),
+        lnmu(F.round(F.col("p_retailprice") * 100)).alias("x"),
+        lnmu(F.col("qty")).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mo = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    covn = (n * F.col("sxy") - dec("sx") * sy).cast("double")
+    varxn = (n * F.col("sxx") - dec("sx") * sx).cast("double")
+    varyn = (n * F.col("syy") - dec("sy") * sy).cast("double")
+    sl = mo.select(
+        "brand",
+        "n",
+        "sx",
+        "sy",
+        covn.alias("covn"),
+        varxn.alias("varxn"),
+        varyn.alias("varyn"),
+    )
+    return sl.select(
+        F.col("brand"),
+        n.alias("n_parts"),
+        F.round(F.col("covn") / F.col("varxn"), 6).alias("elasticity"),
+        F.round(
+            (sy.cast("double") - F.col("covn") / F.col("varxn") * sx)
+            / n
+            / 1e6,
+            6,
+        ).alias("intercept_ln"),
+        F.round(
+            F.col("covn") * F.col("covn") / (F.col("varxn") * F.col("varyn")),
+            6,
+        ).alias("r2"),
+    )

@@ -1123,3 +1123,136 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("phase"),
         "order_key",
     )
+
+
+# --------------------------------------------------------------------------
+# x304 — data-mixture water-filling solver (capped source weights)
+# --------------------------------------------------------------------------
+
+_MIX_ROUNDS = 3
+
+
+def _mix_round_sql(t: int) -> str:
+    """One water-filling iteration as a chained CTE: integer capped-mass
+    and uncapped-count window sums, then one double lambda update."""
+    prev = "m0" if t == 1 else f"m{t - 1}"
+    return f"""
+m{t} AS (
+  SELECT source, a, b, target,
+         CAST(b - SUM(CASE WHEN lam * target >= CAST(a AS DOUBLE)
+                           THEN a ELSE 0 END) OVER () AS DOUBLE)
+         / (CAST(SUM(CASE WHEN lam * target >= CAST(a AS DOUBLE)
+                          THEN 0 ELSE 1 END) OVER () AS DOUBLE) * target)
+           AS lam
+  FROM {prev}
+)"""
+
+
+_MIX_ORACLE = f"""
+WITH tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
+  FROM documents GROUP BY source
+),
+base AS (
+  SELECT source, a,
+         CAST(SUM(a) OVER () AS BIGINT) // 2 AS b,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+  FROM tok
+),
+m0 AS (
+  SELECT source, a, b, CAST(b AS DOUBLE) / n_src AS target, 1.0 AS lam
+  FROM base
+),
+{",".join(_mix_round_sql(t) for t in range(1, _MIX_ROUNDS + 1))}
+SELECT source, a AS tokens,
+       ROUND(target, 6) AS target_tokens,
+       ROUND(LEAST(1.0, lam * target / CAST(a AS DOUBLE)), 6) AS weight,
+       ROUND(LEAST(1.0, lam * target / CAST(a AS DOUBLE))
+             * CAST(a AS DOUBLE), 6) AS expected_tokens,
+       CAST(CASE WHEN lam * target >= CAST(a AS DOUBLE) THEN 1 ELSE 0 END
+            AS INTEGER) AS capped
+FROM m{_MIX_ROUNDS}
+"""
+
+
+@register("pipeline_mixture_weights", oracle=_MIX_ORACLE)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x304: DATA-MIXTURE WATER-FILLING — per-source sampling weights
+    that hit a token budget B (here half the corpus) at UNIFORM source
+    shares under the no-upsampling cap w ≤ 1: the mixing step between
+    x55's temperature transform (which reweights but never respects a
+    cap) and x197's class balancer (rows, not token mass). Sources too
+    small to fill their share cap at 1; the deficit redistributes to
+    the uncapped sources by re-solving the water level λ — 3 fixed
+    iterations UNROLLED (water-filling converges after ≤|capped set|
+    changes; 3 covers the test corpus and any λ error just underfills
+    the budget, never breaks the cap).
+
+    Determinism: capped mass and uncapped counts are INTEGER window
+    sums (token counts as doubles would lose exactness past 2^53 —
+    that's why the CASE sums a, not CAST(a AS DOUBLE)); each λ update
+    is one identically-parenthesized double ratio; the cap compare
+    λ·target ≥ a runs the same expression both engines (x294's
+    device). Uniform targets make the Σtarget window sum a count
+    times a constant — order-independent by construction.
+
+    100 TB: one map-combined source-grain agg; all 3 iterations run on
+    the |sources|-row frame (the unpartitioned windows are bounded by
+    |sources|, not rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("a")
+    )
+    w_all = Window.partitionBy()
+    base = tok.select(
+        "source",
+        "a",
+        F.expr(
+            "CAST(sum(a) OVER (PARTITION BY 1) AS BIGINT) div 2"
+        ).alias("b"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_src"),
+    )
+    cur = base.select(
+        "source",
+        "a",
+        "b",
+        (F.col("b").cast("double") / F.col("n_src")).alias("target"),
+        F.lit(1.0).alias("lam"),
+    )
+    for _ in range(_MIX_ROUNDS):
+        capped = F.col("lam") * F.col("target") >= F.col("a").cast("double")
+        cur = cur.select(
+            "source",
+            "a",
+            "b",
+            "target",
+            (
+                (
+                    F.col("b")
+                    - F.sum(F.when(capped, F.col("a")).otherwise(0)).over(w_all)
+                ).cast("double")
+                / (
+                    F.sum(F.when(capped, 0).otherwise(1))
+                    .over(w_all)
+                    .cast("double")
+                    * F.col("target")
+                )
+            ).alias("lam"),
+        )
+    w = F.least(
+        F.lit(1.0), F.col("lam") * F.col("target") / F.col("a").cast("double")
+    )
+    return cur.select(
+        "source",
+        F.col("a").alias("tokens"),
+        F.round(F.col("target"), 6).alias("target_tokens"),
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("a").cast("double"), 6).alias("expected_tokens"),
+        F.when(
+            F.col("lam") * F.col("target") >= F.col("a").cast("double"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("capped"),
+    )

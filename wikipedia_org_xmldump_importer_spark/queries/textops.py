@@ -4462,3 +4462,81 @@ def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stopword_density"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x303 — FORCAST readability panel per source (sentence-free formula)
+# --------------------------------------------------------------------------
+
+_FORCAST_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+syl AS (
+  SELECT doc_id, source, token,
+         len(regexp_extract_all(token, '[aeiouy]+')) AS ng
+  FROM tok WHERE token <> ''
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(ng) AS BIGINT) AS n_syllable_groups,
+       CAST(SUM(CASE WHEN ng = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mono,
+       CAST(SUM(CASE WHEN ng >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_poly,
+       ROUND(CAST(SUM(ng) AS DOUBLE) / COUNT(*), 6) AS syllables_per_word,
+       ROUND(CAST(SUM(CASE WHEN ng >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS poly_rate,
+       ROUND(20.0
+             - 15.0 * CAST(SUM(CASE WHEN ng = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS forcast_grade
+FROM syl
+GROUP BY source
+"""
+
+
+@register("docs_readability_forcast", oracle=_FORCAST_ORACLE)
+def docs_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x303: FORCAST READABILITY per source — grade = 20 − 150·M/(10·W)
+    with M = monosyllabic words in a W-word sample (Caylor et al. 1973):
+    the one published readability formula that needs NO sentence
+    boundaries, which is exactly this corpus (x9's quality score already
+    measured punctuation ~ absent). Syllables are approximated by vowel
+    -group runs [aeiouy]+ per token — the standard proxy when no
+    dictionary is allowed; the panel adds syllables/word and the
+    polysyllabic rate (the SMOG/Gunning-Fog numerator) so a curation
+    gate can threshold on either.
+
+    Exactness: counts are exact integers off one token explode; the
+    three ratios are single integer divisions pinned at 6dp; the grade
+    is one identically-parenthesized expression (20.0 − 15.0·M/W).
+
+    100 TB: explode → map-combined source-grain agg; |sources| rows
+    out. Same shuffle class as text_tf, no vocabulary state at all."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    syl = tok.select(
+        "doc_id",
+        "source",
+        F.size(F.expr("regexp_extract_all(token, '[aeiouy]+', 0)")).alias("ng"),
+    )
+    mono = F.sum(F.when(F.col("ng") == 1, 1).otherwise(0)).cast("long")
+    poly = F.sum(F.when(F.col("ng") >= 3, 1).otherwise(0)).cast("long")
+    return syl.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("ng").cast("long").alias("n_syllable_groups"),
+        mono.alias("n_mono"),
+        poly.alias("n_poly"),
+        F.round(
+            F.sum("ng").cast("double") / F.count(F.lit(1)), 6
+        ).alias("syllables_per_word"),
+        F.round(poly.cast("double") / F.count(F.lit(1)), 6).alias("poly_rate"),
+        F.round(
+            F.lit(20.0) - 15.0 * mono.cast("double") / F.count(F.lit(1)), 6
+        ).alias("forcast_grade"),
+    )

@@ -8812,3 +8812,189 @@ def ts_backtest_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_winner"),
     )
+
+
+# --------------------------------------------------------------------------
+# x301 — local-maxima peak detection with a window-mean prominence guard
+# --------------------------------------------------------------------------
+
+_PEAKS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ctx AS (
+  SELECT event_type, day, y,
+         LAG(y) OVER w AS y_prev,
+         LEAD(y) OVER w AS y_next,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS win_sum,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS win_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, y,
+       CAST(y_prev AS BIGINT) AS y_prev, CAST(y_next AS BIGINT) AS y_next,
+       win_sum, win_n,
+       CAST(CASE WHEN win_n * y > 2 * win_sum THEN 1 ELSE 0 END AS INTEGER)
+         AS is_major
+FROM ctx
+WHERE y_prev IS NOT NULL AND y_next IS NOT NULL
+  AND y > y_prev AND y > y_next
+"""
+
+
+@register("ts_peaks", oracle=_PEAKS_ORACLE)
+def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x301: PEAK DETECTION per event type — strict local maxima of the
+    daily count series (y above BOTH neighbors, edges excluded) with a
+    prominence guard flag: is_major fires when the peak exceeds 2× the
+    mean of its centered ±3-day window, spelled as the INTEGER cross-
+    multiplied compare win_n·y > 2·win_sum (no mean is ever a float —
+    x259's device on a window). The discrete complement of x194's
+    deseasonalized anomalies and x131's CUSUM: those find level shifts,
+    this finds spikes, and ts_downsample_lttb keeps exactly these rows
+    visually.
+
+    100 TB: one event_type shuffle; lag/lead and the ±3 frame share one
+    window sort (Catalyst collapses same-spec windows); all outputs
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-3, 3)
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.lag("y").over(w).alias("y_prev"),
+        F.lead("y").over(w).alias("y_next"),
+        F.sum("y").over(w7).cast("long").alias("win_sum"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("win_n"),
+    )
+    return ctx.filter(
+        F.col("y_prev").isNotNull()
+        & F.col("y_next").isNotNull()
+        & (F.col("y") > F.col("y_prev"))
+        & (F.col("y") > F.col("y_next"))
+    ).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        "y",
+        F.col("y_prev").cast("long").alias("y_prev"),
+        F.col("y_next").cast("long").alias("y_next"),
+        "win_sum",
+        "win_n",
+        F.when(F.col("win_n") * F.col("y") > 2 * F.col("win_sum"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_major"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x302 — EWMA volatility (RiskMetrics lambda=0.94) trajectory per type
+# --------------------------------------------------------------------------
+
+_EWVOL_ORACLE = """
+WITH RECURSIVE
+daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, day,
+         y - LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS dy,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+  FROM daily
+),
+dd AS (SELECT event_type, day, dy, i FROM d WHERE i >= 1),
+rec(event_type, day, i, s2) AS (
+  SELECT event_type, day, i, CAST(dy AS DOUBLE) * dy FROM dd WHERE i = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.i,
+         0.94 * r.s2 + 0.06 * (CAST(n.dy AS DOUBLE) * n.dy)
+  FROM rec r JOIN dd n ON n.event_type = r.event_type AND n.i = r.i + 1
+)
+SELECT r.event_type, CAST(r.day AS BIGINT) AS day,
+       CAST(dd.dy AS BIGINT) AS d_count,
+       ROUND(r.s2, 6) AS sigma2, ROUND(sqrt(r.s2), 6) AS ew_vol
+FROM rec r JOIN dd ON dd.event_type = r.event_type AND dd.i = r.i
+"""
+
+
+@register("ts_ewvol", oracle=_EWVOL_ORACLE)
+def ts_ewvol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x302: EWMA VOLATILITY (RiskMetrics, λ=0.94) per event type over
+    the day-over-day count changes — σ²_t = 0.94·σ²_{t−1} + 0.06·d_t²,
+    the variance twin of x90's EMA mean and the adaptive-σ input a
+    volatility-scaled monitor wants where x294's equal-weight 7-day σ
+    lags regime changes. Emits the full trajectory, not just the final
+    state.
+
+    Determinism: x293's argument — both engines run the IDENTICAL IEEE
+    recursion (literal 0.94/0.06 coefficients, init σ²₁ = d₁²): DuckDB
+    as a recursive CTE, Spark as per-prefix aggregate() folds over the
+    sorted per-type array. A prefix fold replays exactly the ops of the
+    incremental recursion in the same order, so the trajectories are
+    bit-identical (the d² terms are integers squared into doubles).
+
+    100 TB: day-grain bounded after the daily collapse (|days| ≤ ~4e4
+    even for a century) — the O(|days|²) prefix folds are ~1e9 flat
+    float ops worst case, per type, map-local; past that, the linear
+    single-pass form is the same fold emitted from applyInPandas."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        (F.row_number().over(w) - 1).alias("i"),
+    ).filter(F.col("i") >= 1)
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("i", "day", "dy"))).alias("arr")
+    )
+    traj = arr.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                """
+                transform(arr, (x, j) -> named_struct(
+                  'day', x.day,
+                  'dy', x.dy,
+                  's2', aggregate(
+                    slice(arr, 2, j),
+                    CAST(arr[0].dy AS DOUBLE) * arr[0].dy,
+                    (acc, e) -> 0.94 * acc + 0.06 * (CAST(e.dy AS DOUBLE) * e.dy))
+                ))
+                """
+            )
+        ).alias("s"),
+    )
+    return traj.select(
+        "event_type",
+        F.col("s.day").cast("long").alias("day"),
+        F.col("s.dy").cast("long").alias("d_count"),
+        F.round(F.col("s.s2"), 6).alias("sigma2"),
+        F.round(F.sqrt(F.col("s.s2")), 6).alias("ew_vol"),
+    )
