@@ -175,6 +175,7 @@ def test_survey_registry_sync():
         "alert_hysteresis_stream",
         "near_dedup_stream",
         "stream_cms_cells",
+        "ewvol_stream",
     }
     declared = names - test_only
     registered = set(REGISTRY)

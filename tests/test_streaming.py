@@ -905,3 +905,37 @@ def test_cms_cells_stream_merges_to_batch_sketch(spark, tmp_path):
             for j in range(4)
         )
         assert est >= n
+
+
+def test_ewvol_stream_matches_batch(spark, tmp_path):
+    """st20: live EWMA-volatility — every day the stream CLOSED must carry
+    exactly the batch twin x302's (d_count, sigma2) for that day; the one
+    legitimately absent row per type is the final observed day (it never
+    closes on a drained source)."""
+    staged = _staged(spark, tmp_path)
+    got = run_to_completion(
+        ops.ewvol_stream(read_event_stream(spark, staged)),
+        "t_ewvol",
+        "append",
+    ).toPandas()
+
+    from wikipedia_org_xmldump_importer_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    batch = REGISTRY["ts_ewvol"].fn(spark, SF_SMOKE).toPandas()
+    last_day = batch.groupby("event_type")["day"].max()
+    merged = got.merge(batch, on=["event_type", "day"], how="outer", indicator=True)
+    # stream-only rows must not exist; batch-only rows are exactly the
+    # per-type final days
+    assert not (merged["_merge"] == "left_only").any()
+    batch_only = merged[merged["_merge"] == "right_only"]
+    assert set(zip(batch_only["event_type"], batch_only["day"])) == set(
+        last_day.items()
+    )
+    both = merged[merged["_merge"] == "both"]
+    assert (both["d_count_x"] == both["d_count_y"]).all()
+    assert (both["sigma2_x"] - both["sigma2_y"]).abs().max() < 2e-6
+    # fold counter is the per-type day index (1-based over closed days)
+    n_per_type = got.groupby("event_type")["n_folds"].max()
+    rows_per_type = got.groupby("event_type").size()
+    assert (n_per_type == rows_per_type).all()

@@ -1369,3 +1369,265 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("node_share"),
         "alpha_hill",
     )
+
+
+# --------------------------------------------------------------------------
+# x313 — hub-landmark closeness centrality (6-hop bounded BFS)
+# --------------------------------------------------------------------------
+
+_CLOSE_HUBS = 12
+_CLOSE_ROUNDS = 6
+
+
+def _close_round_sql(r: int) -> str:
+    prev = f"b{r - 1}"
+    return f"""
+b{r} AS (
+  SELECT hub, node, MIN(dist) AS dist FROM (
+    SELECT hub, node, dist FROM {prev}
+    UNION ALL
+    SELECT p.hub, e.dst AS node, MIN(p.dist) + 1 AS dist
+    FROM {prev} p JOIN e ON e.src = p.node
+    GROUP BY p.hub, e.dst
+  ) u GROUP BY hub, node
+)"""
+
+
+_CLOSE_ORACLE = (
+    f"""
+WITH eb AS (
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e GROUP BY src),
+hubs AS (
+  SELECT node, degree FROM (
+    SELECT node, degree,
+           ROW_NUMBER() OVER (ORDER BY degree DESC, node) AS rk
+    FROM deg) t
+  WHERE rk <= {_CLOSE_HUBS}
+),
+b0 AS (SELECT node AS hub, node, CAST(0 AS BIGINT) AS dist FROM hubs),
+"""
+    + ",".join(_close_round_sql(r) for r in range(1, _CLOSE_ROUNDS + 1))
+    + f"""
+SELECT b.hub, MAX(h.degree) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(b.dist) AS BIGINT) AS sum_dist,
+       ROUND(CAST((COUNT(*) - 1) AS DOUBLE) * (COUNT(*) - 1)
+             / (CAST(MAX(nn.n) - 1 AS DOUBLE) * SUM(b.dist)), 6)
+         AS closeness_wf
+FROM b{_CLOSE_ROUNDS} b
+JOIN hubs h ON h.node = b.hub
+CROSS JOIN nn
+GROUP BY b.hub
+"""
+)
+
+
+@register("graph_closeness_hubs", oracle=_CLOSE_ORACLE)
+def graph_closeness_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x313: HUB-LANDMARK CLOSENESS — Wasserman-Faust normalized
+    closeness (r−1)²/((n−1)·Σdist) for the 12 highest-degree nodes
+    of the customer↔supplier graph, distances from a 6-hop
+    bounded multi-source BFS: the landmark recipe (Eppstein-Wang
+    class) that makes closeness computable at ALL — exact all-pairs is
+    O(V·E) and off the table at any scale; high-degree landmarks are
+    the published default seed set, and 6 hops exceeds the
+    bipartite graph's observed diameter (unreached nodes simply don't
+    enter r or Σdist, making the truncation honest).
+
+    Exactness: distances, reach counts and distance sums are pure
+    integers off min-aggregated frontier joins (ties can't exist — a
+    node's distance IS its BFS round); the one closeness ratio is
+    6dp-pinned. Hub selection is rank-pinned (degree DESC, node).
+
+    100 TB: state is the |hubs|×|V| distance relation — LINEAR in V
+    (never V²); each round is one key-partitioned join + min-agg, the
+    x63 driver-loop contract with localCheckpoint lineage cuts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    nn = e.select("src").distinct().count()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    hubs = (
+        deg.select(
+            "node",
+            "degree",
+            F.row_number()
+            .over(Window.orderBy(F.col("degree").desc(), "node"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _CLOSE_HUBS)
+        .drop("rk")
+    )
+    cur = hubs.select(
+        F.col("node").alias("hub"),
+        "node",
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    # Per-round localCheckpoint measured FASTER than chaining all 6
+    # rounds into one deep-lineage job (18.3 s vs 11.9 s at sf0.1): with
+    # 12x|V| state the per-round cost is the scheduling floor (trap #8),
+    # and the unchained form pays Catalyst analysis + 6 stacked shuffle
+    # plans instead.
+    for _ in range(_CLOSE_ROUNDS):
+        stepped = (
+            cur.join(e, cur.node == e.src)
+            .groupBy("hub", F.col("dst").alias("nnode"))
+            .agg((F.min("dist") + 1).alias("dist"))
+            .select("hub", F.col("nnode").alias("node"), "dist")
+        )
+        cur = (
+            cur.unionAll(stepped)
+            .groupBy("hub", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.join(F.broadcast(hubs.select(F.col("node").alias("hub"), "degree")), "hub")
+        .groupBy("hub")
+        .agg(
+            F.max("degree").alias("degree"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.round(
+                (F.count(F.lit(1)) - 1).cast("double")
+                * (F.count(F.lit(1)) - 1)
+                / (F.lit(float(nn - 1)) * F.sum("dist")),
+                6,
+            ).alias("closeness_wf"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x314 — deterministic random-walk corpus (hash-selected next hops)
+# --------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+
+
+def _walk_hsel(start: str, step: int, nbr: str) -> str:
+    """Pinned integer next-hop key: Knuth multiplicative hash of
+    (start, step, neighbor), pure int64 arithmetic in both engines
+    (% keeps the dividend's sign in Spark AND DuckDB; the +2^31 fold
+    makes the operand nonnegative before the multiply so the product
+    stays under int64)."""
+    return (
+        f"(((({start} * 7 + {step} * 13 + {nbr} * 31) % 2147483648)"
+        f" + 2147483648) % 2147483648 * 2654435761) % 4294967296"
+    )
+
+
+def _walk_round_sql(r: int) -> str:
+    prev = f"w{r - 1}"
+    return f"""
+w{r} AS (
+  SELECT start, dst AS node FROM (
+    SELECT w.start, e.dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.start
+             ORDER BY {_walk_hsel("w.start", r, "e.dst")}, e.dst) AS rk
+    FROM {prev} w JOIN e ON e.src = w.node
+  ) t WHERE rk = 1
+)"""
+
+
+_WALK_ORACLE = (
+    """
+WITH eb AS (
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+w0 AS (SELECT DISTINCT src AS start, src AS node FROM e),
+"""
+    + ",".join(_walk_round_sql(r) for r in range(1, _WALK_STEPS + 1))
+    + """
+SELECT start AS start_node, CAST(0 AS INTEGER) AS step, node FROM w0
+"""
+    + "".join(
+        f"UNION ALL SELECT start, CAST({r} AS INTEGER), node FROM w{r}\n"
+        for r in range(1, _WALK_STEPS + 1)
+    )
+)
+
+
+@register("graph_walk_corpus", oracle=_WALK_ORACLE)
+def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x314: RANDOM-WALK CORPUS (DeepWalk/node2vec's input stage) — one
+    4-step walk per node over the customer↔supplier graph, with
+    the "random" next hop DERANDOMIZED: each step picks the neighbor
+    minimizing a pinned Knuth multiplicative hash of (walk start, step,
+    neighbor), ties neighbor-id-pinned. Reruns and engines emit the
+    IDENTICAL corpus — the reproducibility property a training-data
+    pipeline needs from its walk generator (RNG walks can't be
+    hash-oracle'd at all; x53 covers sanctioned RNG sampling).
+
+    100 TB: each step is one key-partitioned join frontier→edges plus
+    a per-walk min — walk state is |V| rows flat, the join fan-out is
+    degree-bounded, and steps unroll as 4 joins (no driver
+    state). Longer walks / w walks per node = same plan with a walk_id
+    column. The emitted (start, step, node) rows ARE the skip-gram
+    corpus x26-style embedding trainers consume."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = (
+        eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = e.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("node")
+    )
+    out = cur.select("start", F.lit(0).cast("int").alias("step"), "node")
+    for r in range(1, _WALK_STEPS + 1):
+        hsel = F.expr(_walk_hsel("start", r, "dst"))
+        # NO per-step checkpoint: the union branches do re-derive their
+        # join prefixes (O(steps²/2) joins total), but at 4 steps the
+        # re-derived joins are cheaper than 4 eager materialization jobs
+        # (measured 6.6 s vs 8.0 s at sf0.1) — ReuseExchange recovers
+        # most of the overlap. Longer walks flip this; checkpoint every
+        # ~5 steps there.
+        cur = (
+            cur.join(e, cur.node == e.src)
+            .select("start", "dst", hsel.alias("hsel"))
+            .select(
+                "start",
+                "dst",
+                F.row_number()
+                .over(
+                    Window.partitionBy("start").orderBy("hsel", "dst")
+                )
+                .alias("rk"),
+            )
+            .filter(F.col("rk") == 1)
+            .select("start", F.col("dst").alias("node"))
+        )
+        out = out.unionAll(
+            cur.select("start", F.lit(r).cast("int").alias("step"), "node")
+        )
+    return out.select(F.col("start").alias("start_node"), "step", "node")

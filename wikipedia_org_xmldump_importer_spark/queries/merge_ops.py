@@ -895,3 +895,114 @@ def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# x312 — SCD Type 3 build (current + previous attribute value columns)
+# --------------------------------------------------------------------------
+
+_SCD3_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey AS ck, o_orderpriority AS val,
+         CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+         o_orderkey AS ok,
+         LAG(o_orderpriority) OVER w AS prev_val,
+         CASE WHEN o_orderpriority IS DISTINCT FROM LAG(o_orderpriority)
+                   OVER w THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY epoch_us(o_orderdate), o_orderkey)
+),
+last_chg AS (
+  SELECT ck, val, prev_val, day, ok,
+         ROW_NUMBER() OVER (PARTITION BY ck ORDER BY day DESC, ok DESC) AS rk
+  FROM seq WHERE chg = 1
+),
+nchg AS (
+  SELECT ck, CAST(SUM(chg) - 1 AS BIGINT) AS n_changes FROM seq GROUP BY ck
+)
+SELECT l.ck AS custkey,
+       l.val AS current_priority,
+       l.prev_val AS prev_priority,
+       CAST(l.day AS BIGINT) AS changed_at_day,
+       n.n_changes
+FROM last_chg l JOIN nchg n ON n.ck = l.ck
+WHERE l.rk = 1
+"""
+
+
+@register("scd3_prev_column", oracle=_SCD3_ORACLE)
+def scd3_prev_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x312: SCD TYPE 3 BUILD — the current/previous-value dimension
+    variant that completes the SCD ladder (x49 type 1 overwrite, x50
+    type 2 history, this one keeps exactly ONE prior value in-row):
+    per customer, the latest order priority, the value it replaced,
+    the change day and the lifetime change count, derived from the
+    order stream in one pass. prev is NULL for never-changed customers
+    (their only "change" is the initial value; n_changes counts real
+    transitions, Σflags − 1).
+
+    Determinism: ordering is (epoch-day-exact order date, orderkey) —
+    the same tiebreak contract as x58; the last-change row is a rank
+    pick over that total order; IS DISTINCT FROM makes the first row a
+    flagged change in both engines.
+
+    100 TB: ONE shuffle on custkey serves the lag window, the rank and
+    the change count (Catalyst shares the sort); output is dimension-
+    grain. The incremental form merges this output with yesterday's
+    dim exactly like x49."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("ck").orderBy("ots", "ok")
+    seq = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderpriority").alias("val"),
+        F.expr(
+            "timestampdiff(DAY, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ),"
+            " o_orderdate)"
+        )
+        .cast("long")
+        .alias("day"),
+        F.expr(
+            "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS"
+            " TIMESTAMP_NTZ), o_orderdate)"
+        ).alias("ots"),
+        F.col("o_orderkey").alias("ok"),
+    ).select(
+        "ck",
+        "val",
+        "day",
+        "ok",
+        F.lag("val").over(w).alias("prev_val"),
+        F.when(
+            ~F.col("val").eqNullSafe(F.lag("val").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    last_chg = (
+        seq.filter(F.col("chg") == 1)
+        .select(
+            "ck",
+            "val",
+            "prev_val",
+            "day",
+            F.row_number()
+            .over(
+                Window.partitionBy("ck").orderBy(
+                    F.col("day").desc(), F.col("ok").desc()
+                )
+            )
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    nchg = seq.groupBy("ck").agg(
+        (F.sum("chg") - 1).cast("long").alias("n_changes")
+    )
+    return last_chg.join(nchg, "ck").select(
+        F.col("ck").alias("custkey"),
+        F.col("val").alias("current_priority"),
+        F.col("prev_val").alias("prev_priority"),
+        F.col("day").cast("long").alias("changed_at_day"),
+        "n_changes",
+    )

