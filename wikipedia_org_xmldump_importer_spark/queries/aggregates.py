@@ -4176,3 +4176,109 @@ def ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w_split") / n, 6).alias("gini_split"),
         F.round((parent - F.col("w_split")) / n, 6).alias("gini_gain"),
     )
+
+
+# --------------------------------------------------------------------------
+# x320 — clustered-sampling design effect (one-way ANOVA ICC + DEFF)
+# --------------------------------------------------------------------------
+
+_DEFF_ORACLE = """
+WITH v AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cl AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(cents) AS BIGINT) AS t,
+         CAST(ROUND((CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+                    * SUM(cents) * 100) AS BIGINT) AS q_u
+  FROM v GROUP BY user_id
+),
+g AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(t) AS BIGINT) AS tt,
+         CAST(SUM(q_u) AS BIGINT) AS q,
+         SUM(CAST(m AS DECIMAL(38, 0)) * m) AS m2
+  FROM cl
+),
+s2 AS (
+  SELECT SUM(CAST(cents AS DECIMAL(38, 0)) * cents) AS yy FROM v
+),
+e AS (
+  SELECT n, k,
+         (CAST(q AS DOUBLE) / 1e2 - CAST(tt AS DOUBLE) / n * tt) / (k - 1)
+           AS msb,
+         (CAST(yy AS DOUBLE) - CAST(q AS DOUBLE) / 1e2) / (n - k) AS msw,
+         (CAST(n AS DOUBLE) - CAST(m2 AS DOUBLE) / n) / (k - 1) AS m0
+  FROM g CROSS JOIN s2
+)
+SELECT n AS n_events, k AS n_clusters,
+       ROUND(m0, 6) AS avg_cluster_size,
+       ROUND((msb - msw) / (msb + (m0 - 1) * msw), 6) AS icc,
+       ROUND(1.0 + (m0 - 1) * ((msb - msw) / (msb + (m0 - 1) * msw)), 6)
+         AS deff
+FROM e
+"""
+
+
+@register("agg_design_effect_icc", oracle=_DEFF_ORACLE)
+def agg_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x320: CLUSTERED-SAMPLING DESIGN EFFECT — the one-way ANOVA
+    intraclass correlation of event values within users (clusters) and
+    Kish's DEFF = 1 + (m₀−1)·ICC: the number that says how much a
+    user-clustered sample inflates variance over simple random
+    sampling — the required correction before x318's allocations or
+    x200's power analysis are honest on cluster-sampled data. m₀ is
+    the ANOVA-correct size (N − Σm²/N)/(k−1), not the plain mean.
+
+    Exactness: x289's pinning scheme — per-cluster t²/m centi-unit
+    pinned so the between-cluster sum is an exact integer, Σy² and Σm²
+    in DECIMAL(38); MSB/MSW/m₀/ICC/DEFF are one shared-
+    parenthesization double epilogue on a 1-row frame.
+
+    100 TB: one map-combined per-user agg + a 1-row reduce (the Σy²
+    leg rides the same scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    cl = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("cents").cast("long").alias("t"),
+        F.round(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)))
+            * F.sum("cents")
+            * 100
+        )
+        .cast("long")
+        .alias("q_u"),
+    )
+    g = cl.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("t").cast("long").alias("tt"),
+        F.sum("q_u").cast("long").alias("q"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("m")).alias("m2"),
+    )
+    s2 = v.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "yy"
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    msb = (
+        F.col("q").cast("double") / 1e2
+        - F.col("tt").cast("double") / n * F.col("tt")
+    ) / (k - 1)
+    msw = (F.col("yy").cast("double") - F.col("q").cast("double") / 1e2) / (
+        n - k
+    )
+    m0 = (n.cast("double") - F.col("m2").cast("double") / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    return g.crossJoin(s2).select(
+        n.alias("n_events"),
+        k.alias("n_clusters"),
+        F.round(m0, 6).alias("avg_cluster_size"),
+        F.round(icc, 6).alias("icc"),
+        F.round(F.lit(1.0) + (m0 - 1) * icc, 6).alias("deff"),
+    )

@@ -1355,3 +1355,294 @@ def sample_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_residual"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x317 — bloom-filter decontamination audit (bloom vs exact, measured FP)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 262144  # 2^18 bit positions
+_BLOOM_N = 3  # n-gram length (matches x45's fixture-tuned choice)
+_BLOOM_MOD = 97  # eval split (matches x45)
+
+_BLOOM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {_BLOOM_N - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {_BLOOM_N - 1}, 0)))
+             AS i
+    FROM tok
+  )
+),
+gh AS (
+  SELECT DISTINCT doc_id, gram,
+         ('0x' || substring(md5(gram), 1, 12))::BIGINT AS h
+  FROM grams
+),
+ev AS (SELECT DISTINCT gram, h FROM gh WHERE doc_id % {_BLOOM_MOD} = 0),
+tr AS (SELECT doc_id, gram, h FROM gh WHERE doc_id % {_BLOOM_MOD} <> 0),
+bloom AS (
+  SELECT DISTINCT p FROM (
+    SELECT h % {_BLOOM_M} AS p FROM ev
+    UNION ALL SELECT (h >> 15) % {_BLOOM_M} FROM ev
+    UNION ALL SELECT (h >> 30) % {_BLOOM_M} FROM ev
+  ) u
+),
+hits AS (
+  SELECT t.doc_id, t.gram,
+         CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+              AND b3.p IS NOT NULL THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+  FROM tr t
+  LEFT JOIN bloom b1 ON b1.p = t.h % {_BLOOM_M}
+  LEFT JOIN bloom b2 ON b2.p = (t.h >> 15) % {_BLOOM_M}
+  LEFT JOIN bloom b3 ON b3.p = (t.h >> 30) % {_BLOOM_M}
+  LEFT JOIN (SELECT DISTINCT gram FROM ev) e ON e.gram = t.gram
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train_grams,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+       CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_positives,
+       ROUND(CAST(SUM(bloom_hit) - SUM(exact_hit) AS DOUBLE)
+             / (COUNT(*) - SUM(exact_hit)), 6) AS fp_rate,
+       CAST(COUNT(DISTINCT CASE WHEN bloom_hit = 1 THEN doc_id END)
+            AS BIGINT) AS n_docs_flagged_bloom,
+       CAST(COUNT(DISTINCT CASE WHEN exact_hit = 1 THEN doc_id END)
+            AS BIGINT) AS n_docs_flagged_exact
+FROM hits
+"""
+
+
+@register("decontaminate_bloom", oracle=_BLOOM_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x317: BLOOM-FILTER DECONTAMINATION AUDIT — the scale path for
+    x45: build a 2^18-position, k=3 Bloom filter over the eval set's
+    3-gram hashes, screen every train gram through it, and report
+    bloom hits vs EXACT hits side by side with the measured
+    false-positive rate and per-doc flag counts. Zero false negatives
+    by construction (a Bloom filter never misses a member) — verified
+    by the invariant test; the FP rate is the price, measured here
+    against theory (1−e^(−kn/m))^k.
+
+    Determinism: gram hashes are the portable md5-derived 48-bit
+    integers (x6's device); the 3 bit positions are pure shifts/mods
+    of that integer — no RNG, no engine hash. Bloom membership is
+    spelled RELATIONALLY (3 semi-joins against the distinct-positions
+    table): the oracle-checkable twin of the bitmap form.
+
+    100 TB: the positions table is ≤ 2^18 rows ≈ 2 MB — a broadcast;
+    production swaps it for an actual broadcast bitmap (aggregate
+    positions into a BinaryType array, test bits in a vectorized
+    expression) with identical decisions. Train grams stream through
+    map-side; only the distinct-eval-gram build shuffles. The exact
+    join (here for the audit) is what the Bloom screen REPLACES at
+    scale — survivors alone proceed to x45's exact confirm."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    n = _BLOOM_N
+    toks = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    gh = grams.select(
+        "doc_id",
+        "gram",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    is_ev = F.col("doc_id") % _BLOOM_MOD == 0
+    ev = gh.filter(is_ev).select("gram", "h").distinct()
+    tr = gh.filter(~is_ev)
+    m = _BLOOM_M
+    pos = [F.col("h") % m, F.shiftright("h", 15) % m, F.shiftright("h", 30) % m]
+    bloom = (
+        ev.select(pos[0].alias("p"))
+        .unionAll(ev.select(pos[1].alias("p")))
+        .unionAll(ev.select(pos[2].alias("p")))
+        .distinct()
+    )
+    b = [bloom.select(F.col("p").alias(f"p{i}")) for i in range(3)]
+    hits = (
+        tr.join(F.broadcast(b[0]), pos[0] == F.col("p0"), "left")
+        .join(F.broadcast(b[1]), pos[1] == F.col("p1"), "left")
+        .join(F.broadcast(b[2]), pos[2] == F.col("p2"), "left")
+        .join(
+            F.broadcast(ev.select(F.col("gram").alias("eg")).distinct()),
+            F.col("gram") == F.col("eg"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("p0").isNotNull()
+                & F.col("p1").isNotNull()
+                & F.col("p2").isNotNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("bloom_hit"),
+            F.when(F.col("eg").isNotNull(), 1).otherwise(0).alias("exact_hit"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    bh, eh = F.sum("bloom_hit"), F.sum("exact_hit")
+    return hits.agg(
+        cnt.cast("long").alias("n_train_grams"),
+        bh.cast("long").alias("n_bloom_hits"),
+        eh.cast("long").alias("n_exact_hits"),
+        (bh - eh).cast("long").alias("n_false_positives"),
+        F.round((bh - eh).cast("double") / (cnt - eh), 6).alias("fp_rate"),
+        F.countDistinct(F.when(F.col("bloom_hit") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_flagged_bloom"),
+        F.countDistinct(F.when(F.col("exact_hit") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_flagged_exact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x318 — Neyman optimal stratified allocation (largest-remainder rounding)
+# --------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000
+
+_NEY_ORACLE = f"""
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+mo AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+         CAST(SUM(cents) AS BIGINT) AS t,
+         SUM(CAST(cents AS DECIMAL(38, 0)) * cents) AS s2
+  FROM v GROUP BY event_type
+),
+sd AS (
+  SELECT event_type, nh,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(t AS DOUBLE) / nh * t) / (nh - 1))
+           AS sh
+  FROM mo
+),
+q AS (
+  SELECT event_type, nh, sh,
+         {_NEY_BUDGET} * (nh * sh) / SUM(nh * sh) OVER () AS quota,
+         {_NEY_BUDGET} * CAST(nh AS DOUBLE) / SUM(nh) OVER () AS prop_quota
+  FROM sd
+),
+fl AS (
+  SELECT event_type, nh, sh, quota, prop_quota,
+         CAST(FLOOR(quota) AS BIGINT) AS base,
+         quota - FLOOR(quota) AS rem,
+         CAST({_NEY_BUDGET} - SUM(CAST(FLOOR(quota) AS BIGINT)) OVER ()
+              AS BIGINT) AS deficit,
+         ROW_NUMBER() OVER (ORDER BY quota - FLOOR(quota) DESC, event_type)
+           AS rk
+  FROM q
+)
+SELECT event_type, nh AS n_stratum,
+       ROUND(sh, 6) AS stddev_cents,
+       ROUND(quota, 6) AS neyman_quota,
+       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc,
+       ROUND(prop_quota, 6) AS proportional_quota
+FROM fl
+"""
+
+
+@register("sample_neyman_allocation", oracle=_NEY_ORACLE)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x318: NEYMAN OPTIMAL ALLOCATION — split a 1000-unit sampling
+    budget across the event-type strata with n_h ∝ N_h·S_h (the
+    minimum-variance allocation for a stratified mean; Neyman 1934),
+    integerized by LARGEST-REMAINDER rounding so the allocations sum
+    to the budget EXACTLY; the proportional quota rides along as the
+    naive contrast. Completes the sampling suite: x48 executes
+    proportional draws, x225 PPS draws, x310 audits the estimator —
+    this decides the sizes.
+
+    Determinism: S_h from exact integer moments (DECIMAL(38) squares),
+    quotas are shared-parenthesization doubles of those, floors/
+    remainders derive from the quotas, and the remainder rank is
+    (remainder DESC, type) pinned — the +1 winners are identical in
+    both engines.
+
+    100 TB: one map-combined 3-moment agg; everything after runs on
+    the |strata|-row frame (unpartitioned windows bounded by the
+    stratum count, pareto_abc's rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    mo = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
+    )
+    sh = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("t").cast("double") / F.col("nh") * F.col("t")
+        )
+        / (F.col("nh") - 1)
+    )
+    sd = mo.select("event_type", "nh", sh.alias("sh"))
+    w_all = Window.partitionBy()
+    q = sd.select(
+        "event_type",
+        "nh",
+        "sh",
+        (
+            _NEY_BUDGET
+            * (F.col("nh") * F.col("sh"))
+            / F.sum(F.col("nh") * F.col("sh")).over(w_all)
+        ).alias("quota"),
+        (
+            _NEY_BUDGET
+            * F.col("nh").cast("double")
+            / F.sum("nh").over(w_all)
+        ).alias("prop_quota"),
+    )
+    fl = q.select(
+        "*",
+        F.floor("quota").cast("long").alias("base"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    ).select(
+        "*",
+        (F.lit(_NEY_BUDGET) - F.sum("base").over(w_all))
+        .cast("long")
+        .alias("deficit"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "event_type"))
+        .alias("rk"),
+    )
+    return fl.select(
+        "event_type",
+        F.col("nh").alias("n_stratum"),
+        F.round("sh", 6).alias("stddev_cents"),
+        F.round("quota", 6).alias("neyman_quota"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+        F.round("prop_quota", 6).alias("proportional_quota"),
+    )

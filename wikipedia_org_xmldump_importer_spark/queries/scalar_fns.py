@@ -711,3 +711,108 @@ def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hex_roundtrip_ok"),
         F.octet_length(p24).cast("long").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# x319 — business-day arithmetic (closed-form weekday counting)
+# --------------------------------------------------------------------------
+
+# C(d) = number of WEEKDAYS in epoch days [0, d): 5 per full week plus a
+# remainder lookup anchored on 1970-01-01 being a THURSDAY (epoch day 0:
+# Thu, 1: Fri, 2: Sat, 3: Sun, 4: Mon, 5: Tue, 6: Wed) — so the partial
+# week contributes [0,1,2,2,2,3,4][d mod 7] weekdays. Pure integers; no
+# calendar/session-timezone/locale surface at all (trap: dayofweek
+# numbering differs across engines — this never calls it).
+_BDAY_REM = (0, 1, 2, 2, 2, 3, 4)
+
+
+def _bday_c_sql(d: str) -> str:
+    rem = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in enumerate(_BDAY_REM) if k
+    )
+    return f"(5 * (({d}) // 7) + CASE ({d}) % 7 {rem} ELSE 0 END)"
+
+
+_BDAY_ORACLE = f"""
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000 AS d1,
+         CAST(epoch_us(MAX(l.l_shipdate)) AS BIGINT) // 86400000000 AS d2
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+),
+bd AS (
+  SELECT priority, d2 - d1 AS cal_days,
+         {_bday_c_sql("d2")} - {_bday_c_sql("d1")} AS bus_days
+  FROM lag
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(cal_days) AS DOUBLE) / COUNT(*), 6) AS avg_cal_days,
+       ROUND(CAST(SUM(bus_days) AS DOUBLE) / COUNT(*), 6) AS avg_bus_days,
+       CAST(MIN(bus_days) AS BIGINT) AS min_bus_days,
+       CAST(MAX(bus_days) AS BIGINT) AS max_bus_days
+FROM bd GROUP BY priority
+"""
+
+
+@register("fn_business_days", oracle=_BDAY_ORACLE)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x319: BUSINESS-DAY ARITHMETIC — order-to-final-ship lag in
+    WEEKDAYS per priority class (the SLA unit contracts are written
+    in), next to x210's calendar-day percentiles. NETWORKDAYS-style
+    counting via the closed form C(d2) − C(d1) with C(d) = 5·(d div 7)
+    + rem[d mod 7] anchored on epoch day 0 = Thursday: one integer
+    expression per row, no generate_series-per-row explode, no
+    engine dayofweek() (whose numbering differs across engines —
+    the classic cross-engine calendar trap this formula sidesteps).
+    The distance is SIGNED: this synthetic corpus ships on both sides
+    of the order date, and C(d2) − C(d1) handles reversed spans as
+    −(weekdays between) with no case split (test-verified against a
+    day-by-day calendar walk).
+
+    100 TB: the per-order max-shipdate agg is the only shuffle; the
+    weekday math is codegen-resident integer arithmetic; |priorities|
+    rows out."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = (
+        lambda c: F.expr(
+            f"timestampdiff(DAY, CAST('1970-01-01 00:00:00' AS"
+            f" TIMESTAMP_NTZ), {c})"
+        ).cast("long")
+    )  # noqa: E731
+    lag = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            day("o_orderdate").alias("d1"),
+            day("max_ship").alias("d2"),
+        )
+    )
+
+    def c_of(col: str):
+        rem = F.lit(0)
+        for k, v in enumerate(_BDAY_REM):
+            if k:
+                rem = F.when(F.col(col) % 7 == k, v).otherwise(rem)
+        return 5 * F.expr(f"{col} div 7") + rem
+
+    bd = lag.select(
+        "priority",
+        (F.col("d2") - F.col("d1")).alias("cal_days"),
+        (c_of("d2") - c_of("d1")).alias("bus_days"),
+    )
+    return bd.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("cal_days").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_cal_days"
+        ),
+        F.round(F.sum("bus_days").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_bus_days"
+        ),
+        F.min("bus_days").cast("long").alias("min_bus_days"),
+        F.max("bus_days").cast("long").alias("max_bus_days"),
+    )

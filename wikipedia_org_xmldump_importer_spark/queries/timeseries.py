@@ -9384,3 +9384,285 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x315 — matrix profile (7-day motif / discord discovery, exact integers)
+# --------------------------------------------------------------------------
+
+_MP_W = 7  # subsequence length
+_MP_EXCL = 4  # exclusion zone: |i - j| >= ceil(w/2) kills trivial matches
+
+_MP_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+sub AS (
+  SELECT event_type, i, day,
+         y AS y0,
+         LEAD(y, 1) OVER w AS y1, LEAD(y, 2) OVER w AS y2,
+         LEAD(y, 3) OVER w AS y3, LEAD(y, 4) OVER w AS y4,
+         LEAD(y, 5) OVER w AS y5, LEAD(y, 6) OVER w AS y6
+  FROM idx
+  WINDOW w AS (PARTITION BY event_type ORDER BY i)
+),
+s AS (SELECT * FROM sub WHERE y6 IS NOT NULL),
+pairs AS (
+  SELECT a.event_type, a.i, a.day,
+         b.i AS j, b.day AS nn_day,
+         (a.y0-b.y0)*(a.y0-b.y0) + (a.y1-b.y1)*(a.y1-b.y1)
+         + (a.y2-b.y2)*(a.y2-b.y2) + (a.y3-b.y3)*(a.y3-b.y3)
+         + (a.y4-b.y4)*(a.y4-b.y4) + (a.y5-b.y5)*(a.y5-b.y5)
+         + (a.y6-b.y6)*(a.y6-b.y6) AS d2
+  FROM s a JOIN s b
+    ON b.event_type = a.event_type AND ABS(a.i - b.i) >= {_MP_EXCL}
+),
+prof AS (
+  SELECT event_type, i, day, nn_day, d2,
+         ROW_NUMBER() OVER (PARTITION BY event_type, i
+                            ORDER BY d2, j) AS rk
+  FROM pairs
+),
+mp AS (SELECT event_type, i, day, nn_day, d2 FROM prof WHERE rk = 1)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(nn_day AS BIGINT) AS nn_day,
+       CAST(d2 AS BIGINT) AS mp_dist2,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY d2, i) = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_motif,
+       CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY d2 DESC, i) = 1
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_discord
+FROM mp
+"""
+
+
+@register("ts_matrix_profile", oracle=_MP_ORACLE)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x315: MATRIX PROFILE (Yeh et al. 2016) over each type's daily
+    series, window 7 — for every 7-day subsequence the squared distance
+    to its nearest non-trivial neighbor (exclusion zone |i−j| ≥ ⌈w/2⌉),
+    plus the motif flag (the series' most-repeated week) and the
+    discord flag (its most anomalous week): subsequence-shape mining
+    that x62/x127 (point outliers) and x131 (level shifts) cannot see.
+    Distances are UN-normalized Σ(aᵢ−bᵢ)² on integer counts — EXACT
+    int64, so nearest-neighbor argmins and both flags are integer
+    compares (ties index-pinned); z-normalized variants trade that
+    exactness away.
+
+    100 TB: the all-pairs form is O(m²) per type at DAY grain — m ≤
+    ~4e4 even for a century, and the pair join is type-partitioned
+    with a 7-int row payload. Past that, STOMP's O(m²)-work/O(m)-
+    memory streaming recurrence maps to applyInPandas per type — same
+    output, noted not needed at any tabular-day scale.
+
+    Plan: one daily collapse, LEAD×6 in ONE window sort, the
+    type-partitioned self-join, two rank windows at subsequence grain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.expr("ts_us div 86400000000").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("i")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    cols = [F.col("y").alias("y0")] + [
+        F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, _MP_W)
+    ]
+    s = idx.select("event_type", "i", "day", *cols).filter(
+        F.col(f"y{_MP_W - 1}").isNotNull()
+    )
+    a, b = s.alias("a"), s.alias("b")
+    d2 = None
+    for k in range(_MP_W):
+        t = (F.col(f"a.y{k}") - F.col(f"b.y{k}")) * (
+            F.col(f"a.y{k}") - F.col(f"b.y{k}")
+        )
+        d2 = t if d2 is None else d2 + t
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.abs(F.col("a.i") - F.col("b.i")) >= _MP_EXCL),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.i").alias("i"),
+        F.col("a.day").alias("day"),
+        F.col("b.i").alias("j"),
+        F.col("b.day").alias("nn_day"),
+        d2.alias("d2"),
+    )
+    w_i = Window.partitionBy("event_type", "i").orderBy("d2", "j")
+    mp = (
+        pairs.select("*", F.row_number().over(w_i).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "j")
+    )
+    w_mot = Window.partitionBy("event_type").orderBy("d2", "i")
+    w_dis = Window.partitionBy("event_type").orderBy(F.col("d2").desc(), "i")
+    return mp.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("nn_day").cast("long").alias("nn_day"),
+        F.col("d2").cast("long").alias("mp_dist2"),
+        F.when(F.row_number().over(w_mot) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_motif"),
+        F.when(F.row_number().over(w_dis) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_discord"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x316 — dominant seasonality period via the ACF argmax (lags 2..14)
+# --------------------------------------------------------------------------
+
+_DP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+dev AS (SELECT event_type, i, n, n * y - t AS d FROM idx),
+den AS (
+  SELECT event_type, MAX(n) AS n,
+         SUM(CAST(d AS DECIMAL(38, 0)) * d) AS s0
+  FROM dev GROUP BY event_type
+),
+lags AS (
+  SELECT a.event_type, k.k, MAX(a.n) AS n,
+         SUM(CAST(a.d AS DECIMAL(38, 0)) * b.d) AS sk
+  FROM dev a
+  CROSS JOIN (SELECT unnest(generate_series(2, 14)) AS k) k
+  JOIN dev b ON b.event_type = a.event_type AND b.i = a.i - k.k
+  GROUP BY a.event_type, k.k
+),
+r AS (
+  SELECT l.event_type, l.k, l.n,
+         CAST(l.sk AS DOUBLE) / CAST(d.s0 AS DOUBLE) AS rk
+  FROM lags l JOIN den d ON d.event_type = l.event_type
+),
+best AS (
+  SELECT event_type, k, n, rk,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY rk DESC, k) AS pick
+  FROM r
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(k AS BIGINT) AS dominant_lag,
+       ROUND(rk, 6) AS r_dominant,
+       CAST(CASE WHEN rk * sqrt(CAST(n AS DOUBLE)) > 2.0 THEN 1 ELSE 0 END
+            AS INTEGER) AS significant
+FROM best WHERE pick = 1
+"""
+
+
+@register("ts_dominant_period", oracle=_DP_ORACLE)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x316: DOMINANT SEASONALITY PERIOD per type — argmax of the ACF
+    over candidate lags 2..14 (lag 1 excluded: it measures smoothness,
+    not season), with the Bartlett-band significance flag r·√n > 2:
+    the scalar answer ("is there a weekly cycle, and is it real?")
+    that x147 leaves as a table and x229's spectrum leaves as bins.
+    Autocovariances via the n·y − T integer-deviation device (x266 —
+    the n² factor cancels in the ratio), DECIMAL(38) products, argmax
+    ties lag-pinned; the significance compare runs the shared
+    UNROUNDED expression.
+
+    100 TB: day-grain bounded — deviations collapse once, the 13 lags
+    come from ONE generate_series cross join + a day-grain equi-join
+    (never 13 window re-sorts)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.expr("ts_us div 86400000000").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w_t.orderBy("day")).alias("i"),
+        F.sum("y").over(w_t).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    dev = idx.select(
+        "event_type",
+        "i",
+        "n",
+        (F.col("n") * F.col("y") - F.col("t")).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("s0"),
+    )
+    ks = dev.select(
+        "event_type",
+        "i",
+        "d",
+        F.explode(F.sequence(F.lit(2), F.lit(14))).alias("k"),
+    )
+    b = dev.select(
+        F.col("event_type").alias("bet"),
+        F.col("i").alias("bi"),
+        F.col("d").alias("bd"),
+    )
+    lags = (
+        ks.join(
+            b,
+            (F.col("bet") == F.col("event_type"))
+            & (F.col("bi") == F.col("i") - F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("bd")).alias("sk")
+        )
+    )
+    r = lags.join(den, "event_type").select(
+        "event_type",
+        "k",
+        "n",
+        (F.col("sk").cast("double") / F.col("s0").cast("double")).alias("rk"),
+    )
+    best = r.select(
+        "*",
+        F.row_number()
+        .over(w_t.orderBy(F.col("rk").desc(), "k"))
+        .alias("pick"),
+    ).filter(F.col("pick") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("dominant_lag"),
+        F.round(F.col("rk"), 6).alias("r_dominant"),
+        F.when(F.col("rk") * F.sqrt(F.col("n").cast("double")) > 2.0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant"),
+    )
