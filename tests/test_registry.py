@@ -162,6 +162,9 @@ def test_survey_registry_sync():
         "source_stream_events",
         "sink_bucketed",
         "scan_xml_siteinfo",
+        "extract_wikilinks",
+        "resolve_redirect_chains",
+        "revision_deltas",
         "namespaces_dim",
         "resolve_namespaces",
         "filter_namespace",

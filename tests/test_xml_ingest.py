@@ -262,3 +262,95 @@ def test_incremental_dump_merge_upsert(spark):
     assert rows[104].action == "insert"
     assert rows[104].page_title == "Catalyst Optimizer"
     assert rows[104].page_latest == 5100
+
+
+def test_extract_wikilinks(spark):
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        extract_wikilinks,
+    )
+
+    pages = scan_xml_pages(spark, str(FIXTURES / "wikilinks.xml"))
+    links = {
+        (r.from_page_id, r.to_title): r.n_occurrences
+        for r in extract_wikilinks(pages).collect()
+    }
+    # piped, underscored and section links all normalize to the bare title
+    assert links[(201, "Catalyst (software)")] == 2  # plain + #Section form
+    assert links[(201, "Tungsten engine")] == 1  # underscore -> space
+    assert links[(201, "Hadoop")] == 1
+    # duplicates collapse into the count; LATEST revision only (the
+    # vandalized middle revision of 202 has no links and must not matter)
+    assert links[(202, "Apache Spark")] == 2
+    # redirect pages link to their target via the #REDIRECT body text
+    assert links[(203, "Spark (cluster computing)")] == 1
+    assert (205, "Loop B") in links
+    # labels never leak into targets
+    assert all("|" not in t and "#" not in t for (_, t) in links)
+
+
+def test_resolve_redirect_chains(spark):
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        resolve_redirect_chains,
+    )
+
+    pages = scan_xml_pages(spark, str(FIXTURES / "wikilinks.xml"))
+    rows = {r.title: r for r in resolve_redirect_chains(pages).collect()}
+    # only redirect pages appear
+    assert set(rows) == {"Spark", "Spark (cluster computing)", "Loop A", "Loop B"}
+    # two-hop chain resolves through the intermediate redirect
+    assert rows["Spark"].final_title == "Apache Spark"
+    assert rows["Spark"].hops == 2
+    assert rows["Spark"].status == "resolved"
+    assert rows["Spark"].first_target == "Spark (cluster computing)"
+    # one-hop tail of the same chain
+    assert rows["Spark (cluster computing)"].final_title == "Apache Spark"
+    assert rows["Spark (cluster computing)"].hops == 1
+    assert rows["Spark (cluster computing)"].status == "resolved"
+    # a 2-cycle never resolves and is flagged, not chased forever
+    assert rows["Loop A"].status == "cycle"
+    assert rows["Loop B"].status == "cycle"
+
+
+def test_resolve_redirect_dangling(spark):
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        resolve_redirect_chains,
+    )
+
+    # redirect_anon.xml's "Spark" redirects to "Apache Spark", which does
+    # NOT exist as a page in that dump -> dangling
+    pages = scan_xml_pages(spark, str(FIXTURES / "redirect_anon.xml"))
+    [row] = resolve_redirect_chains(pages).collect()
+    assert row.title == "Spark"
+    assert row.final_title == "Apache Spark"
+    assert row.status == "dangling"
+
+
+def test_revision_deltas_and_reverts(spark):
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        revision_deltas,
+    )
+
+    pages = scan_xml_pages(spark, str(FIXTURES / "wikilinks.xml"))
+    rows = {r.rev_id: r for r in revision_deltas(pages).collect()}
+    # page 202: 60 bytes -> 20 (vandalism) -> 60 (revert to sha1 s2)
+    assert rows[7002].byte_delta is None  # first revision has no parent
+    assert rows[7003].byte_delta == 20 - 60
+    assert rows[7004].byte_delta == 60 - 20
+    assert rows[7002].is_identity_revert is False
+    assert rows[7003].is_identity_revert is False
+    assert rows[7004].is_identity_revert is True  # sha1 s2 seen at rev 7002
+    # single-revision pages are never reverts
+    assert rows[7001].is_identity_revert is False
+
+
+def test_revision_deltas_multi_revision_fixture(spark):
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        revision_deltas,
+    )
+
+    pages = scan_xml_pages(spark, str(FIXTURES / "multi_revision.xml"))
+    rows = sorted(
+        revision_deltas(pages).collect(), key=lambda r: r.rev_seq
+    )
+    assert [r.byte_delta for r in rows] == [None, 13, 8]
+    assert not any(r.is_identity_revert for r in rows)
