@@ -4282,3 +4282,98 @@ def agg_design_effect_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(icc, 6).alias("icc"),
         F.round(F.lit(1.0) + (m0 - 1) * icc, 6).alias("deff"),
     )
+
+
+# --------------------------------------------------------------------------
+# x322 — logistic regression, one closed-form IRLS (Fisher scoring) step
+# --------------------------------------------------------------------------
+
+_LOGREG_ORACLE = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS p,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(x AS DECIMAL(38, 0)) * x) AS sxx,
+         CAST(SUM(2 * y - 1) AS BIGINT) AS sz,
+         CAST(SUM(x * (2 * y - 1)) AS BIGINT) AS sxz
+  FROM v
+),
+b AS (
+  SELECT n, p, sx, sz,
+         2.0 * (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sx) AS bx,
+         2.0 * (CAST(sxx AS DOUBLE) * sz - CAST(sx AS DOUBLE) * sxz)
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * sx) AS b0
+  FROM mo
+)
+SELECT n AS n_rows, p AS n_positive,
+       ROUND(bx * 100, 6) AS beta_per_dollar,
+       ROUND(b0, 6) AS beta_intercept,
+       ROUND(1.0 / (1.0 + exp(-(b0 + bx * (CAST(sx AS DOUBLE) / n)))), 6)
+         AS prob_at_mean
+FROM b
+"""
+
+
+@register("ml_logreg_irls_step", oracle=_LOGREG_ORACLE)
+def ml_logreg_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x322: LOGISTIC REGRESSION, one Fisher-scoring (IRLS) step from
+    β = 0 for P(purchase | value) — at β = 0 the step has a CLOSED
+    FORM: μ = ½, W = ¼I, working response z = 4(y − ½), so
+    β₁ = (X'X)⁻¹X'·2(2y−1): weighted least squares on exact integer
+    moments, no iteration, no optimizer state. The GLM sibling of
+    x66's OLS and the calibrated-probability complement to x300's
+    Gini stump (same feature, same target — the stump thresholds, this
+    scores). One step is the textbook Rao score direction; further
+    steps need per-row weights (the applyInPandas path, noted not
+    taken).
+
+    Exactness: all five moments are exact integers (Σx² DECIMAL(38));
+    β and the mean-point probability are one shared-parenthesization
+    double epilogue (exp's 1-ulp engine skew hides under the 6dp pin
+    — x286's lnµ argument in reverse).
+
+    100 TB: ONE map-combined conditional-moment aggregate over the
+    scan → 1 row. The d-feature version is the same d² moments +
+    a d×d solve on the driver (k×d state, x169's class)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    mo = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(2 * F.col("y") - 1).cast("long").alias("sz"),
+        F.sum(F.col("x") * (2 * F.col("y") - 1)).cast("long").alias("sxz"),
+    )
+    n, sx, sz, sxz = F.col("n"), F.col("sx"), F.col("sz"), F.col("sxz")
+    det = n.cast("double") * F.col("sxx").cast("double") - sx.cast(
+        "double"
+    ) * sx
+    bx = 2.0 * (n.cast("double") * sxz - sx.cast("double") * sz) / det
+    b0 = (
+        2.0
+        * (F.col("sxx").cast("double") * sz - sx.cast("double") * sxz)
+        / det
+    )
+    return mo.select(
+        n.alias("n_rows"),
+        F.col("p").alias("n_positive"),
+        F.round(bx * 100, 6).alias("beta_per_dollar"),
+        F.round(b0, 6).alias("beta_intercept"),
+        F.round(
+            F.lit(1.0)
+            / (1.0 + F.exp(-(b0 + bx * (sx.cast("double") / n)))),
+            6,
+        ).alias("prob_at_mean"),
+    )

@@ -683,3 +683,143 @@ def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", F.col("c").alias("c_bigram"), F.round(p_kn, 6).alias("p_kn"))
     )
+
+
+# --------------------------------------------------------------------------
+# x321 — Dunning log-likelihood-ratio collocations (the robust PMI)
+# --------------------------------------------------------------------------
+
+_LLR_MIN_COUNT = 5
+_LLR_TOP = 50
+
+_LLR_ORACLE = f"""
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM t WHERE len(w) >= 2)
+),
+cnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+  FROM bg GROUP BY w1, w2
+),
+m1 AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS r FROM cnt GROUP BY w1),
+m2 AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS c FROM cnt GROUP BY w2),
+nn AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM cnt),
+cells AS (
+  SELECT cnt.w1, cnt.w2, cnt.k11,
+         m1.r - cnt.k11 AS k12, m2.c - cnt.k11 AS k21,
+         nn.n - m1.r - m2.c + cnt.k11 AS k22,
+         m1.r AS r, m2.c AS c, nn.n AS n
+  FROM cnt JOIN m1 ON m1.w1 = cnt.w1
+           JOIN m2 ON m2.w2 = cnt.w2
+           CROSS JOIN nn
+  WHERE cnt.k11 >= {_LLR_MIN_COUNT}
+),
+g2 AS (
+  SELECT w1, w2, k11, r, c, n,
+    2.0 * (
+      (CASE WHEN k11 = 0 THEN 0.0 ELSE k11 * LN(CAST(k11 AS DOUBLE) * n
+        / (CAST(r AS DOUBLE) * c)) END)
+      + (CASE WHEN k12 = 0 THEN 0.0 ELSE k12 * LN(CAST(k12 AS DOUBLE) * n
+        / (CAST(r AS DOUBLE) * (n - c))) END)
+      + (CASE WHEN k21 = 0 THEN 0.0 ELSE k21 * LN(CAST(k21 AS DOUBLE) * n
+        / (CAST(n - r AS DOUBLE) * c)) END)
+      + (CASE WHEN k22 = 0 THEN 0.0 ELSE k22 * LN(CAST(k22 AS DOUBLE) * n
+        / (CAST(n - r AS DOUBLE) * (n - c))) END)
+    ) AS llr
+  FROM cells
+)
+SELECT w1, w2, k11 AS n_bigram, ROUND(llr, 6) AS llr_g2,
+       CAST(ROW_NUMBER() OVER (ORDER BY llr DESC, w1, w2) AS BIGINT) AS rk
+FROM g2
+QUALIFY rk <= {_LLR_TOP}
+"""
+
+
+@register("ngram_llr_collocations", oracle=_LLR_ORACLE)
+def ngram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x321: DUNNING'S LOG-LIKELIHOOD-RATIO collocations — G² over the
+    2×2 bigram contingency (Dunning 1993), top-50: the statistic that
+    replaced PMI for phrase mining because it doesn't explode on rare
+    pairs (x56's PMI ranks a 5-count exotic pair above a 5000-count
+    real collocation; G² weighs the EVIDENCE). Margins are the bigram
+    table's own (first-position, second-position) sums — the standard
+    contingency for adjacent pairs.
+
+    Exactness: all four cells are exact integers; G² is one fixed-
+    parenthesization double expression per pair with 0·ln0 = 0 guards;
+    the top-50 rank is (G² DESC, w1, w2)-pinned — identical doubles
+    from identical integers order identically (x300's argmin
+    argument).
+
+    100 TB: three vocab-keyed hash aggs + two joins AQE broadcasts when
+    vocab fits; the rank is WindowGroupLimit-pruned to the top-k heap,
+    never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("k11")
+    )
+    m1 = cnt.groupBy("w1").agg(F.sum("k11").cast("long").alias("r"))
+    m2 = cnt.groupBy("w2").agg(F.sum("k11").cast("long").alias("c"))
+    nn = cnt.agg(F.sum("k11").cast("long").alias("n"))
+    cells = (
+        cnt.join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("k11") >= _LLR_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("r") - F.col("k11")).alias("k12"),
+            (F.col("c") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("r") - F.col("c") + F.col("k11")).alias("k22"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+
+    def term(k, num_margin, den_margin):
+        return F.when(k == 0, F.lit(0.0)).otherwise(
+            k
+            * F.log(
+                k.cast("double") * F.col("n") / (num_margin.cast("double") * den_margin)
+            )
+        )
+
+    r, c, n = F.col("r"), F.col("c"), F.col("n")
+    llr = 2.0 * (
+        term(F.col("k11"), r, c)
+        + term(F.col("k12"), r, n - c)
+        + term(F.col("k21"), n - r, c)
+        + term(F.col("k22"), n - r, n - c)
+    )
+    g2 = cells.select("w1", "w2", "k11", llr.alias("llr"))
+    return (
+        g2.select(
+            "w1",
+            "w2",
+            F.col("k11").alias("n_bigram"),
+            F.round("llr", 6).alias("llr_g2"),
+            F.row_number()
+            .over(Window.orderBy(F.col("llr").desc(), "w1", "w2"))
+            .cast("long")
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _LLR_TOP)
+    )

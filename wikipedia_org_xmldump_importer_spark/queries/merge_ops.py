@@ -1006,3 +1006,167 @@ def scd3_prev_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("long").alias("changed_at_day"),
         "n_changes",
     )
+
+
+# --------------------------------------------------------------------------
+# x324 — TOPSIS multi-criteria supplier scorecard
+# --------------------------------------------------------------------------
+
+_TOPSIS_TOP = 25
+
+_TOPSIS_ORACLE = f"""
+WITH base AS (
+  SELECT l.l_suppkey AS sk,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents,
+         CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+                  - CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000)
+              AS BIGINT) AS lag_days,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_suppkey
+),
+nrm AS (
+  SELECT sk, rev_cents, n_orders,
+         CAST(lag_days AS DOUBLE) / n_lines AS avg_lag,
+         CAST(rev_cents AS DOUBLE)
+           / sqrt(SUM(CAST(rev_cents AS DOUBLE) * rev_cents) OVER ()) AS r1,
+         CAST(n_orders AS DOUBLE)
+           / sqrt(SUM(CAST(n_orders AS DOUBLE) * n_orders) OVER ()) AS r2,
+         (CAST(lag_days AS DOUBLE) / n_lines)
+           / sqrt(SUM((CAST(lag_days AS DOUBLE) / n_lines)
+                      * (CAST(lag_days AS DOUBLE) / n_lines)) OVER ()) AS r3
+  FROM base
+),
+ideal AS (
+  SELECT sk, rev_cents, n_orders, avg_lag, r1, r2, r3,
+         MAX(r1) OVER () AS b1, MIN(r1) OVER () AS w1,
+         MAX(r2) OVER () AS b2, MIN(r2) OVER () AS w2,
+         MIN(r3) OVER () AS b3, MAX(r3) OVER () AS w3
+  FROM nrm
+),
+sc AS (
+  SELECT sk, rev_cents, n_orders, avg_lag,
+         sqrt((r1 - b1) * (r1 - b1) + (r2 - b2) * (r2 - b2)
+              + (r3 - b3) * (r3 - b3)) AS dp,
+         sqrt((r1 - w1) * (r1 - w1) + (r2 - w2) * (r2 - w2)
+              + (r3 - w3) * (r3 - w3)) AS dm
+  FROM ideal
+)
+SELECT sk AS suppkey, rev_cents, n_orders,
+       ROUND(avg_lag, 6) AS avg_lag_days,
+       ROUND(dm / (dp + dm), 6) AS topsis_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY dm / (dp + dm) DESC, sk) AS BIGINT)
+         AS rk
+FROM sc
+QUALIFY rk <= {_TOPSIS_TOP}
+"""
+
+
+@register("supplier_scorecard_topsis", oracle=_TOPSIS_ORACLE)
+def supplier_scorecard_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x324: TOPSIS SUPPLIER SCORECARD (Hwang-Yoon 1981) — rank
+    suppliers by closeness to the ideal across three criteria (revenue
+    ↑, distinct orders ↑, mean ship lag ↓): the multi-criteria
+    decision method that beats a weighted sum because it punishes
+    being worst-in-class on ANY axis; top-25 with the score. x201
+    flags single-source risk; this ranks who to consolidate INTO.
+
+    Determinism: criterion inputs are exact integers (revenue cents,
+    order counts, signed lag-day sums); vector normalization, the two
+    Euclidean distances and the closeness ratio are one shared-
+    parenthesization double chain, rank (score DESC, suppkey)-pinned
+    (x300's argument). Unweighted = equal weights; a weights argument
+    scales r_i identically in both engines.
+
+    100 TB: one map-combined supplier-grain agg; every window after
+    runs on the |suppliers| frame (unpartitioned-window bound =
+    supplier count; shard by region first if suppliers outgrow one
+    partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    day = (
+        lambda c: F.expr(
+            f"timestampdiff(DAY, CAST('1970-01-01 00:00:00' AS"
+            f" TIMESTAMP_NTZ), {c})"
+        ).cast("long")
+    )  # noqa: E731
+    base = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev_cents"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.sum(day("l_shipdate") - day("o_orderdate"))
+            .cast("long")
+            .alias("lag_days"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    w_all = Window.partitionBy()
+    avg_lag = F.col("lag_days").cast("double") / F.col("n_lines")
+    r1 = F.col("rev_cents").cast("double") / F.sqrt(
+        F.sum(F.col("rev_cents").cast("double") * F.col("rev_cents")).over(w_all)
+    )
+    r2 = F.col("n_orders").cast("double") / F.sqrt(
+        F.sum(F.col("n_orders").cast("double") * F.col("n_orders")).over(w_all)
+    )
+    r3 = avg_lag / F.sqrt(F.sum(avg_lag * avg_lag).over(w_all))
+    nrm = base.select(
+        "sk",
+        "rev_cents",
+        "n_orders",
+        avg_lag.alias("avg_lag"),
+        r1.alias("r1"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+    )
+    ideal = nrm.select(
+        "*",
+        F.max("r1").over(w_all).alias("b1"),
+        F.min("r1").over(w_all).alias("w1"),
+        F.max("r2").over(w_all).alias("b2"),
+        F.min("r2").over(w_all).alias("w2"),
+        F.min("r3").over(w_all).alias("b3"),
+        F.max("r3").over(w_all).alias("w3"),
+    )
+    dp = F.sqrt(
+        (F.col("r1") - F.col("b1")) * (F.col("r1") - F.col("b1"))
+        + (F.col("r2") - F.col("b2")) * (F.col("r2") - F.col("b2"))
+        + (F.col("r3") - F.col("b3")) * (F.col("r3") - F.col("b3"))
+    )
+    dm = F.sqrt(
+        (F.col("r1") - F.col("w1")) * (F.col("r1") - F.col("w1"))
+        + (F.col("r2") - F.col("w2")) * (F.col("r2") - F.col("w2"))
+        + (F.col("r3") - F.col("w3")) * (F.col("r3") - F.col("w3"))
+    )
+    sc = ideal.select(
+        "sk",
+        "rev_cents",
+        "n_orders",
+        "avg_lag",
+        dp.alias("dp"),
+        dm.alias("dm"),
+    )
+    score = F.col("dm") / (F.col("dp") + F.col("dm"))
+    return (
+        sc.select(
+            F.col("sk").alias("suppkey"),
+            "rev_cents",
+            "n_orders",
+            F.round("avg_lag", 6).alias("avg_lag_days"),
+            F.round(score, 6).alias("topsis_score"),
+            F.row_number()
+            .over(Window.orderBy(score.desc(), "sk"))
+            .cast("long")
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _TOPSIS_TOP)
+    )

@@ -4540,3 +4540,157 @@ def docs_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(20.0) - 15.0 * mono.cast("double") / F.count(F.lit(1)), 6
         ).alias("forcast_grade"),
     )
+
+
+# --------------------------------------------------------------------------
+# x323 — classifier evaluation metrics (per-class P/R/F1 + Cohen's kappa)
+# --------------------------------------------------------------------------
+
+_METRICS_ORACLE = f"""
+WITH l AS ({{langid_sql}}),
+cell AS (
+  SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM l GROUP BY actual_lang, pred_lang
+),
+classes AS (
+  SELECT actual_lang AS cl FROM cell
+  UNION SELECT pred_lang FROM cell
+),
+rowm AS (SELECT actual_lang AS cl, CAST(SUM(n) AS BIGINT) AS r
+         FROM cell GROUP BY actual_lang),
+colm AS (SELECT pred_lang AS cl, CAST(SUM(n) AS BIGINT) AS c
+         FROM cell GROUP BY pred_lang),
+diag AS (SELECT actual_lang AS cl, n AS tp FROM cell
+         WHERE actual_lang = pred_lang),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN actual_lang = pred_lang THEN n ELSE 0 END)
+              AS BIGINT) AS ntp
+  FROM cell
+),
+pe AS (
+  SELECT CAST(SUM(COALESCE(rowm.r, 0) * COALESCE(colm.c, 0)) AS BIGINT)
+    AS rc
+  FROM classes
+  LEFT JOIN rowm ON rowm.cl = classes.cl
+  LEFT JOIN colm ON colm.cl = classes.cl
+)
+SELECT classes.cl AS lang_class,
+       COALESCE(rowm.r, 0) AS n_actual,
+       COALESCE(colm.c, 0) AS n_predicted,
+       COALESCE(diag.tp, 0) AS tp,
+       ROUND(CASE WHEN COALESCE(colm.c, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(diag.tp, 0) AS DOUBLE) / colm.c END, 6)
+         AS precision_,
+       ROUND(CASE WHEN COALESCE(rowm.r, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(diag.tp, 0) AS DOUBLE) / rowm.r END, 6)
+         AS recall_,
+       ROUND(CASE WHEN COALESCE(diag.tp, 0) = 0 THEN 0.0
+                  ELSE 2.0 * COALESCE(diag.tp, 0)
+                       / (COALESCE(rowm.r, 0) + COALESCE(colm.c, 0)) END, 6)
+         AS f1,
+       ROUND(CAST(tot.ntp AS DOUBLE) / tot.nn, 6) AS accuracy,
+       ROUND((CAST(tot.ntp AS DOUBLE) / tot.nn
+              - CAST(pe.rc AS DOUBLE) / (CAST(tot.nn AS DOUBLE) * tot.nn))
+             / (1.0 - CAST(pe.rc AS DOUBLE)
+                / (CAST(tot.nn AS DOUBLE) * tot.nn)), 6) AS cohens_kappa
+FROM classes
+LEFT JOIN rowm ON rowm.cl = classes.cl
+LEFT JOIN colm ON colm.cl = classes.cl
+LEFT JOIN diag ON diag.cl = classes.cl
+CROSS JOIN tot CROSS JOIN pe
+"""
+
+
+@register(
+    "ml_classifier_metrics",
+    oracle=_METRICS_ORACLE.format(langid_sql=_langid_sql()),
+)
+def ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x323: CLASSIFIER EVALUATION METRICS for x8's language identifier
+    — per-class precision / recall / F1 (harmonic, the 2TP/(R+C)
+    identity avoids the p+r=0 guard) over the declared-vs-predicted
+    matrix, with overall accuracy and COHEN'S KAPPA (chance-corrected
+    agreement, pe = Σr·c/N²) carried on every row: the metrics layer
+    x172's raw confusion matrix feeds — and the harness any classifier
+    in this repo (x305's NB, x300's stump) evaluates through. Classes
+    are the UNION of actual and predicted labels ('und' never occurs
+    as truth but needs a precision row).
+
+    Exactness: every margin is an exact integer; the five ratios are
+    single 6dp-pinned divisions; Σr·c stays int64 to ~3e9 docs
+    (DECIMAL(38) past that).
+
+    100 TB: x8's scoring is a narrow map; everything after runs on the
+    ≤(|langs|+1)² matrix."""
+    l = text_langid(spark, sf_dir)
+    cell = l.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    classes = (
+        cell.select(F.col("actual_lang").alias("cl"))
+        .union(cell.select("pred_lang"))
+        .distinct()
+    )
+    rowm = cell.groupBy(F.col("actual_lang").alias("cl")).agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    colm = cell.groupBy(F.col("pred_lang").alias("cl")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    diag = cell.filter(F.col("actual_lang") == F.col("pred_lang")).select(
+        F.col("actual_lang").alias("cl"), F.col("n").alias("tp")
+    )
+    tot = cell.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.when(F.col("actual_lang") == F.col("pred_lang"), F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ntp"),
+    )
+    pe = (
+        classes.join(rowm, "cl", "left")
+        .join(colm, "cl", "left")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("r"), F.lit(0))
+                * F.coalesce(F.col("c"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rc")
+        )
+    )
+    j = (
+        classes.join(rowm, "cl", "left")
+        .join(colm, "cl", "left")
+        .join(diag, "cl", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pe))
+    )
+    r0 = F.coalesce(F.col("r"), F.lit(0))
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    tp0 = F.coalesce(F.col("tp"), F.lit(0))
+    po = F.col("ntp").cast("double") / F.col("nn")
+    pex = F.col("rc").cast("double") / (
+        F.col("nn").cast("double") * F.col("nn")
+    )
+    return j.select(
+        F.col("cl").alias("lang_class"),
+        r0.alias("n_actual"),
+        c0.alias("n_predicted"),
+        tp0.alias("tp"),
+        F.round(
+            F.when(c0 == 0, F.lit(0.0)).otherwise(tp0.cast("double") / F.col("c")),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.when(r0 == 0, F.lit(0.0)).otherwise(tp0.cast("double") / F.col("r")),
+            6,
+        ).alias("recall_"),
+        F.round(
+            F.when(tp0 == 0, F.lit(0.0)).otherwise(2.0 * tp0 / (r0 + c0)), 6
+        ).alias("f1"),
+        F.round(po, 6).alias("accuracy"),
+        F.round((po - pex) / (F.lit(1.0) - pex), 6).alias("cohens_kappa"),
+    )

@@ -9666,3 +9666,106 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# x325 — inter-event gap memory coefficient (Goh-Barabási M)
+# --------------------------------------------------------------------------
+
+_MEM_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         us - LAG(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+           AS g,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY us, event_id)
+           AS i
+  FROM e
+),
+pairs AS (
+  SELECT a.event_type, a.g AS g1, b.g AS g2
+  FROM gaps a JOIN gaps b
+    ON b.event_type = a.event_type AND b.i = a.i + 1
+  WHERE a.g IS NOT NULL AND b.g IS NOT NULL
+),
+mo AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g1) AS BIGINT) AS s1, CAST(SUM(g2) AS BIGINT) AS s2,
+         SUM(CAST(g1 AS DECIMAL(38, 0)) * g2) AS s12,
+         SUM(CAST(g1 AS DECIMAL(38, 0)) * g1) AS s11,
+         SUM(CAST(g2 AS DECIMAL(38, 0)) * g2) AS s22
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       ROUND((CAST(s1 AS DOUBLE) + s2) / (2.0 * n) / 1e6, 6) AS mean_gap_s,
+       ROUND((CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * s2)
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1)
+                * sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * s2)), 6) AS memory_coeff
+FROM mo
+"""
+
+
+@register("events_gap_memory", oracle=_MEM_ORACLE)
+def events_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x325: GAP MEMORY COEFFICIENT per type — Goh & Barabási's M, the
+    Pearson correlation of CONSECUTIVE inter-event gaps: completes the
+    (B, M) burstiness plane whose B half x281 computed (B alone can't
+    tell a heavy-tailed renewal process from true correlation —
+    clustered failures have M > 0, Poisson and shuffled-gap processes
+    M ≈ 0). Gaps at µs grain over the (ts_us, event_id) total order
+    (x58's tiebreak contract).
+
+    Exactness: gaps are exact integer µs; the five correlation moments
+    are DECIMAL(38)/HUGEINT (µs² products overflow int64 immediately);
+    M is one shared-parenthesization double epilogue per type.
+
+    100 TB: ONE event_type shuffle serves the lag window and the
+    consecutive-pair self-join (same partitioning — Catalyst reuses
+    the exchange); moments collapse map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("g"),
+        F.row_number().over(w).alias("i"),
+    )
+    a = gaps.filter(F.col("g").isNotNull())
+    b = gaps.filter(F.col("g").isNotNull()).select(
+        F.col("event_type").alias("bet"),
+        F.col("g").alias("g2"),
+        F.col("i").alias("bi"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bet") == F.col("event_type")) & (F.col("bi") == F.col("i") + 1),
+    ).select("event_type", F.col("g").alias("g1"), "g2")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mo = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g1").cast("long").alias("s1"),
+        F.sum("g2").cast("long").alias("s2"),
+        F.sum(dec("g1") * F.col("g2")).alias("s12"),
+        F.sum(dec("g1") * F.col("g1")).alias("s11"),
+        F.sum(dec("g2") * F.col("g2")).alias("s22"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    num = n.cast("double") * F.col("s12").cast("double") - s1.cast("double") * s2
+    den = F.sqrt(
+        n.cast("double") * F.col("s11").cast("double") - s1.cast("double") * s1
+    ) * F.sqrt(
+        n.cast("double") * F.col("s22").cast("double") - s2.cast("double") * s2
+    )
+    return mo.select(
+        "event_type",
+        n.alias("n_pairs"),
+        F.round((s1.cast("double") + s2) / (2.0 * n) / 1e6, 6).alias(
+            "mean_gap_s"
+        ),
+        F.round(num / den, 6).alias("memory_coeff"),
+    )
