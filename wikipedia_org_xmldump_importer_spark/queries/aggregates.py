@@ -4377,3 +4377,161 @@ def ml_logreg_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prob_at_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# x326 — Benjamini-Hochberg FDR over a 35-test Jarque-Bera panel
+# --------------------------------------------------------------------------
+
+_FDR_ALPHA = 0.05
+
+_FDR_ORACLE = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(((CAST(epoch_us(ts) AS BIGINT) // 86400000000) + 4) % 7
+              AS INTEGER) AS wd,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+mo AS (
+  SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         SUM(CAST(cents AS DECIMAL(38, 0)) * cents) AS s2,
+         SUM(CAST(cents AS DECIMAL(38, 0)) * cents * cents) AS s3,
+         SUM(CAST(cents AS DECIMAL(38, 0)) * cents * cents * cents) AS s4
+  FROM v GROUP BY event_type, wd
+),
+cm AS (
+  SELECT event_type, wd, n,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+           * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s2 AS DOUBLE) / n)
+           - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM mo
+),
+jb AS (
+  SELECT event_type, wd, n,
+         n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                      / 4.0) AS jb
+  FROM cm
+),
+pv AS (
+  SELECT event_type, wd, n, jb, exp(-jb / 2.0) AS p,
+         ROW_NUMBER() OVER (ORDER BY exp(-jb / 2.0), event_type, wd) AS rk,
+         COUNT(*) OVER () AS m
+  FROM jb
+),
+kstar AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= {_FDR_ALPHA} * rk / m
+                           THEN rk END), 0) AS k
+  FROM pv
+)
+SELECT event_type, wd, n AS n_cell, ROUND(jb, 6) AS jb_stat,
+       ROUND(p, 6) AS p_value,
+       CAST(rk AS BIGINT) AS p_rank,
+       ROUND({_FDR_ALPHA} * rk / m, 6) AS bh_cutoff,
+       CAST(CASE WHEN rk <= kstar.k THEN 1 ELSE 0 END AS INTEGER)
+         AS discovery,
+       CAST(kstar.k AS BIGINT) AS n_discoveries
+FROM pv CROSS JOIN kstar
+"""
+
+
+@register("agg_jb_fdr_panel", oracle=_FDR_ORACLE)
+def agg_jb_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x326: BENJAMINI-HOCHBERG FDR over a 35-hypothesis panel — run
+    x287's Jarque-Bera normality test per (type, weekday) cell, then
+    apply the BH(1995) step-up correction: the multiple-testing layer
+    every per-cell screen in this repo implicitly needs (35 tests at
+    α=.05 expect ~2 false flags; BH bounds the EXPECTED FALSE
+    DISCOVERY FRACTION instead). df=2 makes the χ² survival EXACTLY
+    exp(−JB/2) — a closed form, no incomplete-gamma (the reason JB is
+    the right test to demonstrate FDR on in SQL).
+
+    Determinism: moments exact (S3/S4 DECIMAL(38) — cents⁴ overflows
+    int64 per ROW); the JB/p chain is x287's shared-parenthesization
+    epilogue; the BH rank is (p, type, wd)-pinned; k* = max flagged
+    rank makes the step-up a single window max, and discovery = rank
+    ≤ k* (the textbook definition — NOT p ≤ its own cutoff, which
+    drops the step-up property).
+
+    100 TB: one map-combined (type, wd) 4-moment agg; everything after
+    runs on the 35-row panel."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        (((F.col("ts_us") / 86_400_000_000).cast("long") + 4) % 7)
+        .cast("int")
+        .alias("wd"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    mo = v.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(dec * F.col("cents")).alias("s2"),
+        F.sum(dec * F.col("cents") * F.col("cents")).alias("s3"),
+        F.sum(dec * F.col("cents") * F.col("cents") * F.col("cents")).alias(
+            "s4"
+        ),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3.0 * mu * (F.col("s2").cast("double") / n)
+        + 2.0 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4.0 * mu * (F.col("s3").cast("double") / n)
+        + 6.0 * mu * mu * (F.col("s2").cast("double") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    jbf = mo.select("event_type", "wd", "n", jb.alias("jb"))
+    p = F.exp(-F.col("jb") / 2.0)
+    w_all = Window.partitionBy()
+    pv = jbf.select(
+        "event_type",
+        "wd",
+        "n",
+        "jb",
+        p.alias("p"),
+        F.row_number()
+        .over(Window.orderBy(p, "event_type", "wd"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    flagged = F.when(
+        F.col("p") <= _FDR_ALPHA * F.col("rk") / F.col("m"), F.col("rk")
+    )
+    pv = pv.select(
+        "*", F.coalesce(F.max(flagged).over(w_all), F.lit(0)).alias("k")
+    )
+    return pv.select(
+        "event_type",
+        "wd",
+        n.alias("n_cell"),
+        F.round("jb", 6).alias("jb_stat"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rk").cast("long").alias("p_rank"),
+        F.round(_FDR_ALPHA * F.col("rk") / F.col("m"), 6).alias("bh_cutoff"),
+        F.when(F.col("rk") <= F.col("k"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("discovery"),
+        F.col("k").cast("long").alias("n_discoveries"),
+    )

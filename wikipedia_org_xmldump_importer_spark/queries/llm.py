@@ -2477,3 +2477,147 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang_true", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# x328 — sign random projection (JL sketch) with exact distortion audit
+# --------------------------------------------------------------------------
+
+_RP_K = 16
+_RP_SCALE = 1000
+
+_RP_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, i AS d,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_RP_SCALE}) AS BIGINT)
+           AS qv,
+         ((i * 2654435761) % 2147483648) AS h
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+proj AS (
+  SELECT q.vec_id, j.j,
+         CAST(SUM((1 - 2 * ((q.h >> (8 + j.j)) % 2)) * q.qv) AS BIGINT) AS p
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {_RP_K - 1})) AS j) j
+  GROUP BY q.vec_id, j.j
+),
+od AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS orig_d2
+  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.d = a.d
+  GROUP BY a.vec_id, b.vec_id
+),
+pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS proj_d2
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT od.va AS vec_a, od.vb AS vec_b, od.orig_d2, pd.proj_d2,
+       ROUND(CAST(pd.proj_d2 AS DOUBLE) / ({_RP_K} * od.orig_d2), 6)
+         AS distortion_ratio,
+       CAST(CASE WHEN 2 * pd.proj_d2 >= {_RP_K} * od.orig_d2
+                 AND pd.proj_d2 <= 2 * {_RP_K} * od.orig_d2
+                 THEN 1 ELSE 0 END AS INTEGER) AS within_2x
+FROM od JOIN pd ON pd.va = od.va AND pd.vb = od.vb
+"""
+
+
+@register("vec_rp_sketch", oracle=_RP_ORACLE)
+def vec_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x328: SIGN RANDOM PROJECTION (the Achlioptas/JL ±1 sketch) of the
+    64-dim embeddings down to k=16 integer components, with an EXACT
+    per-pair distortion audit on the consecutive-id pair sample:
+    E‖Pa−Pb‖² = k·‖a−b‖² for ±1 projections, so distortion_ratio ≈ 1
+    and the within-2x flag is INTEGER-SIDED (2·proj ≥ k·orig ∧ proj ≤
+    2k·orig — no float can straddle it). The dimensionality-reduction
+    front end x16's LSH and x178's bit signatures assume; unlike both,
+    this keeps MAGNITUDES (they keep angles only).
+
+    Determinism: the "random" signs are bits 8..23 of a Knuth
+    multiplicative hash of the DIMENSION index (high bits — x310's
+    lesson: the low bits of h = d·A are d's own parity); embeddings
+    quantize to integer milli-units once (float32→double widening is
+    exact on both engines), so projections, distances and flags are
+    all exact int64.
+
+    100 TB: the d×k expansion is map-local explode + map-combined
+    (vec, j) sums — the mapInPandas GEMM form (x249's note) replaces
+    it when k·d stops fitting the row budget; the pair audit joins on
+    consecutive ids, never all pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.round(F.col("v").cast("double") * _RP_SCALE).cast("long").alias("qv"),
+        ((F.col("pos") + 1) * 2654435761 % 2147483648).alias("h"),
+    )
+    j = q.select(
+        "vec_id",
+        "qv",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("j"),
+    )
+    proj = (
+        j.select(
+            "vec_id",
+            "j",
+            (
+                (F.lit(1) - 2 * F.expr("(h >> (8 + j)) % 2")) * F.col("qv")
+            ).alias("term"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.sum("term").cast("long").alias("p"))
+    )
+    qa = q.select(
+        F.col("vec_id").alias("va"), F.col("d").alias("da"), F.col("qv").alias("qa")
+    )
+    qb = q.select(
+        F.col("vec_id").alias("vb"), F.col("d").alias("db"), F.col("qv").alias("qb")
+    )
+    od = (
+        qa.join(qb, (F.col("vb") == F.col("va") + 1) & (F.col("db") == F.col("da")))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("long")
+            .alias("orig_d2")
+        )
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("va"), F.col("j").alias("ja"), F.col("p").alias("p1")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("vb"), F.col("j").alias("jb"), F.col("p").alias("p2")
+    )
+    pd_ = (
+        pa.join(pb, (F.col("vb") == F.col("va") + 1) & (F.col("jb") == F.col("ja")))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("p1") - F.col("p2")) * (F.col("p1") - F.col("p2")))
+            .cast("long")
+            .alias("proj_d2")
+        )
+    )
+    k = _RP_K
+    return od.join(pd_, ["va", "vb"]).select(
+        F.col("va").alias("vec_a"),
+        F.col("vb").alias("vec_b"),
+        "orig_d2",
+        "proj_d2",
+        F.round(F.col("proj_d2").cast("double") / (k * F.col("orig_d2")), 6).alias(
+            "distortion_ratio"
+        ),
+        F.when(
+            (2 * F.col("proj_d2") >= k * F.col("orig_d2"))
+            & (F.col("proj_d2") <= 2 * k * F.col("orig_d2")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("within_2x"),
+    )

@@ -9769,3 +9769,143 @@ def events_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(num / den, 6).alias("memory_coeff"),
     )
+
+
+# --------------------------------------------------------------------------
+# x327 — pinball-loss evaluation of quantile forecasts (p50 / p90)
+# --------------------------------------------------------------------------
+
+_PIN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+tr AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, day) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM idx WHERE i <= n - 7
+),
+fc AS (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN vr = (m + 1) // 2 THEN y END) AS BIGINT) AS f50,
+         CAST(MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN y END) AS BIGINT)
+           AS f90
+  FROM tr GROUP BY event_type
+),
+te AS (SELECT event_type, y FROM idx WHERE i > n - 7),
+loss AS (
+  SELECT t.event_type, 50 AS q_level, f.f50 AS forecast,
+         CAST(SUM(5 * ABS(t.y - f.f50)) AS BIGINT) AS loss_tenths,
+         CAST(SUM(CASE WHEN t.y <= f.f50 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM te t JOIN fc f ON f.event_type = t.event_type
+  GROUP BY t.event_type, f.f50
+  UNION ALL
+  SELECT t.event_type, 90, f.f90,
+         CAST(SUM(CASE WHEN t.y > f.f90 THEN 9 * (t.y - f.f90)
+                       ELSE f.f90 - t.y END) AS BIGINT),
+         CAST(SUM(CASE WHEN t.y <= f.f90 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM te t JOIN fc f ON f.event_type = t.event_type
+  GROUP BY t.event_type, f.f90
+)
+SELECT event_type, CAST(q_level AS INTEGER) AS q_level, forecast,
+       loss_tenths,
+       ROUND(loss_tenths / 70.0, 6) AS avg_pinball,
+       ROUND(n_covered / 7.0, 6) AS coverage
+FROM loss
+"""
+
+
+@register("ts_pinball_eval", oracle=_PIN_ORACLE)
+def ts_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x327: PINBALL-LOSS EVALUATION of quantile forecasts — hold out
+    the last 7 days per type (x257's protocol), forecast the p50 and
+    p90 as rank-discrete train quantiles, and score with the pinball
+    (quantile) loss L_q = q(y−f)⁺ + (1−q)(f−y)⁺ plus empirical
+    coverage: the evaluation layer for PROBABILISTIC forecasts that
+    x295's WAPE tournament (point forecasts) cannot score — a p90
+    that never covers 90% is wrong no matter its WAPE.
+
+    Exactness: rank-discrete quantiles are integer order statistics
+    ((m+1) div 2, ceil(9m/10) = (9m+9) div 10 — pure integer ranks);
+    both losses live in TENTH-units (q ∈ {.5, .9} ⇒ 5|y−f| and
+    9(y−f)⁺ + (f−y)⁺ are exact integers — the doubled-cents device at
+    q grain); coverage is an exact /7 ratio.
+
+    100 TB: day-grain bounded; one rank window over the train rows per
+    type + a 7-row test join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.expr("ts_us div 86400000000").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(w_t.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(w_t).alias("n"),
+    )
+    tr = idx.filter(F.col("i") <= F.col("n") - 7).select(
+        "event_type",
+        "y",
+        F.row_number().over(w_t.orderBy("y", "day")).alias("vr"),
+        F.count(F.lit(1)).over(w_t).alias("m"),
+    )
+    fc = tr.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("vr") == F.expr("(m + 1) div 2"), F.col("y"))
+        )
+        .cast("long")
+        .alias("f50"),
+        F.max(
+            F.when(F.col("vr") == F.expr("(9 * m + 9) div 10"), F.col("y"))
+        )
+        .cast("long")
+        .alias("f90"),
+    )
+    te = idx.filter(F.col("i") > F.col("n") - 7).select("event_type", "y")
+    j = te.join(F.broadcast(fc), "event_type")
+    l50 = j.groupBy("event_type", F.col("f50").alias("forecast")).agg(
+        F.sum(5 * F.abs(F.col("y") - F.col("f50")))
+        .cast("long")
+        .alias("loss_tenths"),
+        F.sum(F.when(F.col("y") <= F.col("f50"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    ).select("event_type", F.lit(50).cast("int").alias("q_level"), "forecast", "loss_tenths", "n_covered")
+    l90 = j.groupBy("event_type", F.col("f90").alias("forecast")).agg(
+        F.sum(
+            F.when(
+                F.col("y") > F.col("f90"), 9 * (F.col("y") - F.col("f90"))
+            ).otherwise(F.col("f90") - F.col("y"))
+        )
+        .cast("long")
+        .alias("loss_tenths"),
+        F.sum(F.when(F.col("y") <= F.col("f90"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    ).select("event_type", F.lit(90).cast("int").alias("q_level"), "forecast", "loss_tenths", "n_covered")
+    return (
+        l50.unionAll(l90)
+        .select(
+            "event_type",
+            "q_level",
+            "forecast",
+            "loss_tenths",
+            F.round(F.col("loss_tenths") / 70.0, 6).alias("avg_pinball"),
+            F.round(F.col("n_covered") / 7.0, 6).alias("coverage"),
+        )
+    )
