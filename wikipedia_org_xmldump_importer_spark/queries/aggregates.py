@@ -4535,3 +4535,378 @@ def agg_jb_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("discovery"),
         F.col("k").cast("long").alias("n_discoveries"),
     )
+
+
+# --------------------------------------------------------------------------
+# x329 — Kruskal-Wallis H across event types (doubled ranks, tie-corrected)
+# --------------------------------------------------------------------------
+
+_CHI2_95 = {
+    1: 3.841459,
+    2: 5.991465,
+    3: 7.814728,
+    4: 9.487729,
+    5: 11.070498,
+    6: 12.591587,
+    7: 14.067140,
+    8: 15.507313,
+    9: 16.918978,
+}
+
+_KW_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+rk AS (
+  SELECT event_type,
+         2 * RANK() OVER (ORDER BY cents) - 1
+           + COUNT(*) OVER (PARTITION BY cents) AS r2
+  FROM v
+),
+grp AS (
+  SELECT event_type, COUNT(*) AS nj,
+         SUM(CAST(r2 AS HUGEINT)) AS rj2
+  FROM rk GROUP BY event_type
+),
+ties AS (
+  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tsum
+  FROM (SELECT COUNT(*) AS t FROM v GROUP BY cents)
+),
+acc AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(ROUND(CAST(rj2 AS DOUBLE) * CAST(rj2 AS DOUBLE)
+                        / nj * 1e6) AS HUGEINT)) AS s_u
+  FROM grp
+)
+SELECT n AS n_rows, k AS k_groups,
+       ROUND(3.0 * (CAST(s_u AS DOUBLE) / 1e6) / (CAST(n AS DOUBLE) * (n + 1))
+             - 3.0 * (n + 1), 6) AS h_stat,
+       ROUND((3.0 * (CAST(s_u AS DOUBLE) / 1e6)
+              / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+             / (1.0 - CAST(tsum AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_corrected,
+       CAST(CASE WHEN (3.0 * (CAST(s_u AS DOUBLE) / 1e6)
+                       / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                      / (1.0 - CAST(tsum AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n * n - n))
+                      > {crit}
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM acc CROSS JOIN ties
+"""
+
+
+@register(
+    "agg_kruskal_wallis",
+    oracle=_KW_ORACLE.replace(
+        "{crit}",
+        "CASE k - 1 "
+        + " ".join(f"WHEN {df} THEN {cv}" for df, cv in _CHI2_95.items())
+        + " ELSE 1e308 END",
+    ),
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x329: KRUSKAL-WALLIS H across the k event types on `value` — the
+    k-sample generalization of x276's Mann-Whitney: do ANY of the types
+    draw values from a shifted distribution, without x297's Welch
+    normality assumption? The rank-based sibling of x293's ANOVA.
+
+    Exactness: cents-pinned values, DOUBLED average ranks (x278's
+    device — 2·avg_rank = 2·rank−1+tie_count, always integer), per-group
+    Σ(R2j)²/nj pinned as ROUND((R2j)²/nj·10⁶) — every op in that term
+    (decimal→double cast, ·, /, round) is IEEE-deterministic and
+    identically parenthesized on both engines, and the CROSS-GROUP sum
+    is then over exact DECIMAL(38)/HUGEINT integers, so double summation
+    order can never enter (the trap the device exists for). Tie term
+    Σ(t³−t) is exact integer. H, the tie correction, and the chi²(k−1)
+    95% gate (pinned literal table, df 1-9) are ONE shared epilogue.
+
+    100 TB: one global rank window (percentile-class shuffle, x106),
+    then |types| rows. (R2j)² ~ 4N²nj² — DECIMAL(38) holds past 1e12
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rk = v.select(
+        "event_type",
+        (
+            2 * F.rank().over(Window.orderBy("cents"))
+            - 1
+            + F.count(F.lit(1)).over(Window.partitionBy("cents"))
+        ).alias("r2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    grp = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nj"), F.sum(dec("r2")).alias("rj2")
+    )
+    ties = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                dec("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    acc = grp.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.round(
+                F.col("rj2").cast("double")
+                * F.col("rj2").cast("double")
+                / F.col("nj")
+                * 1e6
+            ).cast("decimal(38,0)")
+        ).alias("s_u"),
+    ).crossJoin(ties)
+    n, k = F.col("n"), F.col("k")
+    h = (
+        3.0 * (F.col("s_u").cast("double") / 1e6) / (n.cast("double") * (n + 1))
+        - 3.0 * (n + 1)
+    )
+    corr = 1.0 - F.col("tsum").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    crit = F.lit(1e308)
+    for df_, cv in _CHI2_95.items():
+        crit = F.when(k - 1 == df_, F.lit(cv)).otherwise(crit)
+    return acc.select(
+        n.alias("n_rows"),
+        k.alias("k_groups"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(h / corr, 6).alias("h_corrected"),
+        F.when(h / corr > crit, 1).otherwise(0).cast("int").alias("reject_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x330 — Mood's median test (2 x k counts around the grand median)
+# --------------------------------------------------------------------------
+
+_MOOD_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+),
+rk AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+         COUNT(*) OVER () AS nn
+  FROM v
+),
+med AS (SELECT MIN(CASE WHEN rn = (nn + 1) // 2 THEN cents END) AS med FROM rk),
+s AS (
+  SELECT v.event_type,
+         CASE WHEN v.cents > med.med THEN 1 ELSE 0 END AS ab
+  FROM v CROSS JOIN med WHERE v.cents <> med.med
+),
+grp AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(ab) AS BIGINT) AS aj
+  FROM s GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(SUM(aj) AS BIGINT) AS a,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM grp
+),
+su AS (
+  SELECT SUM(CAST(ROUND(CAST(g.aj * t.n - g.nj * t.a AS DOUBLE)
+                        * CAST(g.aj * t.n - g.nj * t.a AS DOUBLE)
+                        / g.nj * 1e6) AS HUGEINT)) AS s_u
+  FROM grp g CROSS JOIN tot t
+)
+SELECT g.event_type, g.nj AS n_used, g.aj AS n_above, g.nj - g.aj AS n_below,
+       ROUND(CAST(g.nj AS DOUBLE) * t.a / t.n, 6) AS expected_above,
+       ROUND((CAST(u.s_u AS DOUBLE) / 1e6)
+             / (CAST(t.a AS DOUBLE) * (t.n - t.a)), 6) AS chi2_stat,
+       CAST(CASE WHEN (CAST(u.s_u AS DOUBLE) / 1e6)
+                      / (CAST(t.a AS DOUBLE) * (t.n - t.a)) > {crit}
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM grp g CROSS JOIN tot t CROSS JOIN su u
+"""
+
+
+@register(
+    "agg_mood_median",
+    oracle=_MOOD_ORACLE.replace(
+        "{crit}",
+        "CASE t.k - 1 "
+        + " ".join(f"WHEN {df} THEN {cv}" for df, cv in _CHI2_95.items())
+        + " ELSE 1e308 END",
+    ),
+)
+def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x330: MOOD'S MEDIAN TEST — dichotomize every value at the GRAND
+    rank-discrete lower median (x129's device), drop exact ties with it
+    (x291's convention), and Pearson-chi² the resulting 2×k table: the
+    crudest but most outlier-proof k-sample location test — only
+    above/below survives, so a type whose tail is wild but whose median
+    matches cannot trigger it (the contrast with x329 is the point).
+
+    Exactness: the 2×k chi² collapses to χ² = Σj (aj·N − nj·A)² /
+    (nj·A·B) — per-type numerators (aj·N − nj·A) are exact int64,
+    the /nj terms pinned to integers via x329's ROUND(·10⁶) device so
+    the cross-group sum is exact, then ONE shared epilogue with the
+    pinned chi² table. Per-type rows publish the observed/expected
+    split and the shared statistic.
+
+    100 TB: one global rank window for the median + one (type) agg; the
+    chi² assembly is |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rk = v.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    med = rk.agg(
+        F.min(
+            F.when(F.col("rn") == F.floor((F.col("nn") + 1) / 2), F.col("cents"))
+        ).alias("med")
+    )
+    s = (
+        v.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select(
+            "event_type",
+            F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("ab"),
+        )
+    )
+    grp = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("ab").cast("long").alias("aj"),
+    )
+    tot = grp.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("aj").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    num = (F.col("aj") * F.col("n") - F.col("nj") * F.col("a")).cast("double")
+    s_u = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(num * num / F.col("nj") * 1e6)
+            .cast("decimal(38,0)")
+            .alias("u")
+        )
+        .agg(F.sum("u").alias("s_u"))
+    )
+    n, a, k = F.col("n"), F.col("a"), F.col("k")
+    chi2 = (F.col("s_u").cast("double") / 1e6) / (
+        a.cast("double") * (n - a)
+    )
+    crit = F.lit(1e308)
+    for df_, cv in _CHI2_95.items():
+        crit = F.when(k - 1 == df_, F.lit(cv)).otherwise(crit)
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s_u))
+        .select(
+            "event_type",
+            F.col("nj").alias("n_used"),
+            F.col("aj").alias("n_above"),
+            (F.col("nj") - F.col("aj")).alias("n_below"),
+            F.round(F.col("nj").cast("double") * a / n, 6).alias(
+                "expected_above"
+            ),
+            F.round(chi2, 6).alias("chi2_stat"),
+            F.when(chi2 > crit, 1).otherwise(0).cast("int").alias("reject_05"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x331 — two-sample Cramér-von Mises (purchase vs view values)
+# --------------------------------------------------------------------------
+
+_CVM_ORACLE = """
+WITH v AS (
+  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+rk AS (
+  SELECT g, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, event_id) AS r,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents, event_id) AS i
+  FROM v
+),
+u AS (
+  SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         SUM(CASE WHEN g = 1
+                  THEN CAST(r - i AS HUGEINT) * (r - i) ELSE 0 END) AS d1,
+         SUM(CASE WHEN g = 0
+                  THEN CAST(r - i AS HUGEINT) * (r - i) ELSE 0 END) AS d2
+  FROM rk
+)
+SELECT n1 AS n_purchase, n2 AS n_view,
+       ROUND((CAST(n1 AS DOUBLE) * CAST(d1 AS DOUBLE)
+              + CAST(n2 AS DOUBLE) * CAST(d2 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2))
+             - (4.0 * n1 * n2 - 1) / (6.0 * (n1 + n2)), 6) AS cvm_t,
+       CAST(CASE WHEN (CAST(n1 AS DOUBLE) * CAST(d1 AS DOUBLE)
+                       + CAST(n2 AS DOUBLE) * CAST(d2 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2))
+                      - (4.0 * n1 * n2 - 1) / (6.0 * (n1 + n2)) > 0.461
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM u
+"""
+
+
+@register("agg_cramer_von_mises", oracle=_CVM_ORACLE)
+def agg_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x331: TWO-SAMPLE CRAMÉR-VON MISES between purchase and view
+    values — the INTEGRATED-squared-ECDF-gap test: where x259's KS sees
+    only the single worst gap, CvM accumulates every gap, so it catches
+    distributions that differ mildly EVERYWHERE (scale/shape drift)
+    that KS's max misses. Anderson's rank form: T = [n1·Σ(ri−i)² +
+    n2·Σ(sj−j)²]/(n1·n2·N) − (4n1n2−1)/(6N).
+
+    Exactness: ranks are ROW_NUMBERs over the (cents, event_id) total
+    order — the house tie-break contract (x58) makes the with-ties
+    statistic well-defined and IDENTICAL on both engines (the classical
+    formula assumes continuity; the pinned total order is our published
+    convention, documented here). (r−i)² sums are exact
+    DECIMAL(38)/HUGEINT (Σ ≤ N³); T and the 0.461 asymptotic 5% gate
+    are one shared epilogue.
+
+    100 TB: one global rank window over the two-type subset + one
+    per-group rank window (same sort key — ONE shuffle, Catalyst reuses
+    the exchange); the moment agg is map-combined."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    )
+    rk = v.select(
+        "g",
+        F.row_number().over(Window.orderBy("cents", "event_id")).alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("cents", "event_id"))
+        .alias("i"),
+    )
+    d = (F.col("r") - F.col("i")).cast("decimal(38,0)")
+    u = rk.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, d * d).otherwise(F.lit(0))).alias("d1"),
+        F.sum(F.when(F.col("g") == 0, d * d).otherwise(F.lit(0))).alias("d2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    t = (
+        n1.cast("double") * F.col("d1").cast("double")
+        + n2.cast("double") * F.col("d2").cast("double")
+    ) / (n1.cast("double") * n2 * (n1 + n2)) - (4.0 * n1 * n2 - 1) / (
+        6.0 * (n1 + n2)
+    )
+    return u.select(
+        n1.alias("n_purchase"),
+        n2.alias("n_view"),
+        F.round(t, 6).alias("cvm_t"),
+        F.when(t > 0.461, 1).otherwise(0).cast("int").alias("reject_05"),
+    )
