@@ -32,6 +32,62 @@ RED_FLAGS: dict[str, str] = {
 #: SURVEY row / docstring gives. Keep justifications honest — this list is
 #: audited by humans, not just tests.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    ("basket_association_rules", "BroadcastNestedLoopJoin"): (
+        "1-row basket-total frame broadcast-crossed onto the rule "
+        "candidates for the integer-sided support gate — bounded by "
+        "construction (x299)"
+    ),
+    ("agg_design_effect_icc", "BroadcastNestedLoopJoin"): (
+        "two 1-row global-moment frames crossed for the ANOVA/DEFF "
+        "epilogue — bounded by construction (x320)"
+    ),
+    ("agg_kruskal_wallis", "BroadcastNestedLoopJoin"): (
+        "1-row tie-term frame crossed onto the 1-row H accumulator "
+        "epilogue — bounded by construction (x329)"
+    ),
+    ("agg_mood_median", "BroadcastNestedLoopJoin"): (
+        "1-row grand-median / totals / chi2-sum frames broadcast-crossed "
+        "onto the |types|-row table — bounded by construction (x330)"
+    ),
+    ("ml_naive_bayes_lang", "BroadcastNestedLoopJoin"): (
+        "1-row vocab-size frame crossed onto the |langs| denominators, "
+        "and the |langs|(=5)-row model frame crossed onto doc scores "
+        "(deliberate 5x scoring expansion) — bounded by construction "
+        "(x305)"
+    ),
+    ("ml_classifier_metrics", "BroadcastNestedLoopJoin"): (
+        "1-row N / chance-agreement frames broadcast-crossed onto the "
+        "<=(|langs|+1)^2 confusion matrix — bounded by construction "
+        "(x323)"
+    ),
+    ("ts_croston", "BroadcastNestedLoopJoin"): (
+        "1-row forecast-origin frame broadcast-crossed onto the "
+        "day-grain demand folds — bounded by construction (x294)"
+    ),
+    ("events_mcnemar", "BroadcastNestedLoopJoin"): (
+        "1-row period-midpoint frame crossed onto the event scan for "
+        "the before/after split, then a 1-row reduce — bounded by "
+        "construction (x312)"
+    ),
+    ("events_effect_sizes", "BroadcastNestedLoopJoin"): (
+        "1-row pooled-moment frame broadcast-crossed onto the 2-group "
+        "panel for the d/g/CLES epilogue — bounded by construction "
+        "(x313)"
+    ),
+    ("events_session_stats", "BroadcastNestedLoopJoin"): (
+        "1-row global session-total frame broadcast-crossed onto the "
+        "duration-bucket panel — bounded by construction (x314)"
+    ),
+    ("ngram_llr_collocations", "BroadcastNestedLoopJoin"): (
+        "1-row grand-bigram-total frame broadcast-crossed onto the "
+        "candidate pair frame for the G2 margins — bounded by "
+        "construction (x321)"
+    ),
+    ("tpch_q11_important_volume", "BroadcastNestedLoopJoin"): (
+        "1-row grand-total frame broadcast-crossed onto the per-part "
+        "values for the HAVING-vs-scalar gate (the Q11 topology itself) "
+        "— bounded by construction (x334)"
+    ),
     ("corr_kendall_tau", "CartesianProduct"): (
         "the day-pair grid of the SINGLE joint daily series (x260's "
         "bounded quadratic: collapse to |days| rows FIRST, then pair; "

@@ -14,7 +14,7 @@ on a 5×7-ish group domain, so the final shuffle is negligible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1024,4 +1024,298 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# x332 — TPC-H Q1 shape: pricing summary report
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_pricing_summary", oracle=_Q1_ORACLE)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x332: TPC-H Q1 — the pricing summary report, verbatim (the one
+    TPC-H query this schema supports unadapted): eight aggregates over a
+    6-group rollup of the whole fact table behind a ship-date cutoff.
+    Completes the full 22-query TPC-H sweep (q2/q11/q20 follow as
+    adapted shapes — the schema has no partsupp).
+
+    Determinism: money sums pinned 2dp, averages 6dp (house float
+    discipline); l_quantity is integral-valued so its SUM is exact in
+    double regardless of summation order.
+
+    100 TB: the canonical map-side-combine showcase — 6 groups mean the
+    partial aggregate collapses each scan partition to <=6 rows before a
+    negligible final shuffle; the shipdate predicate prunes row groups
+    via min/max stats. No join, no window: scan-bound by design."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("date")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x333 — TPC-H Q2 shape: minimum-cost supplier per part in a region
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH catalog AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 2)) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+europe AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+priced AS (
+  SELECT c.l_partkey, c.unit_cost, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name,
+         MIN(c.unit_cost) OVER (PARTITION BY c.l_partkey) AS min_cost
+  FROM catalog c JOIN europe e ON c.l_suppkey = e.s_suppkey
+)
+SELECT p.s_acctbal, p.s_name, p.n_name AS nation, p.l_partkey AS p_partkey,
+       pt.p_type, p.unit_cost
+FROM priced p
+JOIN part pt ON pt.p_partkey = p.l_partkey
+WHERE p.unit_cost = p.min_cost AND pt.p_size <= 25 AND pt.p_type = 'LARGE'
+ORDER BY p.s_acctbal DESC, p.n_name, p.s_name, p.l_partkey, p.s_suppkey
+LIMIT 100
+"""
+
+
+@register("tpch_q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x333: TPC-H Q2 shape — cheapest EUROPE supplier per qualifying
+    part (adapted: no partsupp, so the part-supplier catalog is the
+    DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem and unit
+    cost is the minimum observed per-line unit price). The benchmark's
+    signature correlated-MIN subquery is expressed Spark-first as a
+    per-part window MIN over the region-filtered catalog — same
+    semantics, one shuffle instead of a rescan.
+
+    Determinism: per-line unit price pinned 2dp BEFORE the MIN so the
+    min and the equality compare operate on identical doubles both
+    engines; the LIMIT 100 rides a fully-pinned total order
+    (acctbal DESC, nation, name, partkey, suppkey — unique).
+
+    100 TB: catalog agg shuffles on (partkey, suppkey) with map-side
+    combine; europe dims broadcast; the window partitions by partkey on
+    the already-(partkey)-clustered frame. LIMIT is a TakeOrderedAndProject
+    — never a full sort at the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+        ).alias("unit_cost")
+    )
+    europe = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    priced = (
+        catalog.join(europe, catalog.l_suppkey == europe.s_suppkey)
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+    )
+    qual = part.filter((F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
+    return (
+        priced.join(F.broadcast(qual), priced.l_partkey == qual.p_partkey)
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "l_partkey", "s_suppkey"
+        )
+        .limit(100)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            "p_type",
+            "unit_cost",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x334 — TPC-H Q11 shape: important volume concentration (HAVING vs scalar)
+# --------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH national AS (
+  SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT l_partkey AS p_partkey, ROUND(SUM(val), 2) AS part_value
+  FROM national GROUP BY l_partkey
+),
+total AS (SELECT ROUND(SUM(val), 2) AS tv FROM national)
+SELECT p.p_partkey, p.part_value,
+       ROUND(p.part_value / t.tv, 6) AS value_share
+FROM per_part p CROSS JOIN total t
+WHERE p.part_value > t.tv * 0.001
+"""
+
+
+@register("tpch_q11_important_volume", oracle=_Q11_ORACLE)
+def tpch_q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x334: TPC-H Q11 shape — parts whose NATION_7-supplied order volume
+    exceeds 0.1% of that nation's total (adapted: ps_supplycost *
+    ps_availqty becomes discounted lineitem volume through NATION_7
+    suppliers — same group-HAVING-against-uncorrelated-scalar topology).
+
+    Determinism: per-part and total sums independently pinned 2dp; the
+    HAVING compares part_value > round(total,2) * 0.001 — both operands
+    deterministic doubles, identical parenthesization both engines.
+
+    100 TB: the nation-filtered supplier dim broadcasts into the fact
+    scan (semi-join pushdown); ONE partkey-grain shuffle serves both the
+    per-part agg and (collapsed) the grand total — the scalar is a 1-row
+    broadcast into the filter, never a rescan of the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nat_supp = sup.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+        sup.s_nationkey == F.col("n_nationkey"),
+        "leftsemi",
+    ).select("s_suppkey")
+    national = li.join(
+        F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "leftsemi"
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+    )
+    per_part = national.groupBy(
+        F.col("l_partkey").alias("p_partkey")
+    ).agg(F.round(F.sum("val"), 2).alias("part_value"))
+    total = national.agg(F.round(F.sum("val"), 2).alias("tv"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("tv") * 0.001)
+        .select(
+            "p_partkey",
+            "part_value",
+            F.round(F.col("part_value") / F.col("tv"), 6).alias("value_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x335 — TPC-H Q20 shape: dominant suppliers via nested subqueries
+# --------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH small_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+),
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM small_parts)
+  GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+  SELECT l_suppkey, l_partkey
+  FROM (
+    SELECT l_suppkey, l_partkey, supp_qty,
+           SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM shipped
+  ) WHERE 2 * supp_qty > part_qty
+)
+SELECT s.s_name, n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+FROM dominant d
+JOIN supplier s ON d.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 1
+GROUP BY s.s_name, n.n_name
+"""
+
+
+@register("tpch_q20_dominant_supplier", oracle=_Q20_ORACLE)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x335: TPC-H Q20 shape — region-1 suppliers who shipped the
+    MAJORITY of any 'small%' part's 1996 volume (adapted: availqty >
+    half-of-shipped becomes supplier-share > half-of-part-total — the
+    same nested IN-subquery + correlated-aggregate topology, resolved
+    Spark-first as a per-part window SUM instead of a rescan). The
+    supplier-grain complement of x201's part-grain single-source risk.
+
+    Determinism: l_quantity is integral-valued, so supplier and part
+    sums are exact integers in double and the 2*supp > part majority
+    gate is integer-sided — no float epsilon anywhere.
+
+    100 TB: the LIKE-filtered part list broadcasts as a semi-join into
+    the date-pruned fact scan; ONE (partkey) shuffle serves the
+    (part,supp) agg AND the part-total window (same key); supplier and
+    nation dims broadcast at the end, after the frame has collapsed to
+    dominant pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(F.broadcast(small), li.l_partkey == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = shipped.withColumn(
+        "part_qty", F.sum("supp_qty").over(w)
+    ).filter(2 * F.col("supp_qty") > F.col("part_qty"))
+    dim = sup.join(
+        F.broadcast(nation.filter(F.col("n_regionkey") == 1)),
+        sup.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        dominant.join(F.broadcast(dim), dominant.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
     )
