@@ -9909,3 +9909,342 @@ def ts_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_covered") / 7.0, 6).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x337 — Theil-Sen robust trend slope per type (median of pairwise slopes)
+# --------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         ROUND(CAST(b.y - a.y AS DOUBLE) / (b.day - a.day), 6) AS slope6,
+         a.day AS d1, b.day AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+rk AS (
+  SELECT event_type, slope6,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope6, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+)
+SELECT event_type,
+       CAST(MAX(np) AS BIGINT) AS n_pairs,
+       MAX(CASE WHEN rn = (np + 1) // 2 THEN slope6 END) AS sen_slope,
+       CAST(CASE WHEN MAX(CASE WHEN rn = (np + 1) // 2 THEN slope6 END) > 0
+                 THEN 1
+                 WHEN MAX(CASE WHEN rn = (np + 1) // 2 THEN slope6 END) < 0
+                 THEN -1 ELSE 0 END AS INTEGER) AS trend_sign
+FROM rk GROUP BY event_type
+"""
+
+
+@register("ts_theil_sen", oracle=_THEILSEN_ORACLE)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x337: THEIL-SEN robust trend slope of each type's daily volume —
+    the MAGNITUDE companion to x264's Mann-Kendall (which only answers
+    direction): the median of all pairwise slopes tolerates up to ~29%
+    wild days before it budges, where x66's OLS slope is dragged by a
+    single outage day. Sen (1968) over the day-grain series.
+
+    Exactness: each pairwise slope is ONE IEEE divide of exact integers,
+    pinned 6dp BEFORE ranking, so both engines rank the identical
+    multiset; the median is rank-discrete (lower median at rank
+    (n+1) div 2 over the (slope6, d1, d2)-pinned total order) — a VALUE
+    from the set, never an average of two.
+
+    100 TB: the corpus collapses to the |types| x |days| daily frame
+    FIRST (x38's lesson); the pair join is an equi hash join on
+    event_type with a day< residual — day-grain bounded quadratic
+    (a decade is ~6.7M pairs per type), the x260 class, never
+    event-grain. Rank window partitions by type on the pair frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(
+        b, (a.event_type == F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        "event_type",
+        F.round(
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("d2") - F.col("d1")),
+            6,
+        ).alias("slope6"),
+        "d1",
+        "d2",
+    )
+    w = Window.partitionBy("event_type").orderBy("slope6", "d1", "d2")
+    wc = Window.partitionBy("event_type")
+    rk = pairs.select(
+        "event_type",
+        "slope6",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("np"),
+    )
+    med = F.max(
+        F.when(F.col("rn") == F.floor((F.col("np") + 1) / 2), F.col("slope6"))
+    )
+    return rk.groupBy("event_type").agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        med.alias("sen_slope"),
+        F.when(med > 0, 1)
+        .when(med < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("trend_sign"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x338 — Durbin-Watson residual autocorrelation test per type
+# --------------------------------------------------------------------------
+
+_DW_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS t
+  FROM daily
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty, CAST(SUM(t * t) AS BIGINT) AS stt
+  FROM idx GROUP BY event_type
+),
+coef AS (
+  SELECT event_type, n,
+         CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st) AS b,
+         (CAST(sy AS DOUBLE) - CAST(n * sty - st * sy AS DOUBLE)
+            / (n * stt - st * st) * st) / n AS a
+  FROM mom
+),
+res AS (
+  SELECT i.event_type, i.t,
+         CAST(ROUND((i.y - (c.a + c.b * i.t)) * 1e6) AS BIGINT) AS e_mu
+  FROM idx i JOIN coef c ON i.event_type = c.event_type
+),
+lagd AS (
+  SELECT event_type, e_mu,
+         LAG(e_mu) OVER (PARTITION BY event_type ORDER BY t) AS pe
+  FROM res
+)
+SELECT l.event_type, c.n AS n_days,
+       ROUND(CAST(SUM(CASE WHEN l.pe IS NULL THEN 0
+                           ELSE CAST(l.e_mu - l.pe AS HUGEINT)
+                                * (l.e_mu - l.pe) END) AS DOUBLE)
+             / SUM(CAST(l.e_mu AS HUGEINT) * l.e_mu), 6) AS dw,
+       ROUND(1.0 - CAST(SUM(CASE WHEN l.pe IS NULL THEN 0
+                                 ELSE CAST(l.e_mu - l.pe AS HUGEINT)
+                                      * (l.e_mu - l.pe) END) AS DOUBLE)
+             / SUM(CAST(l.e_mu AS HUGEINT) * l.e_mu) / 2.0, 6) AS rho_hat,
+       CAST(CASE WHEN CAST(SUM(CASE WHEN l.pe IS NULL THEN 0
+                                    ELSE CAST(l.e_mu - l.pe AS HUGEINT)
+                                         * (l.e_mu - l.pe) END) AS DOUBLE)
+                      / SUM(CAST(l.e_mu AS HUGEINT) * l.e_mu) < 1.5
+                 THEN 1 ELSE 0 END AS INTEGER) AS positive_autocorr
+FROM lagd l JOIN coef c ON l.event_type = c.event_type
+GROUP BY l.event_type, c.n
+"""
+
+
+@register("ts_durbin_watson", oracle=_DW_ORACLE)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x338: DURBIN-WATSON residual autocorrelation per type — the test
+    x66's OLS trend SHOULD have run on itself: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² on
+    the detrended daily series says whether successive residuals drag
+    each other (DW≈2 none, <1.5 positive drag), i.e. whether the OLS
+    standard errors x66 publishes are honest or the series needs x339's
+    AR(1) treatment first.
+
+    Exactness: OLS closed form from five exact integer moments, a and b
+    ONE identically-parenthesized double expression both engines;
+    residuals pinned to micro-units (ROUND(e·1e6) — x305's lnmu device
+    on the residual scale) so the DW quotient is a ratio of exact
+    DECIMAL(38)/HUGEINT integer sums; 6dp publish.
+
+    100 TB: corpus → day grain first; moments map-combine per type; the
+    5-row coefficient frame broadcast-joins back; lag window partitions
+    by type on the day-grain frame. Everything after the first agg is
+    |types|x|days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    b = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+    coef = mom.select(
+        F.col("event_type").alias("c_type"),
+        "n",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("st")) / F.col("n")).alias("a"),
+    )
+    res = idx.join(
+        F.broadcast(coef), idx.event_type == F.col("c_type")
+    ).select(
+        "event_type",
+        "t",
+        "n",
+        F.round(
+            (F.col("y") - (F.col("a") + F.col("b") * F.col("t"))) * 1e6
+        )
+        .cast("long")
+        .alias("e_mu"),
+    )
+    lagd = res.select(
+        "event_type",
+        "n",
+        "e_mu",
+        F.lag("e_mu")
+        .over(Window.partitionBy("event_type").orderBy("t"))
+        .alias("pe"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = F.sum(
+        F.when(F.col("pe").isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+            dec(F.col("e_mu") - F.col("pe")) * (F.col("e_mu") - F.col("pe"))
+        )
+    )
+    den = F.sum(dec(F.col("e_mu")) * F.col("e_mu"))
+    dw = num.cast("double") / den.cast("double")
+    return lagd.groupBy("event_type", F.col("n").alias("n_days")).agg(
+        F.round(dw, 6).alias("dw"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho_hat"),
+        F.when(dw < 1.5, 1).otherwise(0).cast("int").alias("positive_autocorr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x339 — AR(1) fit + mean-reversion half-life per type
+# --------------------------------------------------------------------------
+
+_AR1_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+  FROM daily
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM idx WHERE x IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+         AS phi,
+       ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       ROUND(CASE WHEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) < 1.0
+                  THEN ((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (n * sxx - sx * sx) * sx) / n)
+                       / (1.0 - CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (n * sxx - sx * sx)) END, 6) AS long_run_mean,
+       ROUND(CASE WHEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) > 0.0
+                   AND CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) < 1.0
+                  THEN -LN(2.0) / LN(CAST(n * sxy - sx * sy AS DOUBLE)
+                                     / (n * sxx - sx * sx)) END, 6)
+         AS halflife_days
+FROM mom
+"""
+
+
+@register("ts_ar1_halflife", oracle=_AR1_ORACLE)
+def ts_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x339: AR(1) FIT + MEAN-REVERSION HALF-LIFE per type — the model
+    x338's DW verdict demands when it says 'residuals drag': yₜ = c +
+    φ·yₜ₋₁ over the observed-day sequence, with the two numbers an
+    operator actually uses — the long-run mean c/(1−φ) the series
+    reverts TO, and the half-life −ln2/lnφ it reverts AT (NULL unless
+    0<φ<1: explosive or anti-persistent series have no half-life; the
+    NULL is the finding).
+
+    Exactness: lag pairs over the (day)-ordered per-type window; five
+    exact integer moments; φ / intercept / mean / half-life ONE shared-
+    parenthesization double epilogue (φ's expression REPEATED verbatim
+    in each formula both engines — never read back through a rounded
+    column); ln is libm on identical doubles under a 6dp pin.
+
+    100 TB: corpus → day grain first; ONE (type) shuffle serves lag
+    window AND moment agg (same key, exchange reused); output |types|
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.lag("y")
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("x"),
+    ).filter(F.col("x").isNotNull())
+    mom = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    phi = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy").cast("double") - phi * F.col("sx")) / F.col("n")
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(phi, 6).alias("phi"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(
+            F.when(phi < 1.0, intercept / (1.0 - phi)), 6
+        ).alias("long_run_mean"),
+        F.round(
+            F.when((phi > 0.0) & (phi < 1.0), -F.log(F.lit(2.0)) / F.log(phi)),
+            6,
+        ).alias("halflife_days"),
+    )
