@@ -10248,3 +10248,490 @@ def ts_ar1_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("halflife_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# x340 — Wilcoxon signed-rank: paired per-user first-half vs second-half
+# --------------------------------------------------------------------------
+
+_WSR_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT user_id, c2 - c1 AS diff, ABS(c2 - c1) AS ad
+  FROM per_user WHERE c2 <> c1
+),
+rk AS (
+  SELECT diff,
+         2 * RANK() OVER (ORDER BY ad) - 1
+           + COUNT(*) OVER (PARTITION BY ad) AS r2
+  FROM d
+),
+ties AS (
+  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tsum
+  FROM (SELECT COUNT(*) AS t FROM d GROUP BY ad)
+),
+acc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2p
+  FROM rk
+)
+SELECT a.n AS n_nonzero,
+       ROUND(a.w2p / 2.0, 1) AS w_plus,
+       ROUND((CAST(a.w2p AS DOUBLE) - CAST(a.n AS DOUBLE) * (a.n + 1) / 2)
+             / SQRT(CAST(a.n AS DOUBLE) * (a.n + 1) * (2 * a.n + 1) / 6.0
+                    - CAST(t.tsum AS DOUBLE) / 12.0), 6) AS z_stat,
+       CAST(CASE WHEN ABS((CAST(a.w2p AS DOUBLE)
+                           - CAST(a.n AS DOUBLE) * (a.n + 1) / 2)
+                          / SQRT(CAST(a.n AS DOUBLE) * (a.n + 1)
+                                 * (2 * a.n + 1) / 6.0
+                                 - CAST(t.tsum AS DOUBLE) / 12.0))
+                      > 1.959964 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM acc a CROSS JOIN ties t
+"""
+
+
+@register("events_wilcoxon_signed_rank", oracle=_WSR_ORACLE)
+def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x340: WILCOXON SIGNED-RANK on PAIRED per-user activity, first vs
+    second half-month — the within-subject member the two-sample family
+    lacks: x144's Mann-Whitney compares two INDEPENDENT samples, but
+    'did the same users move?' needs the pairing (each user is their own
+    control, killing the between-user variance that swamps unpaired
+    tests). Zero differences dropped per Wilcoxon's convention.
+
+    Exactness: per-user half counts are exact integers; |d| midranks
+    held as the DOUBLED integers (x144's 2·rank−1+tiecount device), so
+    W⁺ is an exact integer in doubled units with E[2W⁺] = n(n+1)/2
+    EXACT; tie-corrected variance Var[2W⁺] = n(n+1)(2n+1)/6 − Σ(t³−t)/12
+    from exact HUGEINT tie sums; one z epilogue vs the pinned 1.959964.
+
+    100 TB: one (user) agg collapses the corpus; the rank window runs on
+    the |users-who-moved| frame (never event grain); tie agg rides the
+    same collapsed frame. DECIMAL(38) upgrade note past ~3e9 users."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    d = per_user.filter(F.col("c2") != F.col("c1")).select(
+        (F.col("c2") - F.col("c1")).alias("diff"),
+        F.abs(F.col("c2") - F.col("c1")).alias("ad"),
+    )
+    rk = d.select(
+        "diff",
+        (
+            2 * F.rank().over(Window.orderBy("ad"))
+            - 1
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+        ).alias("r2"),
+    )
+    ties = (
+        d.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    acc = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w2p"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    z = (
+        F.col("w2p").cast("double") - n.cast("double") * (n + 1) / 2
+    ) / F.sqrt(
+        n.cast("double") * (n + 1) * (2 * n + 1) / 6.0
+        - F.col("tsum").cast("double") / 12.0
+    )
+    return acc.select(
+        n.alias("n_nonzero"),
+        F.round(F.col("w2p") / 2.0, 1).alias("w_plus"),
+        F.round(z, 6).alias("z_stat"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).cast("int").alias(
+            "reject_05"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# x341 — Friedman test: day blocks x event-type treatments
+# --------------------------------------------------------------------------
+
+_FRIEDMAN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, t.event_type, COALESCE(x.y, 0) AS y
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type
+),
+rk AS (
+  SELECT day, event_type,
+         2 * RANK() OVER (PARTITION BY day ORDER BY y) - 1
+           + COUNT(*) OVER (PARTITION BY day, y) AS r2
+  FROM grid
+),
+pt AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2j FROM rk
+  GROUP BY event_type
+),
+sq AS (
+  SELECT CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sr22,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+  FROM rk
+)
+SELECT s.n AS n_blocks, s.k AS k_treatments,
+       ROUND((CAST(s.k AS DOUBLE) - 1)
+             * SUM(CAST((p.r2j - s.n * (s.k + 1))
+                        * (p.r2j - s.n * (s.k + 1)) AS DOUBLE))
+             / (CAST(s.sr22 AS DOUBLE) - CAST(s.n AS DOUBLE) * s.k
+                * (s.k + 1) * (s.k + 1)), 6) AS chi2_stat,
+       CAST(CASE WHEN (CAST(s.k AS DOUBLE) - 1)
+                      * SUM(CAST((p.r2j - s.n * (s.k + 1))
+                                 * (p.r2j - s.n * (s.k + 1)) AS DOUBLE))
+                      / (CAST(s.sr22 AS DOUBLE) - CAST(s.n AS DOUBLE) * s.k
+                         * (s.k + 1) * (s.k + 1))
+                      > {crit} THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM pt p CROSS JOIN sq s
+GROUP BY s.n, s.k, s.sr22
+"""
+
+_CHI2_95_TS = {
+    1: 3.841459,
+    2: 5.991465,
+    3: 7.814728,
+    4: 9.487729,
+    5: 11.070498,
+    6: 12.591587,
+    7: 14.067140,
+    8: 15.507313,
+    9: 16.918978,
+}
+
+
+@register(
+    "events_friedman_test",
+    oracle=_FRIEDMAN_ORACLE.replace(
+        "{crit}",
+        "CASE s.k - 1 "
+        + " ".join(f"WHEN {df} THEN {cv}" for df, cv in _CHI2_95_TS.items())
+        + " ELSE 1e308 END",
+    ),
+)
+def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x341: FRIEDMAN TEST on the day x type volume grid — the BLOCKED
+    k-sample test completing x329's family: Kruskal-Wallis pools all
+    rows and a high-volume DAY masquerades as a type effect; Friedman
+    ranks WITHIN each day block, so day-level shocks cancel and only
+    consistent between-type ordering survives. Zero-filled grid (a type
+    absent on a day is rank-bottom, not missing — the honest treatment).
+
+    Exactness: within-day midranks as DOUBLED integers; the
+    tie-corrected statistic assembled from Σ(R2j − n(k+1))² and
+    Σ(r2²) − nk(k+1)² — both exact HUGEINT/DECIMAL(38) (the doubled
+    form absorbs the classical /4 factors so NO intermediate is
+    fractional); one ratio, 6dp, vs the pinned chi2(k-1) table.
+
+    100 TB: corpus → (type, day) grain first; the grid is
+    |days| x |types| rows; rank windows partition by day on that tiny
+    frame. Everything after the first agg is grid-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    rk = grid.select(
+        "day",
+        "event_type",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("y"))
+            - 1
+            + F.count(F.lit(1)).over(Window.partitionBy("day", "y"))
+        ).alias("r2"),
+    )
+    pt = rk.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2j")
+    )
+    sq = rk.agg(
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).alias("sr22"),
+        F.countDistinct("day").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    j = pt.crossJoin(F.broadcast(sq))
+    n, k = F.col("n"), F.col("k")
+    dev = F.col("r2j") - n * (k + 1)
+    chi2 = (
+        (k.cast("double") - 1)
+        * F.sum((dev * dev).cast("double"))
+        / (
+            F.col("sr22").cast("double")
+            - n.cast("double") * k * (k + 1) * (k + 1)
+        )
+    )
+    crit = F.lit(1e308)
+    for df_, cv in _CHI2_95_TS.items():
+        crit = F.when(k - 1 == df_, F.lit(cv)).otherwise(crit)
+    return j.groupBy(n.alias("n_blocks"), k.alias("k_treatments"), "sr22").agg(
+        F.round(chi2, 6).alias("chi2_stat"),
+        F.when(chi2 > crit, 1).otherwise(0).cast("int").alias("reject_05"),
+    ).drop("sr22")
+
+
+# --------------------------------------------------------------------------
+# x342 — Jonckheere-Terpstra ordered-trend test across weekday groups
+# --------------------------------------------------------------------------
+
+
+def _jt_oracle() -> str:
+    c = [f"CAST(SUM(CASE WHEN wd = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(7)]
+    cols = ",\n         ".join(f"{e} AS c{i}" for i, e in enumerate(c))
+    cums = ",\n         ".join(
+        f"SUM(c{i}) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c{i} "
+        f"AS lt{i}, SUM(c{i}) OVER () AS n{i}" for i in range(7)
+    )
+    u2 = " + ".join(
+        f"SUM(CAST(c{j} AS HUGEINT) * (2 * lt{i} + c{i}))"
+        for i in range(7)
+        for j in range(i + 1, 7)
+    )
+    e2 = " + ".join(
+        f"CAST(MAX(n{i}) AS HUGEINT) * MAX(n{j})"
+        for i in range(7)
+        for j in range(i + 1, 7)
+    )
+    nsum = " + ".join(f"MAX(n{i})" for i in range(7))
+    vterm = " + ".join(
+        f"CAST(MAX(n{i}) AS DOUBLE) * MAX(n{i}) * (2 * MAX(n{i}) + 3)"
+        for i in range(7)
+    )
+    return f"""
+WITH v AS (
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 4) % 7 AS wd,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+pc AS (
+  SELECT cents,
+         {cols}
+  FROM v GROUP BY cents
+),
+cum AS (
+  SELECT cents,
+         {cums},
+         c0, c1, c2, c3, c4, c5, c6
+  FROM pc
+)
+SELECT CAST(({nsum}) AS BIGINT) AS n_rows,
+       CAST(({u2}) AS BIGINT) AS jt2,
+       CAST(({e2}) AS BIGINT) AS e2,
+       ROUND((CAST(({u2}) AS DOUBLE) - CAST(({e2}) AS DOUBLE))
+             / (2 * SQRT((CAST(({nsum}) AS DOUBLE) * ({nsum})
+                          * (2 * ({nsum}) + 3) - ({vterm})) / 72.0)), 6)
+         AS z_stat
+FROM cum
+"""
+
+
+@register("events_jonckheere_terpstra", oracle=_jt_oracle())
+def events_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x342: JONCKHEERE-TERPSTRA ordered-alternative test — do values
+    trend MONOTONICALLY across the ordered weekday groups Mon→Sun?
+    x329's Kruskal-Wallis asks 'any difference, any shape'; JT spends
+    its power only on the ordered alternative (θ₁≤…≤θ₇ with at least
+    one strict), which is what a day-of-week load or pricing drift
+    actually looks like — and so detects trends KW dilutes away.
+
+    Exactness: JT = Σ_{i<j} U_ij assembled at VALUE grain from pivoted
+    per-weekday counts — U2_ij = Σ_x c_j(x)·(2·LT_i(x) + c_i(x)) in
+    x144's doubled units (the +c_i term IS the half-tie credit), all 21
+    pair terms exact HUGEINT/DECIMAL(38); E[JT2] = Σ n_i n_j exact; the
+    classical tie-free null variance (documented: ties enter the
+    statistic, not the variance — the standard first-order JT), one z
+    epilogue 6dp.
+
+    100 TB: ONE (cents) groupBy collapses the corpus to |support| rows
+    with 7 count columns; the cumulative windows run on that collapsed
+    frame only; 21 pair terms are expressions on the SAME row — no pair
+    join, no group-pair shuffle, ever."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        ((F.expr("ts_us div 86400000000") + 4) % 7).alias("wd"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pc = v.groupBy("cents").agg(
+        *[
+            F.sum(F.when(F.col("wd") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(7)
+        ]
+    )
+    w_ord = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = pc.select(
+        "cents",
+        *[F.col(f"c{i}") for i in range(7)],
+        *[
+            (F.sum(f"c{i}").over(w_ord) - F.col(f"c{i}")).alias(f"lt{i}")
+            for i in range(7)
+        ],
+        *[F.sum(f"c{i}").over(w_all).alias(f"n{i}") for i in range(7)],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u2 = None
+    for i in range(7):
+        for j in range(i + 1, 7):
+            term = F.sum(
+                dec(F.col(f"c{j}")) * (2 * F.col(f"lt{i}") + F.col(f"c{i}"))
+            )
+            u2 = term if u2 is None else u2 + term
+    e2 = None
+    for i in range(7):
+        for j in range(i + 1, 7):
+            term = dec(F.max(f"n{i}")) * F.max(f"n{j}")
+            e2 = term if e2 is None else e2 + term
+    nsum = None
+    for i in range(7):
+        t = F.max(f"n{i}")
+        nsum = t if nsum is None else nsum + t
+    vterm = None
+    for i in range(7):
+        t = (
+            F.max(f"n{i}").cast("double")
+            * F.max(f"n{i}")
+            * (2 * F.max(f"n{i}") + 3)
+        )
+        vterm = t if vterm is None else vterm + t
+    z = (u2.cast("double") - e2.cast("double")) / (
+        2
+        * F.sqrt(
+            (nsum.cast("double") * nsum * (2 * nsum + 3) - vterm) / 72.0
+        )
+    )
+    return cum.agg(
+        nsum.cast("long").alias("n_rows"),
+        u2.cast("long").alias("jt2"),
+        e2.cast("long").alias("e2"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x343 — Cochran's Q: per-user purchase incidence across three dekads
+# --------------------------------------------------------------------------
+
+_COCHRANQ_ORACLE = """
+WITH b AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                   AND day(ts) <= 10 THEN 1 ELSE 0 END) AS b1,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                   AND day(ts) > 10 AND day(ts) <= 20 THEN 1 ELSE 0 END) AS b2,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                   AND day(ts) > 20 THEN 1 ELSE 0 END) AS b3
+  FROM events GROUP BY user_id
+),
+acc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(b1) AS BIGINT) AS t1, CAST(SUM(b2) AS BIGINT) AS t2,
+         CAST(SUM(b3) AS BIGINT) AS t3,
+         CAST(SUM(b1 + b2 + b3) AS BIGINT) AS s,
+         CAST(SUM((b1 + b2 + b3) * (b1 + b2 + b3)) AS BIGINT) AS ss
+  FROM b
+)
+SELECT n_users, t1, t2, t3,
+       ROUND(2.0 * CAST((3 * t1 - s) * (3 * t1 - s)
+                        + (3 * t2 - s) * (3 * t2 - s)
+                        + (3 * t3 - s) * (3 * t3 - s) AS DOUBLE)
+             / (3.0 * (3 * s - ss)), 6) AS q_stat,
+       CAST(CASE WHEN 2.0 * CAST((3 * t1 - s) * (3 * t1 - s)
+                                 + (3 * t2 - s) * (3 * t2 - s)
+                                 + (3 * t3 - s) * (3 * t3 - s) AS DOUBLE)
+                      / (3.0 * (3 * s - ss)) > 5.991465
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM acc
+"""
+
+
+@register("events_cochran_q", oracle=_COCHRANQ_ORACLE)
+def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x343: COCHRAN'S Q — did the per-user propensity to make a
+    HIGH-VALUE purchase (value > 90, ~top decile) shift across the
+    month's three dekads (1-10 / 11-20 / 21+)? Raw purchase incidence
+    saturates (every active user buys in every dekad ⇒ all-k blocks
+    only and the denominator vanishes — verified at sf0.001); the
+    thresholded outcome is the honest binary with real variation. The BINARY
+    member of the blocked family: x341's Friedman ranks counts, Q needs
+    only yes/no per (user, period) — the right test when the outcome is
+    incidence, with each user their own block (x340's pairing logic, k=3
+    periods). McNemar (x312) is exactly Q at k=2.
+
+    Exactness: Q = (k−1)·Σ_j(k·T_j − S)² / (k·(k·S − Σu²)) is ALL-INTEGER
+    until one final divide — the k·T−S form absorbs the classical mean
+    fractions (the x330 device); blocks with all-0 or all-k incidence
+    cancel algebraically (proof in the classical identity: they shift
+    every k·T_j − S equally by 0 and add k² − k² = 0 to the
+    denominator), so no block filtering is needed or done. Pinned
+    chi2(2) 95% literal.
+
+    100 TB: ONE (user) agg with three conditional MAXes collapses the
+    corpus; the Q assembly is a 1-row epilogue. int64 safe to ~3e9
+    users (S ≤ 3n; (kT−S)² ≤ 9n² — DECIMAL note past that)."""
+    ev = load_table(spark, sf_dir, "events")
+    dom = F.dayofmonth("ts")
+    isp = (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    b = ev.groupBy("user_id").agg(
+        F.max(F.when(isp & (dom <= 10), 1).otherwise(0)).alias("b1"),
+        F.max(F.when(isp & (dom > 10) & (dom <= 20), 1).otherwise(0)).alias(
+            "b2"
+        ),
+        F.max(F.when(isp & (dom > 20), 1).otherwise(0)).alias("b3"),
+    )
+    u = F.col("b1") + F.col("b2") + F.col("b3")
+    acc = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("b1").cast("long").alias("t1"),
+        F.sum("b2").cast("long").alias("t2"),
+        F.sum("b3").cast("long").alias("t3"),
+        F.sum(u).cast("long").alias("s"),
+        F.sum(u * u).cast("long").alias("ss"),
+    )
+    s = F.col("s")
+    num = None
+    for tcol in ("t1", "t2", "t3"):
+        d = 3 * F.col(tcol) - s
+        num = d * d if num is None else num + d * d
+    q = 2.0 * num.cast("double") / (3.0 * (3 * s - F.col("ss")))
+    return acc.select(
+        "n_users",
+        "t1",
+        "t2",
+        "t3",
+        F.round(q, 6).alias("q_stat"),
+        F.when(q > 5.991465, 1).otherwise(0).cast("int").alias("reject_05"),
+    )
