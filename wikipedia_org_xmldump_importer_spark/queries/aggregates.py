@@ -4993,9 +4993,13 @@ def agg_emd_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c2").over(w_all).alias("n2"),
         F.lead("cents").over(w_ord).alias("nxt"),
     )
+    # Widen BEFORE the multiply: cum*n in int64 overflows once n1*n2
+    # passes ~9.2e18 (trillions-of-rows territory) — the decimal(38,0)
+    # products keep the docstring's exactness claim true at 100 TB and
+    # match the oracle's HUGEINT arithmetic.
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     term = F.when(F.col("nxt").isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
-        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
-        .cast("decimal(38,0)")
+        F.abs(d38("cum1") * d38("n2") - d38("cum2") * d38("n1"))
         * (F.col("nxt") - F.col("cents"))
     )
     acc = cum.agg(

@@ -10326,30 +10326,24 @@ def events_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c2") - F.col("c1")).alias("diff"),
         F.abs(F.col("c2") - F.col("c1")).alias("ad"),
     )
+    tie_n = F.count(F.lit(1)).over(Window.partitionBy("ad"))
     rk = d.select(
         "diff",
-        (
-            2 * F.rank().over(Window.orderBy("ad"))
-            - 1
-            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
-        ).alias("r2"),
+        (2 * F.rank().over(Window.orderBy("ad")) - 1 + tie_n).alias("r2"),
+        tie_n.alias("t"),
     )
-    ties = (
-        d.groupBy("ad")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.sum(
-                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
-                - F.col("t")
-            ).alias("tsum")
-        )
-    )
+    # Per-row tie identity: each |d|-tie group of size t contributes t rows
+    # of (t^2 - 1), so sum_rows(t^2 - 1) == sum_groups(t^3 - t) — the tie
+    # term rides the SAME single agg as n and W+, no second frame, no join.
     acc = rk.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("diff") > 0, F.col("r2")).otherwise(0))
         .cast("long")
         .alias("w2p"),
-    ).crossJoin(F.broadcast(ties))
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") - 1
+        ).alias("tsum"),
+    )
     n = F.col("n")
     z = (
         F.col("w2p").cast("double") - n.cast("double") * (n + 1) / 2
@@ -10474,20 +10468,35 @@ def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.count(F.lit(1)).over(Window.partitionBy("day", "y"))
         ).alias("r2"),
     )
+    # Single-agg epilogue (no cross join): per-type partials carry the
+    # block count (grid is complete, so count-per-type == |days|) and the
+    # r2^2 partial; the k rank sums come back as ONE array column and the
+    # deviance fold is a HOF over k elements — everything after the grid
+    # windows is one k-row agg then one 1-row select.
     pt = rk.groupBy("event_type").agg(
-        F.sum("r2").cast("long").alias("r2j")
+        F.sum("r2").cast("long").alias("r2j"),
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).alias(
+            "sr22_j"
+        ),
     )
-    sq = rk.agg(
-        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).alias("sr22"),
-        F.countDistinct("day").cast("long").alias("n"),
-        F.countDistinct("event_type").cast("long").alias("k"),
+    one = pt.agg(
+        F.collect_list("r2j").alias("r2js"),
+        F.max("n_j").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sr22_j").alias("sr22"),
     )
-    j = pt.crossJoin(F.broadcast(sq))
     n, k = F.col("n"), F.col("k")
-    dev = F.col("r2j") - n * (k + 1)
+    # r2j and n(k+1) are exact integers well under 2^53, so the double
+    # deviance fold is exact term-by-term and order-free.
+    devsum = F.aggregate(
+        "r2js",
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(x - n * (k + 1), F.lit(2)),
+    )
     chi2 = (
         (k.cast("double") - 1)
-        * F.sum((dev * dev).cast("double"))
+        * devsum
         / (
             F.col("sr22").cast("double")
             - n.cast("double") * k * (k + 1) * (k + 1)
@@ -10496,10 +10505,12 @@ def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     crit = F.lit(1e308)
     for df_, cv in _CHI2_95_TS.items():
         crit = F.when(k - 1 == df_, F.lit(cv)).otherwise(crit)
-    return j.groupBy(n.alias("n_blocks"), k.alias("k_treatments"), "sr22").agg(
+    return one.select(
+        n.alias("n_blocks"),
+        k.alias("k_treatments"),
         F.round(chi2, 6).alias("chi2_stat"),
         F.when(chi2 > crit, 1).otherwise(0).cast("int").alias("reject_05"),
-    ).drop("sr22")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -10531,7 +10542,7 @@ def _jt_oracle() -> str:
     )
     return f"""
 WITH v AS (
-  SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 4) % 7 AS wd,
+  SELECT (CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3) % 7 AS wd,
          CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 ),
@@ -10579,8 +10590,10 @@ def events_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame only; 21 pair terms are expressions on the SAME row — no pair
     join, no group-pair shuffle, ever."""
     ev = load_table(spark, sf_dir, "events")
+    # Epoch day 0 (1970-01-01) is a Thursday, so (day + 3) % 7 maps
+    # Mon=0 .. Sun=6 — the ordered alternative the docstring states.
     v = ev.select(
-        ((F.expr("ts_us div 86400000000") + 4) % 7).alias("wd"),
+        ((F.expr("ts_us div 86400000000") + 3) % 7).alias("wd"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     pc = v.groupBy("cents").agg(
