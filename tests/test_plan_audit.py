@@ -1,7 +1,9 @@
 """Fleet-wide physical-plan audit: no query may introduce a scale
-red flag (cartesian, BNLJ, row-at-a-time Python UDF) unless its SURVEY §2
-row declares it bounded and plans/audit.py's ALLOWLIST records why. One
-sweep also proves every allowlist entry still fires — a stale entry
+red flag (cartesian, BNLJ, row-at-a-time Python UDF, or — since r9 — a
+single-partition WindowExec, detected structurally as a Window whose
+subtree's first exchange is SinglePartition) unless its SURVEY §2 row /
+docstring declares it bounded and plans/audit.py's ALLOWLIST records why.
+One sweep also proves every allowlist entry still fires — a stale entry
 (pattern fixed, query renamed) fails rather than silently waiving."""
 
 from __future__ import annotations

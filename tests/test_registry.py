@@ -155,6 +155,8 @@ def test_survey_registry_sync():
     # registered in queries(): sources/sinks without oracle views and the
     # live-streaming halves whose batch twins carry the registry entry.
     test_only = {
+        "import_dump_full",
+        "stream_import_dump",
         "scan_xml_pages",
         "scan_csv_json",
         "sink_parquet",

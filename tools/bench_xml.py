@@ -60,6 +60,14 @@ def _page_xml(rng: random.Random, page_id: int) -> str:
     revs = []
     for r in range(n_rev):
         body = " ".join(rng.choices(_WORDS, k=rng.randint(300, 900)))
+        # sprinkle wikilinks so the link-graph stages of the full pipeline
+        # have realistic work (≈8 links/page, some piped/sectioned)
+        links = " ".join(
+            f"[[Article {rng.randrange(max(page_id, 1))}"
+            + rng.choice(["]]", "|label]]", "#History]]"])
+            for _ in range(rng.randint(3, 12))
+        )
+        body = f"{body} {links}"
         if rng.random() < 0.3:
             contributor = f"<contributor><ip>10.0.{rng.randrange(256)}.{rng.randrange(256)}</ip></contributor>"
         else:
@@ -181,6 +189,24 @@ def main() -> None:
     )
     meta_sec = time.perf_counter() - t0
 
+    # full flagship pipeline (r8 verdict task 6): dump -> four tables ->
+    # wikilink graph -> redirect resolution -> resolved link graph ->
+    # parquet sinks, one call. Timed separately so the link-graph increment
+    # over the plain import is visible.
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        import_dump_full,
+    )
+
+    spark.catalog.clearCache()
+    full_out = os.path.join(args.workdir, "out_full")
+    t0 = time.perf_counter()
+    full = import_dump_full(spark, dump_dir, full_out, namespace=None)
+    full_sec = time.perf_counter() - t0
+    n_links = spark.read.parquet(
+        f"{full_out}/pagelinks_resolved.parquet"
+    ).count()
+    n_redirects = spark.read.parquet(f"{full_out}/redirect.parquet").count()
+
     mb = gen["bytes"] / 1024 / 1024
     print(
         json.dumps(
@@ -196,6 +222,11 @@ def main() -> None:
                 "pages": n_pages,
                 "revisions": n_revs,
                 "tables": sorted(tables),
+                "full_pipeline_sec": round(full_sec, 2),
+                "full_pipeline_mb_per_s": round(mb / full_sec, 2),
+                "full_tables": sorted(full),
+                "pagelinks_resolved": n_links,
+                "redirects": n_redirects,
             }
         )
     )

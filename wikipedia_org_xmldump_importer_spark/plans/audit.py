@@ -261,6 +261,236 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "vocab) grid — both bounded by the source/vocab dims, never corpus "
         "size (x252)"
     ),
+    ("events_friedman_test", "BroadcastNestedLoopJoin"): (
+        "the |days| x |types| zero-fill GRID build (days crossJoin "
+        "broadcast(types)) — the blocked design's complete grid is the "
+        "statistic's definition, bounded by calendar x dim, never corpus "
+        "size; the former 1-row epilogue cross join was removed in r9 "
+        "(x341)"
+    ),
+    # ----------------------------------------------------------------
+    # GlobalWindowExec waivers (r8 verdict task 5): every entry below is a
+    # machine-detected Window/WindowGroupLimit over Exchange SinglePartition
+    # whose input frame is bounded by construction — the justification
+    # names the bound (and, where the docstring documents one, the swap
+    # that removes the global sort at extreme cardinality). Grain classes:
+    # value/cents grain (price-domain support, ~1e4-1e5 rows at ANY corpus
+    # size), day/hour grain (calendar-bounded), dim grain (nations/types/
+    # strata/sources/suppliers), entity grain with a documented
+    # billion-entity fallback (approx-percentile cutoffs, x116 binning,
+    # x184 GK sketch), or a deliberate test-contract total order.
+    # ----------------------------------------------------------------
+    ("sort_multi", "GlobalWindowExec"): (
+        "o1's global row_number IS the operator under test — it makes the "
+        "multi-key total order hash-checkable against the oracle; a "
+        "production global sort is range-partitioned with no window"
+    ),
+    ("skyline_pareto_front", "GlobalWindowExec"): (
+        "window runs on the |distinct prices| grid after a price groupBy; "
+        "x116 binning documented if the grid itself ever explodes (x125)"
+    ),
+    ("pareto_abc", "GlobalWindowExec"): (
+        "window over |nations| rows post star-agg — dim grain by "
+        "construction; customer-grain variant is x116's two-pass (x98)"
+    ),
+    ("pareto_abc_scalable", "GlobalWindowExec"): (
+        "window over the ~|revenue-range|/width bin table, never entities "
+        "— the two-level device exists precisely to bound this (x116)"
+    ),
+    ("agg_gini_concentration", "GlobalWindowExec"): (
+        "rank over |customers| (dim grain); the x116 binned fallback is "
+        "named in the docstring for billion-customer scale (x135)"
+    ),
+    ("agg_median_ci", "GlobalWindowExec"): (
+        "CDF windows at VALUE grain (price-grid bounded) — no row-grain "
+        "sort; the rank frame broadcasts onto it (x158)"
+    ),
+    ("inventory_abc_xyz", "GlobalWindowExec"): (
+        "ABC window on the revenue-bin table (~|range|/width rows), never "
+        "parts (x209)"
+    ),
+    ("agg_qq_normal", "GlobalWindowExec"): (
+        "one global rank window — the percentile-class shuffle; x184 GK "
+        "sketch swap documented at extreme n (x263)"
+    ),
+    ("corr_spearman", "GlobalWindowExec"): (
+        "two global rank windows = two percentile-class shuffles (x106 "
+        "rationale); x184 GK sketch swap documented at extreme n (x278)"
+    ),
+    ("corr_cramers_v", "GlobalWindowExec"): (
+        "windows on the 35-row (type x weekday) grid after a map-combined "
+        "agg (x288)"
+    ),
+    ("agg_ipf_raking", "GlobalWindowExec"): (
+        "all 6 IPF scalings run on the 35-row (type, wd) grid (x296)"
+    ),
+    ("agg_jb_fdr_panel", "GlobalWindowExec"): (
+        "BH-FDR rank window on the 35-row panel (x326)"
+    ),
+    ("agg_kruskal_wallis", "GlobalWindowExec"): (
+        "one global rank window — the percentile-class shuffle the "
+        "docstring declares (x106 class); |types| rows after (x329)"
+    ),
+    ("agg_mood_median", "GlobalWindowExec"): (
+        "one global rank window for the grand median (percentile-class "
+        "shuffle); chi2 assembly is |types| rows (x330)"
+    ),
+    ("agg_cramer_von_mises", "GlobalWindowExec"): (
+        "global + per-group rank windows share ONE (cents,event_id) sort "
+        "(exchange reused) — the declared percentile-class cost (x331)"
+    ),
+    ("agg_emd_wasserstein", "GlobalWindowExec"): (
+        "cum/lead windows on the (cents)-collapsed |support| frame (~5e4 "
+        "rows at any corpus size) (x336)"
+    ),
+    ("agg_theil_index", "GlobalWindowExec"): (
+        "totals window over |nations| rows post star-agg (pareto_abc's "
+        "rule) (x239)"
+    ),
+    ("agg_bootstrap_ci", "GlobalWindowExec"): (
+        "order-statistics window over the B=100 replicate rows — constant "
+        "frame; the resample expansion collapses map-side (x248)"
+    ),
+    ("dq_benford", "GlobalWindowExec"): (
+        "unpartitioned window over the 9-row digit grid (x221)"
+    ),
+    ("dedup_simhash_calibration", "GlobalWindowExec"): (
+        "threshold-sweep window on the candidate-pair curve — bounded by "
+        "the banded candidate volume the dedup itself pays (x235)"
+    ),
+    ("vocab_coverage_curve", "GlobalWindowExec"): (
+        "running sum over the |vocab| frequency table (x98's rationale); "
+        "x116 binning documented for billion-type vocabs (x130)"
+    ),
+    ("vocab_growth_heaps", "GlobalWindowExec"): (
+        "running sums on the |docs| curve + 10-point fit epilogue; doc-"
+        "grain curve is the operator's OUTPUT definition (x269)"
+    ),
+    ("vec_dim_variance", "GlobalWindowExec"): (
+        "rank window on exactly 64 dimension rows (x213)"
+    ),
+    ("embed_cos_histogram", "GlobalWindowExec"): (
+        "windows on the fixed cosine-bin histogram of the hash-sampled "
+        "~2e3-row probe frame (x280)"
+    ),
+    ("quantile_normalize", "GlobalWindowExec"): (
+        "per-group scan windows over the VALUE-grain anchor union "
+        "(|types| x |price grid| rows) — x144's collapse (x155)"
+    ),
+    ("curriculum_schedule", "GlobalWindowExec"): (
+        "one global rank at doc grain — the x98 caveat (bin scores first "
+        "at extreme corpus sizes) is documented in the docstring (x283)"
+    ),
+    ("pipeline_mixture_weights", "GlobalWindowExec"): (
+        "3 iterations of windows on the |sources|-row frame (x304)"
+    ),
+    ("sample_neyman_allocation", "GlobalWindowExec"): (
+        "windows on the |strata|-row moment frame (x318)"
+    ),
+    ("supplier_scorecard_topsis", "GlobalWindowExec"): (
+        "TOPSIS windows on the |suppliers| frame; shard-by-region note "
+        "documented (x324)"
+    ),
+    ("graph_degree_powerlaw", "GlobalWindowExec"): (
+        "Hill-sum rank window is WindowGroupLimit k-heap over the degree-"
+        "grain histogram (hundreds of rows) (x284)"
+    ),
+    ("events_mutual_info", "GlobalWindowExec"): (
+        "windows on the |types| x 4 contingency grid (x223)"
+    ),
+    ("events_markov_stationary", "GlobalWindowExec"): (
+        "power-iteration windows on the |types|^2 matrix (x240)"
+    ),
+    ("events_entropy_rate", "GlobalWindowExec"): (
+        "windows on the |types|^2 transition matrix after map-side "
+        "collapse (x156)"
+    ),
+    ("events_diff_in_diff", "GlobalWindowExec"): (
+        "entire post-scan computation is a 4-cell constant frame (x247)"
+    ),
+    ("events_causal_impact", "GlobalWindowExec"): (
+        "windows on the |days| grid with the 1-row OLS fit broadcast "
+        "(x250)"
+    ),
+    ("events_user_lorenz", "GlobalWindowExec"): (
+        "NTILE over |users| aggregate pairs — fine to ~1e8 users; x68's "
+        "approx-quantile cutoff swap documented beyond (x236)"
+    ),
+    ("events_ab_mannwhitney", "GlobalWindowExec"): (
+        "ordered window on the |distinct per-user counts| table (tiny) — "
+        "no row-grain ranking, the value-grain collapse is the point "
+        "(x144)"
+    ),
+    ("events_effect_sizes", "GlobalWindowExec"): (
+        "one prefix window at VALUE grain — cents-domain bounded (x308)"
+    ),
+    ("events_wilcoxon_signed_rank", "GlobalWindowExec"): (
+        "rank window on the |users-who-moved| frame after the user-grain "
+        "collapse — never event grain (x340)"
+    ),
+    ("events_jonckheere_terpstra", "GlobalWindowExec"): (
+        "cumulative windows on the (cents)-collapsed |support| frame with "
+        "7 pivoted count columns (x342)"
+    ),
+    ("events_survival_hazard", "GlobalWindowExec"): (
+        "reverse-cumulative at-risk window at DAY grain (calendar-"
+        "bounded) (x165)"
+    ),
+    ("events_top_movers", "GlobalWindowExec"): (
+        "two rank windows at user grain, WindowGroupLimit-pruned; x144 "
+        "value-grain rank device documented for billion-user scale (x166)"
+    ),
+    ("events_uplift_deciles", "GlobalWindowExec"): (
+        "NTILE at user grain; x102 percent_rank-from-cumulative-counts "
+        "swap documented for user-count scale (x182)"
+    ),
+    ("events_slo_burn", "GlobalWindowExec"): (
+        "trailing frame over |hours| aggregated rows (partition by "
+        "service/tenant in production — one service here) (x186)"
+    ),
+    ("rfm_segments", "GlobalWindowExec"): (
+        "ntile windows on the |customers| collapsed frame; approx-"
+        "percentile cutoff swap documented at billions (x68)"
+    ),
+    ("rfm_migration", "GlobalWindowExec"): (
+        "two customer-grain ntiles with x68's documented cutoff swap; "
+        "<=16-row output (x203)"
+    ),
+    ("orders_open_backlog", "GlobalWindowExec"): (
+        "running window over |days| delta rows (multi-year axis ~1e3 "
+        "rows; shard-by-period note documented) (x105)"
+    ),
+    ("ts_rolling_corr", "GlobalWindowExec"): (
+        "six shared-frame window sums over |hours| rows — hour grain for "
+        "years of data; shard-by-period note documented (x112)"
+    ),
+    ("ts_acf", "GlobalWindowExec"): (
+        "lead/stack windows on the |days| table after the day-grain agg "
+        "(x147)"
+    ),
+    ("ts_max_drawdown", "GlobalWindowExec"): (
+        "running-max + argmax rank on the |days| table (x149)"
+    ),
+    ("ts_decompose_ma", "GlobalWindowExec"): (
+        "centered-MA frame over ~|days| rows (partition-by-year note "
+        "documented) (x180)"
+    ),
+    ("ts_anomaly_deseasonal", "GlobalWindowExec"): (
+        "x180's day-grain frame window + 3-number global reduce (x194)"
+    ),
+    ("ts_seasonality_dft", "GlobalWindowExec"): (
+        "window on the 24-bin hourly grid (x229)"
+    ),
+    ("ts_changepoint_binseg", "GlobalWindowExec"): (
+        "ordered prefix scan over |days| rows + 1-row argmax (x242)"
+    ),
+    ("ts_backtest_naive", "GlobalWindowExec"): (
+        "holdout rank window at day grain after the daily collapse "
+        "(x257)"
+    ),
+    ("ts_theta_forecast", "GlobalWindowExec"): (
+        "single-task |days| SES fold — x224's documented shape (x265)"
+    ),
 }
 
 
@@ -269,6 +499,58 @@ class AuditHit:
     query: str
     flag: str
     why_flagged: str
+
+
+# --------------------------------------------------------------------------
+# Single-partition WindowExec audit (r8 verdict task 5)
+# --------------------------------------------------------------------------
+#
+# ``Window.orderBy(...)`` with no ``partitionBy`` compiles to WindowExec over
+# ``Exchange SinglePartition`` — ALL rows through one task. On a collapsed
+# frame (value grain ~1e4 cents, day grain ~1e4 days, |types|/|langs| dims)
+# that is the CORRECT plan at any corpus size; on an unbounded row-grain
+# frame it is the classic silent scale-killer (WindowExec's own WARN says
+# so). Unlike BNLJ/Cartesian this class was previously prose-audited only;
+# this flag + waiver list turns ~140 docstring claims into checked facts.
+# Substring matching can't see the tree shape, so the detector parses the
+# plan's indent tree: a Window/WindowGroupLimit node is GLOBAL iff the
+# first Exchange in its subtree is SinglePartition (a window whose input is
+# already partitioned correctly reuses the upstream hash exchange and is
+# not flagged).
+
+GLOBAL_WINDOW_FLAG = "GlobalWindowExec"
+
+_TREE_MARKERS = " :+-"
+
+
+def has_global_window(plan: str) -> bool:
+    """True iff any Window/WindowGroupLimit node's subtree bottoms out in an
+    ``Exchange SinglePartition`` before any other exchange."""
+    nodes: list[tuple[int, str]] = []
+    for line in plan.splitlines():
+        name = line.lstrip(_TREE_MARKERS)
+        if not name:
+            continue
+        nodes.append((len(line) - len(name), name))
+    for i, (col, name) in enumerate(nodes):
+        bare = name[name.index(") ") + 2 :] if name.startswith("*(") else name
+        if not (
+            bare.startswith("Window") or bare.startswith("WindowGroupLimit")
+        ):
+            continue
+        for col2, name2 in nodes[i + 1 :]:
+            if col2 <= col:
+                break
+            bare2 = (
+                name2[name2.index(") ") + 2 :]
+                if name2.startswith("*(")
+                else name2
+            )
+            if bare2.startswith(("Exchange", "ReusedExchange")):
+                if "SinglePartition" in name2:
+                    return True
+                break
+    return False
 
 
 def audit_all(
@@ -289,9 +571,18 @@ def audit_all(
     waived: set[tuple[str, str]] = set()
     for name in names or list(REGISTRY):
         plan = executed_plan(REGISTRY[name].fn(spark, sf_dir))
-        for flag, why in RED_FLAGS.items():
-            if flag not in plan:
-                continue
+        fired = [
+            (flag, why) for flag, why in RED_FLAGS.items() if flag in plan
+        ]
+        if has_global_window(plan):
+            fired.append(
+                (
+                    GLOBAL_WINDOW_FLAG,
+                    "WindowExec over Exchange SinglePartition — all rows "
+                    "through one task unless the input frame is bounded",
+                )
+            )
+        for flag, why in fired:
             if (name, flag) in ALLOWLIST:
                 waived.add((name, flag))
             else:

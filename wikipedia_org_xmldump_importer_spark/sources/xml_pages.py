@@ -525,3 +525,181 @@ def revision_deltas(pages: DataFrame) -> DataFrame:
         (F.col("rev_len") - F.lag("rev_len").over(w)).alias("byte_delta"),
         (F.count(F.lit(1)).over(w_sha) > 0).alias("is_identity_revert"),
     )
+
+
+# --------------------------------------------------------------------------
+# The flagship pipeline: dump -> tables -> link graph -> sinks, ONE call
+# --------------------------------------------------------------------------
+
+
+def import_dump_full(
+    spark: SparkSession,
+    dump_path: str,
+    out_dir: str,
+    jdbc_url: str | None = None,
+    jdbc_properties: dict | None = None,
+    namespace: int | None = None,
+) -> dict[str, DataFrame]:
+    """The reference's ACTUAL job as one entry point (r8 verdict task 6):
+    MediaWiki export dump -> page / revision / contributor / text tables
+    -> wikilink graph -> redirect resolution -> RESOLVED link graph ->
+    Parquet sinks (+ the JDBC load when ``jdbc_url`` is given — Derby in
+    tests, any production DB via the same DSN string).
+
+    Tables produced (all also returned, keyed by name):
+
+    - ``page`` / ``revision`` / ``contributor`` / ``text`` — the four
+      classic flattened dump tables (s2 scan + flattens).
+    - ``pagelinks`` — (from_page_id, from_title, to_title, n_occurrences)
+      from each page's latest revision text (s9).
+    - ``redirect`` — every redirect page resolved through up to 3 hops
+      with cycle/dangling status (s10).
+    - ``pagelinks_resolved`` — the link graph every consumer actually
+      wants: each link target rewritten through the redirect table to its
+      FINAL title (a wikilink into ``Spark`` counts as a link into
+      ``Apache Spark``), re-aggregated at the resolved-target grain.
+
+    100 TB notes: ONE XML scan (cached post-namespace-filter) feeds every
+    flatten and the link extraction — XML parse dominates dump cost and
+    must never run twice. The redirect frame is a few percent of pages on
+    any real wiki, so the resolution join broadcasts; the resolved-graph
+    re-aggregation shuffles on (from_page_id, resolved_title) — the same
+    key grain as the raw extraction, so AQE coalesces it into the
+    extraction's own exchange footprint. JDBC load covers the metadata
+    tables (page/redirect/resolved links), NOT text — shipping article
+    payloads through row-at-a-time JDBC is the reference's documented
+    bottleneck; the parquet lake is the text sink of record.
+    """
+    from ..io import sink_jdbc, sink_parquet  # noqa: PLC0415
+
+    pages = scan_xml_pages(spark, dump_path, include_text=True)
+    if namespace is not None:
+        pages = filter_namespace(pages, namespace, drop_redirects=False)
+    pages = pages.cache()
+
+    out: dict[str, DataFrame] = {
+        name: _FLATTENS[name](pages)
+        for name in ("page", "revision", "contributor", "text")
+    }
+    out["pagelinks"] = extract_wikilinks(pages)
+    out["redirect"] = resolve_redirect_chains(pages)
+
+    resolved_dim = F.broadcast(
+        out["redirect"]
+        .filter(F.col("status") == "resolved")
+        .select(
+            F.col("title").alias("r_title"),
+            F.col("final_title").alias("r_final"),
+        )
+    )
+    out["pagelinks_resolved"] = (
+        out["pagelinks"]
+        .join(resolved_dim, F.col("to_title") == F.col("r_title"), "left")
+        .select(
+            "from_page_id",
+            "from_title",
+            F.coalesce("r_final", "to_title").alias("to_title_resolved"),
+            "n_occurrences",
+        )
+        .groupBy("from_page_id", "from_title", "to_title_resolved")
+        .agg(F.sum("n_occurrences").alias("n_occurrences"))
+    )
+
+    for name, df in out.items():
+        sink_parquet(df, f"{out_dir}/{name}.parquet")
+    if jdbc_url is not None:
+        for name in ("page", "redirect", "pagelinks_resolved"):
+            sink_jdbc(
+                out[name],
+                jdbc_url,
+                f"wiki_{name}",
+                mode="overwrite",
+                num_partitions=4,
+                properties=jdbc_properties,
+            )
+    return out
+
+
+# --------------------------------------------------------------------------
+# s13 — incremental dump ingestion (Structured Streaming file source)
+# --------------------------------------------------------------------------
+
+
+def stream_import_dump(
+    spark: SparkSession,
+    watch_dir: str,
+    out_dir: str,
+    tables: tuple[str, ...] = ("page", "revision", "contributor", "text"),
+    include_links: bool = True,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """s13: INCREMENTAL dump ingestion — the streaming twin of
+    ``import_dump_full``. Wikis publish dumps on a cadence (and adds-
+    changes dumps daily); instead of re-importing the lake, watch a
+    landing directory with Structured Streaming's file source and flatten
+    each newly-arrived dump file into the SAME parquet tables, exactly
+    once, resumable via the checkpoint.
+
+    ``foreachBatch`` is the deliberate shape: one micro-batch = one set of
+    newly-arrived dump files as an ordinary batch DataFrame, so every
+    batch flatten (``_FLATTENS``) and ``extract_wikilinks`` is reused
+    VERBATIM — streaming and batch cannot drift because they are the same
+    code. The per-batch frame is persisted once and feeds all sinks (the
+    multi-sink fan-out writeStream cannot express without running the
+    scan per sink).
+
+    Redirect-chain resolution is deliberately NOT per-batch: chains cross
+    dump files, so resolving per-arrival would use a partial title dim.
+    Run ``resolve_redirect_chains`` over the accumulated ``page`` table
+    as the periodic compaction step (MediaWiki itself runs double-
+    redirect fixup as a maintenance job, not inline).
+
+    100 TB notes: the file source scales by NOT re-listing processed
+    files (checkpoint log); ``maxFilesPerTrigger`` bounds micro-batch
+    memory; per-batch parquet appends are partition-atomic. Exactly-once
+    comes from the source log + idempotent re-run of the LAST batch on
+    restart — acceptable for append-only dump tables keyed by rev_id
+    (dedup on read or MERGE compaction are the standard hardenings).
+
+    Returns the started ``StreamingQuery`` (``availableNow`` by default:
+    drain everything currently in the directory, then stop — the
+    cron-shaped deployment; pass ``available_now=False`` for a continuous
+    watcher)."""
+    from ..io import sink_parquet  # noqa: PLC0415
+
+    stream = (
+        spark.readStream.format("xml")
+        .option("rowTag", "page")
+        .schema(PAGE_SCHEMA)
+    )
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = stream.load(watch_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name in tables:
+                sink_parquet(
+                    _FLATTENS[name](batch_df),
+                    f"{out_dir}/{name}.parquet",
+                    mode="append",
+                )
+            if include_links:
+                sink_parquet(
+                    extract_wikilinks(batch_df),
+                    f"{out_dir}/pagelinks.parquet",
+                    mode="append",
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        pages.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint or f"{out_dir}/_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
