@@ -827,12 +827,14 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q9_ORACLE = """
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       ROUND(SUM(amount_cents) / 100.0, 2) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount)
-           - 0.6 * p.p_retailprice * l.l_quantity AS amount
+         CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)
+           AS amount_cents
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -863,9 +865,19 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # Per-row integer-cent pinning (the x338 micro-unit device at money
+    # grain): both engines evaluate the identical double expression with
+    # the same parenthesization, round it to cents ONCE at row grain, and
+    # sum exact int64 — a raw round(SUM(double), 2) diverged by one cent
+    # at sf0.001 when cross-engine summation order straddled a boundary
+    # (caught by the r9 sf0.001 cross-check, CHECK_ORACLE_r09_sf0001.log).
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
     return (
         part.join(li, part.p_partkey == li.l_partkey)
         .join(sup, sup.s_suppkey == li.l_suppkey)
@@ -875,7 +887,9 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(amount_cents) / 100.0, 2).alias("sum_profit")
+        )
     )
 
 
