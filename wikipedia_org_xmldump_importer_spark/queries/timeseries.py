@@ -10447,7 +10447,12 @@ def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: corpus → (type, day) grain first; the grid is
     |days| x |types| rows; rank windows partition by day on that tiny
-    frame. Everything after the first agg is grid-sized."""
+    frame. Everything after the first agg is grid-sized. Plan note
+    (verified on the executed plan): Catalyst rewrites the days/types
+    distincts into SEPARATE column-pruned scans (ts-only / type-only,
+    partial distinct map-side) rather than reusing the daily agg — two
+    extra single-column scans, each a few % of the main scan's bytes;
+    cache/localCheckpoint daily if even that matters on a given layout."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.expr("ts_us div 86400000000").alias("day")
