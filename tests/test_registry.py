@@ -157,6 +157,10 @@ def test_survey_registry_sync():
     test_only = {
         "import_dump_full",
         "stream_import_dump",
+        "bloom_bitmap_kernel",
+        "ewvol_linear",
+        "matrix_profile_linear_memory",
+        "sim_topk_chunked",
         "scan_xml_pages",
         "scan_csv_json",
         "sink_parquet",
