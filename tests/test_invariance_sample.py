@@ -41,6 +41,29 @@ CONF_A = {"spark.sql.adaptive.enabled": "true", "spark.sql.shuffle.partitions": 
 CONF_B = {"spark.sql.adaptive.enabled": "false", "spark.sql.shuffle.partitions": "7"}
 
 
+ARROW_SAMPLE = ["sim_topk_bruteforce", "ts_matrix_profile", "mm_image_dims"]
+
+
+@pytest.mark.parametrize("name", ARROW_SAMPLE)
+def test_result_invariant_to_arrow_batch_size(spark, name):
+    """The batch-local-work-composes-exactly argument every pandas kernel
+    makes, checked at an adversarial 7 rows/batch (full 25-query sweep:
+    INVARIANCE_ARROW_r09.log)."""
+    from check_oracle import to_rows
+
+    _ensure_loaded()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10000")
+        a = to_rows(REGISTRY[name].fn(spark, SF_SMOKE).toPandas())
+        spark.conf.set(key, "7")
+        b = to_rows(REGISTRY[name].fn(spark, SF_SMOKE).toPandas())
+    finally:
+        spark.conf.set(key, prev)
+    assert a == b, f"{name}: result depends on Arrow batch size"
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_result_invariant_to_shuffle_layout(spark, name):
     from check_oracle import to_rows

@@ -20,9 +20,18 @@ Queries registered WITHOUT an oracle are skipped: the rows-only set is
 declared engine/layout-specific (per-partition RNG in sample_frac, sketch
 internals, banding order) and is covered by property tests instead.
 
+``--arrow`` switches to the SECOND invariance axis: Arrow batch size.
+Every mapInPandas/applyInPandas kernel in the repo argues its batch-local
+work composes exactly across batches (batch-local top-k + global re-rank,
+per-group folds, per-row parsers); that argument is only true if results
+are identical at ANY spark.sql.execution.arrow.maxRecordsPerBatch. The
+mode compares the default (10k) against an adversarial 7 rows/batch over
+exactly the queries whose source touches a pandas kernel.
+
 Usage::
 
     python tools/check_invariance.py [--sf /root/testdata/sf0.001] [name ...]
+    python tools/check_invariance.py --arrow      # batch-size axis
 """
 
 from __future__ import annotations
@@ -44,6 +53,29 @@ from wikipedia_org_xmldump_importer_spark.session import build_session  # noqa: 
 CONF_A = {"spark.sql.adaptive.enabled": "true", "spark.sql.shuffle.partitions": "32"}
 CONF_B = {"spark.sql.adaptive.enabled": "false", "spark.sql.shuffle.partitions": "7"}
 
+ARROW_A = {"spark.sql.execution.arrow.maxRecordsPerBatch": "10000"}
+ARROW_B = {"spark.sql.execution.arrow.maxRecordsPerBatch": "7"}
+
+
+def pandas_kernel_queries() -> list[str]:
+    """Registered queries whose source touches a pandas/Arrow kernel."""
+    import inspect
+
+    out = []
+    for n, qd in REGISTRY.items():
+        src = inspect.getsource(qd.fn)
+        if any(
+            key in src
+            for key in (
+                "mapInPandas",
+                "applyInPandas",
+                "pandas_udf",
+                "_gemm_local_topk",
+            )
+        ):
+            out.append(n)
+    return out
+
 
 def run_once(spark, name: str, sf_dir: str):
     pdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
@@ -53,25 +85,39 @@ def run_once(spark, name: str, sf_dir: str):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--arrow", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     _ensure_loaded()
-    names = args.names or [n for n in REGISTRY if REGISTRY[n].oracle is not None]
+    if args.arrow:
+        conf_a, conf_b = ARROW_A, ARROW_B
+        names = args.names or pandas_kernel_queries()
+        # rows-only pandas queries are checked too: their sampling/
+        # bucketing is hash-derived, never batch-derived, so even the ANN
+        # paths must be (and are — INVARIANCE_ARROW_r09.log) batch-size
+        # invariant
+        skip_names: set[str] = set()
+    else:
+        conf_a, conf_b = CONF_A, CONF_B
+        names = args.names or [
+            n for n in REGISTRY if REGISTRY[n].oracle is not None
+        ]
+        skip_names = {n for n in REGISTRY if REGISTRY[n].oracle is None}
     spark = build_session(app_name="invariance")
 
     n_ok = n_fail = n_skip = 0
     for name in names:
-        if REGISTRY[name].oracle is None:
+        if name in skip_names:
             print(f"skip  {name}: rows-only (declared layout-specific)")
             n_skip += 1
             continue
         t0 = time.time()
         try:
-            for k, v in CONF_A.items():
+            for k, v in conf_a.items():
                 spark.conf.set(k, v)
             cols_a, rows_a = run_once(spark, name, args.sf)
-            for k, v in CONF_B.items():
+            for k, v in conf_b.items():
                 spark.conf.set(k, v)
             cols_b, rows_b = run_once(spark, name, args.sf)
         except Exception as e:  # noqa: BLE001
@@ -79,7 +125,7 @@ def main() -> int:
             n_fail += 1
             continue
         finally:
-            for k, v in CONF_A.items():
+            for k, v in conf_a.items():
                 spark.conf.set(k, v)
         if cols_a != cols_b:
             print(f"FAIL  {name}: columns differ across layouts")
