@@ -49,3 +49,65 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_shuffle_partition_mb: int = 128,
+    expected_shuffle_tb: float = 20.0,
+) -> dict[str, str]:
+    """The deployment profile for a REAL cluster run — the settings the
+    local builder's "100 TB notes" reference, as one reviewed, testable
+    dict (pass to ``SparkSession.builder.config(map=...)`` or spark-submit
+    ``--conf`` lines).
+
+    Sizing logic, stated so operators can re-derive it:
+
+    - ``spark.sql.shuffle.partitions`` = expected shuffle bytes /
+      target-partition-size, floored at 2x total cores — the INITIAL
+      number; AQE coalesces small stages down at runtime, so oversizing
+      is cheap and undersizing (spills) is not.
+    - ``maxPartitionBytes`` 128 MB + ``openCostInBytes`` 4 MB: scan-side
+      split sizing — big enough to amortize task overhead, small enough
+      that a task's columnar batches fit executor memory alongside
+      shuffle buffers.
+    - AQE on with coalescing + skew split (the automatic half of the
+      skew story; join_skew_salted documents the manual half).
+    - ``autoBroadcastJoinThreshold`` 64 MB: every dim in this schema
+      (region/nation/supplier/part at any SF, redirect dims, LM vocab
+      tables) broadcasts; fact-fact joins never do.
+    - Kryo + registrationRequired=false: Tungsten handles SQL data; Kryo
+      covers the few broadcast python-side payloads.
+    - Dynamic allocation with shuffle tracking: the fleet's bursty
+      (scan-heavy then epilogue-tiny) profiles return executors between
+      stages.
+    - Speculation on: one straggling disk on 4000 cores otherwise gates
+      every wide stage.
+    """
+    total_cores = executors * cores_per_executor
+    shuffle_parts = max(
+        2 * total_cores,
+        int(expected_shuffle_tb * 1024 * 1024 / target_shuffle_partition_mb),
+    )
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.speculation": "true",
+        "spark.speculation.quantile": "0.9",
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.statistics.histogram.enabled": "true",
+    }
