@@ -80,7 +80,8 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAPFILL_ORACLE = """
 WITH hourly AS (
   SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
-         COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_v
+         COUNT(*) AS n, ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               / (100.0 * COUNT(*)), 6) AS avg_v
   FROM events GROUP BY event_type, h
 ),
 bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY event_type),
@@ -113,7 +114,11 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.col("event_type"), F.window("ts", "1 hour").start.alias("h")
     ).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_v")
+        F.count(F.lit(1)).alias("n"), F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count(F.lit(1))),
+            6,
+        ).alias("avg_v")
     )
     axis = (
         hourly.groupBy("event_type")
@@ -696,7 +701,8 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERP_ORACLE = """
 WITH hourly AS (
   SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
-         ROUND(AVG(value), 6) AS avg_v
+         ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               / (100.0 * COUNT(*)), 6) AS avg_v
   FROM events GROUP BY event_type, h
 ),
 bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY event_type),
@@ -756,7 +762,11 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.col("event_type"), F.window("ts", "1 hour").start.alias("h")
-    ).agg(F.round(F.avg("value"), 6).alias("avg_v"))
+    ).agg(F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count(F.lit(1))),
+            6,
+        ).alias("avg_v"))
     axis = (
         hourly.groupBy("event_type")
         .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
@@ -811,7 +821,8 @@ _EMA_K = 12  # trailing depth: weight 2^-11 ≈ 5e-4 — truncation < rounding p
 _EMA_ORACLE = f"""
 WITH hourly AS (
   SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
-         ROUND(AVG(value), 6) AS avg_v,
+         ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               / (100.0 * COUNT(*)), 6) AS avg_v,
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY time_bucket(INTERVAL '1 hour', ts)) AS idx
   FROM events GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
@@ -857,7 +868,11 @@ def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.col("event_type"), F.window("ts", "1 hour").start.alias("h"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_v"))
+        .agg(F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            / (100.0 * F.count(F.lit(1))),
+            6,
+        ).alias("avg_v"))
         .withColumn(
             "idx",
             F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
@@ -913,7 +928,8 @@ gaps AS (
 SELECT user_id, COUNT(*) AS n_gaps,
        MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
        ROUND(quantile_cont(gap_us, 0.5), 1) AS median_gap_us,
-       ROUND(AVG(gap_us), 4) AS avg_gap_us
+       CAST((20000 * SUM(gap_us) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+         / 10000.0 AS avg_gap_us
 FROM gaps GROUP BY user_id
 """
 
@@ -948,7 +964,10 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
         F.round(F.percentile("gap_us", F.lit(0.5)), 1).alias("median_gap_us"),
-        F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+        (
+            F.expr("(20000 * sum(gap_us) + count(1)) div (2 * count(1))")
+            / 10000.0
+        ).alias("avg_gap_us"),
     )
 
 
