@@ -44,7 +44,40 @@ FAST_TESTS = [
 ]
 
 
+def check_untracked_artifacts(root: Path = ROOT) -> list[str]:
+    """Return driver artifacts present in the worktree but unknown to git.
+
+    r7/r8/r9 all went red the same way: the driver drops
+    ``CORRECTNESS_r{N}.json`` / ``BENCH_r{N}.json`` AFTER the round-final
+    commit, so the committed DRIVER_PRIORITY window is derived from one
+    fewer round than the worktree sees and the rotation tests disagree at
+    judge time. An untracked driver artifact is therefore always an error
+    state for a round-final commit: commit it and re-rotate first.
+    """
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "--untracked-files=normal"],
+        cwd=root, capture_output=True, text=True,
+    ).stdout
+    bad: list[str] = []
+    for line in out.splitlines():
+        if not line.startswith("?? "):
+            continue
+        name = line[3:].strip()
+        stem = name.rsplit("/", 1)[-1]
+        if (stem.startswith(("CORRECTNESS_r", "BENCH_r"))
+                and stem.endswith(".json")):
+            bad.append(name)
+    return bad
+
+
 def run_fast_gates() -> int:
+    bad = check_untracked_artifacts()
+    if bad:
+        print("PREFLIGHT FAIL: untracked driver artifact(s) in worktree: "
+              + ", ".join(bad)
+              + " — `git add` them and re-run tools/next_window.py before "
+              "committing (this exact state made r7/r8/r9 red).")
+        return 1
     rc = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "next_window.py"), "--check"],
         cwd=ROOT,
