@@ -39,3 +39,16 @@ def test_empty_probe_set_raises(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     with pytest.raises(ValueError):
         sim_topk_chunked(spark, emb, F.col("vec_id") < 0)
+
+
+def test_default_chunk_size_is_production_scale():
+    """The default must be the documented few-MB probe-matrix bound
+    (~2.5 MB at 64 dims), not a test-scale value: a tiny default at 1e6
+    probes would mean thousands of full corpus scans and an unbounded
+    unionAll plan chain."""
+    import inspect
+
+    default = inspect.signature(sim_topk_chunked).parameters["chunk_size"].default
+    assert default >= 1000
+    # 64-dim float64 probe matrix stays under ~8 MB broadcast
+    assert default * 64 * 8 <= 8 * 1024 * 1024

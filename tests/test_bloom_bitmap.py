@@ -95,3 +95,25 @@ def test_bitmap_build_is_bounded_by_m(spark):
     gh = _gram_hashes(spark)
     bitmap = build_bitmap(gh.select("h"), _M)
     assert len(bitmap) == _M // 8  # 32 KB
+
+
+def test_negative_hashes_are_masked_consistently(spark):
+    """The module is advertised for ANY membership screen, so arbitrary
+    (possibly negative) long hashes must work: Spark's % is sign-
+    preserving while numpy's floors, and an unmasked negative position
+    would corrupt the bytearray near its END via Python negative
+    indexing. The 48-bit mask must make both paths agree — and every
+    member must still screen as a hit (zero false negatives)."""
+    vals = [-1, -(1 << 62), -123456789, 0, 1, (1 << 47) - 1,
+            -97, 7 << 40, -(7 << 40)]
+    members = spark.createDataFrame([(v,) for v in vals], "h long")
+    bitmap = build_bitmap(members, _M)
+    got = {
+        r.h: r.bloom_hit
+        for r in screen_with_bitmap(members, bitmap, _M).collect()
+    }
+    assert all(got[v] == 1 for v in vals)
+    # a value whose masked positions were never inserted must miss
+    probe = spark.createDataFrame([(424242,)], "h long")
+    miss = screen_with_bitmap(probe, bitmap, _M).collect()[0]
+    assert miss.bloom_hit == 0

@@ -60,3 +60,72 @@ def test_sink_jdbc_roundtrip(spark):
     got = {tuple(r) for r in back.collect()}
     assert got == exp
     assert back.count() == src.count()
+
+
+def test_sink_jdbc_partitioned_write_and_parallel_read(spark):
+    """The production shape (r9 verdict task 4): a multi-partition
+    parallel write with explicit batchsize/isolationLevel, then a
+    predicate-partitioned parallel READ back — asserting the read plan
+    actually carries the requested partition count (one JDBC query per
+    partition), not a single-connection scan."""
+    if not _derby_available(spark):
+        pytest.skip(
+            f"no JDBC driver jar on the Spark classpath ({_DERBY_DRIVER} "
+            "not loadable); sink_jdbc code path covered by config test only"
+        )
+    url = "jdbc:derby:memory:sinkpar;create=true"
+    # Uppercase column names: Spark's JDBC writer CREATEs quoted (case-
+    # preserved) columns, but the partition-column / predicate WHERE
+    # clauses are embedded unquoted and Derby folds unquoted identifiers
+    # to UPPERCASE — lowercase columns would be unreachable from them.
+    src = (
+        load_table(spark, SF_SMOKE, "customer")
+        .selectExpr(
+            "c_custkey as C_CUSTKEY",
+            "c_name as C_NAME",
+            "c_acctbal as C_ACCTBAL",
+            "c_nationkey as C_NATIONKEY",
+        )
+        .repartition(4, "C_CUSTKEY")  # genuinely parallel write tasks
+    )
+    n_src = src.count()
+    assert n_src > 100  # the fixture is big enough to mean something
+    sink_jdbc(
+        src,
+        url=url,
+        table="customer_sink",
+        mode="overwrite",
+        batchsize=64,
+        num_partitions=4,
+        properties={
+            "driver": _DERBY_DRIVER,
+            # non-transactional per-partition write: the isolation level
+            # governs each task's transaction, not cross-task atomicity
+            "isolationLevel": "READ_COMMITTED",
+        },
+    )
+    lo, hi = 0, int(src.agg({"C_CUSTKEY": "max"}).collect()[0][0]) + 1
+    back = spark.read.jdbc(
+        url=url,
+        table="customer_sink",
+        column="C_CUSTKEY",
+        lowerBound=lo,
+        upperBound=hi,
+        numPartitions=4,
+        properties={"driver": _DERBY_DRIVER},
+    )
+    # the parallel-read contract: 4 stride partitions, one query each
+    assert back.rdd.getNumPartitions() == 4
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+    # explicit predicate partitioning (the other production read shape:
+    # caller-owned WHERE clauses, e.g. date slices)
+    mid = (lo + hi) // 2
+    preds = [f"C_CUSTKEY < {mid}", f"C_CUSTKEY >= {mid}"]
+    back2 = spark.read.jdbc(
+        url=url,
+        table="customer_sink",
+        predicates=preds,
+        properties={"driver": _DERBY_DRIVER},
+    )
+    assert back2.rdd.getNumPartitions() == len(preds)
+    assert back2.count() == n_src

@@ -59,3 +59,37 @@ def test_synthetic_motif_and_short_series(spark):
     # every subsequence start is present exactly once
     assert sorted(aa) == list(range(len(series) - 6))
     assert "bb" not in by_type
+
+
+def test_partnerless_middle_indices_are_dropped(spark):
+    """Series with excl+1 <= n_sub < 2*excl (11-13 days at w=7, excl=4):
+    middle subsequence indices i in [n_sub-excl, excl) have no partner
+    with |i-j| >= excl. The join form emits no row for them, so the
+    kernel must drop them too — not emit sentinel distances or an
+    arbitrary nn_day (the pre-r10 bug)."""
+    # m=12 -> n_sub=6; valid pairs: (0,4) (0,5) (1,5); i=2,3 partnerless
+    v12 = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 20]
+    # m=11 -> n_sub=5; only valid pair: (0,4); i=1,2,3 partnerless
+    v11 = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    rows = [("m12", d, y) for d, y in enumerate(v12)]
+    rows += [("m11", d, y) for d, y in enumerate(v11)]
+    daily = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "day", "y"])
+    )
+    out = profile_daily(daily).collect()
+    big = (1 << 63) - 1
+    assert all(r.mp_dist2 < big for r in out)
+    m12 = {r.day: r for r in out if r.event_type == "m12"}
+    assert sorted(m12) == [0, 1, 4, 5]  # days 2,3 dropped
+    # hand-computed exact distances on v12
+    assert (m12[0].nn_day, m12[0].mp_dist2) == (4, 112)
+    assert (m12[1].nn_day, m12[1].mp_dist2) == (5, 240)
+    assert (m12[4].nn_day, m12[4].mp_dist2) == (0, 112)
+    assert (m12[5].nn_day, m12[5].mp_dist2) == (1, 240)
+    # flags chosen among SURVIVORS: motif = min d2 earliest (day 0),
+    # discord = max d2 earliest (day 1)
+    assert [d for d in sorted(m12) if m12[d].is_motif] == [0]
+    assert [d for d in sorted(m12) if m12[d].is_discord] == [1]
+    m11 = {r.day: r for r in out if r.event_type == "m11"}
+    assert sorted(m11) == [0, 4]
+    assert m11[0].nn_day == 4 and m11[4].nn_day == 0

@@ -24,6 +24,10 @@ Usage::
 
     python tools/bench_xml.py                # ~100 MB over 8 files
     python tools/bench_xml.py --mb 10 --files 4
+    python tools/bench_xml.py --sizes 100,1024   # scaling curve (r9 task 3):
+                                             # one run per size, shared JSON
+                                             # line with per-size rows and
+                                             # MB/s ratios vs the first size
 """
 
 from __future__ import annotations

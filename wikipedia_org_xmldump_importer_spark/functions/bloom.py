@@ -27,9 +27,20 @@ from pyspark.sql import functions as F
 __all__ = ["bloom_positions", "build_bitmap", "screen_with_bitmap"]
 
 
+#: Hash inputs are masked to 48 bits before position derivation. Spark's
+#: ``%`` is sign-preserving while numpy's floors, so a negative h would
+#: yield DIFFERENT positions on the two paths (and a negative Python
+#: index into the bytearray — silent near-end corruption). The mask makes
+#: the non-negativity contract enforced, not assumed; it is a no-op for
+#: x317's md5-derived 48-bit hashes.
+_HASH_MASK = (1 << 48) - 1
+
+
 def bloom_positions(h, m: int):
     """The k=3 bit positions of a 48-bit gram hash — the EXACT x317
-    family (pure shifts/mods, no RNG, engine-portable)."""
+    family (pure shifts/mods, no RNG, engine-portable). ``h`` is masked
+    to 48 bits first so arbitrary long inputs stay non-negative."""
+    h = h.bitwiseAND(F.lit(_HASH_MASK))
     return [h % m, F.shiftright(h, 15) % m, F.shiftright(h, 30) % m]
 
 
@@ -49,6 +60,8 @@ def build_bitmap(member_hashes: DataFrame, m: int) -> bytes:
     bitmap = bytearray(m // 8)
     for r in rows:
         p = int(r.p)
+        if not 0 <= p < m:  # masked hashes make this unreachable
+            raise ValueError(f"bloom bit position {p} outside [0, {m})")
         bitmap[p >> 3] |= 1 << (p & 7)
     return bytes(bitmap)
 
@@ -71,7 +84,9 @@ def screen_with_bitmap(
 
         bits = np.frombuffer(b_bits.value, dtype=np.uint8)
         for pdf in batches:
-            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            # same 48-bit mask as bloom_positions: keeps numpy's flooring
+            # % and Spark's sign-preserving % on identical positions
+            h = pdf[hash_col].to_numpy(dtype=np.int64) & _HASH_MASK
             hit = np.ones(len(pdf), dtype=bool)
             for p in (h % m, (h >> 15) % m, (h >> 30) % m):
                 hit &= (bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1 == 1

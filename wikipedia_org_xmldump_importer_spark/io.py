@@ -127,7 +127,10 @@ def sink_jdbc(
     100 TB notes: ``numPartitions`` bounds concurrent connections (each task
     opens one); ``batchsize`` amortizes per-row round trips (10k is the
     classic sweet spot); ``mode=append`` with idempotent staging tables +
-    rename beats truncate-write for restartability at scale.
+    rename beats truncate-write for restartability at scale. This write is
+    NON-TRANSACTIONAL per partition: run it with ``spark.speculation=false``
+    (NOT under ``session.cluster_conf()``, which enables speculation) or a
+    speculative duplicate task attempt can commit a partition twice.
     """
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     writer = writer.option("batchsize", str(batchsize))

@@ -14,10 +14,15 @@ EXACTLY the single-broadcast kernel's, probe for probe
 
 100 TB notes: the trade is explicit — one corpus scan PER CHUNK in
 exchange for O(chunk) broadcast memory and O(k·chunk) shuffle rows per
-batch. Pick chunk_size so the probe matrix stays a few MB; at very large
-probe counts flip the asymmetry instead (broadcast the corpus blocks or
-go to the x16/x19 bucketed ANN paths, which exist precisely for that
-regime)."""
+batch. The default chunk_size=5000 keeps a 64-dim float64 probe matrix
+at ~2.5 MB; raise/lower it to hold that few-MB bound at other dims.
+Two large-probe-count cliffs to respect: (1) each chunk is a full corpus
+scan, so probes/chunk_size IS the scan count — a tiny chunk_size at 1e6
+probes means thousands of scans; (2) the result is a unionAll CHAIN, so
+plan depth grows linearly with chunk count and Catalyst analysis time
+with it — past a few hundred chunks flip the asymmetry instead
+(broadcast the corpus blocks, or go to the x16/x19 bucketed ANN paths,
+which exist precisely for that regime)."""
 
 from __future__ import annotations
 
@@ -34,7 +39,7 @@ def sim_topk_chunked(
     emb: DataFrame,
     probe_pred,
     k: int = 5,
-    chunk_size: int = 5,
+    chunk_size: int = 5000,
 ) -> DataFrame:
     """Exact cosine top-k per probe, probes processed in bounded chunks.
 

@@ -98,17 +98,34 @@ def profile_daily(daily: DataFrame, w: int = _W, excl: int = _EXCL) -> DataFrame
             # reverse direction j -> i
             _update(i + k, d2, i)
 
+        # For excl+1 <= n_sub < 2*excl the middle indices i in
+        # [n_sub-excl, excl) have NO partner with |i-j| >= excl: the
+        # diagonal loop never touches them, so best_d is still the
+        # sentinel. The join form emits no row for such indices — drop
+        # them here too, and pick motif/discord among survivors only.
+        valid = best_d != big
+        if not valid.any():
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "day": pd.Series(dtype="int64"),
+                    "nn_day": pd.Series(dtype="int64"),
+                    "mp_dist2": pd.Series(dtype="int64"),
+                    "is_motif": pd.Series(dtype="int32"),
+                    "is_discord": pd.Series(dtype="int32"),
+                }
+            )
         # motif: (d2 asc, i asc); discord: (d2 desc, i asc)
-        order = np.arange(n_sub)
+        order = np.flatnonzero(valid)
         motif = min(order, key=lambda i: (best_d[i], i))
         discord = min(order, key=lambda i: (-best_d[i], i))
         et = pdf["event_type"].iloc[0]
         return pd.DataFrame(
             {
                 "event_type": et,
-                "day": y[:n_sub],
-                "nn_day": y[best_j],
-                "mp_dist2": best_d,
+                "day": y[:n_sub][valid],
+                "nn_day": y[best_j[valid]],
+                "mp_dist2": best_d[valid],
                 "is_motif": (order == motif).astype("int32"),
                 "is_discord": (order == discord).astype("int32"),
             }

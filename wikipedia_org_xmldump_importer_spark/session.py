@@ -77,13 +77,19 @@ def cluster_conf(
     - ``autoBroadcastJoinThreshold`` 64 MB: every dim in this schema
       (region/nation/supplier/part at any SF, redirect dims, LM vocab
       tables) broadcasts; fact-fact joins never do.
-    - Kryo + registrationRequired=false: Tungsten handles SQL data; Kryo
-      covers the few broadcast python-side payloads.
+    - Kryo with registrationRequired explicitly false: Tungsten handles
+      SQL data; Kryo covers the few broadcast python-side payloads.
     - Dynamic allocation with shuffle tracking: the fleet's bursty
       (scan-heavy then epilogue-tiny) profiles return executors between
       stages.
     - Speculation on: one straggling disk on 4000 cores otherwise gates
-      every wide stage.
+      every wide stage. CAVEAT — JDBC-writing jobs (sink_jdbc, the
+      import_dump_full DB-load stage) must NOT run under this profile:
+      the JDBC sink is a non-transactional per-partition write, so a
+      speculative duplicate attempt can commit the same partition twice
+      and duplicate rows. Run DB loads in a separate session with
+      ``spark.speculation=false`` (idempotent file sinks — Parquet via
+      the output committer — are safe under speculation).
     """
     total_cores = executors * cores_per_executor
     shuffle_parts = max(
@@ -102,6 +108,7 @@ def cluster_conf(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.session.timeZone": "UTC",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.kryo.registrationRequired": "false",
         "spark.dynamicAllocation.enabled": "true",
         "spark.dynamicAllocation.shuffleTracking.enabled": "true",
         "spark.dynamicAllocation.maxExecutors": str(executors),
