@@ -154,22 +154,20 @@ def assert_scale_properties(spark, dump_glob: str) -> None:
     assert "_bytes" in m.group(1)  # the length field IS needed
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=float, default=100.0)
-    ap.add_argument("--files", type=int, default=8)
-    ap.add_argument("--workdir", default="/tmp/xmlbench")
-    args = ap.parse_args()
+def run_once(spark, mb: float, n_files: int, workdir: str) -> dict:
+    """Generate a ≈``mb`` MB dump into ``workdir`` and time the three
+    pipeline shapes (full import, metadata-only import, full flagship
+    pipeline incl. link graph). Returns the per-size result row."""
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        import_dump,
+        import_dump_full,
+    )
 
-    from wikipedia_org_xmldump_importer_spark.session import build_session
-    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import import_dump
+    dump_dir = os.path.join(workdir, "dump")
+    out_dir = os.path.join(workdir, "out")
+    shutil.rmtree(workdir, ignore_errors=True)
 
-    dump_dir = os.path.join(args.workdir, "dump")
-    out_dir = os.path.join(args.workdir, "out")
-    shutil.rmtree(args.workdir, ignore_errors=True)
-
-    gen = generate_dump(dump_dir, args.mb, args.files)
-    spark = build_session("xml-bench")
+    gen = generate_dump(dump_dir, mb, n_files)
     assert_scale_properties(spark, dump_dir)
 
     t0 = time.perf_counter()
@@ -182,7 +180,7 @@ def main() -> None:
     # metadata-only import: same scan minus the text payload — the pruning
     # win a page/revision/contributor-only pipeline gets at 100 TB
     spark.catalog.clearCache()
-    meta_out = os.path.join(args.workdir, "out_meta")
+    meta_out = os.path.join(workdir, "out_meta")
     t0 = time.perf_counter()
     import_dump(
         spark,
@@ -197,12 +195,8 @@ def main() -> None:
     # wikilink graph -> redirect resolution -> resolved link graph ->
     # parquet sinks, one call. Timed separately so the link-graph increment
     # over the plain import is visible.
-    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
-        import_dump_full,
-    )
-
     spark.catalog.clearCache()
-    full_out = os.path.join(args.workdir, "out_full")
+    full_out = os.path.join(workdir, "out_full")
     t0 = time.perf_counter()
     full = import_dump_full(spark, dump_dir, full_out, namespace=None)
     full_sec = time.perf_counter() - t0
@@ -211,26 +205,80 @@ def main() -> None:
     ).count()
     n_redirects = spark.read.parquet(f"{full_out}/redirect.parquet").count()
 
-    mb = gen["bytes"] / 1024 / 1024
+    real_mb = gen["bytes"] / 1024 / 1024
+    return {
+        "metric": "xml_import_mb_per_s",
+        "value": round(real_mb / sec, 2),
+        "unit": "MB/s",
+        "mb": round(real_mb, 1),
+        "sec": round(sec, 2),
+        "meta_only_sec": round(meta_sec, 2),
+        "meta_only_mb_per_s": round(real_mb / meta_sec, 2),
+        "files": gen["files"],
+        "pages": n_pages,
+        "revisions": n_revs,
+        "tables": sorted(tables),
+        "full_pipeline_sec": round(full_sec, 2),
+        "full_pipeline_mb_per_s": round(real_mb / full_sec, 2),
+        "full_tables": sorted(full),
+        "pagelinks_resolved": n_links,
+        "redirects": n_redirects,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=100.0)
+    ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--workdir", default="/tmp/xmlbench")
+    ap.add_argument(
+        "--sizes",
+        default=None,
+        help="comma-separated MB list (e.g. 100,1024): run each size in "
+        "turn and emit ONE JSON line with per-size rows plus MB/s scaling "
+        "ratios vs the first size; --files scales with size (1 file per "
+        "~12.5 MB, floored at --files)",
+    )
+    args = ap.parse_args()
+
+    from wikipedia_org_xmldump_importer_spark.session import build_session
+
+    spark = build_session("xml-bench")
+    if args.sizes is None:
+        print(json.dumps(run_once(spark, args.mb, args.files, args.workdir)))
+        return
+
+    sizes = [float(s) for s in args.sizes.split(",")]
+    runs = []
+    for mb in sizes:
+        n_files = max(args.files, int(mb / 12.5))
+        # size-specific dir: Spark's InMemoryFileIndex caches listings per
+        # path, so reusing one path across sizes reads STALE file sets
+        workdir = os.path.join(args.workdir, f"mb{int(mb)}")
+        runs.append(run_once(spark, mb, n_files, workdir))
+        shutil.rmtree(workdir, ignore_errors=True)  # keep disk bounded
+    base = runs[0]
+    scaling = [
+        {
+            "mb": r["mb"],
+            "import_mb_per_s": r["value"],
+            "full_pipeline_mb_per_s": r["full_pipeline_mb_per_s"],
+            "meta_only_mb_per_s": r["meta_only_mb_per_s"],
+            # >1.0 = throughput IMPROVES with size (fixed overheads amortize)
+            "throughput_vs_first": round(r["value"] / base["value"], 3),
+            "full_vs_first": round(
+                r["full_pipeline_mb_per_s"] / base["full_pipeline_mb_per_s"], 3
+            ),
+        }
+        for r in runs
+    ]
     print(
         json.dumps(
             {
-                "metric": "xml_import_mb_per_s",
-                "value": round(mb / sec, 2),
+                "metric": "xml_import_scaling",
                 "unit": "MB/s",
-                "mb": round(mb, 1),
-                "sec": round(sec, 2),
-                "meta_only_sec": round(meta_sec, 2),
-                "meta_only_mb_per_s": round(mb / meta_sec, 2),
-                "files": gen["files"],
-                "pages": n_pages,
-                "revisions": n_revs,
-                "tables": sorted(tables),
-                "full_pipeline_sec": round(full_sec, 2),
-                "full_pipeline_mb_per_s": round(mb / full_sec, 2),
-                "full_tables": sorted(full),
-                "pagelinks_resolved": n_links,
-                "redirects": n_redirects,
+                "runs": runs,
+                "scaling": scaling,
             }
         )
     )
