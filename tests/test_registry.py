@@ -157,6 +157,7 @@ def test_survey_registry_sync():
     test_only = {
         "import_dump_full",
         "stream_import_dump",
+        "shard_dump",
         "bloom_bitmap_kernel",
         "ewvol_linear",
         "matrix_profile_linear_memory",

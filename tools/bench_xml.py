@@ -11,8 +11,11 @@ tables), and prints ONE JSON line::
 It also verifies the two scale properties the plan must keep at 100 TB:
 
   * multi-file parallelism — the page scan covers >1 input file, so the
-    parse distributes across executors (a .bz2 dump additionally splits
-    WITHIN a file at block boundaries);
+    parse distributes across executors. This is the ONLY parallelism the
+    XML source has: measured r10, it never splits within a file (plain
+    or .bz2), so shard count bounds the scan parallelism — real dumps
+    ship as many multistream bz2 chunks (s14 shard_dump pre-splits
+    mono-files);
   * nested-schema pruning — a metadata-only scan never parses the
     ``revision.text._VALUE`` payload (the dominant byte share of any real
     dump). Catalyst's nestedSchemaPruning rule is Parquet/ORC-only, so for

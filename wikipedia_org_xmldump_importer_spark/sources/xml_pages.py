@@ -9,9 +9,18 @@ SQL tables (page / revision / text / contributor). Here the same flatten
 lands in DataFrames → Parquet (or the JDBC sink, io.sink_jdbc).
 
 100 TB notes:
-  * rowTag="page" splits the scan at page boundaries — a .bz2 dump is
-    block-splittable, so a 100 TB dump parallelizes across executors with no
-    pre-splitting step.
+  * The FILE is the scan's minimum split grain. Measured on this box
+    (r10, NOTES.md "Round 10 probes"): Spark's XML source NEVER splits
+    within a file — a 64 MB plain .xml and its .bz2 both stay one
+    partition even at spark.sql.files.maxPartitionBytes=1 MB (rowTag
+    row-splitting does not translate into input splits; compressed
+    inputs are read whole). Many small files DO bin-pack toward one
+    partition per core, so a 100 TB dump parallelizes by SHARD COUNT —
+    which is how real dumps ship (enwiki pages-articles-multistream is
+    ~700+ bz2 chunks plus an index). Feed the chunk set; for a mono-file
+    dump run sources/dump_split.shard_dump (s14) first —
+    tools/bench_xml.py measures the multi-file path scaling to all
+    cores at ~10 MB/s/core.
   * The explicit PAGE_SCHEMA matters twice: schema inference on XML is a
     full extra pass over 100 TB, and the read schema is the ONLY nested
     pruning the XML source gets — Catalyst's nestedSchemaPruning rule
