@@ -132,6 +132,23 @@ def test_siteinfo_header_survives_sharding(spark, tmp_path):
     assert total == 40
 
 
+def test_cli_shard_mb_flag(spark, mono_dump):
+    """--shard-mb pre-splits the mono-file and imports the shards; the
+    parquet outputs must match the direct mono-file import."""
+    from wikipedia_org_xmldump_importer_spark.__main__ import main as cli_main
+
+    src, gen, work = mono_dump
+    out = os.path.join(work, "cli_out")
+    rc = cli_main(
+        ["--xml", src, "--out", out, "--namespace", "-1",
+         "--keep-redirects", "--shard-mb", "1"]
+    )
+    assert rc == 0
+    assert len(os.listdir(os.path.join(out, "_shards"))) > 4
+    page = spark.read.parquet(os.path.join(out, "page.parquet"))
+    assert page.count() == gen["pages"]
+
+
 def test_no_page_raises(tmp_path):
     bad = tmp_path / "empty.xml"
     bad.write_text("<mediawiki>\n</mediawiki>\n")
