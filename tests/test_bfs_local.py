@@ -1,0 +1,76 @@
+"""Exact equivalence of the single-task multi-source BFS kernel
+(operators/bfs_local.py, k5) against the registered join-loop form (x313
+graph_closeness_hubs): BFS distances are tie-free integers, so the
+in-task BFS must reproduce the min-aggregated frontier joins row for row
+— including the 6dp-pinned closeness epilogue — plus synthetic-graph
+edge cases (disconnected components, hop truncation, ring/star shapes)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from conftest import SF_SMOKE
+
+from wikipedia_org_xmldump_importer_spark.operators.bfs_local import (
+    closeness_hubs_local,
+    multi_source_bfs_local,
+)
+from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+    graph_closeness_hubs,
+)
+
+
+def _keyed(df):
+    return {
+        r.hub: (r.degree, r.n_reached, r.sum_dist, r.closeness_wf)
+        for r in df.collect()
+    }
+
+
+def test_kernel_matches_registered_closeness_exactly(spark):
+    want = _keyed(graph_closeness_hubs(spark, SF_SMOKE))
+    got = _keyed(closeness_hubs_local(spark, SF_SMOKE))
+    assert got == want
+    assert len(got) == 12
+
+
+def _bfs_out(spark, edges, sources, max_hops):
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    s = spark.createDataFrame(pd.DataFrame(sources, columns=["hub", "node"]))
+    return {
+        (r.hub, r.node): r.dist
+        for r in multi_source_bfs_local(e, s, max_hops).collect()
+    }
+
+
+def test_synthetic_shapes(spark):
+    # ring 0-1-2-3-4-0 (undirected: both directions), star 10->{11,12,13},
+    # plus an isolated pair 20-21 (disconnected from both)
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    ring += [(b, a) for a, b in ring]
+    star = [(10, 11), (10, 12), (10, 13), (11, 10), (12, 10), (13, 10)]
+    pair = [(20, 21), (21, 20)]
+    edges = ring + star + pair
+    out = _bfs_out(spark, edges, [(0, 0), (10, 10), (20, 20)], max_hops=6)
+    # ring distances from 0: the two arcs meet at node 2/3
+    assert out[(0, 0)] == 0 and out[(0, 1)] == 1 and out[(0, 4)] == 1
+    assert out[(0, 2)] == 2 and out[(0, 3)] == 2
+    # star: all leaves at 1
+    assert out[(10, 11)] == out[(10, 12)] == out[(10, 13)] == 1
+    # disconnection: hub 0 never reaches the star or the pair
+    assert (0, 10) not in out and (0, 20) not in out
+    assert out[(20, 21)] == 1
+    # nothing beyond its component
+    assert {n for (h, n) in out if h == 20} == {20, 21}
+
+
+def test_hop_truncation(spark):
+    # path 0-1-2-3-4 (undirected); max_hops=2 must stop at node 2
+    path = [(i, i + 1) for i in range(4)]
+    path += [(b, a) for a, b in path]
+    out = _bfs_out(spark, path, [(0, 0)], max_hops=2)
+    assert out == {(0, 0): 0, (0, 1): 1, (0, 2): 2}
+
+
+def test_source_with_no_edges_emits_self(spark):
+    out = _bfs_out(spark, [(1, 2), (2, 1)], [(99, 99)], max_hops=3)
+    assert out == {(99, 99): 0}

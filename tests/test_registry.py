@@ -162,6 +162,7 @@ def test_survey_registry_sync():
         "ewvol_linear",
         "matrix_profile_linear_memory",
         "sim_topk_chunked",
+        "multi_source_bfs_local",
         "scan_xml_pages",
         "scan_csv_json",
         "sink_parquet",

@@ -1,0 +1,156 @@
+"""Single-task multi-source BFS kernel — the small-graph fast path for the
+driver-loop graph family (k5, SURVEY §2.18; the x313/x63-class contract).
+
+The registered iterative graph queries (x313 closeness, x226 shortest
+hops, x63 pagerank, ...) run O(rounds) keyed joins with localCheckpoint
+lineage cuts. That shape is the correct ≥1M-edge path — state linear in
+V, one shuffle per round — but below ``SMALL_GRAPH_EDGES`` the edge list
+fits ONE task and the loop's cost is pure scheduling: ~7 exchanges × AQE
+stage latency PER ROUND regardless of data (trap #8). operators/graph.py
+already solves that regime for connected components with in-partition
+union-find; this module is the same adaptation for bounded multi-source
+BFS: one shuffle moves the edges (plus the tagged source rows — no
+driver collect) into a single Arrow batch, a dict-adjacency BFS runs all
+sources to ``max_hops``, and the output is the exact (hub, node, dist)
+relation the join loop converges to.
+
+Exactness: BFS distances are integers and ties cannot exist (a node's
+distance IS its discovery round), so the in-task BFS is row-for-row
+integer-identical to the min-aggregated frontier joins —
+tests/test_bfs_local.py asserts equality against the registered x313
+output INCLUDING its 6dp-pinned closeness epilogue, plus synthetic
+graphs (disconnected, ring, star, hop-truncated).
+
+100 TB notes: this kernel is for graphs that FIT A TASK (two long
+columns at 1M edges ≈ 16 MB; the BFS state is |sources|×|reached|
+longs). Past that, stay on the registered join-loop — the adaptation
+mirrors what AQE cannot do (it never sees across a driver loop's
+rounds, so the operator adapts itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import SMALL_GRAPH_EDGES
+
+__all__ = ["multi_source_bfs_local", "closeness_hubs_local", "SMALL_GRAPH_EDGES"]
+
+
+def multi_source_bfs_local(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame:
+    """Exact bounded BFS from every source over a single-task graph.
+
+    ``edges``: (src long, dst long) DIRECTED edge rows (symmetrize first
+    for undirected semantics, as the callers do). ``sources``:
+    (hub long, node long) start rows — dist(hub, node)=0. Returns
+    (hub, node, dist) for every node within ``max_hops`` of each hub,
+    min-distance semantics, exactly the fixpoint of the join-loop form.
+
+    The edge and source rows are UNIONED with a marker column and
+    shuffled into one group — no ``.collect()``, the ledger stays clean;
+    caller guarantees the graph is under ``SMALL_GRAPH_EDGES``.
+    """
+    tagged = edges.select(
+        F.lit(0).alias("kind"), F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(
+        sources.select(
+            F.lit(1).alias("kind"), F.col("hub").alias("a"), F.col("node").alias("b")
+        )
+    )
+
+    def _bfs(pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        edges_pd = pdf[pdf["kind"] == 0]
+        srcs_pd = pdf[pdf["kind"] == 1]
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(edges_pd["a"].to_numpy(), edges_pd["b"].to_numpy()):
+            adj.setdefault(int(a), []).append(int(b))
+        out_h: list[int] = []
+        out_n: list[int] = []
+        out_d: list[int] = []
+        for hub, start in zip(srcs_pd["a"].to_numpy(), srcs_pd["b"].to_numpy()):
+            hub, start = int(hub), int(start)
+            dist = {start: 0}
+            frontier = [start]
+            for d in range(1, max_hops + 1):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                if not nxt:
+                    break
+                frontier = nxt
+            out_h.extend([hub] * len(dist))
+            out_n.extend(dist.keys())
+            out_d.extend(dist.values())
+        return pd.DataFrame({"hub": out_h, "node": out_n, "dist": out_d})
+
+    return (
+        tagged.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(_bfs, schema="hub long, node long, dist long")
+    )
+
+
+def closeness_hubs_local(spark, sf_dir: str) -> DataFrame:
+    """x313's output via the single-task BFS: identical hub selection,
+    identical distances, identical Wasserman-Faust epilogue (6dp-pinned
+    ratio). tests/test_bfs_local.py asserts exact row equality with the
+    registered ``graph_closeness_hubs`` — the two epilogues must never
+    drift (queries/graph_ops.py:1431)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..io import load_table  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.union(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    nn = e.select("src").distinct().count()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    hubs = (
+        deg.select(
+            "node",
+            "degree",
+            F.row_number()
+            .over(Window.orderBy(F.col("degree").desc(), "node"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 12)
+        .drop("rk")
+    )
+    cur = multi_source_bfs_local(
+        e, hubs.select(F.col("node").alias("hub"), "node"), max_hops=6
+    )
+    return (
+        cur.join(F.broadcast(hubs.select(F.col("node").alias("hub"), "degree")), "hub")
+        .groupBy("hub")
+        .agg(
+            F.max("degree").alias("degree"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.round(
+                (F.count(F.lit(1)) - 1).cast("double")
+                * (F.count(F.lit(1)) - 1)
+                / (F.lit(float(nn - 1)) * F.sum("dist")),
+                6,
+            ).alias("closeness_wf"),
+        )
+    )
