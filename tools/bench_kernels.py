@@ -16,6 +16,9 @@ them explicitly:
     (operators/ann_chunked.py) at a 10x probe set (200 probes vs the
     registered kernel's 20), chunk_size=50 so the run exercises 4 real
     chunk rounds, not one degenerate chunk.
+  * ``kernel:bfs_local_closeness`` — the k5 single-task BFS run through
+    x313's closeness epilogue; its sf1 row deliberately measures the
+    small-graph regime's UPPER boundary (see BENCH_SF1.json note).
 
 Timing protocol matches bench.py: per-kernel median of ``--repeats``
 measured executions (count() to materialize), after one untimed warm-up
@@ -119,11 +122,20 @@ def bench_chunked_topk(spark, sf_dir) -> int:
     return out.count()
 
 
+def bench_bfs_local(spark, sf_dir) -> int:
+    from wikipedia_org_xmldump_importer_spark.operators.bfs_local import (
+        closeness_hubs_local,
+    )
+
+    return closeness_hubs_local(spark, sf_dir).count()
+
+
 KERNELS = {
     "kernel:bloom_bitmap": bench_bloom,
     "kernel:ewvol_linear": bench_ewvol,
     "kernel:matrix_profile_linear": bench_matrix_profile,
     "kernel:sim_topk_chunked_10x": bench_chunked_topk,
+    "kernel:bfs_local_closeness": bench_bfs_local,
 }
 
 
@@ -165,7 +177,7 @@ def main() -> int:
         # are component rows, not registered queries
         doc["kernels"] = {name: row["sec"] for name, row in rows.items()}
         doc["note"] += (
-            " r10: the four §2.18 kernels priced directly at sf1 via "
+            " r10: the §2.18 kernels priced directly at sf1 via "
             "tools/bench_kernels.py (kernel:-prefixed rows; "
             "sim_topk_chunked at a 10x probe set, 200 probes / 4 chunks)."
         )

@@ -25,7 +25,12 @@ graphs (disconnected, ring, star, hop-truncated).
 columns at 1M edges ≈ 16 MB; the BFS state is |sources|×|reached|
 longs). Past that, stay on the registered join-loop — the adaptation
 mirrors what AQE cannot do (it never sees across a driver loop's
-rounds, so the operator adapts itself).
+rounds, so the operator adapts itself). The crossover is MEASURED, not
+hypothetical (BENCH_SF1.json note): on x313's customer↔supplier graph
+the kernel wins at sf0.1 (7.1 s vs 9.0 s — the 6-round scheduling floor
+collapses) and LOSES at the sf1 replica (47.9 s vs 24.3 s — one task's
+Python BFS against 10x the edges), so callers should gate on edge count
+exactly as operators/graph.py does for union-find.
 """
 
 from __future__ import annotations
