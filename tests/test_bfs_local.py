@@ -33,6 +33,52 @@ def test_kernel_matches_registered_closeness_exactly(spark):
     assert len(got) == 12
 
 
+def test_kernel_generalizes_to_shortest_hops(spark):
+    """Second registered shape (x226 graph_shortest_hops): min hop
+    distance over 5 top-degree seeds = the kernel's per-hub distances
+    min-collapsed per node — proves k5 is the BFS middle of the whole
+    driver-loop family, not a closeness one-off."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wikipedia_org_xmldump_importer_spark.io import load_table
+    from wikipedia_org_xmldump_importer_spark.queries.graph_ops import (
+        graph_shortest_hops,
+    )
+
+    want = {(r.node, r.dist) for r in graph_shortest_hops(spark, SF_SMOKE).collect()}
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    seeds = (
+        deg.select(
+            "node",
+            F.row_number().over(Window.orderBy(F.col("d").desc(), "node")).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .select(F.col("node").alias("hub"), F.col("node").alias("node"))
+    )
+    got_df = (
+        multi_source_bfs_local(e, seeds, max_hops=4)
+        .groupBy("node")
+        .agg(F.min("dist").cast("long").alias("dist"))
+    )
+    got = {(r.node, r.dist) for r in got_df.collect()}
+    assert got == want
+
+
 def _bfs_out(spark, edges, sources, max_hops):
     e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
     s = spark.createDataFrame(pd.DataFrame(sources, columns=["hub", "node"]))
