@@ -75,6 +75,33 @@ def test_staged_but_uncommitted_artifact_passes(tmp_path):
     assert preflight.check_untracked_artifacts(repo) == []
 
 
-def test_live_repo_is_clean_of_untracked_artifacts():
-    """The real worktree must satisfy the gate at all times."""
-    assert preflight.check_untracked_artifacts(ROOT) == []
+def test_live_repo_has_no_stale_untracked_artifacts():
+    """The live-worktree assertion, re-scoped (r10 verdict item 3): the
+    driver drops the new round's artifacts AFTER the round-final commit, so
+    demanding a fully clean tree here is red at judge time every round by
+    construction. What must never exist is an untracked artifact from a
+    round git already tracks (or older) — that is the r7–r9 rotated-without-
+    committing-evidence state. The strict all-artifacts check remains the
+    COMMIT gate inside tools/preflight.py's run_fast_gates."""
+    assert preflight.stale_untracked_artifacts(ROOT) == []
+
+
+def test_stale_filter_semantics(tmp_path):
+    """Fixture proof of the re-scoped gate: an untracked artifact NEWER than
+    everything tracked passes (the post-commit driver drop); an untracked
+    artifact at or below the newest tracked round fails."""
+    repo = _make_repo(tmp_path)
+    (repo / "CORRECTNESS_r09.json").write_text("{}")
+    _git(repo, "add", "CORRECTNESS_r09.json")
+    _git(repo, "commit", "-qm", "r9 artifacts")
+
+    # Driver drop after the round-final commit: newer round, acceptable.
+    (repo / "CORRECTNESS_r10.json").write_text("{}")
+    (repo / "BENCH_r10.json").write_text("{}")
+    assert preflight.stale_untracked_artifacts(repo) == []
+    # ... but the strict commit gate still sees them.
+    assert len(preflight.check_untracked_artifacts(repo)) == 2
+
+    # An untracked artifact from an already-tracked round is always stale.
+    (repo / "CORRECTNESS_r08.json").write_text("{}")
+    assert preflight.stale_untracked_artifacts(repo) == ["CORRECTNESS_r08.json"]

@@ -10,6 +10,8 @@ without an oracle (even rows-only results flow through the harness).
 
 from __future__ import annotations
 
+import json
+
 from conftest import SF_SMOKE
 from pyspark.sql import types as T
 
@@ -52,7 +54,7 @@ def test_driver_window_is_priority_ordered():
 def test_driver_window_covers_oldest_never_attested():
     """STANDING ROTATION POLICY, machine-derived (r6 verdict task 2): the
     window must be exactly the 50 oldest (registration-order) SQL-oracle
-    queries with no green driver row in any committed CORRECTNESS_r0*.json.
+    queries with no green driver row in any committed CORRECTNESS_r*.json.
     Attestation claims live in the artifacts, never in comments — this test
     recomputes the never-attested set each run, so the window comment in
     queries/__init__.py cannot silently drift the way the r6 one did.
@@ -79,7 +81,18 @@ def test_driver_window_covers_oldest_never_attested():
 
     root = Path(__file__).resolve().parent.parent
     attested = set()
-    for art in sorted(root.glob("CORRECTNESS_r0*.json")):
+    # r10 regression: the old CORRECTNESS_r0*.json glob silently dropped
+    # round-10+ artifacts, re-proposing already-attested queries. Glob r*
+    # and validate the filename instead (see test_correctness_glob_sees_
+    # two_digit_rounds for the fixture-based regression test).
+    import re as _re
+
+    arts = [
+        p
+        for p in root.glob("CORRECTNESS_r*.json")
+        if _re.fullmatch(r"CORRECTNESS_r\d+\.json", p.name)
+    ]
+    for art in sorted(arts):
         for name, row in json.loads(art.read_text()).items():
             if (
                 isinstance(row, dict)
@@ -131,6 +144,41 @@ def test_next_window_tool_matches_policy():
     assert len(exp) == 50
     assert exp == DRIVER_PRIORITY, "tool derivation drifted from committed window"
     assert next_window.main(["--check"]) == 0
+
+
+def test_correctness_glob_sees_two_digit_rounds(tmp_path):
+    """r10 judge + advisor regression: the rotation derivation globbed
+    ``CORRECTNESS_r0*.json``, which matches rounds 01-09 but NOT r10+, so
+    round-10 attestations were invisible and the next window re-proposed
+    already-green queries. Fixture proof with a two-digit round artifact,
+    plus a decoy name the validator must skip."""
+    import sys
+    from pathlib import Path
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import next_window
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_old": green, "q_red_then_green": red})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"q_two_digit": green, "q_red_then_green": green})
+    )
+    # Decoy: right prefix, wrong shape — the name validator must skip it.
+    (tmp_path / "CORRECTNESS_r10_sf01.json").write_text(json.dumps({"q_decoy": green}))
+
+    attested = next_window.attested_names(tmp_path)
+    assert attested == {"q_old", "q_two_digit", "q_red_then_green"}
+
+    arts = next_window.correctness_artifacts(tmp_path)
+    assert [p.name for p in arts] == [
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r10.json",
+    ]
 
 
 def test_survey_registry_sync():

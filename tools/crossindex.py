@@ -61,7 +61,14 @@ def _survey_rows(text: str) -> dict[str, str]:
 def _first_attested(root: Path) -> dict[str, int]:
     """name -> earliest round number with a green (rows+schema+hash) row."""
     out: dict[str, int] = {}
-    for art in sorted(root.glob("CORRECTNESS_r0*.json")):
+    # Glob r* (not the old r0* that dropped rounds 10+), validate the name,
+    # and walk in round order so "earliest green" is truly earliest.
+    arts = [
+        p
+        for p in root.glob("CORRECTNESS_r*.json")
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", p.name)
+    ]
+    for art in sorted(arts, key=lambda p: int(re.search(r"_r0*(\d+)", p.name).group(1))):
         rnd = int(re.search(r"_r0*(\d+)", art.name).group(1))
         for name, row in json.loads(art.read_text()).items():
             if (

