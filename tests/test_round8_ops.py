@@ -332,8 +332,14 @@ def test_heaps_curve_monotone_and_final_totals(spark):
     assert last.n_docs == len(docs)
     assert last.cum_tokens == total_tok
     assert last.cum_vocab == len(vocab)
-    betas = {r.heaps_beta for r in rows}
+    betas = {r.heaps_beta_u for r in rows}
     assert len(betas) == 1
+    # micro-scaled exponent in [0, 1): the smoke corpus has a 31-token
+    # vocabulary fully seen by the first decile, so beta == 0 exactly there
+    assert 0 <= betas.pop() < 1_000_000
+    # ttr_u is the micro-scaled exact ratio of the integer curve columns
+    for r in rows:
+        assert r.ttr_u == round(r.cum_vocab * 1_000_000.0 / r.cum_tokens)
 
 
 def test_adamic_adar_python_replay(spark):

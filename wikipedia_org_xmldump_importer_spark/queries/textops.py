@@ -4228,18 +4228,27 @@ chk AS (
   JOIN curve c ON c.r = CAST(CEIL(k / 10.0 * c.nd) AS BIGINT)
 ),
 fit AS (
-  SELECT ROUND((COUNT(*) * SUM(CAST(lnt_u AS DOUBLE) / 1e6 * lnv_u / 1e6)
-                - SUM(CAST(lnt_u AS DOUBLE) / 1e6) * SUM(CAST(lnv_u AS DOUBLE) / 1e6))
-               / (COUNT(*) * SUM(CAST(lnt_u AS DOUBLE) / 1e6 * lnt_u / 1e6)
-                  - SUM(CAST(lnt_u AS DOUBLE) / 1e6) * SUM(CAST(lnt_u AS DOUBLE) / 1e6)),
-               6) AS heaps_beta
+  -- Exact INTEGER OLS moments (r10 driver-red fix): the micro-nat logs are
+  -- already pinned BIGINTs, so n*Sxy - Sx*Sy and n*Sxx - Sx*Sx are exact
+  -- integers (~1e14, exactly representable as DOUBLE) computed identically
+  -- by both engines; ONE division then a micro-int emission. The previous
+  -- spelling summed DOUBLE products whose accumulation order differs across
+  -- engines/partitionings — display round(x, 6) straddled in the driver's
+  -- env while passing every local sweep (trap #28's multi-term class).
+  SELECT CAST(ROUND(
+           CAST(COUNT(*) * SUM(lnt_u * lnv_u) - SUM(lnt_u) * SUM(lnv_u)
+                AS DOUBLE)
+           / CAST(COUNT(*) * SUM(lnt_u * lnt_u) - SUM(lnt_u) * SUM(lnt_u)
+                  AS DOUBLE)
+           * 1000000) AS BIGINT) AS heaps_beta_u
   FROM chk
 )
 SELECT CAST(c.k AS INTEGER) AS decile, CAST(c.r AS BIGINT) AS n_docs,
        CAST(c.cum_tok AS BIGINT) AS cum_tokens,
        CAST(c.cum_voc AS BIGINT) AS cum_vocab,
-       ROUND(CAST(c.cum_voc AS DOUBLE) / c.cum_tok, 6) AS ttr,
-       f.heaps_beta
+       CAST(ROUND(CAST(c.cum_voc AS DOUBLE) * 1000000.0 / CAST(c.cum_tok AS DOUBLE))
+            AS BIGINT) AS ttr_u,
+       f.heaps_beta_u
 FROM chk c JOIN fit f ON TRUE
 """
 
@@ -4259,7 +4268,10 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running distinct" becomes a running SUM of per-doc new-token counts
     (x75's trick at corpus scale — no per-prefix re-aggregation).
     Checkpoints are rank-discrete doc deciles; β fits on micro-nat
-    integer logs (x113) so all OLS moments are exact.
+    integer logs (x113) with EXACT integer OLS moments, and both `ttr_u`
+    and `heaps_beta_u` are emitted as micro-scaled BIGINTs (value × 1e6)
+    — the r10 driver round caught the float-moment spelling straddling
+    a display round under a different partition layout.
 
     100 TB: token explode + (token) min-agg + (doc) agg — all map-
     combined on their keys; the running sums act on the |docs| curve,
@@ -4301,30 +4313,40 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("cum_tok") * 1_000_000).cast("long").alias("lnt_u"),
         F.round(F.log("cum_voc") * 1_000_000).cast("long").alias("lnv_u"),
     )
-    lt = F.col("lnt_u").cast("double") / 1e6
-    lv = F.col("lnv_u").cast("double") / 1e6
+    # Exact integer OLS moments (r10 driver-red fix): lnt_u/lnv_u are pinned
+    # BIGINT micro-nats, so every moment below is exact 64-bit integer math
+    # (products ~2e14, n·Σ ~2e16 — far inside long range) identical across
+    # engines and partition layouts; ONE double division, then the micro-int
+    # emission device (x113/x106). The previous spelling summed DOUBLES
+    # (accumulation-order-sensitive) and display-rounded the ratio — green in
+    # every local sweep, red under the driver's layout (trap #28's
+    # multi-term-float class; see oracle header comment).
+    n = F.count(F.lit(1))
+    s_t = F.sum("lnt_u")
+    s_v = F.sum("lnv_u")
+    s_tv = F.sum(F.col("lnt_u") * F.col("lnv_u"))
+    s_tt = F.sum(F.col("lnt_u") * F.col("lnt_u"))
     fit = chk.agg(
         F.round(
-            (
-                F.count(F.lit(1)) * F.sum(lt * F.col("lnv_u") / 1e6)
-                - F.sum(lt) * F.sum(lv)
-            )
-            / (
-                F.count(F.lit(1)) * F.sum(lt * F.col("lnt_u") / 1e6)
-                - F.sum(lt) * F.sum(lt)
-            ),
-            6,
-        ).alias("heaps_beta")
+            (n * s_tv - s_t * s_v).cast("double")
+            / (n * s_tt - s_t * s_t).cast("double")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("heaps_beta_u")
     )
     return chk.join(F.broadcast(fit)).select(
         "decile",
         F.col("r").cast("long").alias("n_docs"),
         F.col("cum_tok").cast("long").alias("cum_tokens"),
         F.col("cum_voc").cast("long").alias("cum_vocab"),
-        F.round(F.col("cum_voc").cast("double") / F.col("cum_tok"), 6).alias(
-            "ttr"
-        ),
-        "heaps_beta",
+        F.round(
+            F.col("cum_voc").cast("double") * 1_000_000.0
+            / F.col("cum_tok").cast("double")
+        )
+        .cast("long")
+        .alias("ttr_u"),
+        "heaps_beta_u",
     )
 
 
