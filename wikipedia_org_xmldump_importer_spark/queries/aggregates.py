@@ -52,12 +52,14 @@ SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
+    AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE)
+        / 1000000.0, 2) AS sum_charge,
+  ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -71,16 +73,34 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # r11 straddle-family sweep: exact integer-unit money sums in
+    # DECIMAL(38) accumulators, one division per output (see flagship.py
+    # module comment for the device and its scale envelope).
+    u = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cents, dpct, tpct = u("l_extendedprice"), u("l_discount"), u("l_tax")
+    cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.round(F.sum(dec(cents)).cast("double") / 100.0, 2).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(dec(cents * (100 - dpct))).cast("double") / 10000.0, 2
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(dec(cents * (100 - dpct) * (100 + tpct))).cast("double")
+            / 1000000.0,
+            2,
+        ).alias("sum_charge"),
+        F.round(F.sum("l_quantity") / cnt, 6).alias("avg_qty"),
+        F.round(F.sum(dec(cents)).cast("double") / 100.0 / cnt, 6).alias(
+            "avg_price"
+        ),
+        F.round(F.sum(dec(dpct)).cast("double") / 100.0 / cnt, 6).alias(
+            "avg_disc"
+        ),
+        cnt.alias("count_order"),
     )
 
 
@@ -511,28 +531,30 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARETO_ORACLE = """
 WITH rev AS (
   SELECT n.n_name AS nation,
-         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_u
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY n.n_name
 ),
-tot AS (SELECT ROUND(SUM(revenue), 2) AS t FROM rev)
-SELECT nation, revenue,
-       ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, nation
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / (SELECT t FROM tot), 6) AS cum_share,
-       CASE
-         WHEN ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, nation
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              / (SELECT t FROM tot), 6) <= 0.5 THEN 'A'
-         WHEN ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, nation
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              / (SELECT t FROM tot), 6) <= 0.8 THEN 'B'
-         ELSE 'C'
-       END AS abc_class
-FROM rev
+cum AS (
+  SELECT nation, rev_u,
+         CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, nation
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_u,
+         CAST(SUM(rev_u) OVER () AS BIGINT) AS tot_u
+  FROM rev
+)
+SELECT nation,
+       ROUND(CAST(rev_u AS DOUBLE) / 10000.0, 2) AS revenue,
+       ROUND(CAST(cum_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6) AS cum_share,
+       CASE WHEN 2 * cum_u <= tot_u THEN 'A'
+            WHEN 5 * cum_u <= 4 * tot_u THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
 """
 
 
@@ -543,11 +565,11 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     80%), C (tail). The canonical inventory/portfolio analysis: a running
     total over a global ordering divided by a grand total.
 
-    Determinism: per-nation revenue pinned 2dp first; the running SUM is a
-    ROWS frame over a fully-pinned ordering (revenue DESC, nation), and
-    frame-ordered summation is sequential on BOTH engines — identical
-    operand order, identical doubles. The grand total re-sums the SAME
-    pinned per-nation values (2dp), so the divisor matches too.
+    Determinism (r11 sweep): per-nation revenue, the running total, and
+    the grand total are all exact integer 1e-4-dollar sums; the A/B
+    boundaries are the exact integer compares 2*cum <= tot and
+    5*cum <= 4*tot (x116's device), and the displayed revenue/share each
+    divide once — no float accumulation or float threshold anywhere.
 
     100 TB: the star agg collapses to |nations| rows before the
     single-partition window touches anything — an unpartitioned window is
@@ -563,27 +585,29 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_u")
         )
     )
     w_run = (
-        Window.orderBy(F.col("revenue").desc(), F.col("nation"))
+        Window.orderBy(F.col("rev_u").desc(), F.col("nation"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cum_share = F.round(
-        F.sum("revenue").over(w_run) / F.round(F.sum("revenue").over(w_all), 2), 6
-    )
+    cum_u = F.sum("rev_u").over(w_run)
+    tot_u = F.sum("rev_u").over(w_all)
     return rev.select(
         "nation",
-        "revenue",
-        cum_share.alias("cum_share"),
-        F.when(cum_share <= 0.5, F.lit("A"))
-        .when(cum_share <= 0.8, F.lit("B"))
+        F.round(F.col("rev_u").cast("double") / 10000.0, 2).alias("revenue"),
+        F.round(cum_u.cast("double") / tot_u.cast("double"), 6).alias(
+            "cum_share"
+        ),
+        F.when(2 * cum_u <= tot_u, F.lit("A"))
+        .when(5 * cum_u <= 4 * tot_u, F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )

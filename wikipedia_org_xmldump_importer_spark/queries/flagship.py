@@ -20,11 +20,56 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry import register
 
-_ORACLE = """
+# ---------------------------------------------------------------------------
+# Integer-cent revenue pinning (r11 straddle-family sweep).
+#
+# ROUND(SUM(price * (1 - disc)), 2) sums DOUBLES whose accumulation order
+# differs across engines and partition layouts; the display round can then
+# straddle a cent boundary even though every local sweep agrees (the exact
+# failure class the r10 driver caught on vocab_growth_heaps). The money
+# columns are exact 2dp values, so the sum has an exact integer spelling:
+# per-row  cents(price) * (100 - pct(disc))  [* (100 + pct(tax))]  summed as
+# BIGINT — order-independent by construction — with ONE division at the end
+# (any float op on identical exact integers is correctly rounded, hence
+# bit-identical across engines). Scale note: the 1e-4-dollar units sum to
+# ~3e15 at sf1 and ~3e17 at sf100 — inside BIGINT; past that move the
+# accumulator to DECIMAL(38)/HUGEINT as agg_regression_multi does.
+# ---------------------------------------------------------------------------
+
+
+def _money_u(col: str) -> F.Column:
+    """Exact integer cents (or integer percent) of a 2dp DOUBLE column."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _rev_u() -> F.Column:
+    """Spark: exact per-row revenue in 1e-4-dollar units (lazy: Column
+    construction needs an active session)."""
+    return _money_u("l_extendedprice") * (100 - _money_u("l_discount"))
+
+
+def _rev_u_sql(p: str) -> str:
+    """SQL twin of _REV_U with table alias prefix ``p`` (e.g. ``"l."``)."""
+    return (
+        f"CAST(ROUND({p}l_extendedprice * 100) AS BIGINT)"
+        f" * (100 - CAST(ROUND({p}l_discount * 100) AS BIGINT))"
+    )
+
+
+def _rev_dollars(alias: str) -> F.Column:
+    """Spark: pinned ROUND(SUM(revenue), 2) via the integer-unit sum."""
+    return F.round(F.sum(_rev_u()).cast("double") / 10000.0, 2).alias(alias)
+
+
+def _rev_dollars_sql(p: str) -> str:
+    return f"ROUND(SUM({_rev_u_sql(p)}) / 10000.0, 2)"
+
+
+_ORACLE = f"""
 SELECT
   r.r_name AS region_name,
   CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  {_rev_dollars_sql("l.")} AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -52,9 +97,7 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _rev_dollars("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -62,7 +105,7 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
        CAST(o.o_orderdate AS VARCHAR) AS order_date,
        o.o_orderpriority
 FROM customer c
@@ -96,9 +139,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _rev_dollars("revenue")
         )
         .select(
             "l_orderkey",
@@ -113,7 +154,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n.n_name AS nation_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -150,9 +191,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _rev_dollars("revenue")
         )
     )
 
@@ -163,7 +202,7 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name, n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -204,9 +243,7 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev_dollars("revenue")
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -296,11 +333,12 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(SUM(volume), 2) AS revenue
+       ROUND(SUM(volume_u) / 10000.0, 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS volume_u
   FROM supplier s
   JOIN lineitem l ON s.s_suppkey = l.l_suppkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -356,9 +394,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev_dollars("revenue")
         )
     )
 
@@ -369,10 +405,13 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = """
 SELECT ROUND(
-  100.0 * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                         THEN l.l_extendedprice * (1 - l.l_discount)
-                         ELSE 0 END), 2)
-        / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2),
+  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                        ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               AS DOUBLE),
   4) AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -387,10 +426,10 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from PROMO-type parts: a conditional aggregate divided by a total in
     one pass (no second scan, no self-join).
 
-    Cross-engine determinism: BOTH sums are independently pinned to 2dp
-    before the division (each is order-insensitive after rounding), so the
-    quotient is computed from identical doubles on both engines; only then
-    is the percentage rounded to 4dp.
+    Cross-engine determinism: BOTH sums are exact integer 1e-4-dollar
+    units (order-insensitive by construction — r11 straddle-family sweep),
+    so the quotient is ONE division of identical exact integers on both
+    engines; only then is the percentage rounded to 4dp.
 
     100 TB: the one-month shipdate predicate prunes the fact scan to
     ~1/84th of rows; part join shuffles on partkey (or broadcasts if the
@@ -400,16 +439,16 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_u = _rev_u()
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.round(
-                    F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(0)).cast(
+                    "double"
                 )
-                / F.round(F.sum(rev), 2),
+                / F.sum(rev_u).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -519,7 +558,7 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q19_ORACLE = """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -554,9 +593,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#4", 15, 20, 30))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev_dollars("revenue")
         )
     )
 
@@ -622,15 +659,18 @@ def tpch_q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 WITH revenue AS (
   SELECT l.l_suppkey AS supplier_no,
-         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_u
   FROM {lineitem} l
   WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
   GROUP BY l.l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, r.total_revenue
+SELECT s.s_suppkey, s.s_name,
+       ROUND(CAST(r.rev_u AS DOUBLE) / 10000.0, 2) AS total_revenue
 FROM {supplier} s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+WHERE r.rev_u = (SELECT MAX(rev_u) FROM revenue)
 """
 
 
@@ -644,9 +684,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery (the original's CREATE VIEW spelled as WITH). Ties are
     KEPT, like the spec — no arbitrary limit-1.
 
-    Determinism: per-supplier revenue is pinned to 2dp inside the CTE, so
-    the MAX and the equality comparison operate on identical doubles in
-    both engines (a raw-sum compare could mismatch at the top by one ulp).
+    Determinism (r11 sweep): per-supplier revenue is an exact integer
+    1e-4-dollar sum inside the CTE, so the MAX and the equality compare
+    are integer operations; only the displayed total divides once.
 
     100 TB: the shipdate quarter predicate prunes the fact scan; revenue
     is one map-side-combinable groupBy(suppkey); Catalyst evaluates the
@@ -663,11 +703,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       ROUND(ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END), 2)
-             / ROUND(SUM(volume), 2), 6) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume_u ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(volume_u) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS volume_u,
          n2.n_name AS nation
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -691,9 +733,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (7 tables, nation joined TWICE under different roles) feeding a
     conditional-share aggregate.
 
-    Determinism: numerator and denominator sums independently pinned to
-    2dp before the division (same discipline as x81), then the share
-    rounded to 6dp.
+    Determinism (r11 sweep): numerator and denominator are exact integer
+    1e-4-dollar sums; ONE division, then the share rounded to 6dp.
 
     100 TB: part's type filter and the 2-year orderdate window push to
     their scans; nation/region broadcast in both roles; the fact-side
@@ -714,7 +755,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_u = _rev_u()
     return (
         part.join(li, part.p_partkey == li.l_partkey)
         .join(sup, sup.s_suppkey == li.l_suppkey)
@@ -726,8 +767,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.round(F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(0.0)), 2)
-                / F.round(F.sum(vol), 2),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", vol_u).otherwise(0)
+                ).cast("double")
+                / F.sum(vol_u).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -785,7 +828,9 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT ROUND(SUM(l.l_extendedprice * l.l_discount), 2) AS revenue_delta,
+SELECT ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                    AS DOUBLE) / 10000.0, 2) AS revenue_delta,
        COUNT(*) AS n_lines
 FROM lineitem l
 WHERE l.l_shipdate >= DATE '1996-01-01'
@@ -815,9 +860,13 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue_delta"
-        ),
+        F.round(
+            F.sum(_money_u("l_extendedprice") * _money_u("l_discount")).cast(
+                "double"
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue_delta"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -1048,13 +1097,14 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-         AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
+         AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE)
+             / 1000000.0, 2) AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-02'
@@ -1070,9 +1120,12 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the full 22-query TPC-H sweep (q2/q11/q20 follow as
     adapted shapes — the schema has no partsupp).
 
-    Determinism: money sums pinned 2dp, averages 6dp (house float
-    discipline); l_quantity is integral-valued so its SUM is exact in
-    double regardless of summation order.
+    Determinism (r11 straddle-family sweep): every money aggregate is an
+    exact integer-unit sum — cents, 1e-4-dollar (disc price), 1e-6-dollar
+    (charge) — in DECIMAL(38)/HUGEINT accumulators, divided ONCE at the
+    end; averages divide the same exact sums by COUNT. l_quantity is
+    integral-valued so its SUM is exact in double regardless of
+    summation order. No output survives a float accumulation.
 
     100 TB: the canonical map-side-combine showcase — 6 groups mean the
     partial aggregate collapses each scan partition to <=6 rows before a
@@ -1081,16 +1134,32 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("date")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = _money_u("l_extendedprice")
+    dpct = _money_u("l_discount")
+    tpct = _money_u("l_tax")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.round(F.sum(dec(cents)).cast("double") / 100.0, 2).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            F.sum(dec(cents * (100 - dpct))).cast("double") / 10000.0, 2
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(dec(cents * (100 - dpct) * (100 + tpct))).cast("double")
+            / 1000000.0,
+            2,
+        ).alias("sum_charge"),
+        F.round(F.sum("l_quantity") / cnt, 6).alias("avg_qty"),
+        F.round(F.sum(dec(cents)).cast("double") / 100.0 / cnt, 6).alias(
+            "avg_price"
+        ),
+        F.round(F.sum(dec(dpct)).cast("double") / 100.0 / cnt, 6).alias(
+            "avg_disc"
+        ),
+        cnt.alias("count_order"),
     )
 
 
@@ -1193,21 +1262,25 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q11_ORACLE = """
 WITH national AS (
-  SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS val
+  SELECT l.l_partkey,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS val_u
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   WHERE n.n_name = 'NATION_7'
 ),
 per_part AS (
-  SELECT l_partkey AS p_partkey, ROUND(SUM(val), 2) AS part_value
+  SELECT l_partkey AS p_partkey, CAST(SUM(val_u) AS BIGINT) AS part_u
   FROM national GROUP BY l_partkey
 ),
-total AS (SELECT ROUND(SUM(val), 2) AS tv FROM national)
-SELECT p.p_partkey, p.part_value,
-       ROUND(p.part_value / t.tv, 6) AS value_share
+total AS (SELECT CAST(SUM(val_u) AS BIGINT) AS tv_u FROM national)
+SELECT p.p_partkey,
+       ROUND(CAST(p.part_u AS DOUBLE) / 10000.0, 2) AS part_value,
+       ROUND(CAST(p.part_u AS DOUBLE) / CAST(t.tv_u AS DOUBLE), 6)
+         AS value_share
 FROM per_part p CROSS JOIN total t
-WHERE p.part_value > t.tv * 0.001
+WHERE 1000 * p.part_u > t.tv_u
 """
 
 
@@ -1218,9 +1291,10 @@ def tpch_q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_availqty becomes discounted lineitem volume through NATION_7
     suppliers — same group-HAVING-against-uncorrelated-scalar topology).
 
-    Determinism: per-part and total sums independently pinned 2dp; the
-    HAVING compares part_value > round(total,2) * 0.001 — both operands
-    deterministic doubles, identical parenthesization both engines.
+    Determinism (r11 sweep): per-part and total sums are exact integer
+    1e-4-dollar units; the HAVING is the exact integer compare
+    1000*part_u > tv_u, and the displayed value/share are single
+    divisions of those integers — no float accumulation anywhere.
 
     100 TB: the nation-filtered supplier dim broadcasts into the fact
     scan (semi-join pushdown); ONE partkey-grain shuffle serves both the
@@ -1236,21 +1310,23 @@ def tpch_q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     national = li.join(
         F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "leftsemi"
-    ).select(
-        "l_partkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
-    )
+    ).select("l_partkey", _rev_u().alias("val_u"))
     per_part = national.groupBy(
         F.col("l_partkey").alias("p_partkey")
-    ).agg(F.round(F.sum("val"), 2).alias("part_value"))
-    total = national.agg(F.round(F.sum("val"), 2).alias("tv"))
+    ).agg(F.sum("val_u").alias("part_u"))
+    total = national.agg(F.sum("val_u").alias("tv_u"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("tv") * 0.001)
+        # HAVING in exact integers: part > 0.1% of total <=> 1000*part > total
+        .filter(1000 * F.col("part_u") > F.col("tv_u"))
         .select(
             "p_partkey",
-            "part_value",
-            F.round(F.col("part_value") / F.col("tv"), 6).alias("value_share"),
+            F.round(F.col("part_u").cast("double") / 10000.0, 2).alias(
+                "part_value"
+            ),
+            F.round(
+                F.col("part_u").cast("double") / F.col("tv_u").cast("double"), 6
+            ).alias("value_share"),
         )
     )
 

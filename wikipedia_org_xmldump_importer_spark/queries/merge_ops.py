@@ -697,11 +697,15 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WATERFALL_ORACLE = """
 WITH cell AS (
   SELECT p.p_brand AS brand,
-         CAST(ROUND(SUM(l.l_extendedprice) * 100) AS BIGINT) AS gross_c,
-         CAST(ROUND(SUM(l.l_extendedprice * l.l_discount) * 100) AS BIGINT)
-           AS discount_c,
-         CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount) * l.l_tax)
-                    * 100) AS BIGINT) AS tax_c
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS gross_c,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0) AS BIGINT) AS discount_c,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                             * CAST(ROUND(l.l_tax * 100) AS BIGINT))
+                         AS DOUBLE) / 10000.0) AS BIGINT) AS tax_c
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY p.p_brand
 )
@@ -728,12 +732,11 @@ def finance_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounting vs mix") — the flagship queries compute the endpoints,
     this exposes the bridge.
 
-    Exactness: each step total pins to cents AFTER the group sum (the
-    per-step sums are plain money aggregates under the standing 2dp
-    discipline); the bridge identities net = gross - discount and
-    charged = net + tax then hold EXACTLY in integer cents — auditable by
-    construction, which is the point of a waterfall. Rates are pinned
-    divisions of those integers.
+    Exactness (r11 sweep): every step total is an exact integer-unit sum
+    (cents / cents·pct / cents·pct·pct) rounded to cents with ONE
+    division — no float accumulation; the bridge identities
+    net = gross - discount and charged = net + tax hold EXACTLY in
+    integer cents. Rates are pinned divisions of those integers.
 
     100 TB: one fact scan, brand-grain map-combined agg; the part join
     broadcasts (dim-sized). Period-over-period bridge = two such frames
@@ -744,17 +747,25 @@ def finance_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("gross_c"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 100)
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "gross_c"
+            ),
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round(F.col("l_discount") * 100).cast("long")
+                ).cast("double")
+                / 100.0
+            )
             .cast("long")
             .alias("discount_c"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * F.col("l_tax")
-                )
-                * 100
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                    * F.round(F.col("l_tax") * 100).cast("long")
+                ).cast("double")
+                / 10000.0
             )
             .cast("long")
             .alias("tax_c"),

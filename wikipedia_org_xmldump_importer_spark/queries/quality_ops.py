@@ -203,21 +203,27 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _YOY_ORACLE = """
 WITH yearly AS (
   SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
-         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_u
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY n.n_name, year(o.o_orderdate)
+),
+lagged AS (
+  SELECT nation, yr, rev_u,
+         LAG(rev_u) OVER (PARTITION BY nation ORDER BY yr) AS prev_u
+  FROM yearly
 )
-SELECT nation, yr, revenue,
-       LAG(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
-       CASE WHEN LAG(revenue) OVER (PARTITION BY nation ORDER BY yr) IS NULL
-            THEN NULL
-            ELSE ROUND((revenue - LAG(revenue) OVER (PARTITION BY nation ORDER BY yr))
-                       / LAG(revenue) OVER (PARTITION BY nation ORDER BY yr), 6)
+SELECT nation, yr,
+       ROUND(CAST(rev_u AS DOUBLE) / 10000.0, 2) AS revenue,
+       ROUND(CAST(prev_u AS DOUBLE) / 10000.0, 2) AS prev_revenue,
+       CASE WHEN prev_u IS NULL THEN NULL
+            ELSE ROUND(CAST(rev_u - prev_u AS DOUBLE) / CAST(prev_u AS DOUBLE), 6)
        END AS yoy_growth
-FROM yearly
+FROM lagged
 """
 
 
@@ -228,8 +234,9 @@ def rev_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, then LAG within nation and a growth ratio. First fiscal year
     emits NULL growth (no fabricated zero).
 
-    Determinism: yearly revenue pinned 2dp BEFORE the lag/ratio, so both
-    engines divide identical doubles; the ratio itself is pinned 6dp.
+    Determinism (r11 sweep): yearly revenue is an exact integer
+    1e-4-dollar sum; the lag, the growth numerator, and both displayed
+    dollar values are integer operations with ONE division each.
 
     100 TB: the join/agg reuses the flagship star shape (fact shuffles
     on its FK chain, dims broadcast); the window partitions on the tiny
@@ -247,20 +254,26 @@ def rev_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_u")
         )
     )
     w = Window.partitionBy("nation").orderBy("yr")
-    prev = F.lag("revenue").over(w)
+    prev_u = F.lag("rev_u").over(w)
     return yearly.select(
         "nation",
         "yr",
-        "revenue",
-        prev.alias("prev_revenue"),
-        F.when(prev.isNull(), F.lit(None).cast("double"))
-        .otherwise(F.round((F.col("revenue") - prev) / prev, 6))
+        F.round(F.col("rev_u").cast("double") / 10000.0, 2).alias("revenue"),
+        F.round(prev_u.cast("double") / 10000.0, 2).alias("prev_revenue"),
+        F.when(prev_u.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("rev_u") - prev_u).cast("double") / prev_u.cast("double"),
+                6,
+            )
+        )
         .alias("yoy_growth"),
     )
 

@@ -50,7 +50,9 @@ def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UD2_ORACLE = """
 SELECT c_nationkey,
-       ROUND(SUM(c_acctbal * ((c_custkey % 5) + 1)) / SUM((c_custkey % 5) + 1), 6)
+       ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                      * ((c_custkey % 5) + 1)) AS DOUBLE)
+             / 100.0 / SUM((c_custkey % 5) + 1), 6)
          AS weighted_bal
 FROM customer
 GROUP BY c_nationkey
@@ -68,10 +70,15 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def wmean(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+        # exact integer-cent moments inside the worker (r11 sweep): the
+        # int64 dot product is order-independent, so the result doesn't
+        # depend on which partition layout fed this group's Series
+        vu = (v * 100).round().astype("int64")
+        wi = w.astype("int64")
+        return float(int((vu * wi).sum()) / 100.0 / int(wi.sum()))
 
     cust = load_table(spark, sf_dir, "customer").withColumn(
-        "weight", (F.col("c_custkey") % 5 + 1).cast("double")
+        "weight", (F.col("c_custkey") % 5 + 1).cast("long")
     )
     return cust.groupBy("c_nationkey").agg(
         F.round(wmean(F.col("c_acctbal"), F.col("weight")), 6).alias("weighted_bal")
