@@ -1270,9 +1270,22 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.count()  # one cheap count job; a literal keeps ln() foldable
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "token").select(
+    # df derives from tf (one row per distinct doc-token pair): COUNT(*)
+    # over tf == COUNT(DISTINCT doc_id) over raw tokens. Without the cut,
+    # Catalyst re-scans and re-explodes the corpus for the df branch (no
+    # exchange reuse across the differing aggregates); the localCheckpoint
+    # materializes the collapsed tf frame once so both consumers read it.
+    # Measured isolated at sf0.1 (5-repeat medians, r11): two-explode
+    # 1.43 s -> df-from-tf 1.36 s -> checkpointed 1.21 s. At 100 TB tf is
+    # orders smaller than the token stream (one row per distinct doc-term),
+    # so the materialization is the cheap side of the trade.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
         "doc_id",
         "token",
         "tf",
