@@ -120,3 +120,31 @@ def test_hop_truncation(spark):
 def test_source_with_no_edges_emits_self(spark):
     out = _bfs_out(spark, [(1, 2), (2, 1)], [(99, 99)], max_hops=3)
     assert out == {(99, 99): 0}
+
+
+def test_dispatch_threshold_derived_from_measurements():
+    """r10 verdict task 6: the kernel/loop boundary is a constant DERIVED
+    from the two measured (edges, seconds) points, and the dispatch rule
+    picks the measured winner at each point."""
+    from wikipedia_org_xmldump_importer_spark.operators.bfs_local import (
+        BFS_LOCAL_MAX_EDGES,
+        _MEASURED_POINTS,
+        choose_bfs_backend,
+    )
+
+    (e1, k1, l1), (e2, k2, l2) = _MEASURED_POINTS
+    # the measured winners at the two points
+    assert k1 < l1 and choose_bfs_backend(e1) == "local"
+    assert k2 > l2 and choose_bfs_backend(e2) == "loop"
+    # the boundary sits strictly between the points and matches the
+    # two-line intersection algebra
+    assert e1 < BFS_LOCAL_MAX_EDGES < e2
+    ks = (k2 - k1) / (e2 - e1)
+    ls = (l2 - l1) / (e2 - e1)
+    expected = int(((l1 - ls * e1) - (k1 - ks * e1)) / (ks - ls))
+    assert BFS_LOCAL_MAX_EDGES == expected
+    # at the intersection both cost models agree (sanity of the fit)
+    assert abs(
+        (k1 + ks * (BFS_LOCAL_MAX_EDGES - e1))
+        - (l1 + ls * (BFS_LOCAL_MAX_EDGES - e1))
+    ) < ks * 2  # within the integer-truncation slack of the edge unit

@@ -40,7 +40,53 @@ from pyspark.sql import functions as F
 
 from .graph import SMALL_GRAPH_EDGES
 
-__all__ = ["multi_source_bfs_local", "closeness_hubs_local", "SMALL_GRAPH_EDGES"]
+__all__ = [
+    "multi_source_bfs_local",
+    "closeness_hubs_local",
+    "choose_bfs_backend",
+    "BFS_LOCAL_MAX_EDGES",
+    "SMALL_GRAPH_EDGES",
+]
+
+# ---------------------------------------------------------------------------
+# Measured dispatch boundary (r10 verdict task 6: a constant DERIVED from the
+# two measured points, not prose). Both backends are ~linear in edge count in
+# the measured range — the kernel is one task's Python BFS (steep slope, tiny
+# intercept), the join loop pays a per-round scheduling floor (large
+# intercept, shallow slope) — so fit each through its two (edges, seconds)
+# points and take the intersection.
+# ---------------------------------------------------------------------------
+
+#: (edge_count, kernel_seconds, join_loop_seconds) — BENCH_SF1.json, the
+#: x313 customer↔supplier graph: symmetrized distinct edges 1_173_742 at
+#: sf0.1 (kernel 7.1 s vs loop 9.0 s — kernel wins) and the 10× sf1 replica
+#: (47.9 s vs 24.3 s — loop wins).
+_MEASURED_POINTS = (
+    (1_173_742, 7.1, 9.0),
+    (11_737_420, 47.9, 24.3),
+)
+
+
+def _crossover_edges() -> int:
+    (e1, k1, l1), (e2, k2, l2) = _MEASURED_POINTS
+    k_slope = (k2 - k1) / (e2 - e1)
+    l_slope = (l2 - l1) / (e2 - e1)
+    k_icpt = k1 - k_slope * e1
+    l_icpt = l1 - l_slope * e1
+    return int((l_icpt - k_icpt) / (k_slope - l_slope))
+
+
+#: Edge-count boundary: at or below, the single-task kernel is measured
+#: faster; above, use the registered join-loop form. ≈1.96M edges on this
+#: box — re-derive by editing _MEASURED_POINTS if the hardware changes.
+BFS_LOCAL_MAX_EDGES = _crossover_edges()
+
+
+def choose_bfs_backend(edge_count: int) -> str:
+    """Dispatch rule for bounded multi-source BFS: ``"local"`` (this
+    module's single-task kernel) iff the graph is at or under the measured
+    crossover, else ``"loop"`` (the keyed-join frontier loop)."""
+    return "local" if edge_count <= BFS_LOCAL_MAX_EDGES else "loop"
 
 
 def multi_source_bfs_local(
