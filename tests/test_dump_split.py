@@ -154,3 +154,73 @@ def test_no_page_raises(tmp_path):
     bad.write_text("<mediawiki>\n</mediawiki>\n")
     with pytest.raises(ValueError, match="no <page> element"):
         shard_dump(str(bad), str(tmp_path / "out"))
+
+
+def test_rerun_clears_stale_shards(mono_dump, tmp_path):
+    """r10 advice (medium): re-running into the same out_dir after the
+    input shrank (or shard_mb grew) must not leave the previous run's
+    higher-numbered shards behind to be co-scanned as phantom pages."""
+    src, _, _ = mono_dump
+    out = str(tmp_path / "shards")
+    first = shard_dump(src, out, shard_mb=1.0)
+    assert first["shards"] > 2
+    # Re-run with a much larger shard size -> far fewer files
+    second = shard_dump(src, out, shard_mb=64.0)
+    assert second["shards"] < first["shards"]
+    on_disk = sorted(f for f in os.listdir(out) if f.startswith("shard_"))
+    assert len(on_disk) == second["shards"], (
+        f"stale shards survived the re-run: {on_disk}"
+    )
+    assert second["pages"] == first["pages"]
+
+
+def test_sizes_are_utf8_bytes(tmp_path):
+    """r10 advice (low): shard-size accounting and bytes_in count UTF-8
+    bytes, not characters — multibyte text must not overshoot shard_mb."""
+    src = tmp_path / "mb.xml"
+    # 3-byte CJK chars: 1000 chars/page body ~ 3000 bytes/page
+    body = "漢" * 1000
+    pages = "".join(
+        f"<page>\n<title>P{i}</title>\n<id>{i}</id>\n"
+        f"<revision><id>{i}</id><text>{body}</text></revision>\n</page>\n"
+        for i in range(40)
+    )
+    src.write_text(
+        f"<mediawiki>\n<siteinfo><sitename>t</sitename></siteinfo>\n{pages}"
+        "</mediawiki>\n",
+        encoding="utf-8",
+    )
+    out = str(tmp_path / "shards")
+    res = shard_dump(str(src), out, shard_mb=0.01)  # 10_485 bytes
+    assert res["bytes_in"] == os.path.getsize(src)
+    # every shard (except possibly the last) cut just past the byte limit:
+    # no shard may exceed limit + one page's bytes + header/footer slack
+    limit = int(0.01 * 1024 * 1024)
+    page_bytes = 3200 + len("<page></page>") + 100
+    for f in os.listdir(out):
+        assert os.path.getsize(os.path.join(out, f)) <= limit + page_bytes
+
+
+def test_trailing_blank_lines_never_make_empty_shard(tmp_path):
+    """r10 advice (low): a blank line after the LAST </page> while a cut
+    is pending must not emit a page-less (header+footer only) shard."""
+    src = tmp_path / "blank.xml"
+    body = "x" * 2000
+    pages = "".join(
+        f"<page>\n<title>P{i}</title>\n<id>{i}</id>\n"
+        f"<revision><id>{i}</id><text>{body}</text></revision>\n</page>\n\n"
+        for i in range(5)  # blank line BETWEEN and AFTER pages
+    )
+    src.write_text(
+        f"<mediawiki>\n<siteinfo><sitename>t</sitename></siteinfo>\n{pages}"
+        "</mediawiki>\n",
+        encoding="utf-8",
+    )
+    out = str(tmp_path / "shards")
+    # limit so small every page triggers a pending cut, including the last
+    res = shard_dump(str(src), out, shard_mb=0.000001)
+    assert res["pages"] == 5
+    assert res["shards"] == 5  # one per page; NO sixth page-less shard
+    for f in os.listdir(out):
+        text = open(os.path.join(out, f), encoding="utf-8").read()
+        assert "<page>" in text, f"page-less shard {f}: {text[:120]!r}"

@@ -59,11 +59,22 @@ def shard_dump(
     files are named ``shard_00000.xml`` in ``out_dir``; each carries the
     original header (everything up to the first ``<page>`` line) and the
     closing ``</mediawiki>`` so every shard is a complete document.
+    Sizes (``shard_mb`` cut decisions and ``bytes_in``) are UTF-8 byte
+    counts of the decoded stream. Pre-existing ``shard_*.xml`` files in
+    ``out_dir`` are deleted first — a re-run never leaves stale shards
+    from a previous, larger run.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # Re-run safety (r10 advice): a previous run's shards in the same
+    # out_dir would be silently co-scanned as duplicate/phantom pages if
+    # the new dump produces fewer files (shrunk input or larger shard_mb).
+    for stale in os.listdir(out_dir):
+        if stale.startswith("shard_") and stale.endswith(".xml"):
+            os.remove(os.path.join(out_dir, stale))
     limit = int(shard_mb * 1024 * 1024)
 
     header_lines: list[str] = []
+    header_bytes = 0
     in_header = True
     shard_idx = 0
     written = 0
@@ -81,29 +92,41 @@ def shard_dump(
         out = open(path, "w", encoding="utf-8")
         for hl in header_lines:
             out.write(hl)
-        written = sum(len(hl) for hl in header_lines)
+        written = header_bytes
+
+    def _is_page_open(stripped: str) -> bool:
+        return stripped.startswith("<page>") or stripped == "<page"
 
     pending_cut = False
     with _open_text(src_path) as f:
         for line in f:
-            bytes_in += len(line)
+            # sizes are UTF-8 BYTES, not characters (r10 advice: real wiki
+            # text is heavily multibyte — char counts let shards overshoot
+            # shard_mb on disk and misreport bytes_in)
+            nbytes = len(line.encode("utf-8"))
+            bytes_in += nbytes
             stripped = line.strip()
             if in_header:
-                if stripped.startswith("<page>") or stripped == "<page":
+                if _is_page_open(stripped):
                     in_header = False
                     _next_shard()
                 else:
                     header_lines.append(line)
+                    header_bytes += nbytes
                     continue
             if stripped == "</mediawiki>":
                 continue  # original footer; shards append their own
-            if pending_cut:
-                # opened lazily so a size-limit hit on the LAST page never
-                # leaves a trailing empty (header+footer only) shard
+            if pending_cut and _is_page_open(stripped):
+                # cut is honored only when the NEXT PAGE actually arrives
+                # (r10 advice): inter-page whitespace/comments after the
+                # last </page> stay in the current shard, so a size-limit
+                # hit on the final page can never emit a page-less
+                # trailing shard. Shard files open lazily for the same
+                # reason.
                 _next_shard()
                 pending_cut = False
             out.write(line)
-            written += len(line)
+            written += nbytes
             if stripped == "</page>":
                 n_pages += 1
                 # cut only BETWEEN pages, so no page ever straddles shards
