@@ -956,27 +956,37 @@ def test_pca_power_matches_numpy_replay(spark):
     import numpy as np
 
     from wikipedia_org_xmldump_importer_spark.queries.llm import (
-        _PCA_ITER_DP,
         _PCA_ITERS,
         vec_pca_power,
     )
 
     emb = load_table(spark, SF_SMOKE, "embeddings").collect()
     X = np.array([r.embedding for r in emb], dtype="float64")
-    A = np.round((X.T @ X) * 1_000_000.0) / 1_000_000.0
-    v = np.full(A.shape[0], 0.125)
-    nrm = None
+    # r11 integer fixed-point semantics: micro-int embeddings, exact
+    # BIGINT moment matrix (1e-12 scale), per-round double-round rescale
+    # to w_r = w*1e6, exact norm-square, micro-int unit vector.
+    Xu = np.round(X * 1_000_000.0).astype("int64")
+    A_u = (Xu.T.astype(object) @ Xu.astype(object))  # exact big-int
+    d = A_u.shape[0]
+    v_u = np.full(d, 125_000, dtype=object)
+    nrm_r = None
     for _ in range(_PCA_ITERS):
-        w = A @ v
-        nrm = float(np.sqrt(np.sum(w * w)))
-        v = np.round(w / nrm, _PCA_ITER_DP)
+        w_u = A_u @ v_u  # exact
+        w_r = np.array([int(np.round(float(x) / 1e12)) for x in w_u], dtype=object)
+        nrm_r = float(np.sqrt(float(sum(int(x) * int(x) for x in w_r))))
+        v_u = np.array(
+            [int(np.round(float(x) / nrm_r * 1_000_000.0)) for x in w_r],
+            dtype=object,
+        )
+    v = np.array([float(x) for x in v_u]) / 1_000_000.0
     rows = sorted(vec_pca_power(spark, SF_SMOKE).collect(), key=lambda r: r.pos)
     got = np.array([r.loading for r in rows])
     assert np.allclose(got, np.round(v, 6), atol=2e-6)
     assert abs(np.linalg.norm(got) - 1.0) < 1e-3
+    A = np.array([[float(x) for x in row] for row in A_u]) / 1e12
     evals = np.linalg.eigvalsh(A)
     assert evals[0] - 1e-6 <= rows[0].eigenvalue <= evals[-1] + 1e-6
-    assert abs(rows[0].eigenvalue - round(nrm, 6)) < 1e-3
+    assert abs(rows[0].eigenvalue - round(nrm_r / 1e6, 6)) < 1e-3
 
 
 def test_boolean_family_recompute(spark):

@@ -1226,19 +1226,36 @@ def embed_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PCA_ITERS = 5
-_PCA_ITER_DP = 10
 
 
 def _pca_iter_sql(k: int) -> str:
+    # Exact integer fixed-point step (r11 straddle-family closure): A is
+    # held at 1e-12 scale (BIGINT), v at 1e-6; the matvec sum is exact
+    # HUGEINT, rescaled to w_r = w*1e6 via double round (sign-safe: an
+    # integer half-add would floor in DuckDB but truncate under Spark's
+    # div on NEGATIVE components; the exact-int -> double conversion and
+    # ROUND are correctly rounded and half-away-from-zero in both
+    # engines). The norm is sqrt of an exact HUGEINT sum of squares; only
+    # that conversion, the sqrt, and the unit-vector division touch
+    # floats, each on bit-identical operands. The former spelling summed
+    # 64 DOUBLES per component per round — bounded by a 10dp pin, not
+    # excluded.
     prev = f"v{k - 1}"
     return f"""
 w{k} AS (
-  SELECT a.i, SUM(a.a * {prev}.v) AS w
+  SELECT a.i,
+         CAST(ROUND(CAST(SUM(CAST(a.a_u AS HUGEINT) * {prev}.v_u) AS DOUBLE)
+                    / 1e12) AS BIGINT) AS w_r
   FROM a JOIN {prev} ON a.j = {prev}.j GROUP BY a.i
 ),
-n{k} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{k}),
+n{k} AS (
+  SELECT sqrt(CAST(SUM(CAST(w_r AS HUGEINT) * w_r) AS DOUBLE)) AS nrm_r
+  FROM w{k}
+),
 v{k} AS (
-  SELECT w{k}.i AS j, round(w{k}.w / n{k}.nrm, {_PCA_ITER_DP}) AS v
+  SELECT w{k}.i AS j,
+         CAST(ROUND(CAST(w{k}.w_r AS DOUBLE) / n{k}.nrm_r * 1000000)
+              AS BIGINT) AS v_u
   FROM w{k} CROSS JOIN n{k}
 )"""
 
@@ -1250,19 +1267,25 @@ WITH e AS (
          UNNEST(CAST(embedding AS DOUBLE[])) AS val
   FROM embeddings
 ),
+q AS (
+  SELECT vec_id, pos, CAST(ROUND(val * 1000000) AS BIGINT) AS val_u FROM e
+),
 a AS (
+  -- exact BIGINT second-moment entries at 1e-12 scale: the only row-scale
+  -- sums in the query are integer now (r11; the float-sum spelling could
+  -- straddle its micro-unit pin under a different accumulation order)
   SELECT x.pos AS i, y.pos AS j,
-         CAST(ROUND(SUM(x.val * y.val) * 1000000.0) AS BIGINT) / 1000000.0
-           AS a
-  FROM e x JOIN e y ON x.vec_id = y.vec_id
+         CAST(SUM(x.val_u * y.val_u) AS BIGINT) AS a_u
+  FROM q x JOIN q y ON x.vec_id = y.vec_id
   GROUP BY x.pos, y.pos
 ),
-v0 AS (SELECT DISTINCT j, 0.125 AS v FROM a),
+v0 AS (SELECT DISTINCT j, CAST(125000 AS BIGINT) AS v_u FROM a),
 """
     + ",".join(_pca_iter_sql(k) for k in range(1, _PCA_ITERS + 1))
     + f"""
-SELECT v{_PCA_ITERS}.j AS pos, ROUND(v{_PCA_ITERS}.v, 6) AS loading,
-       ROUND(n{_PCA_ITERS}.nrm, 6) AS eigenvalue
+SELECT v{_PCA_ITERS}.j AS pos,
+       ROUND(CAST(v{_PCA_ITERS}.v_u AS DOUBLE) / 1000000.0, 6) AS loading,
+       ROUND(n{_PCA_ITERS}.nrm_r / 1000000.0, 6) AS eigenvalue
 FROM v{_PCA_ITERS} CROSS JOIN n{_PCA_ITERS}
 """
 )
@@ -1280,13 +1303,14 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (λ₂/λ₁)^k, so near-isotropic clouds (these synthetics, by
     construction) need more rounds — the knob, exactly like x152's.
 
-    Determinism follows x63's iterative discipline: A's entries pin to
-    integer micro-units at build (the only row-scale sums), every iterate
-    is rounded to {_PCA_ITER_DP} dp so cross-engine float drift cannot
-    compound, and v₀ = 1/8 (d=64) is exact binary. Sums inside an
-    iteration are 64-term — single-partition deterministic on both
-    engines; the d² explode partial-aggregates map-side to 4096 keys
-    before its one shuffle.
+    Determinism (r11 straddle closure): EXACT integer fixed-point
+    end-to-end — embeddings quantize to micro-ints at explode, A is an
+    exact BIGINT moment matrix (1e-12 scale), each matvec is a
+    DECIMAL(38)/HUGEINT dot product with a half-up integer rescale, the
+    norm is sqrt of an exact sum of squares, and v₀ = 0.125 is the exact
+    integer 125000. The only float ops are one sqrt and one division per
+    component per round, on operands that are bit-identical across
+    engines and partition layouts — nothing accumulates in float.
 
     100 TB: the moment-matrix build is one n×d² → d² map-combined agg
     (the heavy stage — d² partial states per task, Arrow-free, all
@@ -1297,40 +1321,66 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos0", "val")
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    x = e.select("vec_id", F.col("pos").alias("i"), F.col("val").alias("xi"))
-    y = e.select("vec_id", F.col("pos").alias("j"), F.col("val").alias("xj"))
+    q = e.select(
+        "vec_id", "pos", F.round(F.col("val") * 1_000_000).cast("long").alias("val_u")
+    )
+    x = q.select("vec_id", F.col("pos").alias("i"), F.col("val_u").alias("xu"))
+    y = q.select("vec_id", F.col("pos").alias("j"), F.col("val_u").alias("yu"))
+    # exact BIGINT moment matrix at 1e-12 scale (r11 straddle closure); the
+    # envelope is ~7e14 at sf0.1 and ~7e17 at sf100 — move to DECIMAL(38)
+    # accumulators past ~1e7 vectors at these magnitudes
     a = (
         x.join(y, "vec_id")
         .groupBy("i", "j")
-        .agg(
-            (
-                F.round(F.sum(F.col("xi") * F.col("xj")) * 1_000_000.0).cast("long")
-                / 1_000_000.0
-            ).alias("a")
-        )
+        .agg(F.sum(F.col("xu") * F.col("yu")).alias("a_u"))
         .localCheckpoint(eager=True)
     )
-    v = a.select(F.col("j")).distinct().withColumn("v", F.lit(0.125))
+    v = a.select(F.col("j")).distinct().withColumn(
+        "v_u", F.lit(125_000).cast("long")
+    )
     nrm_df = None
     for _ in range(_PCA_ITERS):
+        # matvec in DECIMAL(38) (products ~6e20), sign-safe double-round
+        # rescale to w_r = w*1e6 (see oracle comment: div/floor diverge on
+        # negatives), exact DECIMAL norm-square, one sqrt and one division
+        # per component — no float accumulation anywhere
         w = (
             a.join(v, "j")
             .groupBy("i")
-            .agg(F.sum(F.col("a") * F.col("v")).alias("w"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("a_u").cast("decimal(38,0)") * F.col("v_u")
+                    ).cast("double")
+                    / 1e12
+                )
+                .cast("long")
+                .alias("w_r")
+            )
         )
-        nrm_df = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        nrm_df = w.agg(
+            F.sqrt(
+                F.sum(F.col("w_r").cast("decimal(38,0)") * F.col("w_r")).cast(
+                    "double"
+                )
+            ).alias("nrm_r")
+        )
         v = (
             w.crossJoin(F.broadcast(nrm_df))
             .select(
                 F.col("i").alias("j"),
-                F.round(F.col("w") / F.col("nrm"), _PCA_ITER_DP).alias("v"),
+                F.round(
+                    F.col("w_r").cast("double") / F.col("nrm_r") * 1_000_000
+                )
+                .cast("long")
+                .alias("v_u"),
             )
             .localCheckpoint(eager=True)
         )
     return v.crossJoin(F.broadcast(nrm_df)).select(
         F.col("j").alias("pos"),
-        F.round(F.col("v"), 6).alias("loading"),
-        F.round(F.col("nrm"), 6).alias("eigenvalue"),
+        F.round(F.col("v_u").cast("double") / 1_000_000.0, 6).alias("loading"),
+        F.round(F.col("nrm_r") / 1_000_000.0, 6).alias("eigenvalue"),
     )
 
 

@@ -6057,18 +6057,24 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MKSTAT_ITERS = 20
-_MKSTAT_DP = 10  # per-iteration pin: SQL SUM order is unspecified, the fold
-# order is fixed — 10dp absorbs the ~1e-17 five-term drift (x63 discipline)
+# Iteration state is EXACT integer fixed-point at 1e-10 scale (r11): the
+# former 10dp-per-iteration float pin bounded drift but could not exclude a
+# round straddle at extreme tightness; integers can.
 
 
 def _mkstat_iter_sql(k: int) -> str:
     # MATERIALIZED per iteration too: inlining a 20-deep CTE chain makes
     # DuckDB's planner itself the bottleneck (~8 s of plan expansion for
-    # microseconds of 5-row joins)
+    # microseconds of 5-row joins).
+    # Exact integer fixed-point step (r11 straddle-family closure): pi is
+    # held at 1e-10 scale, m at 1e-6; the product sum is exact BIGINT
+    # (~1e17 max) and the rescale is half-up INTEGER division — no float
+    # accumulation survives anywhere in the 20-round chain.
     prev = f"pi{k - 1}"
     return f"""
 pi{k} AS MATERIALIZED (
-  SELECT m.dst AS state, ROUND(SUM(p.p * m.p), {_MKSTAT_DP}) AS p
+  SELECT m.dst AS state,
+         CAST((SUM(p.p_u * m.p_u) + 500000) // 1000000 AS BIGINT) AS p_u
   FROM {prev} p JOIN m ON m.src = p.state
   GROUP BY m.dst
 )"""
@@ -6091,14 +6097,17 @@ m AS MATERIALIZED (
   -- inlines plain CTEs — without this the row-scale lag+window pipeline
   -- re-evaluates once per iteration (x232's lesson; 22.8 s -> ~1 s)
   SELECT src, dst,
-         ROUND(CAST(c AS DOUBLE)
-               / SUM(c) OVER (PARTITION BY src), 6) AS p
+         CAST(ROUND(CAST(c AS DOUBLE)
+                    / SUM(c) OVER (PARTITION BY src) * 1000000) AS BIGINT)
+           AS p_u
   FROM cnt
 ),
 states AS (SELECT DISTINCT src AS state FROM m),
 nn AS (SELECT COUNT(*) AS k FROM states),
 pi0 AS (
-  SELECT state, ROUND(1.0 / (SELECT k FROM nn), 6) AS p FROM states
+  SELECT state,
+         CAST(ROUND(1e10 / (SELECT k FROM nn)) AS BIGINT) AS p_u
+  FROM states
 ),"""
     + ",".join(_mkstat_iter_sql(k) for k in range(1, _MKSTAT_ITERS + 1))
     + f"""
@@ -6107,7 +6116,8 @@ pi0 AS (
 -- output row while the Spark side's src-built index drops it (r8 parity
 -- fix; both engines now report the distribution over src states, where
 -- dst-only sinks absorb mass without re-emitting it in either engine)
-SELECT state, ROUND(p, 6) AS stationary_p FROM pi{_MKSTAT_ITERS}
+SELECT state, ROUND(CAST(p_u AS DOUBLE) / 1e10, 6) AS stationary_p
+FROM pi{_MKSTAT_ITERS}
 WHERE state IN (SELECT state FROM states)
 """
 )
@@ -6126,9 +6136,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     a dense k x k matrix assembled by sort+collect from the aggregated
     transition table (x192's fold device at matrix rank) — zero driver
     loops, zero per-round scheduling floors (contrast x63's 5 join
-    rounds: right for graph-sized state, waste for k=5). Per-iteration
-    10dp pin (x63's discipline) absorbs the fold-order vs SQL-SUM-order
-    difference; transition probabilities pin 6dp before any iteration.
+    rounds: right for graph-sized state, waste for k=5). The whole
+    20-round chain is EXACT integer fixed-point (r11 straddle closure):
+    pi at 1e-10 scale, M at 1e-6, half-up integer-division rescale per
+    step — fold order vs SQL SUM order cannot differ because no float
+    is ever accumulated; one display division at the end.
 
     100 TB: M's grain is |types|² regardless of event volume; the lag
     window shuffles once on user_id. A 10⁶-state chain would flip back
@@ -6146,9 +6158,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         F.round(
             F.col("c").cast("double")
-            / F.sum("c").over(Window.partitionBy("src")),
-            6,
-        ).alias("p"),
+            / F.sum("c").over(Window.partitionBy("src"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("p_u"),
     )
     # dense k x k matrix + state list, assembled in one tiny collect-free
     # aggregation: rows sorted by (src, dst) so indexing is deterministic
@@ -6160,35 +6174,42 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = (
         m.join(idx.withColumnRenamed("state", "src").withColumnRenamed("i", "si"), "src")
         .join(idx.withColumnRenamed("state", "dst").withColumnRenamed("i", "di"), "dst")
-        .select("si", "di", "p")
+        .select("si", "di", "p_u")
     )
     packed = entries.agg(
-        F.array_sort(F.collect_list(F.struct("si", "di", "p"))).alias("mm"),
+        F.array_sort(F.collect_list(F.struct("si", "di", "p_u"))).alias("mm"),
         F.max("si").alias("kmax"),
     )
+    # exact integer fixed-point fold (r11): pi at 1e-10 scale, m at 1e-6;
+    # the per-state dot product is a BIGINT sum (max ~1e17) and the rescale
+    # is half-up integer division — the fold order can no longer shift a
+    # ulp because there are no floats to shift
     folded = packed.select(
         F.expr(
             f"""
             aggregate(
               sequence(1, {_MKSTAT_ITERS}),
               transform(sequence(0, kmax),
-                        i -> CAST(round(1.0 / (kmax + 1), 6) AS DOUBLE)),
+                        i -> CAST(round(1e10 / (kmax + 1)) AS BIGINT)),
               (pi, it) -> transform(
                 sequence(0, kmax),
-                j -> CAST(round(
+                j -> CAST((
                   aggregate(
                     filter(mm, e -> e.di = j),
-                    CAST(0.0 AS DOUBLE),
-                    (acc, e) -> acc + pi[e.si] * e.p),
-                  {_MKSTAT_DP}) AS DOUBLE))
+                    CAST(0 AS BIGINT),
+                    (acc, e) -> acc + pi[e.si] * e.p_u)
+                  + 500000) div 1000000 AS BIGINT))
             ) AS pif
             """
         )
     )
     out = folded.select(
-        F.posexplode("pif").alias("i", "p")
+        F.posexplode("pif").alias("i", "p_u")
     ).join(F.broadcast(idx), "i")
-    return out.select("state", F.round("p", 6).alias("stationary_p"))
+    return out.select(
+        "state",
+        F.round(F.col("p_u").cast("double") / 1e10, 6).alias("stationary_p"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -8003,22 +8024,32 @@ num AS (
 ),
 acf AS (
   SELECT nm.event_type, nm.k, dn.n,
-         ROUND(CAST(nm.sk AS DOUBLE) / CAST(dn.s0 AS DOUBLE), 6) AS r_k
+         CAST(ROUND(CAST(nm.sk AS DOUBLE) / CAST(dn.s0 AS DOUBLE) * 1000000)
+              AS BIGINT) AS r_u
   FROM num nm JOIN den dn ON nm.event_type = dn.event_type
 ),
 q AS (
-  SELECT event_type, k, n, r_k,
-         ROUND(n * (n + 2)
-               * SUM(r_k * r_k / (n - k))
-                 OVER (PARTITION BY event_type ORDER BY k
-                       ROWS UNBOUNDED PRECEDING), 4) AS q_k
+  -- exact integer Q accumulation (r11 straddle closure): each lag's term
+  -- r_u^2/(n-k) pins to a BIGINT at 1e-12 scale (one division), the
+  -- running window sums INTEGERS (engine-internal accumulation order is
+  -- irrelevant), and n(n+2)*sum stays exact (~2e15 max)
+  SELECT event_type, k, n, r_u,
+         n * (n + 2)
+           * SUM(CAST(ROUND(CAST(r_u * r_u AS DOUBLE) / (n - k)) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY k
+                     ROWS UNBOUNDED PRECEDING) AS q_u
   FROM acf
+),
+qq AS (
+  SELECT event_type, k, n, r_u, q_u,
+         ROUND(CAST(q_u AS DOUBLE) / 1e12, 4) AS q_k
+  FROM q
 )
 SELECT event_type, CAST(k AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_days,
-       r_k, q_k,
+       ROUND(CAST(r_u AS DOUBLE) / 1000000.0, 6) AS r_k, q_k,
        CAST(CASE WHEN q_k > (CASE {_LB_CRIT_SQL} END)
                  THEN 1 ELSE 0 END AS INTEGER) AS wn_reject
-FROM q
+FROM qq
 """
 
 
@@ -8096,28 +8127,34 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "n",
         F.round(
-            F.col("sk").cast("double") / F.col("s0").cast("double"), 6
-        ).alias("r_k"),
+            F.col("sk").cast("double") / F.col("s0").cast("double") * 1_000_000
+        )
+        .cast("long")
+        .alias("r_u"),
     )
     wq = (
         Window.partitionBy("event_type")
         .orderBy("k")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # exact integer Q accumulation (r11): per-lag term pinned to BIGINT at
+    # 1e-12 scale, window sums integers, n(n+2)*sum stays exact
     q = acf.select(
         "event_type",
         "k",
         "n",
-        "r_k",
-        F.round(
+        "r_u",
+        (
             F.col("n")
             * (F.col("n") + 2)
             * F.sum(
-                F.col("r_k") * F.col("r_k") / (F.col("n") - F.col("k"))
-            ).over(wq),
-            4,
-        ).alias("q_k"),
-    )
+                F.round(
+                    (F.col("r_u") * F.col("r_u")).cast("double")
+                    / (F.col("n") - F.col("k"))
+                ).cast("long")
+            ).over(wq)
+        ).alias("q_u"),
+    ).withColumn("q_k", F.round(F.col("q_u").cast("double") / 1e12, 4))
     crit = F.lit(None).cast("double")
     for i, cv in enumerate(_LB_CRIT):
         crit = F.when(F.col("k") == i + 1, F.lit(cv)).otherwise(crit)
@@ -8125,7 +8162,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("k").cast("int").alias("lag"),
         F.col("n").cast("long").alias("n_days"),
-        "r_k",
+        F.round(F.col("r_u").cast("double") / 1_000_000.0, 6).alias("r_k"),
         "q_k",
         F.when(F.col("q_k") > crit, 1).otherwise(0).cast("int").alias(
             "wn_reject"
