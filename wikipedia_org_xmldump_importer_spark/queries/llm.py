@@ -1229,32 +1229,34 @@ _PCA_ITERS = 5
 
 
 def _pca_iter_sql(k: int) -> str:
-    # Exact integer fixed-point step (r11 straddle-family closure): A is
-    # held at 1e-12 scale (BIGINT), v at 1e-6; the matvec sum is exact
-    # HUGEINT, rescaled to w_r = w*1e6 via double round (sign-safe: an
-    # integer half-add would floor in DuckDB but truncate under Spark's
-    # div on NEGATIVE components; the exact-int -> double conversion and
-    # ROUND are correctly rounded and half-away-from-zero in both
-    # engines). The norm is sqrt of an exact HUGEINT sum of squares; only
-    # that conversion, the sqrt, and the unit-vector division touch
-    # floats, each on bit-identical operands. The former spelling summed
-    # 64 DOUBLES per component per round — bounded by a 10dp pin, not
-    # excluded.
+    # Exact integer fixed-point step (r11 straddle-family closure): A at
+    # 1e-6 scale, v at 1e-6 — the matvec sum is plain BIGINT (max ~4e16
+    # at sf0.1; codegen-friendly, no decimal), rescaled to w_r = w*1e6
+    # via double ROUND (sign-safe: an integer half-add would floor in
+    # DuckDB but truncate under Spark's div on NEGATIVE components; the
+    # exact-int -> double conversion and ROUND are correctly rounded and
+    # half-away-from-zero in both engines). The norm is sqrt of an exact
+    # BIGINT sum of squares of the 1e4-rescaled components. Only those
+    # conversions, the sqrt, and the unit-vector division touch floats,
+    # each a single op on bit-identical operands. The former spelling
+    # summed 64 DOUBLES per component per round — bounded by a 10dp pin,
+    # not excluded.
     prev = f"v{k - 1}"
     return f"""
 w{k} AS (
   SELECT a.i,
-         CAST(ROUND(CAST(SUM(CAST(a.a_u AS HUGEINT) * {prev}.v_u) AS DOUBLE)
-                    / 1e12) AS BIGINT) AS w_r
+         CAST(ROUND(CAST(SUM(a.a_r * {prev}.v_u) AS DOUBLE) / 1000000)
+              AS BIGINT) AS w_r
   FROM a JOIN {prev} ON a.j = {prev}.j GROUP BY a.i
 ),
 n{k} AS (
-  SELECT sqrt(CAST(SUM(CAST(w_r AS HUGEINT) * w_r) AS DOUBLE)) AS nrm_r
-  FROM w{k}
+  SELECT sqrt(CAST(SUM(wm * wm) AS DOUBLE)) AS nrm_m
+  FROM (SELECT CAST(ROUND(CAST(w_r AS DOUBLE) / 100) AS BIGINT) AS wm
+        FROM w{k})
 ),
 v{k} AS (
   SELECT w{k}.i AS j,
-         CAST(ROUND(CAST(w{k}.w_r AS DOUBLE) / n{k}.nrm_r * 1000000)
+         CAST(ROUND(CAST(w{k}.w_r AS DOUBLE) / n{k}.nrm_m * 10000)
               AS BIGINT) AS v_u
   FROM w{k} CROSS JOIN n{k}
 )"""
@@ -1271,11 +1273,13 @@ q AS (
   SELECT vec_id, pos, CAST(ROUND(val * 1000000) AS BIGINT) AS val_u FROM e
 ),
 a AS (
-  -- exact BIGINT second-moment entries at 1e-12 scale: the only row-scale
-  -- sums in the query are integer now (r11; the float-sum spelling could
-  -- straddle its micro-unit pin under a different accumulation order)
+  -- exact second-moment entries: the row-scale sum is pure BIGINT (r11;
+  -- the float-sum spelling could straddle its micro-unit pin under a
+  -- different accumulation order), then rescaled once to micro-units
+  -- (a_r = A*1e6) so the per-round matvec stays in plain BIGINT range
   SELECT x.pos AS i, y.pos AS j,
-         CAST(SUM(x.val_u * y.val_u) AS BIGINT) AS a_u
+         CAST(ROUND(CAST(SUM(x.val_u * y.val_u) AS DOUBLE) / 1000000)
+              AS BIGINT) AS a_r
   FROM q x JOIN q y ON x.vec_id = y.vec_id
   GROUP BY x.pos, y.pos
 ),
@@ -1285,7 +1289,7 @@ v0 AS (SELECT DISTINCT j, CAST(125000 AS BIGINT) AS v_u FROM a),
     + f"""
 SELECT v{_PCA_ITERS}.j AS pos,
        ROUND(CAST(v{_PCA_ITERS}.v_u AS DOUBLE) / 1000000.0, 6) AS loading,
-       ROUND(n{_PCA_ITERS}.nrm_r / 1000000.0, 6) AS eigenvalue
+       ROUND(n{_PCA_ITERS}.nrm_m / 10000.0, 6) AS eigenvalue
 FROM v{_PCA_ITERS} CROSS JOIN n{_PCA_ITERS}
 """
 )
@@ -1326,61 +1330,88 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = q.select("vec_id", F.col("pos").alias("i"), F.col("val_u").alias("xu"))
     y = q.select("vec_id", F.col("pos").alias("j"), F.col("val_u").alias("yu"))
-    # exact BIGINT moment matrix at 1e-12 scale (r11 straddle closure); the
+    # exact BIGINT moment sums (r11 straddle closure), rescaled once to
+    # micro-units so the matvec stays in plain-long range; the build-sum
     # envelope is ~7e14 at sf0.1 and ~7e17 at sf100 — move to DECIMAL(38)
-    # accumulators past ~1e7 vectors at these magnitudes
+    # accumulators past ~1e7 vectors at these magnitudes (the matvec
+    # envelope is 64*a_r*1e6 ~ 4e16 at sf0.1, ~4e19 past ~1e7 vectors —
+    # same boundary)
     a = (
         x.join(y, "vec_id")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("xu") * F.col("yu")).alias("a_u"))
-        .localCheckpoint(eager=True)
-    )
-    v = a.select(F.col("j")).distinct().withColumn(
-        "v_u", F.lit(125_000).cast("long")
-    )
-    nrm_df = None
-    for _ in range(_PCA_ITERS):
-        # matvec in DECIMAL(38) (products ~6e20), sign-safe double-round
-        # rescale to w_r = w*1e6 (see oracle comment: div/floor diverge on
-        # negatives), exact DECIMAL norm-square, one sqrt and one division
-        # per component — no float accumulation anywhere
-        w = (
-            a.join(v, "j")
-            .groupBy("i")
-            .agg(
-                F.round(
-                    F.sum(
-                        F.col("a_u").cast("decimal(38,0)") * F.col("v_u")
-                    ).cast("double")
-                    / 1e12
-                )
-                .cast("long")
-                .alias("w_r")
+        .agg(
+            F.round(
+                F.sum(F.col("xu") * F.col("yu")).cast("double") / 1_000_000
             )
+            .cast("long")
+            .alias("a_r")
         )
-        nrm_df = w.agg(
-            F.sqrt(
-                F.sum(F.col("w_r").cast("decimal(38,0)") * F.col("w_r")).cast(
-                    "double"
-                )
-            ).alias("nrm_r")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm_df))
-            .select(
-                F.col("i").alias("j"),
-                F.round(
-                    F.col("w_r").cast("double") / F.col("nrm_r") * 1_000_000
-                )
-                .cast("long")
-                .alias("v_u"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return v.crossJoin(F.broadcast(nrm_df)).select(
-        F.col("j").alias("pos"),
+    )
+    # all 5 rounds run as ONE Catalyst aggregate() fold over the packed
+    # 4096-entry matrix (x240's device at d=64): the per-round dataframe
+    # loop paid ~0.6 s of scheduling + checkpoint per iteration for
+    # microseconds of math (measured r11: 4.3 s loop vs ~1 s fold,
+    # isolated sf0.1). State is v_u (slots 1..d) plus the last norm in
+    # slot d+1 (as ||w||*1e6) for the eigenvalue output. Each step:
+    # plain-BIGINT matvec, sign-safe double-round rescale to w_r = w*1e6
+    # (div/floor diverge on negatives), exact BIGINT norm-square on the
+    # 1e4-rescaled components, one sqrt + one division per component —
+    # identical arithmetic to the unrolled oracle CTEs, no float
+    # accumulation anywhere. The element_at(transform(array(...)))
+    # wrapper is a let-binding so w materializes once per round.
+    packed = a.agg(
+        F.array_sort(F.collect_list(F.struct("i", "j", "a_r"))).alias("mm"),
+        F.max("i").alias("dmax"),
+    )
+    folded = packed.select(
+        F.expr(
+            f"""
+            aggregate(
+              sequence(1, {_PCA_ITERS}),
+              transform(sequence(1, dmax), i -> CAST(125000 AS BIGINT)),
+              (vu, it) -> element_at(
+                transform(
+                  array(transform(sequence(1, dmax),
+                    i -> CAST(round(
+                           CAST(aggregate(filter(mm, e -> e.i = i),
+                                          CAST(0 AS BIGINT),
+                                          (acc, e) -> acc + e.a_r * vu[e.j - 1])
+                                AS DOUBLE) / 1000000) AS BIGINT))),
+                  w -> transform(sequence(1, dmax + 1),
+                    i -> CASE WHEN i <= dmax THEN
+                           CAST(round(
+                             CAST(w[i - 1] AS DOUBLE)
+                             / sqrt(CAST(aggregate(
+                                 transform(w, x -> CAST(round(
+                                   CAST(x AS DOUBLE) / 100) AS BIGINT)),
+                                 CAST(0 AS BIGINT),
+                                 (acc, m) -> acc + m * m) AS DOUBLE))
+                             * 10000) AS BIGINT)
+                         ELSE
+                           CAST(round(sqrt(CAST(aggregate(
+                                 transform(w, x -> CAST(round(
+                                   CAST(x AS DOUBLE) / 100) AS BIGINT)),
+                                 CAST(0 AS BIGINT),
+                                 (acc, m) -> acc + m * m) AS DOUBLE)) * 100)
+                                AS BIGINT)
+                         END)),
+                1)
+            ) AS vuf
+            """
+        ),
+        F.col("dmax"),
+    )
+    out = folded.select(
+        F.col("dmax"),
+        F.element_at("vuf", F.col("dmax") + 1).alias("nrm_u6"),
+        F.posexplode(F.expr("slice(vuf, 1, dmax)")).alias("pos0", "v_u"),
+    )
+    return out.select(
+        (F.col("pos0") + 1).alias("pos"),
         F.round(F.col("v_u").cast("double") / 1_000_000.0, 6).alias("loading"),
-        F.round(F.col("nrm_r") / 1_000_000.0, 6).alias("eigenvalue"),
+        F.round(F.col("nrm_u6").cast("double") / 1_000_000.0, 6).alias(
+            "eigenvalue"
+        ),
     )
 
 
