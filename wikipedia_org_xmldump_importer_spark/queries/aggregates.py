@@ -52,14 +52,14 @@ SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
+  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
     AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS DOUBLE)
+  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE)
         / 1000000.0, 2) AS sum_charge,
   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
+  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -73,20 +73,22 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
     )
-    # r11 straddle-family sweep: exact integer-unit money sums in
-    # DECIMAL(38) accumulators, one division per output (see flagship.py
-    # module comment for the device and its scale envelope).
-    u = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    # r11 straddle-family sweep: exact integer-unit money sums, one
+    # division per output (see flagship.py module comment for the device
+    # and its scale envelope: only the charge accumulator needs
+    # DECIMAL(38); the rest stay BIGINT through sf100)
+    # floor(x*100+0.5) device — see flagship._money_u for why not round()
+    u = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cents, dpct, tpct = u("l_extendedprice"), u("l_discount"), u("l_tax")
     cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum(dec(cents)).cast("double") / 100.0, 2).alias(
+        F.round(F.sum(cents).cast("double") / 100.0, 2).alias(
             "sum_base_price"
         ),
         F.round(
-            F.sum(dec(cents * (100 - dpct))).cast("double") / 10000.0, 2
+            F.sum(cents * (100 - dpct)).cast("double") / 10000.0, 2
         ).alias("sum_disc_price"),
         F.round(
             F.sum(dec(cents * (100 - dpct) * (100 + tpct))).cast("double")
@@ -94,10 +96,10 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_charge"),
         F.round(F.sum("l_quantity") / cnt, 6).alias("avg_qty"),
-        F.round(F.sum(dec(cents)).cast("double") / 100.0 / cnt, 6).alias(
+        F.round(F.sum(cents).cast("double") / 100.0 / cnt, 6).alias(
             "avg_price"
         ),
-        F.round(F.sum(dec(dpct)).cast("double") / 100.0 / cnt, 6).alias(
+        F.round(F.sum(dpct).cast("double") / 100.0 / cnt, 6).alias(
             "avg_disc"
         ),
         cnt.alias("count_order"),
@@ -531,8 +533,8 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARETO_ORACLE = """
 WITH rev AS (
   SELECT n.n_name AS nation,
-         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                  * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
               AS BIGINT) AS rev_u
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -586,8 +588,8 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
             ).alias("rev_u")
         )
     )
@@ -620,7 +622,7 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WPCT_ORACLE = """
 WITH pts AS (
   SELECT l_returnflag AS flag, l_quantity AS v,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS w,
          l_orderkey, l_linenumber
   FROM lineitem
 ),
@@ -1152,7 +1154,7 @@ _HHI_ORACLE = """
 WITH rev AS (
   SELECT s.s_nationkey,
          l.l_suppkey,
-         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS cents
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
   GROUP BY s.s_nationkey, l.l_suppkey
@@ -1371,9 +1373,9 @@ _CORRM_ORACLE = (
     """
 WITH q AS (
   SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
-         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
-         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
   FROM lineitem
 ),
 m AS (
@@ -1481,8 +1483,8 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGM_ORACLE = """
 WITH q AS (
   SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS y,
-         CAST(ROUND(l_discount * 100) AS BIGINT) AS x1,
-         CAST(ROUND(l_tax * 100) AS BIGINT) AS x2
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x1,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS x2
   FROM lineitem
 ),
 m AS (
@@ -1619,7 +1621,7 @@ _ABCXYZ_ORACLE = """
 WITH q AS (
   SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
          CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty,
-         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            AS cents
   FROM lineitem GROUP BY 1, 2
 ),
@@ -2048,7 +2050,7 @@ _TRIM_PCT = 5  # percent trimmed from EACH side
 _TRIM_ORACLE = f"""
 WITH pts AS (
   SELECT l_returnflag AS flag,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag
                             ORDER BY l_extendedprice, l_orderkey,
                                      l_linenumber) AS r,
@@ -3047,7 +3049,7 @@ def corr_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEAR_ORACLE = """
 WITH pts AS (
   SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
   FROM lineitem
 ),
 rk AS (
