@@ -185,10 +185,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row distinct-pair total frame broadcast-crossed onto the "
         "min-count-filtered bigram table — bounded by construction (x168)"
     ),
-    ("vec_pca_power", "BroadcastNestedLoopJoin"): (
-        "1-row norm frame broadcast-crossed onto the 64-row iterate each "
-        "power-iteration round — bounded by construction (x169)"
-    ),
     ("agg_median_ci", "BroadcastNestedLoopJoin"): (
         "1-row rank frame (n, r_lo, r_med, r_hi) broadcast-crossed onto "
         "the value-grain CDF table — bounded by construction (x158)"
