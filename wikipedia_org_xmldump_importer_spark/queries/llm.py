@@ -1327,7 +1327,11 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
     q = e.select(
         "vec_id", "pos", F.round(F.col("val") * 1_000_000).cast("long").alias("val_u")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # ^ the d² self-join fans each input row out ×d (82M rows at sf1 from a
+    # few-MB input): without the explicit repartition AQE coalesces the
+    # tiny shuffle inputs to ONE task and the fan-out runs single-core —
+    # measured 25.8 s vs 2.9 s at sf1 for the identical plan at 32 tasks.
     x = q.select("vec_id", F.col("pos").alias("i"), F.col("val_u").alias("xu"))
     y = q.select("vec_id", F.col("pos").alias("j"), F.col("val_u").alias("yu"))
     # exact BIGINT moment sums (r11 straddle closure), rescaled once to
@@ -1359,10 +1363,16 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical arithmetic to the unrolled oracle CTEs, no float
     # accumulation anywhere. The element_at(transform(array(...)))
     # wrapper is a let-binding so w materializes once per round.
+    # localCheckpoint the ONE-ROW packed frame: the output select consumes
+    # the fold from two branches (the eigenvalue column and the posexplode
+    # of the loadings), and without the cut Catalyst re-derives the entire
+    # n×d² moment-matrix build per branch — measured 26 s vs 9 s at sf1
+    # (two FileScans in the executed plan). A 1-row checkpoint makes both
+    # branches read the materialized matrix.
     packed = a.agg(
         F.array_sort(F.collect_list(F.struct("i", "j", "a_r"))).alias("mm"),
         F.max("i").alias("dmax"),
-    )
+    ).localCheckpoint(eager=True)
     folded = packed.select(
         F.expr(
             f"""
