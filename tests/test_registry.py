@@ -206,6 +206,10 @@ def test_survey_registry_sync():
         "import_dump_full",
         "stream_import_dump",
         "shard_dump",
+        "sink_orc",
+        "scan_orc",
+        "compact_parquet",
+        "compact_parquet_partitioned",
         "bloom_bitmap_kernel",
         "ewvol_linear",
         "matrix_profile_linear_memory",

@@ -141,6 +141,230 @@ def sink_jdbc(
     writer.mode(mode).save()
 
 
+def sink_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """s15: ORC columnar sink — the second Spark-native columnar format.
+
+    Same DSv2 surface as parquet (predicate pushdown, column pruning,
+    partition pruning all apply; tests assert PushedFilters reaches the ORC
+    scan), so a downstream stack standardized on ORC (classic Hive/Presto
+    warehouses) can consume this engine's output without a conversion hop.
+
+    100 TB notes: ORC carries file/stripe/row-group (10k rows) min-max
+    indexes like parquet's row groups, so pushed predicates skip stripes at
+    scan time. Compression is per-stripe; ``snappy`` decodes fastest,
+    ``zstd`` trades ~30% smaller files for CPU — pick by whether the table
+    is scan-hot or archive-cold. Partition-column guidance is identical to
+    sink_parquet (low cardinality or small-file explosion).
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """s15: ORC scan twin of scan_parquet — footer-only schema, full DSv2
+    pushdown (see sink_orc)."""
+    return spark.read.orc(path)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — resolves the
+    scheme (file://, hdfs://, s3a://) from the session's Hadoop conf, so the
+    file-stat helpers below work unchanged on any cluster filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> dict[str, dict]:
+    """Per-leaf-directory data-file stats under a parquet root:
+    ``{leaf_rel_dir: {"files": n, "bytes": total}}`` (leaf ``""`` for an
+    unpartitioned table). Counts only ``*.parquet`` data files — `_SUCCESS`,
+    checksums and dot-files are metadata, not data.
+
+    One recursive FS listing (a namenode/S3-LIST round trip per 1000
+    entries), no data read — this is the planning step of compaction, and
+    it's how the engine decides WHAT to rewrite before touching a byte.
+    """
+    fs, hpath = _hadoop_fs(spark, path)
+    root = fs.getFileStatus(hpath).getPath().toUri().getPath()
+    it = fs.listFiles(hpath, True)
+    leaves: dict[str, dict] = {}
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        rel = st.getPath().getParent().toUri().getPath()[len(root):].lstrip("/")
+        leaf = leaves.setdefault(rel, {"files": 0, "bytes": 0})
+        leaf["files"] += 1
+        leaf["bytes"] += st.getLen()
+    return leaves
+
+
+def compact_parquet(
+    spark: SparkSession, src_path: str, dst_path: str, target_file_mb: int = 128
+) -> dict:
+    """s16 (flat mode): small-file compaction — rewrite a fragmented
+    unpartitioned parquet directory into ~``target_file_mb`` files.
+
+    ZERO-SHUFFLE by construction: instead of ``repartition`` (a full shuffle
+    of the data) or ``coalesce`` (which collapses read parallelism and
+    inherits input-file skew), the FileScan's own bin-packing does the work —
+    scope ``spark.sql.files.maxPartitionBytes`` to the target size and each
+    read split packs small files up to ~target bytes, so every task writes
+    exactly one ~target-size output file. The job is a parallel
+    decode→encode stream with no exchange; at 100 TB that is the difference
+    between a maintenance pass and a second copy of the shuffle tier.
+
+    ``openCostInBytes`` is pinned low (1 MB) for the scan: its default 4 MB
+    charges each tiny file 4 MB of virtual size, which would cap packing at
+    ~32 files/split regardless of real bytes — exactly wrong for the
+    many-tiny-files input this op exists to fix. ``minPartitionNum`` is
+    pinned to 1 because Spark's split size is
+    ``min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum))`` —
+    on a wide cluster with a small fragmented table the bytes-per-core term
+    would shrink splits below target and re-fragment; when the table is big
+    (totalBytes/cores > target) the pin is a no-op and the target governs.
+
+    Returns ``{"files_before", "bytes", "files_after"}``. Idempotent:
+    re-running on the output is a no-op-shaped single-file-per-split copy.
+    """
+    stats = parquet_file_stats(spark, src_path)
+    files_before = sum(v["files"] for v in stats.values())
+    total_bytes = sum(v["bytes"] for v in stats.values())
+    target = target_file_mb << 20
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    old_min = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        spark.read.parquet(src_path).write.mode("overwrite").parquet(dst_path)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+        if old_min is None:
+            spark.conf.unset("spark.sql.files.minPartitionNum")
+        else:
+            spark.conf.set("spark.sql.files.minPartitionNum", old_min)
+    after = parquet_file_stats(spark, dst_path)
+    return {
+        "files_before": files_before,
+        "bytes": total_bytes,
+        "files_after": sum(v["files"] for v in after.values()),
+    }
+
+
+def compact_parquet_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_mb: int = 128,
+) -> dict:
+    """s16 (partitioned mode): in-place compaction of ONLY the fragmented
+    partitions of a hive-partitioned parquet table — the OPTIMIZE-style
+    maintenance pass a streaming or incremental sink needs periodically.
+
+    Plan from metadata, touch only what's broken: the FS listing finds leaf
+    partitions whose file count exceeds ``ceil(bytes/target)`` (more files
+    than the data needs); everything else is never read. Fragmented leaves
+    are read with an explicit partition-pruning filter, rows are salted so
+    each partition splits into exactly its needed file count
+    (``pmod(monotonically_increasing_id(), n_i)`` — dense per-task ids, so
+    the salt is uniform without hashing data columns), and ONE
+    hash-repartition on (partition_cols, salt) lands each output file's rows
+    in one task. The write goes back to the SAME path under
+    ``partitionOverwriteMode=dynamic``, replacing exactly the partitions
+    present in the frame.
+
+    100 TB notes: the rewrite cost is one shuffle of the fragmented subset
+    only — a table 2% fragmented shuffles 2% of its bytes. Dynamic overwrite
+    is atomic per partition, not across the job; a mid-job failure leaves
+    some partitions compacted and the rest untouched, and a re-run converges
+    (the op is idempotent because compacted partitions no longer qualify).
+
+    Returns ``{"partitions_total", "partitions_rewritten", "files_before",
+    "files_after"}`` (file counts over the rewritten partitions only).
+    """
+    target = target_file_mb << 20
+    leaves = parquet_file_stats(spark, path)
+    fragmented: dict[str, dict] = {}
+    for rel, st in leaves.items():
+        need = max(1, -(-st["bytes"] // target))  # ceil
+        if st["files"] > need:
+            fragmented[rel] = {**st, "need": need}
+    if not fragmented:
+        return {
+            "partitions_total": len(leaves),
+            "partitions_rewritten": 0,
+            "files_before": 0,
+            "files_after": 0,
+        }
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+
+    def leaf_values(rel: str) -> dict[str, str]:
+        # "p1=a/p2=3" -> {"p1": "a", "p2": "3"} (hive layout, URL-escapes
+        # not handled — the engine's own sinks never emit values needing
+        # them; extend with urllib.parse.unquote if an external writer does)
+        return dict(seg.split("=", 1) for seg in rel.split("/"))
+
+    pred = None
+    salt_rows = []
+    offset = 0
+    for rel, st in sorted(fragmented.items()):
+        vals = leaf_values(rel)
+        clause = None
+        for c in partition_cols:
+            eq = F.col(c) == F.lit(vals[c]).cast(dtypes[c])
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+        salt_rows.append((*[vals[c] for c in partition_cols], st["need"]))
+        offset += st["need"]
+    frag_df = df.filter(pred)
+    mods = spark.createDataFrame(
+        salt_rows, [f"__pv_{c}" for c in partition_cols] + ["__n_files"]
+    )
+    join_cond = None
+    for c in partition_cols:
+        eq = F.col(c).cast("string") == F.col(f"__pv_{c}")
+        join_cond = eq if join_cond is None else (join_cond & eq)
+    salted = (
+        frag_df.join(F.broadcast(mods), join_cond)
+        .withColumn(
+            "__salt", F.pmod(F.monotonically_increasing_id(), F.col("__n_files"))
+        )
+        .drop(*[f"__pv_{c}" for c in partition_cols], "__n_files")
+    )
+    n_out = sum(st["need"] for st in fragmented.values())
+    out = salted.repartition(n_out, *partition_cols, "__salt").drop("__salt")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    after = parquet_file_stats(spark, path)
+    return {
+        "partitions_total": len(leaves),
+        "partitions_rewritten": len(fragmented),
+        "files_before": sum(st["files"] for st in fragmented.values()),
+        "files_after": sum(
+            st["files"] for rel, st in after.items() if rel in fragmented
+        ),
+    }
+
+
 def sink_bucketed(
     df: DataFrame,
     table: str,
