@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from .flagship import _avg6_sql, _pin2, _pin2_sql, _ratio_pin
 
 _A1_ORACLE = """
 SELECT
@@ -47,24 +48,37 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_A2_ORACLE = """
+_A2_DISC_U = (
+    "SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))"
+)
+_A2_CHARGE_U = (
+    "SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    " * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))"
+)
+_A2_ORACLE = ("""
 SELECT
   l_returnflag,
   l_linestatus,
   ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
-    AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE)
-        / 1000000.0, 2) AS sum_charge,
-  ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
+  (SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0) AS sum_base_price,
+  {p1} AS sum_disc_price,
+  {p2} AS sum_charge,
+  {a1} AS avg_qty,
+  {a2} AS avg_price,
+  {a3} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+WHERE l_shipdate <= TIMESTAMP \'2000-12-01 00:00:00\'
 GROUP BY l_returnflag, l_linestatus
-"""
+""".format(
+    p1=_pin2_sql(_A2_DISC_U, 10000),
+    p2=_pin2_sql(_A2_CHARGE_U, 1000000),
+    a1=_avg6_sql("CAST(SUM(l_quantity) AS BIGINT)", 1000000),
+    a2=_avg6_sql("SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))", 10000),
+    a3=_avg6_sql("SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))", 10000),
+))
 
 
 @register("agg_groupby", oracle=_A2_ORACLE)
@@ -73,35 +87,33 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
     )
-    # r11 straddle-family sweep: exact integer-unit money sums, one
-    # division per output (see flagship.py module comment for the device
-    # and its scale envelope: only the charge accumulator needs
-    # DECIMAL(38); the rest stay BIGINT through sf100)
+    # r11 straddle-family sweep + the sf1 terminal-ROUND fix: exact
+    # integer-unit money sums with the display tie pinned in integer land
+    # (flagship._pin2 — a terminal float ROUND disagrees across engines on
+    # exact half-cent ties); averages pin floor((2·num·10^6/scale + n)/(2n))
+    # in DECIMAL(38) (flagship Q1's avg6 twin of _avg6_sql).
     # floor(x*100+0.5) device — see flagship._money_u for why not round()
     u = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cents, dpct, tpct = u("l_extendedprice"), u("l_discount"), u("l_tax")
     cnt = F.count(F.lit(1))
+
+    def avg6(num: F.Column, mult: int) -> F.Column:
+        t = num.cast("decimal(38,0)") * F.lit(2 * mult) + cnt
+        n2 = (cnt * 2).cast("decimal(38,0)")
+        q = ((t - F.pmod(t, n2)) / n2).cast("long")
+        return q.cast("double") / F.lit(1000000.0)
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum(cents).cast("double") / 100.0, 2).alias(
-            "sum_base_price"
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        _pin2(F.sum(cents * (100 - dpct)), 10000).alias("sum_disc_price"),
+        _pin2(F.sum(dec(cents * (100 - dpct) * (100 + tpct))), 1000000).alias(
+            "sum_charge"
         ),
-        F.round(
-            F.sum(cents * (100 - dpct)).cast("double") / 10000.0, 2
-        ).alias("sum_disc_price"),
-        F.round(
-            F.sum(dec(cents * (100 - dpct) * (100 + tpct))).cast("double")
-            / 1000000.0,
-            2,
-        ).alias("sum_charge"),
-        F.round(F.sum("l_quantity") / cnt, 6).alias("avg_qty"),
-        F.round(F.sum(cents).cast("double") / 100.0 / cnt, 6).alias(
-            "avg_price"
-        ),
-        F.round(F.sum(dpct).cast("double") / 100.0 / cnt, 6).alias(
-            "avg_disc"
-        ),
+        avg6(F.sum("l_quantity").cast("long"), 1000000).alias("avg_qty"),
+        avg6(F.sum(cents), 10000).alias("avg_price"),
+        avg6(F.sum(dpct), 10000).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -551,13 +563,13 @@ cum AS (
   FROM rev
 )
 SELECT nation,
-       ROUND(CAST(rev_u AS DOUBLE) / 10000.0, 2) AS revenue,
-       ROUND(CAST(cum_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6) AS cum_share,
+       {pv} AS revenue,
+       (CAST((((cum_u * CAST(2000000 AS HUGEINT) + tot_u) - (((cum_u * CAST(2000000 AS HUGEINT) + tot_u) % (2 * CAST(tot_u AS HUGEINT)) + (2 * CAST(tot_u AS HUGEINT))) % (2 * CAST(tot_u AS HUGEINT)))) // (2 * CAST(tot_u AS HUGEINT))) AS BIGINT) / 1000000.0) AS cum_share,
        CASE WHEN 2 * cum_u <= tot_u THEN 'A'
             WHEN 5 * cum_u <= 4 * tot_u THEN 'B'
             ELSE 'C' END AS abc_class
 FROM cum
-"""
+""".format(pv=_pin2_sql("rev_u", 10000))
 
 
 @register("pareto_abc", oracle=_PARETO_ORACLE)
@@ -604,10 +616,8 @@ def pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot_u = F.sum("rev_u").over(w_all)
     return rev.select(
         "nation",
-        F.round(F.col("rev_u").cast("double") / 10000.0, 2).alias("revenue"),
-        F.round(cum_u.cast("double") / tot_u.cast("double"), 6).alias(
-            "cum_share"
-        ),
+        _pin2(F.col("rev_u"), 10000).alias("revenue"),
+        _ratio_pin(cum_u, tot_u, 1, 6).alias("cum_share"),
         F.when(2 * cum_u <= tot_u, F.lit("A"))
         .when(5 * cum_u <= 4 * tot_u, F.lit("B"))
         .otherwise(F.lit("C"))

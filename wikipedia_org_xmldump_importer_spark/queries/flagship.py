@@ -65,13 +65,66 @@ def _rev_u_sql(p: str) -> str:
     )
 
 
+def _pin2(u: F.Column, scale: int) -> F.Column:
+    """Half-up 2dp display of an exact integer money value WITHOUT a float
+    round(): ``scale`` = integer units per dollar (10^k, k>=3). The tie is
+    resolved in INTEGER land — t = u + scale/200, then t floored to the
+    cent grid via pmod (exact for negative sums too, where ``t - t % m``
+    would truncate toward zero) — and only then ONE division produces the
+    display double. Both engines divide bit-identical integers, so the
+    emitted doubles are bit-identical.
+
+    Why a terminal float ROUND is NOT safe even on an exact integer sum
+    (the r11 sf1-sweep find, tpch_q5): when sum_u % 100 == 50 — an exact
+    half-cent tie, ~1% of groups — the quotient's nearest double sits half
+    an ULP below the tie; Spark's round() rounds the SHORTEST-DECIMAL repr
+    ("…435" → HALF_UP → .44) while DuckDB rounds the BINARY value (→ .43).
+    Three driver SFs never produced a tie group; the 10x replica did.
+
+    The quotient must ALSO be computed in integer land (decimal division
+    of an exact multiple — exact; `//` in DuckDB), not as float(numerator)
+    / float(divisor): past 2^53 the numerator's int→double conversions
+    diverge BETWEEN engines by an ULP (DuckDB's HUGEINT→DOUBLE path vs
+    Spark's Decimal→double, observed on rev_yoy_growth at sf0.001), and
+    only the final division of the SMALL exact cent value is a shared
+    correctly-rounded op.
+    """
+    m = scale // 100
+    t = (u + F.lit(scale // 200)).cast("decimal(38,0)")
+    cents = ((t - F.pmod(t, F.lit(m))) / F.lit(m)).cast("long")
+    return cents.cast("double") / F.lit(100.0)
+
+
+def _pin2_sql(expr: str, scale: int) -> str:
+    """SQL twin of _pin2 (DuckDB has no pmod: (x % m + m) % m; `//` is
+    exact integer floor-division of the already-grid-aligned value)."""
+    m = scale // 100
+    t = f"({expr} + {scale // 200})"
+    cents = f"(({t} - (({t} % {m} + {m}) % {m})) // {m})"
+    return f"(CAST({cents} AS BIGINT) / 100.0)"
+
+
+def _ratio_pin(num: F.Column, den: F.Column, factor: int, dp: int) -> F.Column:
+    """Half-up ``dp``-decimal display of ``factor·num/den`` with the tie
+    pinned in DECIMAL(38) integer land: floor((2·factor·10^dp·num + den) /
+    (2·den)) / 10^dp. The integer quotient is computed by exact decimal
+    division (it divides an exact multiple), cast to a SMALL long, and
+    only then divided once in float (see _pin2 for why both a terminal
+    float ROUND and a >2^53 float division are unsafe); DECIMAL(38)
+    because 2·10^dp·num crosses BIGINT at sf1 for money-unit numerators."""
+    t = num.cast("decimal(38,0)") * F.lit(2 * factor * 10**dp) + den
+    n2 = (den * 2).cast("decimal(38,0)")
+    q = ((t - F.pmod(t, n2)) / n2).cast("long")
+    return q.cast("double") / F.lit(float(10**dp))
+
+
 def _rev_dollars(alias: str) -> F.Column:
-    """Spark: pinned ROUND(SUM(revenue), 2) via the integer-unit sum."""
-    return F.round(F.sum(_rev_u()).cast("double") / 10000.0, 2).alias(alias)
+    """Spark: pinned half-up-2dp SUM(revenue) via the integer-unit sum."""
+    return _pin2(F.sum(_rev_u()), 10000).alias(alias)
 
 
 def _rev_dollars_sql(p: str) -> str:
-    return f"ROUND(SUM({_rev_u_sql(p)}) / 10000.0, 2)"
+    return _pin2_sql(f"SUM({_rev_u_sql(p)})", 10000)
 
 
 _ORACLE = f"""
@@ -112,9 +165,9 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT l.l_orderkey,
-       ROUND(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 2) AS revenue,
+       {_rev_dollars_sql("l.")} AS revenue,
        CAST(o.o_orderdate AS VARCHAR) AS order_date,
        o.o_orderpriority
 FROM customer c
@@ -161,9 +214,9 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q5_ORACLE = """
+_Q5_ORACLE = f"""
 SELECT n.n_name AS nation_name,
-       ROUND(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 2) AS revenue
+       {_rev_dollars_sql("l.")} AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -209,9 +262,9 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x76 — TPC-H Q10 shape: returned-item revenue loss, top 20 customers
 # --------------------------------------------------------------------------
 
-_Q10_ORACLE = """
+_Q10_ORACLE = f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       ROUND(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 2) AS revenue
+       {_rev_dollars_sql("l.")} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -340,9 +393,9 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x80 — TPC-H Q7 shape: volume shipping between two nations
 # --------------------------------------------------------------------------
 
-_Q7_ORACLE = """
+_Q7_ORACLE = f"""
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(SUM(volume_u) / 10000.0, 2) AS revenue
+       {_pin2_sql("SUM(volume_u)", 10000)} AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
@@ -412,16 +465,24 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x81 — TPC-H Q14 shape: promotion revenue share
 # --------------------------------------------------------------------------
 
-_Q14_ORACLE = """
-SELECT ROUND(
-  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                        THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-                             * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
-                        ELSE 0 END) AS DOUBLE)
-        / CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
-               AS DOUBLE),
-  4) AS promo_revenue_pct
+_Q14_PROMO_U = (
+    "SUM(CASE WHEN p.p_type = 'PROMO'"
+    " THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))"
+    " ELSE 0 END)"
+)
+_Q14_TOTAL_U = (
+    "SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))"
+)
+# half-up 4dp of 100·a/b with the tie pinned in integer land:
+# floor((2e6·a + b) / (2b)) / 1e4 — HUGEINT keeps 2e6·a exact (it crosses
+# BIGINT at sf1); see _pin2 for why a terminal float ROUND is unsafe.
+_Q14_T = f"({_Q14_PROMO_U} * 2000000 + {_Q14_TOTAL_U})"
+_Q14_N2 = f"(2 * {_Q14_TOTAL_U})"
+_Q14_ORACLE = f"""
+SELECT (CAST((({_Q14_T} - (({_Q14_T} % {_Q14_N2} + {_Q14_N2}) % {_Q14_N2}))
+         // {_Q14_N2}) AS BIGINT) / 10000.0) AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1996-09-01'
@@ -449,18 +510,13 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev_u = _rev_u()
+    a = F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(0))
+    b = F.sum(rev_u)
+    # _Q14_ORACLE's Spark twin (identical aggregate expressions are
+    # computed once — Catalyst dedups them): half-up 4dp of 100·a/b.
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(0)).cast(
-                    "double"
-                )
-                / F.sum(rev_u).cast("double"),
-                4,
-            ).alias("promo_revenue_pct")
-        )
+        .agg(_ratio_pin(a, b, 100, 4).alias("promo_revenue_pct"))
     )
 
 
@@ -566,8 +622,8 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x84 — TPC-H Q19 shape: disjunctive brand/size/quantity predicate revenue
 # --------------------------------------------------------------------------
 
-_Q19_ORACLE = """
-SELECT ROUND(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 10000.0, 2) AS revenue
+_Q19_ORACLE = f"""
+SELECT {_rev_dollars_sql("l.")} AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -676,7 +732,7 @@ WITH revenue AS (
   GROUP BY l.l_suppkey
 )
 SELECT s.s_suppkey, s.s_name,
-       ROUND(CAST(r.rev_u AS DOUBLE) / 10000.0, 2) AS total_revenue
+       (((r.rev_u + 50) - (((r.rev_u + 50) % 100 + 100) % 100)) / CAST(10000 AS DOUBLE)) AS total_revenue
 FROM {supplier} s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.rev_u = (SELECT MAX(rev_u) FROM revenue)
@@ -712,9 +768,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT o_year,
-       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume_u ELSE 0 END)
-                  AS DOUBLE)
-             / CAST(SUM(volume_u) AS DOUBLE), 6) AS mkt_share
+       (CAST((((SUM(CASE WHEN nation = 'NATION_1' THEN volume_u ELSE 0 END) * 2000000 + SUM(volume_u))
+          - (((SUM(CASE WHEN nation = 'NATION_1' THEN volume_u ELSE 0 END) * 2000000 + SUM(volume_u)) % (2 * SUM(volume_u)) + (2 * SUM(volume_u))) % (2 * SUM(volume_u))))
+         // (2 * SUM(volume_u))) AS BIGINT) / 1000000.0) AS mkt_share
 FROM (
   SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
          CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -775,11 +831,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("nation") == "NATION_1", vol_u).otherwise(0)
-                ).cast("double")
-                / F.sum(vol_u).cast("double"),
+            _ratio_pin(
+                F.sum(F.when(F.col("nation") == "NATION_1", vol_u).otherwise(0)),
+                F.sum(vol_u),
+                1,
                 6,
             ).alias("mkt_share")
         )
@@ -837,9 +892,7 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT ROUND(CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-                        * CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 10000.0, 2) AS revenue_delta,
+SELECT (((SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) + 50) - (((SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) + 50) % 100 + 100) % 100)) / 10000.0) AS revenue_delta,
        COUNT(*) AS n_lines
 FROM lineitem l
 WHERE l.l_shipdate >= DATE '1996-01-01'
@@ -869,12 +922,8 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(
-            F.sum(_money_u("l_extendedprice") * _money_u("l_discount")).cast(
-                "double"
-            )
-            / 10000.0,
-            2,
+        _pin2(
+            F.sum(_money_u("l_extendedprice") * _money_u("l_discount")), 10000
         ).alias("revenue_delta"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -886,7 +935,7 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_ORACLE = """
 SELECT nation, o_year,
-       ROUND(SUM(amount_cents) / 100.0, 2) AS sum_profit
+       (SUM(amount_cents) / 100.0) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
@@ -946,7 +995,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(amount_cents) / 100.0, 2).alias("sum_profit")
+            (F.sum(amount_cents) / F.lit(100.0)).alias("sum_profit")
         )
     )
 
@@ -1103,17 +1152,37 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x332 — TPC-H Q1 shape: pricing summary report
 # --------------------------------------------------------------------------
 
-_Q1_ORACLE = """
+def _avg6_sql(num: str, mult: int) -> str:
+    """Half-up 6dp of ``num·mult / (1e6·n)`` with the tie pinned in integer
+    land: floor((num·2·mult + n) / (2n)) / 1e6. All integer arithmetic runs
+    in HUGEINT; the two terminal divisions are correctly-rounded ops of
+    bit-identical inputs on both engines (casts to DOUBLE made explicit so
+    neither engine picks a decimal division)."""
+    t = f"(({num}) * {2 * mult} + COUNT(*))"
+    n2 = "(2 * COUNT(*))"
+    q = f"(({t} - (({t} % {n2} + {n2}) % {n2})) // {n2})"
+    return f"(CAST({q} AS BIGINT) / 1000000.0)"
+
+
+_Q1_SUM_DISC_U = (
+    "SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))"
+)
+_Q1_SUM_CHARGE_U = (
+    "SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+    " * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))"
+)
+
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_base_price,
-       ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0, 2)
-         AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE)
-             / 1000000.0, 2) AS sum_charge,
-       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
-       ROUND(CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
+       (SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0) AS sum_base_price,
+       {_pin2_sql(_Q1_SUM_DISC_U, 10000)} AS sum_disc_price,
+       {_pin2_sql(_Q1_SUM_CHARGE_U, 1000000)} AS sum_charge,
+       {_avg6_sql("CAST(SUM(l_quantity) AS BIGINT)", 1000000)} AS avg_qty,
+       {_avg6_sql("SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))", 10000)} AS avg_price,
+       {_avg6_sql("SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))", 10000)} AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '2001-09-02'
@@ -1151,26 +1220,25 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the long range (~7e19 at sf100) and takes the DECIMAL(38) path
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cnt = F.count(F.lit(1))
+
+    def avg6(num: F.Column, mult: int) -> F.Column:
+        # _avg6_sql's Spark twin: tie pinned in DECIMAL(38) integer land,
+        # then two correctly-rounded float ops of bit-identical inputs.
+        t = num.cast("decimal(38,0)") * F.lit(2 * mult) + cnt
+        n2 = (cnt * 2).cast("decimal(38,0)")
+        q = ((t - F.pmod(t, n2)) / n2).cast("long")
+        return q.cast("double") / F.lit(1000000.0)
+
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum(cents).cast("double") / 100.0, 2).alias(
-            "sum_base_price"
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        _pin2(F.sum(cents * (100 - dpct)), 10000).alias("sum_disc_price"),
+        _pin2(F.sum(dec(cents * (100 - dpct) * (100 + tpct))), 1000000).alias(
+            "sum_charge"
         ),
-        F.round(
-            F.sum(cents * (100 - dpct)).cast("double") / 10000.0, 2
-        ).alias("sum_disc_price"),
-        F.round(
-            F.sum(dec(cents * (100 - dpct) * (100 + tpct))).cast("double")
-            / 1000000.0,
-            2,
-        ).alias("sum_charge"),
-        F.round(F.sum("l_quantity") / cnt, 6).alias("avg_qty"),
-        F.round(F.sum(cents).cast("double") / 100.0 / cnt, 6).alias(
-            "avg_price"
-        ),
-        F.round(F.sum(dpct).cast("double") / 100.0 / cnt, 6).alias(
-            "avg_disc"
-        ),
+        avg6(F.sum("l_quantity").cast("long"), 1000000).alias("avg_qty"),
+        avg6(F.sum(cents), 10000).alias("avg_price"),
+        avg6(F.sum(dpct), 10000).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -1182,7 +1250,11 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q2_ORACLE = """
 WITH catalog AS (
   SELECT l_partkey, l_suppkey,
-         MIN(ROUND(l_extendedprice / l_quantity, 2)) AS unit_cost
+         MIN((((2 * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) + CAST(l_quantity AS BIGINT))
+                - (((2 * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) + CAST(l_quantity AS BIGINT))
+                    % (2 * CAST(l_quantity AS BIGINT)) + (2 * CAST(l_quantity AS BIGINT)))
+                   % (2 * CAST(l_quantity AS BIGINT))))
+               / CAST(2 * CAST(l_quantity AS BIGINT) AS DOUBLE) / 100.0)) AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
 europe AS (
@@ -1231,10 +1303,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     part = load_table(spark, sf_dir, "part")
+    # Per-row half-up 2dp of price/qty pinned in INTEGER land: round2(
+    # cents/(100·q)) = floor((2·cents + q)/(2q))/100 — a per-row float
+    # ROUND of the quotient ties at x.xx5 (e.g. 10.01/2) and the engines'
+    # round() implementations disagree there (see _pin2).
+    cents = _money_u("l_extendedprice")
+    qty = F.col("l_quantity").cast("long")
+    t = 2 * cents + qty
+    q2 = 2 * qty
+    unit = (t - F.pmod(t, q2)).cast("double") / q2.cast("double") / F.lit(100.0)
     catalog = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
-        ).alias("unit_cost")
+        F.min(unit).alias("unit_cost")
     )
     europe = (
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
@@ -1288,12 +1367,18 @@ per_part AS (
 ),
 total AS (SELECT CAST(SUM(val_u) AS BIGINT) AS tv_u FROM national)
 SELECT p.p_partkey,
-       ROUND(CAST(p.part_u AS DOUBLE) / 10000.0, 2) AS part_value,
-       ROUND(CAST(p.part_u AS DOUBLE) / CAST(t.tv_u AS DOUBLE), 6)
-         AS value_share
+       {pv} AS part_value,
+       (CAST((({t} - (({t} % {n2} + {n2}) % {n2})) // {n2}) AS BIGINT)
+        / 1000000.0) AS value_share
 FROM per_part p CROSS JOIN total t
 WHERE 1000 * p.part_u > t.tv_u
-"""
+""".format(
+    pv=_pin2_sql("p.part_u", 10000),
+    # half-up 6dp of part_u/tv_u: floor((2e6·part_u + tv_u)/(2·tv_u))/1e6;
+    # 2e6·part_u crosses BIGINT at sf1 — HUGEINT keeps it exact.
+    t="(p.part_u * CAST(2000000 AS HUGEINT) + t.tv_u)",
+    n2="(2 * CAST(t.tv_u AS HUGEINT))",
+)
 
 
 @register("tpch_q11_important_volume", oracle=_Q11_ORACLE)
@@ -1333,12 +1418,10 @@ def tpch_q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(1000 * F.col("part_u") > F.col("tv_u"))
         .select(
             "p_partkey",
-            F.round(F.col("part_u").cast("double") / 10000.0, 2).alias(
-                "part_value"
+            _pin2(F.col("part_u"), 10000).alias("part_value"),
+            _ratio_pin(F.col("part_u"), F.col("tv_u"), 1, 6).alias(
+                "value_share"
             ),
-            F.round(
-                F.col("part_u").cast("double") / F.col("tv_u").cast("double"), 6
-            ).alias("value_share"),
         )
     )
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.merge import merge_upsert, scd2_snapshot
 from ..registry import register
+from .flagship import _ratio_pin
 
 # --------------------------------------------------------------------------
 # x49 — SCD1 upsert merge (deterministic synthetic delta over orders)
@@ -528,8 +529,8 @@ SELECT CASE WHEN n_suppliers = 1 THEN 'single'
             ELSE 'multi' END AS sourcing,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        ROUND(SUM(cents) / 100.0, 2) AS revenue,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_parts), 6) AS part_share,
-       ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(t.all_cents), 6)
+       (CAST((((COUNT(*) * CAST(2000000 AS HUGEINT) + MAX(t.n_parts)) - (((COUNT(*) * CAST(2000000 AS HUGEINT) + MAX(t.n_parts)) % (2 * CAST(MAX(t.n_parts) AS HUGEINT)) + (2 * CAST(MAX(t.n_parts) AS HUGEINT))) % (2 * CAST(MAX(t.n_parts) AS HUGEINT)))) // (2 * CAST(MAX(t.n_parts) AS HUGEINT))) AS BIGINT) / 1000000.0) AS part_share,
+       (CAST((((SUM(cents) * CAST(2000000 AS HUGEINT) + MAX(t.all_cents)) - (((SUM(cents) * CAST(2000000 AS HUGEINT) + MAX(t.all_cents)) % (2 * CAST(MAX(t.all_cents) AS HUGEINT)) + (2 * CAST(MAX(t.all_cents) AS HUGEINT))) % (2 * CAST(MAX(t.all_cents) AS HUGEINT)))) // (2 * CAST(MAX(t.all_cents) AS HUGEINT))) AS BIGINT) / 1000000.0)
          AS revenue_share
 FROM ps CROSS JOIN t
 GROUP BY 1
@@ -572,12 +573,12 @@ def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
             F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
-            F.round(
-                F.count(F.lit(1)).cast("double") / F.max("n_parts"), 6
-            ).alias("part_share"),
-            F.round(
-                F.sum("cents").cast("double") / F.max("all_cents"), 6
-            ).alias("revenue_share"),
+            _ratio_pin(F.count(F.lit(1)), F.max("n_parts"), 1, 6).alias(
+                "part_share"
+            ),
+            _ratio_pin(F.sum("cents"), F.max("all_cents"), 1, 6).alias(
+                "revenue_share"
+            ),
         )
     )
 
@@ -626,13 +627,16 @@ s AS (
          CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) * q2 / q1 * 1000000)
                        AS BIGINT)) AS HUGEINT) AS den_p
   FROM m
+),
+idx AS (
+  SELECT n_parts,
+         (CAST((((num_l * CAST(2000000 AS HUGEINT) + sum_c1 * 1000000) - (((num_l * CAST(2000000 AS HUGEINT) + sum_c1 * 1000000) % (2 * sum_c1 * 1000000) + (2 * sum_c1 * 1000000)) % (2 * sum_c1 * 1000000))) // (2 * sum_c1 * 1000000)) AS BIGINT) / 1000000.0) AS laspeyres,
+         (CAST((((sum_c2 * CAST(2000000000000 AS HUGEINT) + den_p) - (((sum_c2 * CAST(2000000000000 AS HUGEINT) + den_p) % (2 * den_p) + (2 * den_p)) % (2 * den_p))) // (2 * den_p)) AS BIGINT) / 1000000.0) AS paasche
+  FROM s
 )
-SELECT n_parts,
-       ROUND((num_l / 1000000.0) / sum_c1, 6) AS laspeyres,
-       ROUND(sum_c2 / (den_p / 1000000.0), 6) AS paasche,
-       ROUND(sqrt(((num_l / 1000000.0) / sum_c1)
-                  * (sum_c2 / (den_p / 1000000.0))), 6) AS fisher
-FROM s
+SELECT n_parts, laspeyres, paasche,
+       ROUND(sqrt(laspeyres * paasche), 6) AS fisher
+FROM idx
 """
 
 
@@ -676,16 +680,17 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term_l.cast("decimal(38,0)")).alias("num_l"),
         F.sum(term_p.cast("decimal(38,0)")).alias("den_p"),
     )
-    lasp = (F.col("num_l").cast("double") / 1000000.0) / F.col("sum_c1").cast(
-        "double"
-    )
-    paas = F.col("sum_c2").cast("double") / (
-        F.col("den_p").cast("double") / 1000000.0
-    )
+    # 6dp displays via the integer ratio pin (flagship._ratio_pin): the
+    # accumulators are > 2^53, where float(int) conversions can differ by
+    # an ULP between engines — only the SMALL pinned quotient may touch
+    # float. Fisher keeps a terminal round(): sqrt outputs are irrational,
+    # so a display-grid tie is measure-zero (unlike money-grid ratios).
+    lasp = _ratio_pin(F.col("num_l"), F.col("sum_c1") * F.lit(1_000_000), 1, 6)
+    paas = _ratio_pin(F.col("sum_c2"), F.col("den_p"), 1_000_000, 6)
     return s.select(
         "n_parts",
-        F.round(lasp, 6).alias("laspeyres"),
-        F.round(paas, 6).alias("paasche"),
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
 

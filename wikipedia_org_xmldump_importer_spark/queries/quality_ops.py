@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from .flagship import _pin2, _ratio_pin
 
 # --------------------------------------------------------------------------
 # x92 — per-column profile of the orders table
@@ -218,10 +219,10 @@ lagged AS (
   FROM yearly
 )
 SELECT nation, yr,
-       ROUND(CAST(rev_u AS DOUBLE) / 10000.0, 2) AS revenue,
-       ROUND(CAST(prev_u AS DOUBLE) / 10000.0, 2) AS prev_revenue,
+       (((rev_u + 50) - (((rev_u + 50) % 100 + 100) % 100)) / 10000.0) AS revenue,
+       (((prev_u + 50) - (((prev_u + 50) % 100 + 100) % 100)) / 10000.0) AS prev_revenue,
        CASE WHEN prev_u IS NULL THEN NULL
-            ELSE ROUND(CAST(rev_u - prev_u AS DOUBLE) / CAST(prev_u AS DOUBLE), 6)
+            ELSE (CAST(((((rev_u - prev_u) * CAST(2000000 AS HUGEINT) + prev_u) - ((((rev_u - prev_u) * CAST(2000000 AS HUGEINT) + prev_u) % (2 * CAST(prev_u AS HUGEINT)) + (2 * CAST(prev_u AS HUGEINT))) % (2 * CAST(prev_u AS HUGEINT)))) // (2 * CAST(prev_u AS HUGEINT))) AS BIGINT) / 1000000.0)
        END AS yoy_growth
 FROM lagged
 """
@@ -265,15 +266,10 @@ def rev_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.select(
         "nation",
         "yr",
-        F.round(F.col("rev_u").cast("double") / 10000.0, 2).alias("revenue"),
-        F.round(prev_u.cast("double") / 10000.0, 2).alias("prev_revenue"),
+        _pin2(F.col("rev_u"), 10000).alias("revenue"),
+        _pin2(prev_u, 10000).alias("prev_revenue"),
         F.when(prev_u.isNull(), F.lit(None).cast("double"))
-        .otherwise(
-            F.round(
-                (F.col("rev_u") - prev_u).cast("double") / prev_u.cast("double"),
-                6,
-            )
-        )
+        .otherwise(_ratio_pin(F.col("rev_u") - prev_u, prev_u, 1, 6))
         .alias("yoy_growth"),
     )
 

@@ -5577,14 +5577,18 @@ proj AS (
 ),
 amp AS (
   SELECT k,
-         ROUND(CAST(a_u AS DOUBLE) / 1000000, 2) AS a_k,
-         ROUND(CAST(b_u AS DOUBLE) / 1000000, 2) AS b_k
+         CAST((((a_u + 5000) - (((a_u + 5000) % 10000 + 10000) % 10000)) // 10000) AS BIGINT) AS a_c,
+         CAST((((b_u + 5000) - (((b_u + 5000) % 10000 + 10000) % 10000)) // 10000) AS BIGINT) AS b_c
   FROM proj
 ),
-pw AS (SELECT k, a_k, b_k, ROUND(a_k * a_k + b_k * b_k, 2) AS power FROM amp)
-SELECT CAST(k AS INTEGER) AS k, a_k, b_k, power,
-       ROUND(power / SUM(power) OVER (), 6) AS power_share
-FROM pw
+pw AS (SELECT k, a_c, b_c, (CAST(a_c AS HUGEINT) * a_c + CAST(b_c AS HUGEINT) * b_c) AS power_u FROM amp),
+tot AS (SELECT k, a_c, b_c, power_u, SUM(power_u) OVER () AS tot_u FROM pw)
+SELECT CAST(k AS INTEGER) AS k,
+       (a_c / 100.0) AS a_k,
+       (b_c / 100.0) AS b_k,
+       (CAST(((power_u + 50) - (((power_u + 50) % 100 + 100) % 100)) // 100 AS BIGINT) / 100.0) AS power,
+       (CAST((((power_u * CAST(2000000 AS HUGEINT) + tot_u) - (((power_u * CAST(2000000 AS HUGEINT) + tot_u) % (2 * CAST(tot_u AS HUGEINT)) + (2 * CAST(tot_u AS HUGEINT))) % (2 * CAST(tot_u AS HUGEINT)))) // (2 * CAST(tot_u AS HUGEINT))) AS BIGINT) / 1000000.0) AS power_share
+FROM tot
 """
 
 
@@ -5626,23 +5630,35 @@ def ts_seasonality_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n") * F.col("sin_u")).alias("b_u"),
         )
     )
+    def cents(u: F.Column) -> F.Column:
+        # half-up micro->cent pin in integer land (flagship._pin2's device,
+        # signed-safe via pmod); a_u/b_u are exact int64 projections
+        t = u + F.lit(5000)
+        return ((t - F.pmod(t, F.lit(10000))) / F.lit(10000)).cast("long")
+
     amp = proj.select(
-        "k",
-        F.round(F.col("a_u").cast("double") / 1_000_000, 2).alias("a_k"),
-        F.round(F.col("b_u").cast("double") / 1_000_000, 2).alias("b_k"),
+        "k", cents(F.col("a_u")).alias("a_c"), cents(F.col("b_u")).alias("b_c")
     )
     pw = amp.withColumn(
-        "power", F.round(F.col("a_k") * F.col("a_k") + F.col("b_k") * F.col("b_k"), 2)
+        "power_u",
+        # DECIMAL(38): a_c^2 ~ 1e18 at sf1 (BIGINT edge), ~1e22 at sf100
+        F.col("a_c").cast("decimal(38,0)") * F.col("a_c")
+        + F.col("b_c").cast("decimal(38,0)") * F.col("b_c"),
     )
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot_u = F.sum("power_u").over(w_all)
+    pu50 = F.col("power_u") + F.lit(50)
+    st = F.col("power_u").cast("decimal(38,0)") * F.lit(2_000_000) + tot_u
+    sn2 = (tot_u * 2).cast("decimal(38,0)")
     return pw.select(
         "k",
-        "a_k",
-        "b_k",
-        "power",
-        F.round(F.col("power") / F.sum("power").over(w_all), 6).alias(
-            "power_share"
-        ),
+        (F.col("a_c").cast("double") / F.lit(100.0)).alias("a_k"),
+        (F.col("b_c").cast("double") / F.lit(100.0)).alias("b_k"),
+        (((pu50 - F.pmod(pu50, F.lit(100))).cast("decimal(38,0)")
+          / F.lit(100)).cast("long")
+         .cast("double") / F.lit(100.0)).alias("power"),
+        (((st - F.pmod(st, sn2)) / sn2).cast("long").cast("double")
+         / F.lit(1000000.0)).alias("power_share"),
     )
 
 

@@ -50,9 +50,10 @@ def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UD2_ORACLE = """
 SELECT c_nationkey,
-       ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
-                      * ((c_custkey % 5) + 1)) AS DOUBLE)
-             / 100.0 / SUM((c_custkey % 5) + 1), 6)
+       (CAST((((SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                 * ((c_custkey % 5) + 1)) * 20000 + SUM((c_custkey % 5) + 1))
+          - (((SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                 * ((c_custkey % 5) + 1)) * 20000 + SUM((c_custkey % 5) + 1)) % (2 * SUM((c_custkey % 5) + 1)) + (2 * SUM((c_custkey % 5) + 1))) % (2 * SUM((c_custkey % 5) + 1)))) // (2 * SUM((c_custkey % 5) + 1))) AS BIGINT) / 1000000.0)
          AS weighted_bal
 FROM customer
 GROUP BY c_nationkey
@@ -75,13 +76,17 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # depend on which partition layout fed this group's Series
         vu = (v * 100).round().astype("int64")
         wi = w.astype("int64")
-        return float(int((vu * wi).sum()) / 100.0 / int(wi.sum()))
+        # half-up 6dp pin in arbitrary-precision Python ints (the _pin2
+        # device; Python // IS floor-division, matching the SQL spelling)
+        t = 20000 * int((vu * wi).sum()) + int(wi.sum())
+        n2 = 2 * int(wi.sum())
+        return float((t - t % n2) // n2) / 1e6
 
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "weight", (F.col("c_custkey") % 5 + 1).cast("long")
     )
     return cust.groupBy("c_nationkey").agg(
-        F.round(wmean(F.col("c_acctbal"), F.col("weight")), 6).alias("weighted_bal")
+        wmean(F.col("c_acctbal"), F.col("weight")).alias("weighted_bal")
     )
 
 
