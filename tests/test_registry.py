@@ -210,6 +210,8 @@ def test_survey_registry_sync():
         "scan_orc",
         "compact_parquet",
         "compact_parquet_partitioned",
+        "scan_parquet_evolving",
+        "union_vintages",
         "bloom_bitmap_kernel",
         "ewvol_linear",
         "matrix_profile_linear_memory",

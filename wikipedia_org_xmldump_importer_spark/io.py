@@ -174,6 +174,61 @@ def scan_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def scan_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    required: dict[str, str] | None = None,
+) -> DataFrame:
+    """s17: schema-evolution-tolerant parquet scan — read a directory whose
+    files were written at DIFFERENT schema versions (the dump-importer
+    reality: wiki dump fields appear/disappear across snapshot years, and
+    an incremental sink accretes every vintage into one table).
+
+    ``mergeSchema`` unions all footer schemas (absent columns read as
+    null); ``required`` then pins the caller's contract: each
+    ``{column: type}`` is added as typed nulls if no vintage ever had it,
+    or cast if the files carry a narrower type. Parquet schema merge
+    requires per-column TYPE equality — Spark refuses int↔bigint (and
+    int↔string) merges loudly at planning time, the correct failure; for
+    vintages that drifted a column's type, read each vintage directory
+    separately and combine with ``union_vintages`` below.
+
+    100 TB notes: schema merge reads FOOTERS of all files at planning time
+    — O(files) namenode round-trips, no data. On a table with millions of
+    files pin the merged schema explicitly (``spark.read.schema(...)``)
+    once it stabilizes, or let a catalog own it; per-query footer sweeps
+    are the hidden cost of leaving mergeSchema on by default (it is off in
+    stock Spark for exactly this reason).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, typ in (required or {}).items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(None).cast(typ))
+        elif dict(df.dtypes)[col] != typ:
+            df = df.withColumn(col, F.col(col).cast(typ))
+    return df
+
+
+def union_vintages(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """s17 companion for TYPE-drifted vintages: read each schema-era
+    directory separately and ``unionByName(allowMissingColumns=True)`` —
+    union's ANSI coercion widens numerics (int→bigint, float→double) that
+    parquet footer-merge refuses, and era-local columns null-fill.
+
+    100 TB notes: each vintage stays its own scan (pushdown and pruning
+    apply per branch); the union is plan-level, not a shuffle. Keep the
+    vintage list short-lived — backfill old eras to the current schema
+    (compact_parquet is the rewrite vehicle) rather than paying N-branch
+    plans forever.
+    """
+    if not paths:
+        raise ValueError("union_vintages needs at least one path")
+    out = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(spark.read.parquet(p), allowMissingColumns=True)
+    return out
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for ``path`` via the JVM Hadoop API — resolves the
     scheme (file://, hdfs://, s3a://) from the session's Hadoop conf, so the
