@@ -1,10 +1,13 @@
 """SURVEY.md §2.4 — aggregation a1-a10.
 
 Determinism discipline for the DuckDB hash-oracle (SURVEY §4.3): every
-floating-point aggregate is round()-pinned — money sums to 2 dp, averages and
+floating-point aggregate is pinned — money sums to 2 dp, averages and
 ratios to 6 dp, second-moment stats to 2-4 dp scaled to the statistic's
 magnitude (double summation order differs between engines; the residual is
-~1e-9 relative, far below the rounding grain).
+~1e-9 relative, far below the rounding grain). Money/ratio DISPLAYS of
+exact-integer moments use flagship's _pin2/_ratio_pin integer-land devices,
+not a terminal float round() — see NOTES trap #39 for why round() straddles
+on exact display-grid ties.
 
 100 TB notes: all group-bys here are partial+final (map-side combine) with
 small group domains, so the final shuffle carries only the group cardinality.

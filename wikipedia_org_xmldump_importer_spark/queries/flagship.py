@@ -31,8 +31,13 @@ from ..registry import register
 # per-row  cents(price) * (100 - pct(disc))  [* (100 + pct(tax))]  summed as
 # BIGINT — order-independent by construction — with ONE division at the end
 # (any float op on identical exact integers is correctly rounded, hence
-# bit-identical across engines). Scale note: the 1e-4-dollar units sum to
-# ~3e15 at sf1 and ~3e17 at sf100 — inside BIGINT; past that move the
+# bit-identical across engines). The display epilogue must NOT be a float
+# ROUND of the quotient: on an exact display-grid tie (sum_u % 100 == 50)
+# the engines' round() implementations disagree (_pin2's docstring / NOTES
+# trap #39 — caught by the first sf1 oracle sweep on tpch_q5). _pin2 /
+# _ratio_pin resolve the tie AND the quotient in integer land and emit one
+# small correctly-rounded division. Scale note: the 1e-4-dollar units sum
+# to ~3e15 at sf1 and ~3e17 at sf100 — inside BIGINT; past that move the
 # accumulator to DECIMAL(38)/HUGEINT as agg_regression_multi does.
 # ---------------------------------------------------------------------------
 
