@@ -321,16 +321,22 @@ def test_dft_parseval_and_replay(spark):
         proj[k] = [a + n * cu, b + n * su]
     rows = {r.k: r for r in ts_seasonality_dft(spark, SF_SMOKE).collect()}
     assert set(rows) == {1, 2, 3, 4}
-    powers = {}
+    def pin(u: int, m: int) -> int:
+        # the query's integer half-up device (NOTES #39): Python % / //
+        # are floor-mod/floor-div, matching the pmod spelling exactly
+        t = u + m // 2
+        return (t - t % m) // m
+
+    powers_u = {}
     for k, (au, bu) in proj.items():
-        a_k = round(au / 1e6, 2)
-        b_k = round(bu / 1e6, 2)
-        powers[k] = round(a_k * a_k + b_k * b_k, 2)
-        assert rows[k].a_k == a_k and rows[k].b_k == b_k
-        assert rows[k].power == powers[k]
-    tot = sum(powers.values())
+        a_c, b_c = pin(au, 10000), pin(bu, 10000)
+        powers_u[k] = a_c * a_c + b_c * b_c
+        assert rows[k].a_k == a_c / 100.0 and rows[k].b_k == b_c / 100.0
+        assert rows[k].power == pin(powers_u[k], 100) / 100.0
+    tot_u = sum(powers_u.values())
     for k, r in rows.items():
-        assert abs(r.power_share - round(powers[k] / tot, 6)) < 1e-9
+        t = 2_000_000 * powers_u[k] + tot_u
+        assert r.power_share == float((t - t % (2 * tot_u)) // (2 * tot_u)) / 1e6
     assert abs(sum(r.power_share for r in rows.values()) - 1.0) < 1e-4
 
 
