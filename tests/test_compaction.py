@@ -56,6 +56,18 @@ def test_flat_compaction_collapses_files_zero_shuffle(spark, tmp_path):
     )
 
 
+def test_flat_compaction_many_tiny_files_one_output(spark, tmp_path):
+    # 512-file fragmentation: the openCost term must not inflate virtual
+    # split size past the target (the BENCH_IO probe caught 5 outputs for
+    # 19 MB at the 1 MB open cost; 128 KB keeps it byte-derived).
+    src = str(tmp_path / "frag512")
+    load_table(spark, SF_SMOKE, "lineitem").repartition(512).write.parquet(src)
+    dst = str(tmp_path / "compact512")
+    report = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert report["files_before"] == 512
+    assert report["files_after"] == 1
+
+
 def test_flat_compaction_idempotent(spark, tmp_path):
     src = str(tmp_path / "frag")
     load_table(spark, SF_SMOKE, "orders").repartition(16).write.parquet(src)

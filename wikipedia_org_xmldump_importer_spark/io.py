@@ -280,10 +280,12 @@ def compact_parquet(
     decode→encode stream with no exchange; at 100 TB that is the difference
     between a maintenance pass and a second copy of the shuffle tier.
 
-    ``openCostInBytes`` is pinned low (1 MB) for the scan: its default 4 MB
-    charges each tiny file 4 MB of virtual size, which would cap packing at
-    ~32 files/split regardless of real bytes — exactly wrong for the
-    many-tiny-files input this op exists to fix. ``minPartitionNum`` is
+    ``openCostInBytes`` is pinned LOW (128 KB) for the scan: the default
+    4 MB charges each tiny file 4 MB of virtual size, so a 512-file 19 MB
+    directory planned as ~530 MB and split into 5 outputs (measured,
+    BENCH_IO.json probe) — exactly wrong for the many-tiny-files input
+    this op exists to fix. 128 KB still bounds the files-per-split fan
+    (~1000 opens per 128 MB split) without dominating real bytes. ``minPartitionNum`` is
     pinned to 1 because Spark's split size is
     ``min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum))`` —
     on a wide cluster with a small fragmented table the bytes-per-core term
@@ -301,7 +303,7 @@ def compact_parquet(
     old_open = spark.conf.get("spark.sql.files.openCostInBytes")
     old_min = spark.conf.get("spark.sql.files.minPartitionNum", None)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 << 10))
     spark.conf.set("spark.sql.files.minPartitionNum", "1")
     try:
         spark.read.parquet(src_path).write.mode("overwrite").parquet(dst_path)
