@@ -212,6 +212,7 @@ def test_survey_registry_sync():
         "compact_parquet_partitioned",
         "scan_parquet_evolving",
         "union_vintages",
+        "sink_zordered",
         "bloom_bitmap_kernel",
         "ewvol_linear",
         "matrix_profile_linear_memory",

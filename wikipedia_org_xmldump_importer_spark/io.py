@@ -422,6 +422,47 @@ def compact_parquet_partitioned(
     }
 
 
+def sink_zordered(
+    df: DataFrame,
+    path: str,
+    z_col: str,
+    n_files: int = 8,
+    row_group_bytes: int | None = None,
+) -> None:
+    """s18: Z-ORDERED layout sink — the write side of x119's space-filling
+    key (Delta/Iceberg OPTIMIZE ZORDER): range-partition on the z value,
+    sort within partitions, write. Rows close in BOTH clustered dimensions
+    land in the same row group, so each row group's min/max stats span a
+    small rectangle of the 2-D space and a conjunctive 2-D predicate
+    overlaps only the few groups its box touches (row-group pruning —
+    measured from parquet footer metadata in tests: a customer-stripe ×
+    quarter box overlaps 9/136 row groups z-ordered vs 135/135 in
+    time-ordered layout, sf0.1 orders at 64 KB groups).
+
+    The z dimensions must be RANGE buckets (divide the domain), never
+    modulo buckets: a modulo bucket contains raw values {a, a+256, …}
+    spanning the whole domain, so row-group min/max on the raw column
+    never tightens and NOTHING prunes (measured: 136/136 groups hit).
+    x119's registered projection uses modulo only to keep its oracle
+    bit-exact; derive production bucket widths from min/max stats.
+
+    100 TB notes: ONE range shuffle on z — the same cost shape as
+    OPTIMIZE ZORDER; re-run it as a periodic maintenance pass with s16's
+    fragmented-partition planning when ingestion disorders the layout.
+    ``row_group_bytes`` maps to ``parquet.block.size`` — smaller groups =
+    finer pruning but more footer metadata; the 128 MB default is right
+    at scale (tests shrink it only to manufacture many groups from small
+    fixtures).
+    """
+    out = df.repartitionByRange(n_files, F.col(z_col)).sortWithinPartitions(
+        z_col
+    )
+    writer = out.write.mode("overwrite")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(path)
+
+
 def sink_bucketed(
     df: DataFrame,
     table: str,
