@@ -53,6 +53,65 @@ from wikipedia_org_xmldump_importer_spark.registry import (  # noqa: E402
 from wikipedia_org_xmldump_importer_spark.session import build_session  # noqa: E402
 
 
+# Printed-line budget: the driver's tail capture is 2000 chars (measured:
+# BENCH_r11.json "tail" is exactly 2000 chars of a truncated JSON line).
+# Keep headroom for a trailing newline / minor driver-side framing.
+_TAIL_BUDGET = 1900
+
+# Headline subset for the printed line when the full per-query map would
+# overflow the tail: the flagship star query, the complete TPC-H suite, and
+# one representative per operator family (dedup, ANN, text, graph, stream,
+# time-series, window, pipeline). Full timings are always in BENCH_FULL.json.
+HEADLINE_QUERIES = (
+    "flagship_star_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q9_profit",
+    "tpch_q13_custdist",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "text_tfidf",
+    "text_langid",
+    "graph_pagerank_iter",
+    "graph_shortest_hops",
+    "stream_tumbling",
+    "ts_resample_ohlc",
+    "win_topk_per_group",
+    "agg_groupby",
+    "join_inner_equi",
+    "pack_sequences",
+    "search_bm25",
+    "mm_image_dims",
+)
+
+
+def format_bench_line(payload: dict) -> str:
+    """Render the driver-facing stdout line, guaranteed <= _TAIL_BUDGET chars.
+
+    If the full per-query map fits, print it verbatim. Otherwise swap in the
+    HEADLINE_QUERIES subset (pointing at BENCH_FULL.json for the rest) and,
+    if even that overflows, drop family representatives from the back until
+    the line fits — the aggregate metric always survives.
+    """
+    line = json.dumps(payload)
+    if len(line) <= _TAIL_BUDGET:
+        return line
+    timings = payload["queries"]
+    headline = {n: timings[n] for n in HEADLINE_QUERIES if n in timings}
+    compact = dict(payload, queries=headline, queries_full="BENCH_FULL.json")
+    compact["isolated"] = list(payload.get("isolated", []))[:8]
+    line = json.dumps(compact)
+    while len(line) > _TAIL_BUDGET and compact["queries"]:
+        compact["queries"].pop(next(reversed(compact["queries"])))
+        line = json.dumps(compact)
+    return line
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -178,21 +237,37 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-                "n_queries": len(names),
-                "n_failed": len(timings) - len(ok),
-                "repeats": repeats,
-                "isolated": isolated,
-            }
-        )
+    payload = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(names),
+        "n_failed": len(timings) - len(ok),
+        "repeats": repeats,
+        "isolated": isolated,
+    }
+
+    # The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
+    # that tail. A full-registry run (400+ queries) makes the per-query dict
+    # ~10 KB, so every BENCH_r01..r11.json landed with ``"parsed": null`` —
+    # the headline metric never reached the driver. Fix at the source: the
+    # full per-query map always goes to BENCH_FULL.json on disk, and the
+    # printed line carries the aggregate metric plus the headline subset
+    # (flagship + TPC-H + one representative per operator family), shrunk
+    # further if needed until the line fits the tail window.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh)
+        print(f"BENCH FULL per-query timings -> {full_path}", file=sys.stderr)
+    except OSError as e:  # read-only checkout: the stdout line still works
+        print(f"BENCH FULL write skipped: {e}", file=sys.stderr)
+
+    print(format_bench_line(payload))
 
 
 if __name__ == "__main__":
