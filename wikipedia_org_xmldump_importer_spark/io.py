@@ -336,13 +336,29 @@ def compact_parquet_partitioned(
     partitions whose file count exceeds ``ceil(bytes/target)`` (more files
     than the data needs); everything else is never read. Fragmented leaves
     are read with an explicit partition-pruning filter, rows are salted so
-    each partition splits into exactly its needed file count
-    (``pmod(monotonically_increasing_id(), n_i)`` — dense per-task ids, so
-    the salt is uniform without hashing data columns), and ONE
+    each partition splits into exactly its needed file count, and ONE
     hash-repartition on (partition_cols, salt) lands each output file's rows
     in one task. The write goes back to the SAME path under
     ``partitionOverwriteMode=dynamic``, replacing exactly the partitions
     present in the frame.
+
+    The salt is ``pmod(xxhash64(*all columns), n_i)`` — derived from ROW
+    CONTENT, never from ``monotonically_increasing_id()``. A task-position
+    salt is non-deterministic under partial stage retry (a recomputed map
+    task can assign different salts than its first attempt, so the shuffle
+    can silently duplicate or drop rows — the SPARK-23207 class, which Spark
+    guards for round-robin repartition but not for arbitrary partition
+    keys). Because this op overwrites its own source, that failure mode is
+    silent corruption; a content hash recomputes identically on retry.
+    Identical duplicate rows share a salt, which only skews file sizes, not
+    correctness.
+
+    Edge leaves (advisor r11): a null-valued hive partition is spelled
+    ``c=__HIVE_DEFAULT_PARTITION__`` on disk — its pruning clause must be
+    ``isNull()``, never an equality cast (which yields NULL, silently
+    skipping the leaf forever). Leaves whose path segments don't parse as
+    ``k=v`` for every partition column (e.g. stray data files at the table
+    root) are skipped and reported, not crashed on.
 
     100 TB notes: the rewrite cost is one shuffle of the fragmented subset
     only — a table 2% fragmented shuffles 2% of its bytes. Dynamic overwrite
@@ -351,7 +367,8 @@ def compact_parquet_partitioned(
     (the op is idempotent because compacted partitions no longer qualify).
 
     Returns ``{"partitions_total", "partitions_rewritten", "files_before",
-    "files_after"}`` (file counts over the rewritten partitions only).
+    "files_after", "leaves_skipped"}`` (file counts over the rewritten
+    partitions only; ``leaves_skipped`` lists unparseable leaf paths).
     """
     target = target_file_mb << 20
     leaves = parquet_file_stats(spark, path)
@@ -360,46 +377,72 @@ def compact_parquet_partitioned(
         need = max(1, -(-st["bytes"] // target))  # ceil
         if st["files"] > need:
             fragmented[rel] = {**st, "need": need}
+    hive_null = "__HIVE_DEFAULT_PARTITION__"
+
+    def leaf_values(rel: str) -> dict[str, str] | None:
+        # "p1=a/p2=3" -> {"p1": "a", "p2": "3"} (hive layout, URL-escapes
+        # not handled — the engine's own sinks never emit values needing
+        # them; extend with urllib.parse.unquote if an external writer does).
+        # None = unparseable leaf (segment without '=', or a partition
+        # column missing from the path) — skip, don't crash the pass.
+        vals: dict[str, str] = {}
+        for seg in rel.split("/"):
+            if "=" not in seg:
+                return None
+            k, v = seg.split("=", 1)
+            vals[k] = v
+        if any(c not in vals for c in partition_cols):
+            return None
+        return vals
+
+    skipped = [
+        rel for rel in fragmented if leaf_values(rel) is None
+    ]
+    fragmented = {
+        rel: st for rel, st in fragmented.items() if rel not in set(skipped)
+    }
     if not fragmented:
         return {
             "partitions_total": len(leaves),
             "partitions_rewritten": 0,
             "files_before": 0,
             "files_after": 0,
+            "leaves_skipped": sorted(skipped),
         }
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
 
-    def leaf_values(rel: str) -> dict[str, str]:
-        # "p1=a/p2=3" -> {"p1": "a", "p2": "3"} (hive layout, URL-escapes
-        # not handled — the engine's own sinks never emit values needing
-        # them; extend with urllib.parse.unquote if an external writer does)
-        return dict(seg.split("=", 1) for seg in rel.split("/"))
-
     pred = None
     salt_rows = []
-    offset = 0
     for rel, st in sorted(fragmented.items()):
         vals = leaf_values(rel)
         clause = None
         for c in partition_cols:
-            eq = F.col(c) == F.lit(vals[c]).cast(dtypes[c])
+            if vals[c] == hive_null:
+                eq = F.col(c).isNull()
+            else:
+                eq = F.col(c) == F.lit(vals[c]).cast(dtypes[c])
             clause = eq if clause is None else (clause & eq)
         pred = clause if pred is None else (pred | clause)
         salt_rows.append((*[vals[c] for c in partition_cols], st["need"]))
-        offset += st["need"]
     frag_df = df.filter(pred)
     mods = spark.createDataFrame(
         salt_rows, [f"__pv_{c}" for c in partition_cols] + ["__n_files"]
     )
     join_cond = None
     for c in partition_cols:
-        eq = F.col(c).cast("string") == F.col(f"__pv_{c}")
+        # null-safe: a NULL partition value must meet its __HIVE_DEFAULT_
+        # PARTITION__ row in mods, so spell the key as coalesce(cast, sentinel)
+        eq = (
+            F.coalesce(F.col(c).cast("string"), F.lit(hive_null))
+            == F.col(f"__pv_{c}")
+        )
         join_cond = eq if join_cond is None else (join_cond & eq)
     salted = (
         frag_df.join(F.broadcast(mods), join_cond)
         .withColumn(
-            "__salt", F.pmod(F.monotonically_increasing_id(), F.col("__n_files"))
+            "__salt",
+            F.pmod(F.xxhash64(*frag_df.columns), F.col("__n_files")),
         )
         .drop(*[f"__pv_{c}" for c in partition_cols], "__n_files")
     )
@@ -419,6 +462,7 @@ def compact_parquet_partitioned(
         "files_after": sum(
             st["files"] for rel, st in after.items() if rel in fragmented
         ),
+        "leaves_skipped": sorted(skipped),
     }
 
 

@@ -93,6 +93,17 @@ def _pin2(u: F.Column, scale: int) -> F.Column:
     Spark's Decimal→double, observed on rev_yoy_growth at sf0.001), and
     only the final division of the SMALL exact cent value is a shared
     correctly-rounded op.
+
+    Tie semantics on NEGATIVE inputs (advisor r11): floor-based half-up
+    rounds an exact negative tie toward +infinity (-2.345 -> -2.34),
+    unlike Spark/DuckDB ROUND's half-away-from-zero (-2.345 -> -2.35).
+    This is deliberate: both engines are pinned to the SAME formula, so
+    parity holds; signed displays (yoy deltas, DFT a_k/b_k, acctbal
+    ratios) therefore differ from conventional ROUND on exact negative
+    ties by one cent/micro-unit. Sign-symmetric pinning (add/subtract the
+    half-step by sign) would restore half-away-from-zero at the cost of a
+    CASE in every display — not worth it while no consumer depends on tie
+    direction; revisit if one does.
     """
     m = scale // 100
     t = (u + F.lit(scale // 200)).cast("decimal(38,0)")
@@ -737,7 +748,7 @@ WITH revenue AS (
   GROUP BY l.l_suppkey
 )
 SELECT s.s_suppkey, s.s_name,
-       (((r.rev_u + 50) - (((r.rev_u + 50) % 100 + 100) % 100)) / CAST(10000 AS DOUBLE)) AS total_revenue
+       (CAST((((r.rev_u + 50) - (((r.rev_u + 50) % 100 + 100) % 100)) {idiv} 100) AS BIGINT) / CAST(100 AS DOUBLE)) AS total_revenue
 FROM {supplier} s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.rev_u = (SELECT MAX(rev_u) FROM revenue)
@@ -746,7 +757,7 @@ WHERE r.rev_u = (SELECT MAX(rev_u) FROM revenue)
 
 @register(
     "tpch_q15_top_supplier",
-    oracle=_Q15_SQL.format(lineitem="lineitem", supplier="supplier"),
+    oracle=_Q15_SQL.format(lineitem="lineitem", supplier="supplier", idiv="//"),
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x86: TPC-H Q15 shape — the supplier(s) with the maximum revenue in a
@@ -764,7 +775,15 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MAX subquery is a 1-row broadcast into the filter."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q15_lineitem_v")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q15_supplier_v")
-    return spark.sql(_Q15_SQL.format(lineitem="q15_lineitem_v", supplier="q15_supplier_v"))
+    # {idiv}: the display reduction needs exact integer division of the
+    # grid-aligned value (advisor r11: dividing the UN-reduced integer by
+    # 10000.0 converts a 100x larger int to double, breaking bit-identity at
+    # ~100x smaller scale); Spark spells it `div`, DuckDB `//`.
+    return spark.sql(
+        _Q15_SQL.format(
+            lineitem="q15_lineitem_v", supplier="q15_supplier_v", idiv="div"
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -897,7 +916,7 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT (((SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) + 50) - (((SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) + 50) % 100 + 100) % 100)) / 10000.0) AS revenue_delta,
+SELECT (CAST((((SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) + 50) - (((SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)) + 50) % 100 + 100) % 100)) // 100) AS BIGINT) / 100.0) AS revenue_delta,
        COUNT(*) AS n_lines
 FROM lineitem l
 WHERE l.l_shipdate >= DATE '1996-01-01'

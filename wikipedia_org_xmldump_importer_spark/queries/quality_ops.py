@@ -219,8 +219,8 @@ lagged AS (
   FROM yearly
 )
 SELECT nation, yr,
-       (((rev_u + 50) - (((rev_u + 50) % 100 + 100) % 100)) / 10000.0) AS revenue,
-       (((prev_u + 50) - (((prev_u + 50) % 100 + 100) % 100)) / 10000.0) AS prev_revenue,
+       (CAST((((rev_u + 50) - (((rev_u + 50) % 100 + 100) % 100)) // 100) AS BIGINT) / 100.0) AS revenue,
+       (CAST((((prev_u + 50) - (((prev_u + 50) % 100 + 100) % 100)) // 100) AS BIGINT) / 100.0) AS prev_revenue,
        CASE WHEN prev_u IS NULL THEN NULL
             ELSE (CAST(((((rev_u - prev_u) * CAST(2000000 AS HUGEINT) + prev_u) - ((((rev_u - prev_u) * CAST(2000000 AS HUGEINT) + prev_u) % (2 * CAST(prev_u AS HUGEINT)) + (2 * CAST(prev_u AS HUGEINT))) % (2 * CAST(prev_u AS HUGEINT)))) // (2 * CAST(prev_u AS HUGEINT))) AS BIGINT) / 1000000.0)
        END AS yoy_growth
