@@ -32,6 +32,28 @@ RED_FLAGS: dict[str, str] = {
 #: SURVEY row / docstring gives. Keep justifications honest — this list is
 #: audited by humans, not just tests.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    ("graph_modularity_nation", "BroadcastNestedLoopJoin"): (
+        "1-row total-edge-count frame broadcast-crossed onto the "
+        "|nations|(=25)-row community table for the Q_c epilogue — "
+        "bounded by construction (x347)"
+    ),
+    ("graph_rich_club", "BroadcastNestedLoopJoin"): (
+        "4-row degree-threshold frame broadcast-crossed onto the "
+        "degree/edge frames (deliberate 4x rung expansion) — bounded "
+        "by construction (x348)"
+    ),
+    ("vec_anisotropy", "BroadcastNestedLoopJoin"): (
+        "1-row top-dimension frame broadcast-crossed onto the 1-row "
+        "moment-total epilogue — bounded by construction (x350)"
+    ),
+    ("orders_bullwhip", "BroadcastNestedLoopJoin"): (
+        "two 1-row monthly-moment frames crossed for the CV-ratio "
+        "epilogue — bounded by construction (x351)"
+    ),
+    ("pipeline_epoch_allocator", "BroadcastNestedLoopJoin"): (
+        "1-row weight-total frame broadcast-crossed onto the "
+        "|sources|-row plan table — bounded by construction (x352)"
+    ),
     ("basket_association_rules", "BroadcastNestedLoopJoin"): (
         "1-row basket-total frame broadcast-crossed onto the rule "
         "candidates for the integer-sided support gate — bounded by "

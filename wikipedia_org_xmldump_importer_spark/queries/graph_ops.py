@@ -1631,3 +1631,232 @@ def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.select("start", F.lit(r).cast("int").alias("step"), "node")
         )
     return out.select(F.col("start").alias("start_node"), "step", "node")
+
+
+# --------------------------------------------------------------------------
+# x347 — Newman modularity of the nation partition over the trade graph
+# --------------------------------------------------------------------------
+
+_MOD_ORACLE = """
+WITH eb AS (
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+comm AS (
+  SELECT c_custkey AS node, c_nationkey AS com FROM customer
+  UNION ALL
+  SELECT -(s_suppkey + 1) AS node, s_nationkey AS com FROM supplier
+),
+m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+intra AS (
+  SELECT cs.com,
+         CAST(SUM(CASE WHEN cs.com = cd.com THEN 1 ELSE 0 END) AS BIGINT) AS l2
+  FROM e
+  JOIN comm cs ON e.src = cs.node
+  JOIN comm cd ON e.dst = cd.node
+  GROUP BY cs.com
+),
+dsum AS (
+  SELECT c.com, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.d) AS BIGINT) AS dc
+  FROM deg d JOIN comm c ON d.node = c.node
+  GROUP BY c.com
+)
+SELECT ds.com AS community,
+       ds.n_nodes,
+       CAST(COALESCE(i.l2, 0) // 2 AS BIGINT) AS internal_edges,
+       ds.dc AS degree_sum,
+       ROUND(CAST(m.m * COALESCE(i.l2, 0) - CAST(ds.dc AS HUGEINT) * ds.dc
+                  AS DOUBLE)
+             / (CAST(m.m AS HUGEINT) * m.m), 6) AS q_contrib
+FROM dsum ds
+LEFT JOIN intra i ON ds.com = i.com
+CROSS JOIN m2 m
+"""
+
+
+@register("graph_modularity_nation", oracle=_MOD_ORACLE)
+def graph_modularity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x347: NEWMAN MODULARITY of the nation partition over the
+    customer<->supplier trade graph (x63's edge set) — does trade
+    cluster within nations? Q_c = L_c/m - (D_c/2m)^2 per community,
+    summed = Q in [-1/2, 1): near 0 means nation boundaries don't
+    structure the graph (the honest null for x179's label-prop
+    communities to beat). Newman & Girvan 2004, unweighted.
+
+    Exactness: with e the DIRECTED doubling (each undirected edge
+    twice, x63's convention), m2 = |e| = 2m, L2_c = 2L_c, D_c exact
+    degree sums — Q_c = (m2*L2_c - D_c^2)/m2^2 is a ratio of exact
+    BIGINT/HUGEINT-DECIMAL(38) integers, ONE identically-parenthesized
+    division, 6dp publish. internal_edges = L2_c div 2 exact.
+
+    100 TB: the edge list is ONE distinct over the join (map-combined);
+    degrees and community sums are key-partitioned aggs; the community
+    join broadcasts (|nations| rows). Nothing quadratic: intra-edge
+    counting is the edge scan itself with two dim joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.unionAll(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comm = cust.select(
+        F.col("c_custkey").alias("node"), F.col("c_nationkey").alias("com")
+    ).unionAll(
+        supp.select(
+            (-(F.col("s_suppkey") + 1)).alias("node"),
+            F.col("s_nationkey").alias("com"),
+        )
+    )
+    m2 = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    cs = comm.select(F.col("node").alias("s_node"), F.col("com").alias("s_com"))
+    cd = comm.select(F.col("node").alias("d_node"), F.col("com").alias("d_com"))
+    intra = (
+        e.join(F.broadcast(cs), e.src == cs.s_node)
+        .join(F.broadcast(cd), e.dst == cd.d_node)
+        .groupBy(F.col("s_com").alias("com"))
+        .agg(
+            F.sum(F.when(F.col("s_com") == F.col("d_com"), 1).otherwise(0))
+            .cast("long")
+            .alias("l2")
+        )
+    )
+    dsum = (
+        deg.join(F.broadcast(comm), "node")
+        .groupBy("com")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("dc"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    l2 = F.coalesce(F.col("l2"), F.lit(0)).cast("long")
+    joined = dsum.join(intra, "com", "left").crossJoin(F.broadcast(m2))
+    return joined.select(
+        F.col("com").alias("community"),
+        "n_nodes",
+        F.expr("coalesce(l2, 0) div 2").cast("long").alias("internal_edges"),
+        F.col("dc").alias("degree_sum"),
+        F.round(
+            (F.col("m") * l2 - dec(F.col("dc")) * F.col("dc")).cast("double")
+            / (dec(F.col("m")) * F.col("m")),
+            6,
+        ).alias("q_contrib"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x348 — rich-club coefficient curve over the trade graph
+# --------------------------------------------------------------------------
+
+_RICHCLUB_ORACLE = """
+WITH eb AS (
+  SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (4), (8), (16), (32)) tv(k)),
+nodes_k AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_rich
+  FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+),
+edges_k AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e2
+  FROM ks
+  JOIN e ON TRUE
+  JOIN deg ds ON e.src = ds.node
+  JOIN deg dd ON e.dst = dd.node
+  WHERE ds.d > ks.k AND dd.d > ks.k
+  GROUP BY ks.k
+)
+SELECT n.k,
+       n.n_rich,
+       CAST(COALESCE(x.e2, 0) // 2 AS BIGINT) AS rich_edges,
+       ROUND(CAST(COALESCE(x.e2, 0) AS DOUBLE)
+             / (CAST(n.n_rich AS HUGEINT) * (n.n_rich - 1)), 6) AS phi
+FROM nodes_k n
+LEFT JOIN edges_k x ON n.k = x.k
+WHERE n.n_rich >= 2
+"""
+
+
+@register("graph_rich_club", oracle=_RICHCLUB_ORACLE)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x348: RICH-CLUB coefficient curve phi(k) over the trade graph —
+    do high-degree hubs trade with EACH OTHER (phi -> 1, an elite
+    core: supply-chain fragility beyond x201's single-source risk) or
+    only with the periphery (phi -> 0)? phi(k) = 2*E_>k /
+    (N_>k * (N_>k - 1)) at k in {4, 8, 16, 32} (Zhou & Mondragon 2004;
+    thresholds STRICT >k, rungs with fewer than 2 qualifying nodes
+    suppressed — phi undefined).
+
+    Exactness: degrees, rich-node counts, and rich-edge counts are
+    exact integers (directed-doubled edge set, so E2 = 2E and
+    phi = E2/(N(N-1)) cancels the 2); ONE division per rung, 6dp.
+
+    100 TB: degree table = one key-partitioned agg over the edge list;
+    the 4-rung threshold table broadcasts; the rich-edge count is the
+    edge scan joined twice to the (node, degree) table — hash joins on
+    node keys, never a pair materialization. At 1000 executors the two
+    degree joins co-partition on the same key."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eb.unionAll(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    spark_ks = spark.createDataFrame([(4,), (8,), (16,), (32,)], ["k"]).select(
+        F.col("k").cast("long").alias("k")
+    )
+    nodes_k = (
+        F.broadcast(spark_ks)
+        .join(deg, deg.d > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    )
+    ds = deg.select(F.col("node").alias("s_node"), F.col("d").alias("s_d"))
+    dd = deg.select(F.col("node").alias("d_node"), F.col("d").alias("d_d"))
+    edges_k = (
+        e.join(ds, e.src == ds.s_node)
+        .join(dd, e.dst == dd.d_node)
+        .crossJoin(F.broadcast(spark_ks))
+        .filter((F.col("s_d") > F.col("k")) & (F.col("d_d") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e2"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e2 = F.coalesce(F.col("e2"), F.lit(0)).cast("long")
+    return (
+        nodes_k.join(edges_k, "k", "left")
+        .filter(F.col("n_rich") >= 2)
+        .select(
+            "k",
+            "n_rich",
+            F.expr("coalesce(e2, 0) div 2").cast("long").alias("rich_edges"),
+            F.round(
+                e2.cast("double") / (dec(F.col("n_rich")) * (F.col("n_rich") - 1)),
+                6,
+            ).alias("phi"),
+        )
+    )

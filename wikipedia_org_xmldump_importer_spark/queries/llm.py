@@ -2712,3 +2712,111 @@ def vec_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within_2x"),
     )
+
+
+# --------------------------------------------------------------------------
+# x350 — embedding-space anisotropy audit (mean-vector concentration)
+# --------------------------------------------------------------------------
+
+_ANISO_ORACLE = """
+WITH q AS (
+  SELECT CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM embeddings
+),
+m AS (
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS HUGEINT) AS s1,
+         SUM(CAST(qv AS HUGEINT) * qv) AS s2
+  FROM q GROUP BY i
+),
+ranked AS (
+  SELECT i, n, s1, s2,
+         ROW_NUMBER() OVER (ORDER BY s1 * s1 DESC, i) AS rn
+  FROM m
+),
+tot AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+         CAST(COUNT(*) AS BIGINT) AS d_dims,
+         SUM(s1 * s1) AS a,
+         SUM(s2) AS b
+  FROM ranked
+)
+SELECT t.n_vecs, t.d_dims,
+       ROUND(CAST(t.a AS DOUBLE) / (t.n_vecs * CAST(t.b AS HUGEINT)), 6)
+         AS anisotropy,
+       r.i AS top_dim,
+       ROUND(CAST(r.s1 * r.s1 AS DOUBLE) / CAST(t.a AS DOUBLE), 6)
+         AS top_dim_share
+FROM tot t JOIN ranked r ON r.rn = 1
+"""
+
+
+@register("vec_anisotropy", oracle=_ANISO_ORACLE)
+def vec_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x350: ANISOTROPY audit of the embedding space — the ratio
+    ||mean(v)||^2 / mean(||v||^2) in [0, 1]: 0 means the cloud is
+    centered (cosine similarities are meaningful), values >> 0 mean a
+    dominant common direction (the Ethayarajh 2019 finding that makes
+    raw cosine scores saturate) — the go/no-go check before trusting
+    l3/l4/x16's cosine machinery, and the justification for mean-
+    centering if it fails. Also reports the dimension carrying the
+    largest share of the mean vector (the rogue-dimension diagnostic).
+
+    Exactness: components quantized to exact micro-unit longs (x190's
+    device); A = SUM_i S_i^2 and B = SUM_all q^2 are exact
+    HUGEINT/DECIMAL(38) sums, and anisotropy = A / (n * B) — the 1e12
+    scale factors cancel — is ONE identically-parenthesized division;
+    the argmax dimension is rank-pinned (S^2 DESC, dim).
+
+    100 TB: one 64x posexplode + 64-group map-combined agg; everything
+    after is a 64-row epilogue. Constant output size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _BITSIG_Q).cast("long"),
+            )
+        ).alias("pos", "qv")
+    ).select((F.col("pos") + 1).cast("long").alias("i"), "qv")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = q.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qv").cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(F.col("qv")) * F.col("qv")).alias("s2"),
+    )
+    ranked = m.select(
+        "i",
+        "n",
+        "s1",
+        "s2",
+        F.row_number()
+        .over(Window.orderBy((F.col("s1") * F.col("s1")).desc(), "i"))
+        .alias("rn"),
+    )
+    tot = ranked.agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("d_dims"),
+        F.sum(F.col("s1") * F.col("s1")).alias("a"),
+        F.sum("s2").alias("b"),
+    )
+    top = ranked.filter(F.col("rn") == 1).select(
+        F.col("i").alias("top_dim"), F.col("s1").alias("top_s1")
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        "n_vecs",
+        "d_dims",
+        F.round(
+            F.col("a").cast("double")
+            / (F.col("n_vecs") * dec(F.col("b"))).cast("double"),
+            6,
+        ).alias("anisotropy"),
+        "top_dim",
+        F.round(
+            (F.col("top_s1") * F.col("top_s1")).cast("double")
+            / F.col("a").cast("double"),
+            6,
+        ).alias("top_dim_share"),
+    )

@@ -1186,3 +1186,104 @@ def supplier_scorecard_topsis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _TOPSIS_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# x351 — bullwhip-effect ratio: order volatility vs demand volatility
+# --------------------------------------------------------------------------
+
+_BULLWHIP_ORACLE = """
+WITH om AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+qm AS (
+  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mth,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS ss
+  FROM om
+),
+mq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS ss
+  FROM qm
+)
+SELECT mo.n AS n_months_orders, mq.n AS n_months_demand,
+       ROUND(CAST(mo.n * mo.ss - CAST(mo.s AS HUGEINT) * mo.s AS DOUBLE)
+             / CAST(CAST(mo.s AS HUGEINT) * mo.s AS DOUBLE), 6) AS cv2_orders,
+       ROUND(CAST(mq.n * mq.ss - CAST(mq.s AS HUGEINT) * mq.s AS DOUBLE)
+             / CAST(CAST(mq.s AS HUGEINT) * mq.s AS DOUBLE), 6) AS cv2_demand,
+       ROUND((CAST(mo.n * mo.ss - CAST(mo.s AS HUGEINT) * mo.s AS DOUBLE)
+              / CAST(CAST(mo.s AS HUGEINT) * mo.s AS DOUBLE))
+             / (CAST(mq.n * mq.ss - CAST(mq.s AS HUGEINT) * mq.s AS DOUBLE)
+                / CAST(CAST(mq.s AS HUGEINT) * mq.s AS DOUBLE)), 6)
+         AS bullwhip,
+       CAST(CASE WHEN (mo.n * mo.ss - CAST(mo.s AS HUGEINT) * mo.s)
+                      * (CAST(mq.s AS HUGEINT) * mq.s) >
+                      (mq.n * mq.ss - CAST(mq.s AS HUGEINT) * mq.s)
+                      * (CAST(mo.s AS HUGEINT) * mo.s)
+                 THEN 1 ELSE 0 END AS INTEGER) AS amplifying
+FROM mo CROSS JOIN mq
+"""
+
+
+@register("orders_bullwhip", oracle=_BULLWHIP_ORACLE)
+def orders_bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x351: BULLWHIP-EFFECT ratio — CV^2 of monthly ORDER counts over
+    CV^2 of monthly SHIPPED demand (lineitem quantity): > 1 means order
+    placement amplifies demand volatility up the chain (Lee et al.
+    1997's measure, the standard CV-squared form used in supply-chain
+    econometrics); the chain-level companion to x201/x335's
+    supplier-grain risk views.
+
+    Exactness: both monthly series are exact integers (counts; integral
+    l_quantity sums); CV^2 = (n*SS - S^2)/S^2 is a ratio of exact
+    HUGEINT/DECIMAL(38) integers, each published double ONE identically-
+    parenthesized division; the amplifying verdict cross-multiplies the
+    two CV^2 fractions entirely in integer land — no float on the
+    decision path.
+
+    100 TB: each series map-combines to |months| rows at the first agg;
+    the moment aggs are 1-row; the final join is 1x1. Nothing after the
+    two monthly aggs scales with the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    om = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mth")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    qm = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mth")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x"))
+
+    def moments(df, pfx):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{pfx}_n"),
+            F.sum("x").cast("long").alias(f"{pfx}_s"),
+            F.sum(dec(F.col("x")) * F.col("x")).alias(f"{pfx}_ss"),
+        )
+
+    mo, mq = moments(om, "o"), moments(qm, "q")
+    j = mo.crossJoin(F.broadcast(mq))
+    num_o = F.col("o_n") * F.col("o_ss") - dec(F.col("o_s")) * F.col("o_s")
+    den_o = dec(F.col("o_s")) * F.col("o_s")
+    num_q = F.col("q_n") * F.col("q_ss") - dec(F.col("q_s")) * F.col("q_s")
+    den_q = dec(F.col("q_s")) * F.col("q_s")
+    cv2_o = num_o.cast("double") / den_o.cast("double")
+    cv2_q = num_q.cast("double") / den_q.cast("double")
+    return j.select(
+        F.col("o_n").alias("n_months_orders"),
+        F.col("q_n").alias("n_months_demand"),
+        F.round(cv2_o, 6).alias("cv2_orders"),
+        F.round(cv2_q, 6).alias("cv2_demand"),
+        F.round(cv2_o / cv2_q, 6).alias("bullwhip"),
+        F.when(num_o * den_q > num_q * den_o, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("amplifying"),
+    )

@@ -1646,3 +1646,93 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_alloc"),
         F.round("prop_quota", 6).alias("proportional_quota"),
     )
+
+
+# --------------------------------------------------------------------------
+# x352 — temperature-mixture epoch allocator (token-budget planning)
+# --------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 1_000_000  # target training tokens across all sources
+# temperature tau = 0.5: weights proportional to sqrt(token count) — the
+# standard multilingual/multi-source rebalancing curve (upweights tails
+# without letting a giant source dominate).
+
+_ALLOC_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+  FROM t
+),
+s AS (SELECT CAST(SUM(wq) AS HUGEINT) AS sw FROM w)
+SELECT w.source, w.n_tokens,
+       ROUND(CAST(w.wq AS DOUBLE) / CAST(s.sw AS DOUBLE), 6) AS mix_weight,
+       CAST(CAST({_ALLOC_BUDGET} AS HUGEINT) * w.wq // s.sw AS BIGINT)
+         AS target_tokens,
+       ROUND(CAST(CAST({_ALLOC_BUDGET} AS HUGEINT) * w.wq AS DOUBLE)
+             / CAST(s.sw * w.n_tokens AS DOUBLE), 6) AS sample_rate,
+       CAST((CAST({_ALLOC_BUDGET} AS HUGEINT) * w.wq + s.sw * w.n_tokens - 1)
+            // (s.sw * w.n_tokens) AS BIGINT) AS epochs
+FROM w CROSS JOIN s
+"""
+
+
+@register("pipeline_epoch_allocator", oracle=_ALLOC_ORACLE)
+def pipeline_epoch_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x352: TEMPERATURE-MIXTURE EPOCH ALLOCATOR — turn per-source token
+    counts into a training plan for a fixed token budget: mixture weight
+    w_s proportional to sqrt(tokens) (tau = 0.5, the multilingual
+    rebalancing curve), target tokens = budget * w_s / SUM(w), sampling
+    rate vs the source's own supply, and EPOCHS = ceil(rate) — rate > 1
+    means the source repeats, the early-overfit warning x304's mixture
+    weights don't surface. Complements x55 (which SAMPLES docs at a
+    temperature) by emitting the PLAN for a budget.
+
+    Exactness: token counts are exact integers; sqrt is one correctly-
+    rounded IEEE op per source, quantized to micro-unit longs BEFORE
+    the sum (float-sum order never materializes); target_tokens and
+    epochs are exact integer floor/ceil divisions in HUGEINT/
+    DECIMAL(38); the two published ratios are identically-
+    parenthesized single divisions, 6dp.
+
+    100 TB: ONE map-combined (source) agg over the corpus; everything
+    after runs on |sources| rows with a 1-row broadcast total."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w = t.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("long")
+        .alias("wq"),
+    )
+    s = w.agg(F.sum("wq").cast("decimal(38,0)").alias("sw"))
+    j = w.crossJoin(F.broadcast(s))
+    budget_wq = dec(F.lit(_ALLOC_BUDGET)) * F.col("wq")
+    supply = F.col("sw") * F.col("n_tokens")
+    return j.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("wq").cast("double") / F.col("sw").cast("double"), 6).alias(
+            "mix_weight"
+        ),
+        F.expr(
+            f"cast((cast({_ALLOC_BUDGET} as decimal(38,0)) * wq) div sw as bigint)"
+        ).alias("target_tokens"),
+        F.round(
+            budget_wq.cast("double") / supply.cast("double"), 6
+        ).alias("sample_rate"),
+        F.expr(
+            f"cast((cast({_ALLOC_BUDGET} as decimal(38,0)) * wq"
+            " + sw * n_tokens - 1) div (sw * n_tokens) as bigint)"
+        ).alias("epochs"),
+    )

@@ -4729,3 +4729,75 @@ def ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("accuracy"),
         F.round((po - pex) / (F.lit(1.0) - pex), 6).alias("cohens_kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# x349 — Yule's K + Simpson's D lexical concentration per source
+# --------------------------------------------------------------------------
+
+_YULE_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, w
+),
+mom AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+  FROM tf GROUP BY source
+)
+SELECT source, n AS n_tokens, v AS vocab_size,
+       ROUND(10000.0 * CAST(scc - n AS DOUBLE)
+             / (CAST(n AS HUGEINT) * n), 6) AS yule_k,
+       ROUND(CAST(scc - n AS DOUBLE)
+             / (CAST(n AS HUGEINT) * (n - 1)), 6) AS simpson_d
+FROM mom
+"""
+
+
+@register("text_yule_simpson", oracle=_YULE_ORACLE)
+def text_yule_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x349: YULE'S K + SIMPSON'S D per source — the repeat-rate pair of
+    lexical concentration measures (Yule 1944; Simpson 1949): K =
+    1e4*(SUM(c^2) - N)/N^2 and D = SUM(c(c-1))/(N(N-1)), the probability
+    two random tokens are the same type. Unlike x173's length-biased TTR,
+    K and D are (asymptotically) length-INVARIANT — templated/generated
+    text shows K far above natural prose (~100-200), so the pair is the
+    curation screen that survives mixed document lengths, completing the
+    x161/x173/x227 lexical panel.
+
+    Exactness: N, V, SUM(c^2) are exact BIGINT/HUGEINT-DECIMAL(38)
+    integers (SUM(c(c-1)) = SUM(c^2) - N reuses the same moment); each
+    statistic is ONE identically-parenthesized division, 6dp.
+
+    100 TB: the (source, token) agg partial-aggregates map-side; the
+    moment agg collapses |sources| x |vocab| to |sources| rows. No
+    second pass, no sort, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(dec(F.col("c")) * F.col("c")).alias("scc"),
+    )
+    n, scc = F.col("n"), F.col("scc")
+    return mom.select(
+        "source",
+        n.alias("n_tokens"),
+        F.col("v").alias("vocab_size"),
+        F.round(
+            10000.0 * (scc - n).cast("double") / (dec(n) * n), 6
+        ).alias("yule_k"),
+        F.round((scc - n).cast("double") / (dec(n) * (n - 1)), 6).alias(
+            "simpson_d"
+        ),
+    )

@@ -10825,3 +10825,312 @@ def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q_stat"),
         F.when(q > 5.991465, 1).otherwise(0).cast("int").alias("reject_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# x344 — Lo-MacKinlay variance-ratio test per type (random walk vs momentum)
+# --------------------------------------------------------------------------
+
+_VR_Q = 5  # aggregation horizon (days)
+
+_VR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+lagd AS (
+  SELECT event_type, day, d,
+         LAG(d, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+         LAG(d, {_VR_Q}) OVER (PARTITION BY event_type ORDER BY day) AS pq
+  FROM daily
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(p1) AS BIGINT) AS nx,
+         CAST(SUM(d - p1) AS BIGINT) AS sx,
+         CAST(SUM(CAST(d - p1 AS HUGEINT) * (d - p1)) AS HUGEINT) AS sxx,
+         CAST(COUNT(pq) AS BIGINT) AS ny,
+         CAST(SUM(d - pq) AS BIGINT) AS sy,
+         CAST(SUM(CAST(d - pq AS HUGEINT) * (d - pq)) AS HUGEINT) AS syy
+  FROM lagd GROUP BY event_type
+)
+SELECT event_type, nx AS n_diffs,
+       ROUND((CAST(nx * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+              / (nx * CAST(nx AS HUGEINT)))
+             / CAST({_VR_Q} AS DOUBLE), 6) AS var1_q,
+       ROUND(CAST(ny * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+             / (ny * CAST(ny AS HUGEINT)), 6) AS varq,
+       ROUND((CAST(ny * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+              / (ny * CAST(ny AS HUGEINT)))
+             / ((CAST(nx * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 / (nx * CAST(nx AS HUGEINT)))
+                * {_VR_Q}), 6) AS vr,
+       CAST(CASE WHEN CAST(ny * syy - CAST(sy AS HUGEINT) * sy AS HUGEINT)
+                      * (nx * CAST(nx AS HUGEINT)) >
+                      CAST(nx * sxx - CAST(sx AS HUGEINT) * sx AS HUGEINT)
+                      * ({_VR_Q} * ny * CAST(ny AS HUGEINT))
+                 THEN 1 ELSE 0 END AS INTEGER) AS momentum
+FROM mom
+"""
+
+
+@register("ts_variance_ratio", oracle=_VR_ORACLE)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x344: LO-MACKINLAY VARIANCE-RATIO test per type — is the daily
+    revenue series a random walk? Under the null, the variance of
+    q-day differences is exactly q x the variance of 1-day differences;
+    VR(q) = Var(d_t - d_{t-q}) / (q * Var(d_t - d_{t-1})) > 1 means
+    momentum (shocks persist), < 1 mean reversion — the diagnostic that
+    decides whether x257's naive backtest horizon or x339's AR(1)
+    half-life applies to the series at all (Lo & MacKinlay 1988;
+    population variances, overlapping q-differences, the standard
+    estimator).
+
+    Exactness: daily totals are exact integer cents; both difference
+    series and all five moments are exact BIGINT/HUGEINT-DECIMAL(38)
+    integers; the three published doubles divide those exact integers
+    with identical parenthesization both engines (x338's device); the
+    momentum verdict never touches a float — it cross-multiplies the
+    two variance numerators in integer land.
+
+    100 TB: corpus collapses to |types| x |days| at the FIRST agg
+    (map-side combine); both lags ride ONE window partitioned by type;
+    the moment agg is 5 rows out. Nothing after the daily agg scales
+    with the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("d")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = daily.select(
+        "event_type",
+        "d",
+        F.lag("d", 1).over(w).alias("p1"),
+        F.lag("d", _VR_Q).over(w).alias("pq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col("d") - F.col("p1")
+    y = F.col("d") - F.col("pq")
+    mom = lagd.groupBy("event_type").agg(
+        F.count("p1").cast("long").alias("nx"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(dec(x) * x).alias("sxx"),
+        F.count("pq").cast("long").alias("ny"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(dec(y) * y).alias("syy"),
+    )
+    nx, sx, sxx = F.col("nx"), F.col("sx"), F.col("sxx")
+    ny, sy, syy = F.col("ny"), F.col("sy"), F.col("syy")
+    num_x = nx * sxx - dec(sx) * sx  # n*Sxx - Sx^2, exact
+    num_y = ny * syy - dec(sy) * sy
+    var1 = num_x.cast("double") / (nx * dec(nx))
+    varq = num_y.cast("double") / (ny * dec(ny))
+    return mom.select(
+        "event_type",
+        nx.alias("n_diffs"),
+        F.round(var1 / float(_VR_Q), 6).alias("var1_q"),
+        F.round(varq, 6).alias("varq"),
+        F.round(varq / (var1 * float(_VR_Q)), 6).alias("vr"),
+        F.when(
+            num_y * (nx * dec(nx)) > num_x * (_VR_Q * ny * dec(ny)), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("momentum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x345 — turning-points randomness test per type
+# --------------------------------------------------------------------------
+
+_TP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ctx AS (
+  SELECT event_type, y,
+         LAG(y)  OVER (PARTITION BY event_type ORDER BY day) AS pv,
+         LEAD(y) OVER (PARTITION BY event_type ORDER BY day) AS nx
+  FROM daily
+),
+cnt AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                        AND ((y > pv AND y > nx) OR (y < pv AND y < nx))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ctx GROUP BY event_type
+)
+SELECT event_type, n AS n_days, tp AS turning_points,
+       ROUND(2.0 * (n - 2) / 3.0, 6) AS expected_tp,
+       ROUND((tp - 2.0 * (n - 2) / 3.0)
+             / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z,
+       CAST(CASE WHEN abs((tp - 2.0 * (n - 2) / 3.0)
+                          / sqrt((16.0 * n - 29.0) / 90.0)) > 1.959964
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_randomness_05
+FROM cnt
+"""
+
+
+@register("ts_turning_points", oracle=_TP_ORACLE)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x345: TURNING-POINTS randomness test per type — count interior
+    local extrema of the daily-count series (strict peaks + strict
+    troughs); an i.i.d. series has E[T] = 2(n-2)/3 and
+    Var[T] = (16n-29)/90 (Kendall's classic), so too FEW turning points
+    means trend/drag (the x260 Mann-Kendall family's cheap screen) and
+    too MANY means alternating noise. Equal-neighbor plateaus count as
+    no turn (strict inequalities; documented, both spellings agree).
+
+    Exactness: T and n are exact integers from integer lag/lead
+    compares; the z statistic is one fixed-parenthesization double
+    expression over (tp, n) — IEEE sqrt is correctly rounded, so both
+    engines emit identical doubles; the verdict compares |z| to a
+    literal.
+
+    100 TB: corpus -> |types| x |days| grain at the first map-combined
+    agg; ONE window (partitioned by type) serves both lag and lead;
+    the test statistic is a 5-row epilogue."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ctx = daily.select(
+        "event_type",
+        "y",
+        F.lag("y").over(w).alias("pv"),
+        F.lead("y").over(w).alias("nx"),
+    )
+    is_turn = (
+        F.col("pv").isNotNull()
+        & F.col("nx").isNotNull()
+        & (
+            ((F.col("y") > F.col("pv")) & (F.col("y") > F.col("nx")))
+            | ((F.col("y") < F.col("pv")) & (F.col("y") < F.col("nx")))
+        )
+    )
+    cnt = ctx.groupBy("event_type").agg(
+        F.sum(F.when(is_turn, 1).otherwise(0)).cast("long").alias("tp"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    n, tp = F.col("n"), F.col("tp")
+    z = (tp - 2.0 * (n - 2) / 3.0) / F.sqrt((16.0 * n - 29.0) / 90.0)
+    return cnt.select(
+        "event_type",
+        n.alias("n_days"),
+        tp.alias("turning_points"),
+        F.round(2.0 * (n - 2) / 3.0, 6).alias("expected_tp"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 1.959964, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_randomness_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x346 — ADF-lite unit-root screen per type (Dickey-Fuller, lag 0)
+# --------------------------------------------------------------------------
+
+_ADF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+lagd AS (
+  SELECT event_type, y,
+         LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS x
+  FROM daily
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(x) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y - x) AS BIGINT) AS sg,
+         CAST(SUM(CAST(x AS HUGEINT) * (y - x)) AS HUGEINT) AS sxg,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y - x AS HUGEINT) * (y - x)) AS HUGEINT) AS sgg
+  FROM lagd WHERE x IS NOT NULL GROUP BY event_type
+),
+c AS (
+  SELECT event_type, n,
+         n * sxg - CAST(sx AS HUGEINT) * sg AS cxg,
+         n * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+         n * sgg - CAST(sg AS HUGEINT) * sg AS cgg
+  FROM mom
+)
+SELECT event_type, n AS n_obs,
+       ROUND(CAST(cxg AS DOUBLE) / CAST(cxx AS DOUBLE), 6) AS gamma,
+       ROUND(CAST(cxg AS DOUBLE)
+             / sqrt(CAST(cxx * cgg - cxg * cxg AS DOUBLE) / (n - 2)), 6)
+         AS t_stat,
+       CAST(CASE WHEN CAST(cxg AS DOUBLE)
+                      / sqrt(CAST(cxx * cgg - cxg * cxg AS DOUBLE) / (n - 2))
+                      < -2.89 THEN 1 ELSE 0 END AS INTEGER) AS stationary_05
+FROM c
+"""
+
+
+@register("ts_adf_lite", oracle=_ADF_ORACLE)
+def ts_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x346: DICKEY-FULLER unit-root screen (lag 0, constant absorbed by
+    the centered moments) per type — regress the daily-count CHANGE on
+    the lagged LEVEL: gamma = 0 is a random walk (x344's VR asks the
+    same question from the variance side; this is the regression side
+    the econometrics canon actually tables), gamma < 0 with t below the
+    DF critical value (-2.89: constant-only, n~25-50 band) says the
+    series mean-reverts and x339's AR(1) half-life is meaningful.
+
+    Exactness: all six moments are exact integers (counts x counts in
+    HUGEINT / DECIMAL(38)); the centered cross-moments cxg/cxx/cgg stay
+    exact; gamma and t are each ONE identically-parenthesized double
+    expression (IEEE sqrt correctly rounded; x338's conversion device);
+    the verdict compares the identical double to a literal.
+
+    100 TB: corpus -> day grain at the first map-combined agg; one lag
+    window per type; moments map-combine; 5-row epilogue. The DF
+    critical value is a constant, not a per-row computation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = daily.select(
+        "event_type", "y", F.lag("y").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = F.col("y") - F.col("x")
+    mom = lagd.groupBy("event_type").agg(
+        F.count("x").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(g).cast("long").alias("sg"),
+        F.sum(dec(F.col("x")) * g).alias("sxg"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(g) * g).alias("sgg"),
+    )
+    n = F.col("n")
+    cxg = n * F.col("sxg") - dec(F.col("sx")) * F.col("sg")
+    cxx = n * F.col("sxx") - dec(F.col("sx")) * F.col("sx")
+    cgg = n * F.col("sgg") - dec(F.col("sg")) * F.col("sg")
+    c = mom.select("event_type", "n", cxg.alias("cxg"), cxx.alias("cxx"), cgg.alias("cgg"))
+    t_stat = F.col("cxg").cast("double") / F.sqrt(
+        (F.col("cxx") * F.col("cgg") - F.col("cxg") * F.col("cxg")).cast("double")
+        / (F.col("n") - 2)
+    )
+    return c.select(
+        "event_type",
+        F.col("n").alias("n_obs"),
+        F.round(
+            F.col("cxg").cast("double") / F.col("cxx").cast("double"), 6
+        ).alias("gamma"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.when(t_stat < -2.89, 1).otherwise(0).cast("int").alias("stationary_05"),
+    )
