@@ -32,6 +32,20 @@ RED_FLAGS: dict[str, str] = {
 #: SURVEY row / docstring gives. Keep justifications honest — this list is
 #: audited by humans, not just tests.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    ("events_g_test_independence", "GlobalWindowExec"): (
+        "the grand-total margin window runs over the <=35-row contingency "
+        "cell frame (the corpus collapsed at the first agg) — bounded by "
+        "construction (x353)"
+    ),
+    ("orders_priority_mix_drift", "BroadcastNestedLoopJoin"): (
+        "1-row global-margin frame broadcast-crossed onto the |months|-row "
+        "pivot for the chi2 epilogue — bounded by construction (x356)"
+    ),
+    ("events_qte_deciles", "BroadcastNestedLoopJoin"): (
+        "9-row decile-rank frame broadcast onto the ranked frame with a "
+        "computed-rank equality (deliberate 9-probe join) — bounded by "
+        "construction (x357)"
+    ),
     ("graph_modularity_nation", "BroadcastNestedLoopJoin"): (
         "1-row total-edge-count frame broadcast-crossed onto the "
         "|nations|(=25)-row community table for the Q_c epilogue — "

@@ -1283,3 +1283,100 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# x356 — monthly categorical drift of the order-priority mix (chi-square)
+# --------------------------------------------------------------------------
+
+_PRIO = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _prio_chi2_terms(o_cols: list[str], r_cols: list[str]) -> str:
+    """Shared-parenthesization chi2: sum_p (O_p*N - C*R_p)^2 / (N*R_p*C),
+    the 5 terms written in the FIXED priority order (never a float agg
+    across rows — the sum is one expression)."""
+    terms = [
+        f"(CAST({o} AS DOUBLE) * n - CAST(c_m AS DOUBLE) * {r})"
+        f" * ((CAST({o} AS DOUBLE) * n - CAST(c_m AS DOUBLE) * {r}))"
+        f" / (CAST(n AS DOUBLE) * {r} * c_m)"
+        for o, r in zip(o_cols, r_cols)
+    ]
+    return " + ".join(terms)
+
+
+_PRIOMIX_ORACLE = f"""
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS o{i}"
+             for i, p in enumerate(_PRIO)
+         )},
+         CAST(COUNT(*) AS BIGINT) AS c_m
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT {", ".join(f"CAST(SUM(o{i}) AS BIGINT) AS r{i}" for i in range(5))},
+         CAST(SUM(c_m) AS BIGINT) AS n
+  FROM m
+)
+SELECT m.mth AS month_key, m.c_m AS n_orders,
+       ROUND({_prio_chi2_terms([f"m.o{i}" for i in range(5)],
+                               [f"g.r{i}" for i in range(5)])}, 6) AS chi2,
+       CAST(CASE WHEN {_prio_chi2_terms([f"m.o{i}" for i in range(5)],
+                                        [f"g.r{i}" for i in range(5)])}
+                      > 9.487729 THEN 1 ELSE 0 END AS INTEGER) AS drifted_05
+FROM m CROSS JOIN g
+"""
+
+
+@register("orders_priority_mix_drift", oracle=_PRIOMIX_ORACLE)
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x356: MONTHLY CATEGORICAL DRIFT of the order-priority mix — per
+    month, the chi-square distance between that month's 5-way priority
+    distribution and the all-time mix (df = 4, 5% critical 9.487729):
+    the categorical sibling of x230's PSI (which bins a NUMERIC column)
+    — the order-intake monitor that pages when a feed starts writing
+    '4-NOT SPECIFIED' for everything.
+
+    Exactness: the 5 cells per month and the 5 global margins are exact
+    integers pivoted to COLUMNS (the priority domain is the fixed TPC-H
+    5-value set), so chi2 is ONE fixed-parenthesization double
+    expression per month — never a float sum across rows; the verdict
+    compares that identical double to a literal.
+
+    100 TB: one map-combined month-grain pivot agg; the 1-row global
+    frame broadcasts; |months| rows out."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month_key")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"o{i}")
+            for i, p in enumerate(_PRIO)
+        ],
+        F.count(F.lit(1)).cast("long").alias("c_m"),
+    )
+    g = m.agg(
+        *[F.sum(f"o{i}").cast("long").alias(f"r{i}") for i in range(5)],
+        F.sum("c_m").cast("long").alias("n"),
+    )
+    j = m.crossJoin(F.broadcast(g))
+    chi2 = None
+    for i in range(5):
+        diff = (
+            F.col(f"o{i}").cast("double") * F.col("n")
+            - F.col("c_m").cast("double") * F.col(f"r{i}")
+        )
+        term = diff * diff / (
+            F.col("n").cast("double") * F.col(f"r{i}") * F.col("c_m")
+        )
+        chi2 = term if chi2 is None else chi2 + term
+    return j.select(
+        "month_key",
+        F.col("c_m").alias("n_orders"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 9.487729, 1).otherwise(0).cast("int").alias("drifted_05"),
+    )

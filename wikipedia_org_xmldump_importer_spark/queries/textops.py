@@ -4801,3 +4801,68 @@ def text_yule_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simpson_d"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x358 — ASCII / non-ASCII script-mix audit per language
+# --------------------------------------------------------------------------
+
+_SCRIPTMIX_ORACLE = """
+WITH d AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_all,
+         CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT)
+           AS n_ascii
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_all) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(n_ascii) AS DOUBLE) / SUM(n_all), 6) AS ascii_share,
+       CAST(SUM(CASE WHEN n_ascii < n_all THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_nonascii,
+       ROUND(CAST(SUM(CASE WHEN n_ascii < n_all THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS nonascii_doc_rate
+FROM d GROUP BY lang
+"""
+
+
+@register("docs_script_mix", oracle=_SCRIPTMIX_ORACLE)
+def docs_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x358: SCRIPT-MIX audit per language — printable-ASCII character
+    share and the rate of docs containing ANY non-ASCII byte: the
+    mojibake / wrong-decoder screen (an 'en' shard with a falling ASCII
+    share means double-encoded UTF-8 or binary spill upstream; a 'zh'
+    shard with a RISING one means the CJK feed started serving English
+    error pages) — the encoding-level companion to x8's statistical
+    langid and x9's quality score, which both assume the bytes decode
+    sanely first.
+
+    Exactness: both counts are exact integer string lengths (the
+    character class [^ -~] — printable ASCII — is identical in Java
+    regex and RE2); the two ratios are single exact-integer divisions.
+
+    100 TB: one narrow projection + map-combined lang-grain agg;
+    |langs| rows out. The regexp runs once per doc in codegen — no
+    explode, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_all"),
+        F.length(F.regexp_replace("text", "[^ -~]", "")).cast("long").alias(
+            "n_ascii"
+        ),
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    nonascii = F.sum(
+        F.when(F.col("n_ascii") < F.col("n_all"), 1).otherwise(0)
+    ).cast("long")
+    return d.groupBy("lang").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_all").cast("long").alias("n_chars"),
+        F.round(
+            F.sum("n_ascii").cast("double") / F.sum("n_all"), 6
+        ).alias("ascii_share"),
+        nonascii.alias("n_docs_nonascii"),
+        F.round(nonascii.cast("double") / n_docs, 6).alias("nonascii_doc_rate"),
+    )

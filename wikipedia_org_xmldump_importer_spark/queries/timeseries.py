@@ -11134,3 +11134,387 @@ def ts_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_stat, 6).alias("t_stat"),
         F.when(t_stat < -2.89, 1).otherwise(0).cast("int").alias("stationary_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# x353 — G-test of event_type x weekday independence
+# --------------------------------------------------------------------------
+
+_GTEST_ORACLE = """
+WITH cell AS (
+  SELECT event_type,
+         CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3) % 7
+              AS BIGINT) AS wd,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+),
+marg AS (
+  SELECT c.event_type, c.wd, c.o,
+         SUM(c.o) OVER (PARTITION BY c.event_type) AS r,
+         SUM(c.o) OVER (PARTITION BY c.wd) AS cl,
+         SUM(c.o) OVER () AS n
+  FROM cell c
+),
+terms AS (
+  SELECT CAST(ROUND(1000000.0 * o *
+                    ln(CAST(o AS DOUBLE) * n
+                       / (CAST(r AS DOUBLE) * cl))) AS BIGINT) AS term_u,
+         n, event_type, wd
+  FROM marg
+),
+acc AS (
+  SELECT CAST(SUM(term_u) AS BIGINT) AS su, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT wd) AS BIGINT) AS nc
+  FROM terms
+)
+SELECT n AS n_events, n_cells,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+       ROUND(2.0 * su / 1000000.0, 6) AS g_stat,
+       CAST(CASE WHEN 2.0 * su / 1000000.0 > 36.415 THEN 1 ELSE 0 END
+            AS INTEGER) AS reject_indep_05
+FROM acc
+"""
+
+
+@register("events_g_test_independence", oracle=_GTEST_ORACLE)
+def events_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x353: G-TEST of event_type x weekday independence — the
+    likelihood-ratio chi-square G = 2*SUM O*ln(O*N/(R*C)) over the 5x7
+    contingency: does the traffic MIX shift by weekday (x175's chi2
+    tests one 2x2 arm; this is the full-table LR form that is additive
+    across partitions and the statistic x321's LLR uses pairwise)?
+    df = (r-1)(c-1) = 24; 5% critical 36.415 (literal).
+
+    Exactness: cells and margins exact integers; each cell's ln term is
+    ONE identically-parenthesized double pinned to micro-nat longs
+    (x338's residual device on the log scale) BEFORE summation, so the
+    cross-cell sum is an exact integer sum — float-sum order never
+    materializes; zero cells can't occur in the pinned expression (a
+    missing (type, wd) cell simply contributes no row, the 0*ln0 = 0
+    limit).
+
+    100 TB: corpus collapses to <= 35 cells at the first map-combined
+    agg; margins are windows over 35 rows; 1-row epilogue."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.expr("(ts_us div 86400000000 + 3) % 7").cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    marg = cell.select(
+        "event_type",
+        "wd",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("wd")).alias("cl"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    term_u = F.round(
+        1000000.0
+        * F.col("o")
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("r").cast("double") * F.col("cl"))
+        )
+    ).cast("long")
+    terms = marg.select(
+        term_u.alias("term_u"), "n", "event_type", "wd"
+    )
+    acc = terms.agg(
+        F.sum("term_u").cast("long").alias("su"),
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("wd").cast("long").alias("nc"),
+    )
+    g = 2.0 * F.col("su") / 1000000.0
+    return acc.select(
+        F.col("n").alias("n_events"),
+        "n_cells",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("df"),
+        F.round(g, 6).alias("g_stat"),
+        F.when(g > 36.415, 1).otherwise(0).cast("int").alias("reject_indep_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x354 — Shewhart individuals / moving-range control chart per type
+# --------------------------------------------------------------------------
+
+_SPC_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+mr AS (
+  SELECT event_type, day, d,
+         abs(d - LAG(d) OVER (PARTITION BY event_type ORDER BY day)) AS mrv
+  FROM daily
+),
+stat AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s,
+         CAST(SUM(mrv) AS BIGINT) AS mrs
+  FROM mr GROUP BY event_type
+)
+SELECT m.event_type, st.n AS n_days,
+       ROUND(CAST(st.s AS DOUBLE) / st.n / 100.0, 6) AS center,
+       ROUND((CAST(st.s AS DOUBLE) / st.n
+              + 2.66 * st.mrs / (st.n - 1)) / 100.0, 6) AS ucl,
+       ROUND((CAST(st.s AS DOUBLE) / st.n
+              - 2.66 * st.mrs / (st.n - 1)) / 100.0, 6) AS lcl,
+       CAST(SUM(CASE WHEN abs(CAST(st.n AS HUGEINT) * m.d - st.s)
+                          * (st.n - 1) * 50 >
+                          CAST(st.n AS HUGEINT) * st.mrs * 133
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+FROM mr m JOIN stat st ON m.event_type = st.event_type
+GROUP BY m.event_type, st.n, st.s, st.mrs
+"""
+
+
+@register("ts_spc_individuals", oracle=_SPC_ORACLE)
+def ts_spc_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x354: SHEWHART I-MR control chart per type — daily revenue as
+    individual observations, sigma estimated from the mean moving range
+    (MRbar/d2, d2 = 1.128, so limits = xbar +/- 2.66*MRbar — the SPC
+    constant): which days breach 3-sigma control? The process-control
+    complement to x62's z-score anomalies (which estimate sigma from
+    the global stddev a single outage day inflates; MRbar is the
+    short-term, shift-robust estimator control charts standardized on).
+
+    Exactness: dailies are exact integer cents; S and SUM(MR) exact;
+    the out-of-control verdict is ALL-INTEGER — |n*d - S|*(n-1)*50 >
+    n*MRS*133 cross-multiplies 2.66 = 133/50 through both rational
+    limits; center/ucl/lcl are display-only identically-parenthesized
+    divisions.
+
+    100 TB: corpus -> day grain map-combined; one lag window per type;
+    the breach count re-joins the 5-row stat frame (broadcast) to the
+    |types| x |days| frame. Output |types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("d")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type",
+        "day",
+        "d",
+        F.abs(F.col("d") - F.lag("d").over(w)).alias("mrv"),
+    )
+    stat = mr.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum("mrv").cast("long").alias("mrs"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = mr.join(F.broadcast(stat), mr.event_type == stat.s_type)
+    center = F.col("s").cast("double") / F.col("n") / 100.0
+    spread = 2.66 * F.col("mrs") / (F.col("n") - 1)
+    breach = (
+        F.abs(dec(F.col("n")) * F.col("d") - F.col("s")) * (F.col("n") - 1) * 50
+        > dec(F.col("n")) * F.col("mrs") * 133
+    )
+    return j.groupBy("event_type", "n", "s", "mrs").agg(
+        F.sum(F.when(breach, 1).otherwise(0)).cast("long").alias("n_out_of_control")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(center, 6).alias("center"),
+        F.round(
+            (F.col("s").cast("double") / F.col("n") + spread) / 100.0, 6
+        ).alias("ucl"),
+        F.round(
+            (F.col("s").cast("double") / F.col("n") - spread) / 100.0, 6
+        ).alias("lcl"),
+        "n_out_of_control",
+    )
+
+
+# --------------------------------------------------------------------------
+# x355 — inter-purchase rhythm segmentation (gap-CV buckets per customer)
+# --------------------------------------------------------------------------
+
+_RHYTHM_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap
+  FROM orders
+),
+cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(gap) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s,
+         CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS ss
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY o_custkey
+  HAVING COUNT(gap) >= 2 AND SUM(gap) > 0
+),
+b AS (
+  SELECT o_custkey, n, s,
+         CASE WHEN 4 * (n * ss - CAST(s AS HUGEINT) * s)
+                   < CAST(s AS HUGEINT) * s THEN 'regular'
+              WHEN (n * ss - CAST(s AS HUGEINT) * s)
+                   < CAST(s AS HUGEINT) * s THEN 'variable'
+              ELSE 'erratic' END AS rhythm
+  FROM cust
+)
+SELECT rhythm,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 6) AS avg_gap_days
+FROM b GROUP BY rhythm
+"""
+
+
+@register("customers_interpurchase_rhythm", oracle=_RHYTHM_ORACLE)
+def customers_interpurchase_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x355: INTER-PURCHASE RHYTHM segmentation — bucket customers by the
+    coefficient of variation of their order-date gaps: CV < 0.5 regular
+    (subscription-like, predictable), CV < 1 variable, else erratic
+    (Poisson-or-worse) — the purchase-cadence complement to x68's RFM
+    (which scores recency/volume, not REGULARITY) and x185's bot screen
+    on events. Customers need >= 2 gaps and a positive gap sum
+    (same-day-only histories carry no rhythm signal).
+
+    Exactness: gaps are exact integer day diffs off a
+    (o_orderdate, o_orderkey)-pinned lag; the CV bucket is ALL-INTEGER
+    — CV^2 < t^2 cross-multiplies to t2num * (n*SS - S^2) < S^2 in
+    HUGEINT/DECIMAL(38); the only float is the display-only avg gap.
+
+    100 TB: ONE custkey shuffle serves the lag window and the per-
+    customer moments (same partitioning); the bucket agg map-combines
+    to 3 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cust = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("gap").cast("long").alias("n"),
+            F.sum("gap").cast("long").alias("s"),
+            F.sum(dec(F.col("gap")) * F.col("gap")).alias("ss"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    var_num = F.col("n") * F.col("ss") - dec(F.col("s")) * F.col("s")
+    s2 = dec(F.col("s")) * F.col("s")
+    b = cust.select(
+        "n",
+        "s",
+        F.when(4 * var_num < s2, "regular")
+        .when(var_num < s2, "variable")
+        .otherwise("erratic")
+        .alias("rhythm"),
+    )
+    return b.groupBy("rhythm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n").cast("long").alias("n_gaps"),
+        F.round(F.sum("s").cast("double") / F.sum("n"), 6).alias("avg_gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x357 — quantile treatment effect by decile (A/B beyond the mean)
+# --------------------------------------------------------------------------
+
+_QTE_ORACLE = """
+WITH v AS (
+  SELECT user_id % 2 AS grp,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+rk AS (
+  SELECT grp, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM v
+),
+d AS (SELECT CAST(k AS BIGINT) AS dec FROM
+        (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) tv(k)),
+q AS (
+  SELECT d.dec, rk.grp, MAX(CASE WHEN rk.rn = (d.dec * rk.n + 9) // 10
+                                 THEN rk.cents END) AS qv
+  FROM d JOIN rk ON rk.rn = (d.dec * rk.n + 9) // 10
+  GROUP BY d.dec, rk.grp
+)
+SELECT a.dec AS decile,
+       a.qv AS q_treat_cents,
+       b.qv AS q_ctrl_cents,
+       CAST(a.qv - b.qv AS BIGINT) AS qte_cents
+FROM q a JOIN q b ON a.dec = b.dec AND a.grp = 1 AND b.grp = 0
+"""
+
+
+@register("events_qte_deciles", oracle=_QTE_ORACLE)
+def events_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x357: QUANTILE TREATMENT EFFECT by decile — the A/B readout past
+    the mean: at each decile (ceil-rank discrete quantile), the
+    treatment-minus-control purchase-value difference. A zero mean lift
+    with positive upper-decile QTE is a whale effect; uniform QTE is a
+    location shift — x126's lift and x182's uplift deciles (which
+    bucket by SCORE) can't distinguish these. Variant = user_id % 2,
+    the house A/B split (x126/x144/x151).
+
+    Exactness: values quantized to exact integer cents; the decile is
+    RANK-DISCRETE (row rn = ceil(dec*n/10) over a cents-ordered
+    total... ties at the same cents value share the value, so which
+    tied row holds the rank is irrelevant) — quantiles are VALUES from
+    the data, differences exact integers. No floats anywhere.
+
+    100 TB: one filter + grp partition windows (2 partitions — the
+    rank window is the dominant sort, same as any exact-percentile op:
+    use x184's sketch when approximate suffices); the 9-row decile
+    table broadcasts; output 9 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("grp").orderBy("cents")
+    wc = Window.partitionBy("grp")
+    rk = v.select(
+        "grp",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+    d = spark.createDataFrame([(k,) for k in range(1, 10)], ["dec"]).select(
+        F.col("dec").cast("long").alias("dec")
+    )
+    q = (
+        F.broadcast(d)
+        .join(rk, rk.rn == F.expr("(dec * n + 9) div 10"))
+        .groupBy("dec", "grp")
+        .agg(F.max("cents").alias("qv"))
+    )
+    a = q.filter(F.col("grp") == 1).select(
+        F.col("dec").alias("decile"), F.col("qv").alias("q_treat_cents")
+    )
+    b = q.filter(F.col("grp") == 0).select(
+        F.col("dec").alias("b_dec"), F.col("qv").alias("q_ctrl_cents")
+    )
+    return a.join(b, a.decile == F.col("b_dec")).select(
+        "decile",
+        "q_treat_cents",
+        "q_ctrl_cents",
+        (F.col("q_treat_cents") - F.col("q_ctrl_cents"))
+        .cast("long")
+        .alias("qte_cents"),
+    )
