@@ -213,6 +213,9 @@ def test_survey_registry_sync():
         "scan_parquet_evolving",
         "union_vintages",
         "sink_zordered",
+        "scan_csv_quarantine",
+        "scan_csv_dropmalformed",
+        "scan_csv_failfast",
         "bloom_bitmap_kernel",
         "ewvol_linear",
         "matrix_profile_linear_memory",

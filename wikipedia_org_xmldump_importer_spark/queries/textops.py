@@ -4866,3 +4866,98 @@ def docs_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonascii.alias("n_docs_nonascii"),
         F.round(nonascii.cast("double") / n_docs, 6).alias("nonascii_doc_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# x360 — cross-source signature-trigram coverage matrix
+# --------------------------------------------------------------------------
+
+_XCOV_TOP = 200
+
+_XCOV_ORACLE = f"""
+WITH tok AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+tg AS (
+  SELECT source,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+cnt AS (
+  SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tg GROUP BY source, g
+),
+top AS (
+  SELECT source, g FROM (
+    SELECT source, g,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, g) AS rk
+    FROM cnt
+  ) WHERE rk <= {_XCOV_TOP}
+),
+have AS (SELECT DISTINCT source, g FROM cnt)
+SELECT a.source AS src_a, h.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / {_XCOV_TOP}, 6) AS coverage
+FROM top a JOIN have h ON a.g = h.g
+GROUP BY a.source, h.source
+"""
+
+
+@register("text_ngram_coverage_crossdomain", oracle=_XCOV_ORACLE)
+def text_ngram_coverage_crossdomain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x360: CROSS-SOURCE SIGNATURE-TRIGRAM COVERAGE matrix — for each
+    source pair (A, B), the fraction of A's top-200 trigrams (its
+    'signature phrases', rank-pinned count DESC then trigram) present
+    ANYWHERE in B: the domain-overlap map that drives mixture design
+    (two sources covering each other's signatures are redundant — split
+    their budget; x252's JSD compares unigram DISTRIBUTIONS, this
+    catches phrase-level overlap JSD smooths away) and the
+    train-on-A/eval-on-B transfer prior.
+
+    Exactness: counts exact integers; the top-k is (count DESC, trigram)
+    rank-pinned; coverage = exact count / literal — one division.
+    Asymmetric by design (A's signatures in B != B's in A); the
+    diagonal is the 1.0 sanity row.
+
+    100 TB: trigram counting map-combines on (source, g); the 200/source
+    signature set (|sources|*200 rows) broadcast-joins against the
+    distinct (source, g) frame hashed on g — never a corpus-grain pair
+    join. The rank window partitions by source over the count frame —
+    the same |vocab|-bounded state as x102's keyword ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("t"))
+    tg = toks.filter(F.size("t") >= 3).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    cnt = tg.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "g")
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _XCOV_TOP)
+        .select(F.col("source").alias("src_a"), "g")
+    )
+    have = cnt.select(F.col("source").alias("src_b"), "g").distinct()
+    return (
+        F.broadcast(top)
+        .join(have, "g")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / _XCOV_TOP, 6).alias(
+                "coverage"
+            ),
+        )
+    )

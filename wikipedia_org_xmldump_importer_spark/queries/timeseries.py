@@ -11518,3 +11518,156 @@ def events_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qte_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# x359 — KPSS level-stationarity test per type (the ADF complement)
+# --------------------------------------------------------------------------
+
+_KPSS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM daily GROUP BY event_type
+),
+e AS (
+  SELECT d.event_type, d.day, t.n,
+         CAST(t.n AS HUGEINT) * d.y - t.s AS ep
+  FROM daily d JOIN tot t ON d.event_type = t.event_type
+),
+cum AS (
+  SELECT event_type, n, ep,
+         SUM(ep) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sp
+  FROM e
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(sp * sp) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(ep * ep) AS DOUBLE)), 6) AS kpss_eta,
+       CAST(CASE WHEN CAST(SUM(sp * sp) AS DOUBLE)
+                      / (MAX(n) * CAST(SUM(ep * ep) AS DOUBLE)) < 0.463
+                 THEN 1 ELSE 0 END AS INTEGER) AS stationary_05
+FROM cum GROUP BY event_type
+"""
+
+
+@register("ts_kpss_lite", oracle=_KPSS_ORACLE)
+def ts_kpss_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x359: KPSS level-stationarity test per type (lag-0 long-run
+    variance) — the COMPLEMENT of x346's ADF: here the NULL is
+    stationarity (eta = SUM S_t^2 / (n^2 sigma^2) on partial sums of the
+    demeaned series; reject above the 0.463 5% critical value). Running
+    both closes the inference gap — ADF failing to reject says "can't
+    rule out a unit root", KPSS failing to reject says "can't rule out
+    stationarity"; disagreement flags near-integrated series neither
+    test resolves (the standard confirmatory pairing).
+
+    Exactness: demeaning multiplies through by n (e' = n*y - S, exact
+    HUGEINT/DECIMAL(38)); partial sums are an exact integer window; the
+    n^2/n^3 scale factors cancel to eta = SUM(S'^2)/(n*SUM(e'^2)), ONE
+    identically-parenthesized division; verdict vs a literal.
+
+    100 TB: day-grain collapse first; the 5-row total frame joins back
+    (broadcast); one cumulative window per type; 5-row epilogue."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    tot = daily.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e = daily.join(F.broadcast(tot), daily.event_type == tot.t_type).select(
+        "event_type",
+        "day",
+        "n",
+        (dec(F.col("n")) * F.col("y") - F.col("s")).alias("ep"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = e.select(
+        "event_type", "n", "ep", F.sum("ep").over(w).alias("sp")
+    )
+    eta = F.sum(F.col("sp") * F.col("sp")).cast("double") / (
+        F.max("n") * F.sum(F.col("ep") * F.col("ep")).cast("double")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(eta, 6).alias("kpss_eta"),
+        F.when(eta < 0.463, 1).otherwise(0).cast("int").alias("stationary_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x361 — peak-to-mean (crest factor) load concentration per type
+# --------------------------------------------------------------------------
+
+_CREST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, hr, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, hr) AS rn
+  FROM hourly
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(r.c) AS BIGINT) AS n_events,
+       CAST(MAX(CASE WHEN r.rn = 1 THEN r.c END) AS BIGINT) AS peak_count,
+       CAST(MAX(CASE WHEN r.rn = 1 THEN r.hr % 24 END) AS BIGINT)
+         AS peak_hour_of_day,
+       ROUND(CAST(MAX(CASE WHEN r.rn = 1 THEN r.c END) AS DOUBLE)
+             * COUNT(*) / SUM(r.c), 6) AS crest_factor
+FROM rk r GROUP BY r.event_type
+"""
+
+
+@register("events_peak_to_mean", oracle=_CREST_ORACLE)
+def events_peak_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x361: PEAK-TO-MEAN (crest factor) load concentration per type —
+    max hourly volume over mean hourly volume, plus the rank-pinned
+    peak hour-of-day: the capacity-planning number (a crest of 3 means
+    provisioning for mean burns at peak; x121's heatmap shows WHERE,
+    this is the single provisioning ratio) and the burst screen next to
+    x281's dispersion panel. Hours with zero events contribute no row
+    (observed-hour mean — documented; a true wall-clock mean would
+    divide by the fixed horizon instead).
+
+    Exactness: hourly counts exact integers; the peak is
+    (count DESC, hour) rank-pinned; crest = peak * n_hours / total is
+    ONE identically-parenthesized division of exact integers.
+
+    100 TB: corpus collapses to |types| x |hours| at the first
+    map-combined agg; one rank window per type on that frame; 5-row
+    output."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "hr")
+    rk = hourly.withColumn("rn", F.row_number().over(w))
+    peak = F.max(F.when(F.col("rn") == 1, F.col("c")))
+    return rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("n_events"),
+        peak.cast("long").alias("peak_count"),
+        F.max(F.when(F.col("rn") == 1, F.col("hr") % 24))
+        .cast("long")
+        .alias("peak_hour_of_day"),
+        F.round(peak.cast("double") * F.count(F.lit(1)) / F.sum("c"), 6).alias(
+            "crest_factor"
+        ),
+    )
