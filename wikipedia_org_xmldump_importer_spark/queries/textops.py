@@ -4961,3 +4961,93 @@ def text_ngram_coverage_crossdomain(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x364 — matched-budget type-token ratio per source (x173's caveat closed)
+# --------------------------------------------------------------------------
+
+_MTTR_BUDGET = 20_000  # tokens per source
+
+_MTTR_ORACLE = f"""
+WITH sized AS (
+  SELECT source, doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, text, ntok,
+         SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumtok
+  FROM sized
+),
+prefix AS (
+  SELECT source, doc_id, text, ntok, cumtok FROM cum
+  WHERE cumtok - ntok < {_MTTR_BUDGET}
+),
+tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM prefix
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT t.w) AS BIGINT) AS vocab_size,
+       ROUND(CAST(COUNT(DISTINCT t.w) AS DOUBLE) / COUNT(*), 6)
+         AS matched_ttr,
+       CAST(MAX(p.n_docs) AS BIGINT) AS n_docs_used
+FROM tok t
+JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM prefix GROUP BY source) p
+  ON t.source = p.source
+GROUP BY t.source
+"""
+
+
+@register("text_ttr_matched_budget", oracle=_MTTR_ORACLE)
+def text_ttr_matched_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x364: MATCHED-BUDGET type-token ratio per source — TTR computed
+    over each source's first ~20k tokens (doc_id-ordered prefix; the
+    crossing doc is included, so budgets match to within one doc): the
+    apples-to-apples lexical-richness compare x173's own docstring
+    says its raw TTR cannot give (TTR falls with length, so comparing
+    a 1M-token source to a 50k-token source on raw TTR is comparing
+    lengths, not richness). Read next to x349's length-invariant K/D.
+
+    Exactness: token counts and the prefix gate (cumtok - ntok <
+    budget) are exact integers off a doc_id-pinned cumulative window;
+    vocab is an exact distinct; ONE display division.
+
+    100 TB: doc sizes from one codegen'd split-length pass; the prefix
+    gate needs only the cumulative window per source (the corpus never
+    re-sorts); only PREFIX docs explode to tokens — the budget bounds
+    that to |sources| * ~budget tokens regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cumtok", F.sum("ntok").over(w))
+    prefix = cum.filter(F.col("cumtok") - F.col("ntok") < _MTTR_BUDGET)
+    tok = prefix.select("source", F.explode(F.split("text", " ")).alias("w"))
+    n_docs = prefix.groupBy(F.col("source").alias("p_source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        tok.join(F.broadcast(n_docs), tok.source == F.col("p_source"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("w").cast("long").alias("vocab_size"),
+            F.round(
+                F.countDistinct("w").cast("double") / F.count(F.lit(1)), 6
+            ).alias("matched_ttr"),
+            F.max("n_docs").cast("long").alias("n_docs_used"),
+        )
+    )

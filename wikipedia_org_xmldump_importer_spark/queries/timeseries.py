@@ -11671,3 +11671,224 @@ def events_peak_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crest_factor"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x362 — weekly-seasonality strength per type (ANOVA decomposition)
+# --------------------------------------------------------------------------
+
+
+def _seas_terms_sql(pfx: str) -> str:
+    """Within-weekday SS as a FIXED-ORDER sum of 7 terms, each
+    (n_w*SS_w - S_w^2)/n_w with a zero-guard — one expression, never a
+    float agg across rows (x356's pivot device)."""
+    return " + ".join(
+        f"(CASE WHEN {pfx}n{w} = 0 THEN 0.0 ELSE "
+        f"CAST({pfx}n{w} * {pfx}ss{w} - {pfx}s{w} * {pfx}s{w} AS DOUBLE)"
+        f" / {pfx}n{w} END)"
+        for w in range(7)
+    )
+
+
+_SEAS_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+wd AS (
+  SELECT event_type, CAST((day + 3) % 7 AS BIGINT) AS w, d FROM daily
+),
+piv AS (
+  SELECT event_type,
+         {", ".join(
+            f"CAST(SUM(CASE WHEN w = {w} THEN 1 ELSE 0 END) AS BIGINT) AS n{w},"
+            f" CAST(SUM(CASE WHEN w = {w} THEN d ELSE 0 END) AS BIGINT) AS s{w},"
+            f" SUM(CASE WHEN w = {w} THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS ss{w}"
+            for w in range(7)
+         )},
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s,
+         SUM(CAST(d AS HUGEINT) * d) AS ss
+  FROM wd GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       ROUND(1.0 - ({_seas_terms_sql("")})
+             / (CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE) / n), 6)
+         AS seasonal_strength,
+       CAST(CASE WHEN 1.0 - ({_seas_terms_sql("")})
+                      / (CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE) / n)
+                      > 0.6 THEN 1 ELSE 0 END AS INTEGER) AS strong_weekly
+FROM piv
+"""
+
+
+@register("ts_seasonal_strength", oracle=_SEAS_ORACLE)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x362: WEEKLY-SEASONALITY STRENGTH per type — the one-way-ANOVA
+    decomposition F_s = 1 - SSW/SST with weekday as the seasonal factor
+    (Hyndman's seasonal-strength measure with a weekday-mean seasonal
+    component instead of an STL fit): ~0 means weekday explains nothing,
+    > 0.6 (flagged) means the weekly cycle dominates and x138's seasonal-
+    naive forecast / x167's weekday index are the right tools.
+
+    Exactness: the 7 weekday groups pivot to COLUMNS (x356's device), so
+    SSW is ONE fixed-order 7-term expression — never a float agg across
+    rows; each term's numerator n_w*SS_w - S_w^2 is exact
+    HUGEINT/DECIMAL(38); SST's numerator likewise; two divisions per
+    term/total, identical parenthesization both engines.
+
+    100 TB: corpus -> day grain map-combined; ONE |types|-group pivot agg
+    (22 aggregates, all map-combinable); 5-row epilogue."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("d")
+    )
+    wd = daily.select(
+        "event_type", F.expr("(day + 3) % 7").cast("long").alias("w"), "d"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = []
+    for w in range(7):
+        hit = F.col("w") == w
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"n{w}"),
+            F.sum(F.when(hit, F.col("d")).otherwise(0)).cast("long").alias(f"s{w}"),
+            F.sum(F.when(hit, dec(F.col("d")) * F.col("d")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"ss{w}"),
+        ]
+    aggs += [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(dec(F.col("d")) * F.col("d")).alias("ss"),
+    ]
+    piv = wd.groupBy("event_type").agg(*aggs)
+    ssw = None
+    for w in range(7):
+        term = F.when(F.col(f"n{w}") == 0, F.lit(0.0)).otherwise(
+            (
+                F.col(f"n{w}") * F.col(f"ss{w}")
+                - F.col(f"s{w}") * F.col(f"s{w}")
+            ).cast("double")
+            / F.col(f"n{w}")
+        )
+        ssw = term if ssw is None else ssw + term
+    sst = (
+        F.col("n") * F.col("ss") - dec(F.col("s")) * F.col("s")
+    ).cast("double") / F.col("n")
+    strength = 1.0 - ssw / sst
+    return piv.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(strength, 6).alias("seasonal_strength"),
+        F.when(strength > 0.6, 1).otherwise(0).cast("int").alias("strong_weekly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x363 — burst-episode detection per type (threshold islands)
+# --------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh, CAST(SUM(c) AS BIGINT) AS s
+  FROM hourly GROUP BY event_type
+),
+bursty AS (
+  SELECT h.event_type, h.hr, h.c
+  FROM hourly h JOIN tot t ON h.event_type = t.event_type
+  WHERE CAST(t.nh AS HUGEINT) * h.c > 2 * CAST(t.s AS HUGEINT)
+),
+isl AS (
+  SELECT event_type, hr, c,
+         hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+           AS island
+  FROM bursty
+),
+ep AS (
+  SELECT event_type, island, CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(MAX(c) AS BIGINT) AS peak
+  FROM isl GROUP BY event_type, island
+)
+SELECT t.event_type,
+       t.nh AS n_hours,
+       CAST(COALESCE(SUM(ep.len), 0) AS BIGINT) AS n_bursty_hours,
+       CAST(COALESCE(COUNT(ep.island), 0) AS BIGINT) AS n_episodes,
+       CAST(COALESCE(MAX(ep.len), 0) AS BIGINT) AS longest_episode,
+       CAST(COALESCE(MAX(ep.peak), 0) AS BIGINT) AS peak_hour_count
+FROM tot t LEFT JOIN ep ON t.event_type = ep.event_type
+GROUP BY t.event_type, t.nh
+"""
+
+
+@register("events_burst_episodes", oracle=_BURST_ORACLE)
+def events_burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x363: BURST-EPISODE detection per type — hours whose volume
+    exceeds 2x the type's observed-hour mean, grouped into maximal
+    CONSECUTIVE runs (the gaps-and-islands device, x58's sessionize on
+    the hour grid): episode count, longest run, peak hour. The
+    Kleinberg-lite burst view — x62 flags single anomalous points,
+    x139's hysteresis tracks one alert stream; this counts and sizes
+    the EPISODES (a 1-hour spike and a 6-hour sustained burst are
+    different incidents).
+
+    Exactness: the bursty gate is ALL-INTEGER (nh*c > 2*S cross-
+    multiplies the mean); islands = hr - row_number, exact; every
+    output column an exact integer (types with no bursty hours emit
+    zeros via the left join).
+
+    100 TB: corpus -> |types| x |hours| map-combined; the 5-row total
+    frame broadcasts; one rank window per type over the BURSTY subset
+    only; |types|-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hourly.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    bursty = hourly.join(
+        F.broadcast(tot), hourly.event_type == tot.t_type
+    ).filter(dec(F.col("nh")) * F.col("c") > 2 * dec(F.col("s"))).select(
+        "event_type", "hr", "c"
+    )
+    isl = bursty.select(
+        "event_type",
+        "c",
+        (
+            F.col("hr")
+            - F.row_number().over(
+                Window.partitionBy("event_type").orderBy("hr")
+            )
+        ).alias("island"),
+    )
+    ep = isl.groupBy(F.col("event_type").alias("e_type"), "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("c").cast("long").alias("peak"),
+    )
+    return (
+        tot.join(ep, tot.t_type == ep.e_type, "left")
+        .groupBy(F.col("t_type").alias("event_type"), "nh")
+        .agg(
+            F.coalesce(F.sum("len"), F.lit(0)).cast("long").alias("n_bursty_hours"),
+            F.count("island").cast("long").alias("n_episodes"),
+            F.coalesce(F.max("len"), F.lit(0)).cast("long").alias("longest_episode"),
+            F.coalesce(F.max("peak"), F.lit(0)).cast("long").alias("peak_hour_count"),
+        )
+        .select(
+            "event_type",
+            F.col("nh").alias("n_hours"),
+            "n_bursty_hours",
+            "n_episodes",
+            "longest_episode",
+            "peak_hour_count",
+        )
+    )
