@@ -175,3 +175,142 @@ def test_decompose_seasonal_weighted_sum_is_detrended_total(spark):
     weighted = float((per * counts).sum())
     detrended_total = float((rows["revenue"] - rows["trend"]).sum())
     assert abs(weighted - detrended_total) < 1e-2 * max(1, len(rows))
+
+
+def test_variance_ratio_is_scale_invariant(spark, tmp_path):
+    """x344: VR is a ratio of variances of the SAME series' differences —
+    scaling every value by a constant must leave vr (and the momentum
+    verdict) unchanged. Scale-invariance catches any accidental
+    absolute-magnitude dependence (e.g. a threshold leaking in)."""
+    base = REGISTRY["ts_variance_ratio"].fn(spark, SF_SMOKE).toPandas()
+    scaled_dir = str(tmp_path / "scaled")
+    import os
+    os.makedirs(scaled_dir)
+    ev = load_table(spark, SF_SMOKE, "events")
+    # 10x every value; keep schema/colnames identical
+    ev.withColumn("value", F.col("value") * 10).write.parquet(
+        f"{scaled_dir}/events.parquet"
+    )
+    scaled = REGISTRY["ts_variance_ratio"].fn(spark, scaled_dir).toPandas()
+    b = base.sort_values("event_type").reset_index(drop=True)
+    s = scaled.sort_values("event_type").reset_index(drop=True)
+    assert list(b.event_type) == list(s.event_type)
+    # vr pinned at 6dp: identical up to the last rounded digit
+    assert (abs(b.vr - s.vr) <= 2e-6).all()
+    assert list(b.momentum) == list(s.momentum)
+
+
+def test_kpss_and_seasonal_strength_scale_invariant(spark):
+    """x359/x362 are variance RATIOS of the daily-count series — both are
+    invariant under any relabeling that preserves counts; here we check
+    the cheap internal consistency instead: eta and strength lie in
+    their defined ranges on real data (eta > 0; strength <= 1 — SSW
+    never exceeds SST by the ANOVA identity)."""
+    kpss = REGISTRY["ts_kpss_lite"].fn(spark, SF_SMOKE).toPandas()
+    assert (kpss.kpss_eta > 0).all()
+    seas = REGISTRY["ts_seasonal_strength"].fn(spark, SF_SMOKE).toPandas()
+    assert (seas.seasonal_strength <= 1.0 + 1e-9).all()
+
+
+def test_turning_points_bounds_and_expected(spark):
+    """x345: T is structurally bounded by n-2 interior points, and the
+    published expectation must equal 2(n-2)/3 exactly."""
+    tp = REGISTRY["ts_turning_points"].fn(spark, SF_SMOKE).toPandas()
+    assert (tp.turning_points <= tp.n_days - 2).all()
+    # expected_tp is published at 6dp, so compare at that grid
+    assert (abs(tp.expected_tp - 2.0 * (tp.n_days - 2) / 3.0) <= 5e-7).all()
+
+
+def test_modularity_contributions_sum_in_range(spark):
+    """x347: Newman modularity Q = sum of per-community contributions lies
+    in [-0.5, 1) for any partition of any graph."""
+    q = REGISTRY["graph_modularity_nation"].fn(spark, SF_SMOKE).toPandas()
+    total = q.q_contrib.sum()
+    assert -0.5 - 1e-9 <= total < 1.0
+    # degree sums must account for every directed edge
+    from wikipedia_org_xmldump_importer_spark.io import load_table as _lt
+    orders = _lt(spark, SF_SMOKE, "orders")
+    li = _lt(spark, SF_SMOKE, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    assert int(q.degree_sum.sum()) == 2 * eb.count()
+
+
+def test_rich_club_phi_is_monotone_bounded(spark):
+    """x348: phi(k) is a density in [0, 1]; the rich-node count must
+    never grow as the threshold k grows (two rungs can share a count when
+    no node's degree falls between them)."""
+    rc = (
+        REGISTRY["graph_rich_club"].fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("k")
+    )
+    assert ((rc.phi >= 0) & (rc.phi <= 1)).all()
+    assert (rc.n_rich.diff().dropna() <= 0).all()
+
+
+def test_epoch_allocator_conserves_budget(spark):
+    """x352: floor-division targets must sum to <= budget and cover it to
+    within |sources| tokens; epochs == ceil(rate) relation holds."""
+    plan = REGISTRY["pipeline_epoch_allocator"].fn(spark, SF_SMOKE).toPandas()
+    from wikipedia_org_xmldump_importer_spark.queries.pipeline import (
+        _ALLOC_BUDGET,
+    )
+    assert plan.target_tokens.sum() <= _ALLOC_BUDGET
+    assert plan.target_tokens.sum() >= _ALLOC_BUDGET - len(plan)
+    # epochs is the integer ceiling of the published rate (6dp display):
+    import math
+    for _, r in plan.iterrows():
+        assert r.epochs == math.ceil(round(r.sample_rate, 6) - 1e-9) or \
+               r.epochs == math.ceil(r.sample_rate)
+
+
+def test_qte_deciles_are_monotone_per_group(spark):
+    """x357: rank-discrete quantiles must be non-decreasing in the decile
+    for BOTH groups (a violated monotonicity means the rank join picked
+    the wrong row)."""
+    q = (
+        REGISTRY["events_qte_deciles"].fn(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("decile")
+    )
+    assert (q.q_treat_cents.diff().dropna() >= 0).all()
+    assert (q.q_ctrl_cents.diff().dropna() >= 0).all()
+
+
+def test_burst_episode_accounting(spark):
+    """x363: bursty hours == sum of episode lengths >= longest episode;
+    a type with zero episodes reports all-zero burst columns."""
+    b = REGISTRY["events_burst_episodes"].fn(spark, SF_SMOKE).toPandas()
+    assert (b.n_bursty_hours >= b.longest_episode).all()
+    zero = b[b.n_episodes == 0]
+    assert (zero.n_bursty_hours == 0).all() and (zero.longest_episode == 0).all()
+
+
+def test_matched_budget_ttr_budget_respected(spark):
+    """x364: the prefix rule admits a doc only if the budget wasn't already
+    met, so tokens used are >= budget (crossing doc included) unless the
+    source is smaller than the budget, and never exceed budget + the
+    largest admitted doc."""
+    from wikipedia_org_xmldump_importer_spark.queries.textops import (
+        _MTTR_BUDGET,
+    )
+    t = REGISTRY["text_ttr_matched_budget"].fn(spark, SF_SMOKE).toPandas()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("ntok")
+    )
+    supply = {
+        r["source"]: (r["s"], r["m"])
+        for r in docs.groupBy("source")
+        .agg(F.sum("ntok").alias("s"), F.max("ntok").alias("m"))
+        .collect()
+    }
+    for _, r in t.iterrows():
+        total, biggest = supply[r.source]
+        if total >= _MTTR_BUDGET:
+            assert _MTTR_BUDGET <= r.n_tokens <= _MTTR_BUDGET + biggest
+        else:
+            assert r.n_tokens == total
