@@ -32,6 +32,15 @@ RED_FLAGS: dict[str, str] = {
 #: SURVEY row / docstring gives. Keep justifications honest — this list is
 #: audited by humans, not just tests.
 ALLOWLIST: dict[tuple[str, str], str] = {
+    ("sim_diversity_probe", "BroadcastNestedLoopJoin"): (
+        "the 512-row rank-capped sample self-paired on vec_id< (bounded "
+        "C(512,2) pair mass by construction) plus the 1-row sample-count "
+        "frame crossed onto the 1-row accumulator (x365)"
+    ),
+    ("pipeline_dsir_weights", "BroadcastNestedLoopJoin"): (
+        "1-row token-total/vocab-size frames broadcast-crossed onto the "
+        "|vocab|-row term table — bounded by construction (x366)"
+    ),
     ("events_g_test_independence", "GlobalWindowExec"): (
         "the grand-total margin window runs over the <=35-row contingency "
         "cell frame (the corpus collapsed at the first agg) — bounded by "

@@ -2820,3 +2820,155 @@ def vec_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_dim_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# x365 — corpus diversity probe: mean pairwise cosine over a pinned sample
+# --------------------------------------------------------------------------
+
+_DIV_CAP = 512  # sample size cap — pair mass is capped at C(512,2) forever
+_DIV_HI = 900_000  # micro-cos threshold for the redundancy fraction (0.9)
+
+_DIVERSITY_ORACLE = f"""
+WITH gated AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+),
+rk AS (
+  SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+    FROM gated
+  ) WHERE rn <= {_DIV_CAP}
+),
+q AS (
+  SELECT vec_id,
+         CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS qv
+  FROM rk
+),
+n2 AS (
+  SELECT vec_id, SUM(CAST(qv AS HUGEINT) * qv) AS nn FROM q GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM rk a JOIN rk b ON a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.va, p.vb, SUM(CAST(qa.qv AS HUGEINT) * qb.qv) AS dot
+  FROM pairs p
+  JOIN q qa ON qa.vec_id = p.va
+  JOIN q qb ON qb.vec_id = p.vb AND qb.i = qa.i
+  GROUP BY p.va, p.vb
+),
+cosu AS (
+  SELECT CAST(ROUND(1000000.0 * CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))))
+         AS BIGINT) AS cu
+  FROM dots d
+  JOIN n2 na ON d.va = na.vec_id
+  JOIN n2 nb ON d.vb = nb.vec_id
+)
+SELECT CAST((SELECT COUNT(*) FROM rk) AS BIGINT) AS n_sampled,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(cu) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_cos,
+       ROUND(CAST(SUM(CASE WHEN cu > {_DIV_HI} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_near_dup
+FROM cosu
+"""
+
+
+@register("sim_diversity_probe", oracle=_DIVERSITY_ORACLE)
+def sim_diversity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x365: CORPUS DIVERSITY PROBE — mean pairwise cosine (and the
+    fraction of pairs above 0.9) over a deterministic md5-gated,
+    rank-capped sample of {cap} embeddings: the single-number
+    redundancy/diversity readout data-selection papers track (a rising
+    mean cosine means the corpus is collapsing toward a mode; the
+    near-dup fraction is the sampled estimate of what l2/x43 would
+    find exhaustively). The PAIR MASS IS CAPPED FOREVER at C(512,2) —
+    the sample, not the corpus, defines the cost.
+
+    Exactness: the sample is pinned (md5 hex gate, then (md5, vec_id)
+    rank — both engines hash the same decimal string); components
+    quantized to micro-unit longs; dots and norms exact
+    HUGEINT/DECIMAL(38); each pair's cosine is ONE identically-
+    parenthesized double pinned to micro-cos longs BEFORE averaging
+    (x353's device), so the mean is a ratio of exact integers.
+
+    100 TB: the gate prunes the global sort to ~corpus/16 rows — at
+    larger corpora tighten the hex prefix to keep that frame small
+    (documented knob); everything after runs on 512 vectors. The pair
+    join is 512 x 512 / 2, bounded by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    gated = emb.select(
+        "vec_id",
+        "embedding",
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+    ).filter(F.substring("h", 1, 1) < "8")
+    rk = (
+        gated.withColumn(
+            "rn", F.row_number().over(Window.orderBy("h", "vec_id"))
+        )
+        .filter(F.col("rn") <= _DIV_CAP)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * _BITSIG_Q).cast("long"),
+            ).alias("qa"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    withn = rk.select(
+        "vec_id",
+        "qa",
+        F.expr(
+            "aggregate(qa, cast(0 as decimal(38,0)),"
+            " (acc, x) -> acc + cast(x as decimal(38,0)) * x)"
+        ).alias("nn"),
+    )
+    a = withn.select(
+        F.col("vec_id").alias("va"), F.col("qa").alias("qa_a"),
+        F.col("nn").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vb"), F.col("qa").alias("qa_b"),
+        F.col("nn").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+    dot = F.expr(
+        "aggregate(zip_with(qa_a, qa_b, (x, y) ->"
+        " cast(x as decimal(38,0)) * y), cast(0 as decimal(38,0)),"
+        " (acc, v) -> acc + v)"
+    )
+    cosu = pairs.select(
+        F.round(
+            1000000.0
+            * dot.cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("cu")
+    )
+    n_sampled = rk.agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    acc = cosu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("cu").cast("double") / 1000000.0 / F.count(F.lit(1)), 6
+        ).alias("mean_cos"),
+        F.round(
+            F.sum(F.when(F.col("cu") > _DIV_HI, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_near_dup"),
+    )
+    return (
+        F.broadcast(n_sampled)
+        .crossJoin(acc)
+        .select("n_sampled", "n_pairs", "mean_cos", "frac_near_dup")
+    )

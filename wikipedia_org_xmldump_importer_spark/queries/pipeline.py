@@ -1736,3 +1736,150 @@ def pipeline_epoch_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + sw * n_tokens - 1) div (sw * n_tokens) as bigint)"
         ).alias("epochs"),
     )
+
+
+# --------------------------------------------------------------------------
+# x366 — DSIR-lite importance weights (target-domain selection)
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"  # the "domain" whose distribution we select toward
+_DSIR_TOP = 50
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+ct AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+  WHERE source = '{_DSIR_TARGET}' GROUP BY w
+),
+cs AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+  WHERE source <> '{_DSIR_TARGET}' GROUP BY w
+),
+vocab AS (
+  SELECT w FROM ct UNION SELECT w FROM cs
+),
+consts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+          WHERE source = '{_DSIR_TARGET}') AS nt,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM tok
+          WHERE source <> '{_DSIR_TARGET}') AS ns,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS v
+),
+term AS (
+  SELECT vocab.w,
+         CAST(ROUND(1000000.0 * ln(
+           (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) * (k.ns + k.v))
+           / (CAST(COALESCE(cs.c, 0) + 1 AS DOUBLE) * (k.nt + k.v))
+         )) AS BIGINT) AS tu
+  FROM vocab
+  LEFT JOIN ct ON vocab.w = ct.w
+  LEFT JOIN cs ON vocab.w = cs.w
+  CROSS JOIN consts k
+),
+docw AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(term.tu) AS BIGINT) AS wu
+  FROM tok t JOIN term ON t.w = term.w
+  WHERE t.source <> '{_DSIR_TARGET}'
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(wu / 1000000.0, 6) AS dsir_logratio,
+       ROUND(CAST(wu AS DOUBLE) / n_tokens / 1000000.0, 6)
+         AS per_token_logratio
+FROM docw
+ORDER BY wu DESC, doc_id
+LIMIT {_DSIR_TOP}
+"""
+
+
+@register("pipeline_dsir_weights", oracle=_DSIR_ORACLE)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x366: DSIR-LITE importance weights — per out-of-domain doc, the
+    log-likelihood ratio of the TARGET source's add-1-smoothed unigram
+    LM over the raw pool's (Xie et al. 2023's data-selection-with-
+    importance-resampling recipe at the unigram level): the top-k docs
+    are the raw-pool slice that most resembles the target domain — the
+    principled version of 'grab more data like src0' that x55's
+    temperature sampler and x352's allocator can't express (they weigh
+    SOURCES; this weighs DOCUMENTS).
+
+    Exactness: both LMs' counts, totals and vocab size are exact
+    integers; each vocab type's log ratio is ONE identically-
+    parenthesized ln over exact integers, pinned to micro-nat longs
+    (x353's device) so per-doc sums are exact integer sums; the top-50
+    rank is (weight_u DESC, doc_id)-pinned; displays are single
+    divisions of the exact integers.
+
+    100 TB: token-grain (w) joins hash on the vocab key and
+    map-combine; the per-type term table is |vocab| rows (broadcasts
+    when it fits); the top-50 is orderBy+limit —
+    TakeOrderedAndProject, never a global window or driver sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    ct = tok.filter(is_t).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    cs = tok.filter(~is_t).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s")
+    )
+    vocab = ct.select("w").union(cs.select("w")).distinct()
+    consts = tok.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("ns"),
+    ).crossJoin(
+        F.broadcast(
+            vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+        )
+    )
+    term = (
+        vocab.join(ct, "w", "left")
+        .join(cs, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "w",
+            F.round(
+                1000000.0
+                * F.log(
+                    (
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                        * (F.col("ns") + F.col("v"))
+                    )
+                    / (
+                        (F.coalesce(F.col("c_s"), F.lit(0)) + 1).cast("double")
+                        * (F.col("nt") + F.col("v"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("tu"),
+        )
+    )
+    docw = (
+        tok.filter(~is_t)
+        .join(term, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("tu").cast("long").alias("wu"),
+        )
+    )
+    return (
+        docw.orderBy(F.col("wu").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("wu") / 1000000.0, 6).alias("dsir_logratio"),
+            F.round(
+                F.col("wu").cast("double") / F.col("n_tokens") / 1000000.0, 6
+            ).alias("per_token_logratio"),
+        )
+    )
