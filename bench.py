@@ -54,60 +54,51 @@ from wikipedia_org_xmldump_importer_spark.session import build_session  # noqa: 
 
 
 # Printed-line budget: the driver's tail capture is 2000 chars (measured:
-# BENCH_r11.json "tail" is exactly 2000 chars of a truncated JSON line).
-# Keep headroom for a trailing newline / minor driver-side framing.
-_TAIL_BUDGET = 1900
+# BENCH_r11.json "tail" is exactly 2000 chars of a truncated JSON line), and
+# stderr WARN lines share that window. r12 judge task 5: keep the printed
+# headline under 1500 chars so the whole line survives even with a few
+# hundred chars of interleaved stderr framing.
+_TAIL_BUDGET = 1500
 
-# Headline subset for the printed line when the full per-query map would
-# overflow the tail: the flagship star query, the complete TPC-H suite, and
-# one representative per operator family (dedup, ANN, text, graph, stream,
-# time-series, window, pipeline). Full timings are always in BENCH_FULL.json.
+# Representative queries whose timings always ride in the printed line's
+# small "queries" map (driver-contract key): the flagship star query and the
+# canonical TPC-H pricing summary. Everything else lives in BENCH_FULL.json.
 HEADLINE_QUERIES = (
     "flagship_star_revenue",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping",
-    "tpch_q5_local_volume",
-    "tpch_q9_profit",
-    "tpch_q13_custdist",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh",
-    "text_tfidf",
-    "text_langid",
-    "graph_pagerank_iter",
-    "graph_shortest_hops",
-    "stream_tumbling",
-    "ts_resample_ohlc",
-    "win_topk_per_group",
-    "agg_groupby",
-    "join_inner_equi",
-    "pack_sequences",
-    "search_bm25",
-    "mm_image_dims",
 )
 
 
 def format_bench_line(payload: dict) -> str:
     """Render the driver-facing stdout line, guaranteed <= _TAIL_BUDGET chars.
 
-    If the full per-query map fits, print it verbatim. Otherwise swap in the
-    HEADLINE_QUERIES subset (pointing at BENCH_FULL.json for the rest) and,
-    if even that overflows, drop family representatives from the back until
-    the line fits — the aggregate metric always survives.
+    If the full payload fits (subset runs), print it verbatim. Otherwise
+    print the r12-judge headline — aggregate total, n_queries, n_failed,
+    median_vs_budget, worst5 (vs-budget ratios) — plus a two-query
+    representative "queries" map, pointing at BENCH_FULL.json for the rest.
+    Shrink steps if still over budget: truncate "isolated", drop "worst5",
+    then (r12 advisor) drop "queries"/"isolated" entirely — the aggregate
+    metric always survives unconditionally.
     """
     line = json.dumps(payload)
     if len(line) <= _TAIL_BUDGET:
         return line
     timings = payload["queries"]
-    headline = {n: timings[n] for n in HEADLINE_QUERIES if n in timings}
-    compact = dict(payload, queries=headline, queries_full="BENCH_FULL.json")
+    compact = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("queries", "isolated", "worst5")
+    }
+    compact["queries"] = {n: timings[n] for n in HEADLINE_QUERIES if n in timings}
+    compact["queries_full"] = "BENCH_FULL.json"
     compact["isolated"] = list(payload.get("isolated", []))[:8]
+    if "worst5" in payload:
+        compact["worst5"] = payload["worst5"]
     line = json.dumps(compact)
-    while len(line) > _TAIL_BUDGET and compact["queries"]:
-        compact["queries"].pop(next(reversed(compact["queries"])))
+    for drop in ("worst5", "queries", "isolated"):
+        if len(line) <= _TAIL_BUDGET:
+            break
+        compact.pop(drop, None)
         line = json.dumps(compact)
     return line
 
@@ -195,15 +186,16 @@ def main() -> None:
     # isolated median replaces the in-sweep number. A genuine regression
     # stays >2x under isolation and still trips the budget check; a
     # neighbor-noise artifact melts away without human adjudication.
+    budgets = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json")) as fh:
+            budgets = json.load(fh).get("queries", {})
+    except Exception:
+        pass
+
     isolated: list[str] = []
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
-        budgets = {}
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH.json")) as fh:
-                budgets = json.load(fh).get("queries", {})
-        except Exception:
-            pass
         suspects = [
             n
             for n, t in timings.items()
@@ -237,6 +229,13 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
+    # Budget ratios for the printed headline (r12 judge task 5): the judge
+    # reads BENCH_r{N}.json against BASELINE.md, so put the vs-budget median
+    # and the five worst offenders IN the line instead of making the judge
+    # re-derive them from a per-query map the tail window can't hold.
+    ratios = {
+        n: t / budgets[n] for n, t in ok.items() if t > 0 and budgets.get(n, 0) > 0
+    }
     payload = {
         "metric": "total_wall_clock_all_queries",
         "value": total,
@@ -248,6 +247,12 @@ def main() -> None:
         "repeats": repeats,
         "isolated": isolated,
     }
+    if ratios:
+        payload["median_vs_budget"] = round(statistics.median(ratios.values()), 3)
+        worst = sorted(ratios, key=ratios.get, reverse=True)[:5]
+        payload["worst5"] = {
+            n: {"sec": ok[n], "vs_budget": round(ratios[n], 2)} for n in worst
+        }
 
     # The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
     # that tail. A full-registry run (400+ queries) makes the per-query dict

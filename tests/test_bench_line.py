@@ -67,6 +67,56 @@ def test_pathologically_long_isolated_list_still_fits():
     assert json.loads(line)["value"] == payload["value"]
 
 
+def test_headline_carries_budget_summary():
+    """r12 judge task 5: the printed line must carry the vs-budget headline
+    (median_vs_budget + worst5) so the judge never needs the full map."""
+    payload = _payload(450)
+    payload["median_vs_budget"] = 0.885
+    payload["worst5"] = {
+        f"worst_offender_{i}": {"sec": 9.9, "vs_budget": 1.9} for i in range(5)
+    }
+    line = format_bench_line(payload)
+    assert len(line) <= _TAIL_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["median_vs_budget"] == 0.885
+    assert len(parsed["worst5"]) == 5
+    assert parsed["queries_full"] == "BENCH_FULL.json"
+
+
+def test_no_headline_names_still_fits():
+    """r12 advisor (low): with none of HEADLINE_QUERIES in the payload and a
+    long isolated list, the old shrink loop had nothing to pop and could
+    return an over-budget line. The final fallback must drop queries/isolated
+    entirely; the aggregate metric survives unconditionally."""
+    queries = {f"an_extremely_long_isolated_operator_name_{i:04d}": 0.5
+               for i in range(400)}
+    payload = {
+        "metric": "total_wall_clock_all_queries",
+        "value": 200.0,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "n_queries": len(queries),
+        "n_failed": 0,
+        "repeats": 3,
+        "isolated": [f"an_extremely_long_isolated_operator_name_{i:04d}"
+                     for i in range(200)],
+        "worst5": {
+            f"an_extremely_long_isolated_operator_name_{i:04d}_padded_far_"
+            f"beyond_any_reasonable_width_to_force_every_shrink_step": {
+                "sec": 9.9, "vs_budget": 1.9,
+            }
+            for i in range(5)
+        },
+    }
+    line = format_bench_line(payload)
+    assert len(line) <= _TAIL_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_wall_clock_all_queries"
+    assert parsed["value"] == 200.0
+    assert parsed["n_queries"] == 400
+
+
 def test_headline_names_are_registered():
     from wikipedia_org_xmldump_importer_spark.registry import (
         REGISTRY,

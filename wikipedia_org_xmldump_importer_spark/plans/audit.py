@@ -425,6 +425,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("pipeline_mixture_weights", "GlobalWindowExec"): (
         "3 iterations of windows on the |sources|-row frame (x304)"
     ),
+    ("pipeline_e2e_manifest", "GlobalWindowExec"): (
+        "the x304 mixture epilogue re-aggregated from the |lang x source|-"
+        "row manifest frame — its 3 lambda-round windows run on |sources| "
+        "rows, never the corpus (x368)"
+    ),
     ("sample_neyman_allocation", "GlobalWindowExec"): (
         "windows on the |strata|-row moment frame (x318)"
     ),

@@ -1693,9 +1693,14 @@ def graph_modularity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, 6dp publish. internal_edges = L2_c div 2 exact.
 
     100 TB: the edge list is ONE distinct over the join (map-combined);
-    degrees and community sums are key-partitioned aggs; the community
-    join broadcasts (|nations| rows). Nothing quadratic: intra-edge
-    counting is the edge scan itself with two dim joins."""
+    degrees and community sums are key-partitioned aggs. The node->nation
+    membership table is ENTITY-grain (|customers|+|suppliers| rows), NOT a
+    nation-count dim — so no broadcast hint is forced (r12 advisor): AQE
+    broadcasts it while it fits (true at every tested SF) and falls back
+    to a key-partitioned shuffle join at cluster scale where an
+    entity-grain broadcast would OOM the executors. Nothing quadratic:
+    intra-edge counting is the edge scan itself with two membership
+    joins."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
@@ -1724,8 +1729,8 @@ def graph_modularity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = comm.select(F.col("node").alias("s_node"), F.col("com").alias("s_com"))
     cd = comm.select(F.col("node").alias("d_node"), F.col("com").alias("d_com"))
     intra = (
-        e.join(F.broadcast(cs), e.src == cs.s_node)
-        .join(F.broadcast(cd), e.dst == cd.d_node)
+        e.join(cs, e.src == cs.s_node)
+        .join(cd, e.dst == cd.d_node)
         .groupBy(F.col("s_com").alias("com"))
         .agg(
             F.sum(F.when(F.col("s_com") == F.col("d_com"), 1).otherwise(0))
@@ -1734,7 +1739,7 @@ def graph_modularity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dsum = (
-        deg.join(F.broadcast(comm), "node")
+        deg.join(comm, "node")
         .groupBy("com")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.bloom import build_bitmap, screen_with_bitmap
 from ..io import load_table
 from ..registry import register
 
@@ -1882,4 +1883,473 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("wu").cast("double") / F.col("n_tokens") / 1000000.0, 6
             ).alias("per_token_logratio"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# x367 — cross-corpus decontamination via the k1 broadcast-bitmap kernel
+# --------------------------------------------------------------------------
+
+_BMAP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {_BLOOM_N - 1}], ' ') AS gram
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {_BLOOM_N - 1}, 0)))
+             AS i
+    FROM tok
+  )
+),
+gh AS (
+  SELECT DISTINCT doc_id, gram,
+         ('0x' || substring(md5(gram), 1, 12))::BIGINT AS h
+  FROM grams
+),
+ev AS (SELECT DISTINCT h FROM gh WHERE doc_id % {_BLOOM_MOD} = 0),
+bloom AS (
+  SELECT DISTINCT p FROM (
+    SELECT h % {_BLOOM_M} AS p FROM ev
+    UNION ALL SELECT (h >> 15) % {_BLOOM_M} FROM ev
+    UNION ALL SELECT (h >> 30) % {_BLOOM_M} FROM ev
+  ) u
+),
+tr AS (SELECT doc_id, h FROM gh WHERE doc_id % {_BLOOM_MOD} <> 0),
+hits AS (
+  SELECT t.doc_id,
+         CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+              AND b3.p IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM tr t
+  LEFT JOIN bloom b1 ON b1.p = t.h % {_BLOOM_M}
+  LEFT JOIN bloom b2 ON b2.p = (t.h >> 15) % {_BLOOM_M}
+  LEFT JOIN bloom b3 ON b3.p = (t.h >> 30) % {_BLOOM_M}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+       CAST(CASE WHEN SUM(hit) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS is_contaminated
+FROM hits GROUP BY doc_id
+"""
+
+
+@register("decontaminate_bitmap", oracle=_BMAP_ORACLE)
+def decontaminate_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x367: CROSS-CORPUS DECONTAMINATION on the k1 BITMAP KERNEL — the
+    r12-verdict task that turns functions/bloom.py from a pytest-only
+    kernel into driver-attested contract surface. Same eval split, gram
+    length, hash family and k=3 position derivation as x317's relational
+    audit, but the SCREEN runs the production path: build_bitmap collects
+    the eval set's distinct bit positions (O(m)=2^18 driver hop, 32 KB),
+    ships ONE broadcast bitmap, and screen_with_bitmap tests every train
+    gram with a vectorized numpy bit-AND inside mapInPandas — zero joins
+    on the hot side. Output is the per-doc decontamination verdict
+    (n_grams, n_bloom_hits, is_contaminated) a curation pipeline acts on.
+
+    The DuckDB oracle replicates the bloom DECISION relationally (the
+    x317 3-semi-join spelling) — decision equivalence between the bitmap
+    and relational forms is exactly what tests/test_bloom_bitmap.py
+    proves, so a full SQL hash check is sound: zero false negatives by
+    construction, false positives identical gram-for-gram because both
+    engines derive positions from the same md5-48bit integers with pure
+    shifts/mods (no RNG, no engine hash).
+
+    100 TB: gram explode + hash are narrow maps over doc-partitioned
+    input; the screen is map-local (bitmap broadcast, one Arrow batch in
+    / one bit-test per row, NO shuffle — vs x317's 3 broadcast joins).
+    MapInPandas clears the output-partitioning property, so the per-doc
+    agg DOES plan one exchange — but only after the map-side partial
+    combine, which (input being doc_id-partitioned) already collapses to
+    ONE row per doc: the shuffle moves |docs| summary rows, not grams
+    (verified in the formatted plan: Exchange sits above the partial
+    HashAggregate). The eval side stays bounded: the driver hop collects
+    distinct BIT POSITIONS (<= m), never eval grams, so a 100x bigger
+    benchmark suite costs the same 32 KB broadcast."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    n = _BLOOM_N
+    toks = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    gh = grams.select(
+        "doc_id",
+        "gram",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    is_ev = F.col("doc_id") % _BLOOM_MOD == 0
+    bitmap = build_bitmap(gh.filter(is_ev).select("h"), _BLOOM_M)
+    tr = gh.filter(~is_ev).select("doc_id", "h")
+    screened = screen_with_bitmap(tr, bitmap, _BLOOM_M)
+    hit = F.sum("bloom_hit")
+    return screened.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        hit.cast("long").alias("n_bloom_hits"),
+        F.when(hit > 0, 1).otherwise(0).cast("int").alias("is_contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x368 — composed curation flagship: import -> quality -> dedup -> pack ->
+#        manifest (+ x304 mixture weights at source grain)
+# --------------------------------------------------------------------------
+
+from .textops import (  # noqa: E402
+    _GOPHER_MAX_MWL,
+    _GOPHER_MAX_SYMBOL,
+    _GOPHER_MAX_WORDS,
+    _GOPHER_MIN_MWL,
+    _GOPHER_MIN_WORDS,
+)
+
+def _e2e_round_sql(t: int) -> str:
+    """One x304 water-filling iteration over the MANIFEST frame: source-
+    grain capped mass / uncapped counts as global window sums gated on the
+    per-source first-row indicator rn1 (the manifest is (lang, source)
+    grain, so ungated sums would count each source once per lang). Same
+    integer-sum / shared-parenthesization devices as _mix_round_sql."""
+    prev = "f0" if t == 1 else f"f{t - 1}"
+    return f"""
+f{t} AS (
+  SELECT lang, source, n_docs_raw, n_docs_quality, n_docs_kept, tokens_kept,
+         max_seq_id, a, rn1, b, target,
+         CAST(b - SUM(CASE WHEN rn1 = 1
+                           AND lam * target >= CAST(a AS DOUBLE)
+                           THEN a ELSE 0 END) OVER () AS DOUBLE)
+         / (CAST(SUM(CASE WHEN rn1 = 1
+                          THEN (CASE WHEN lam * target >= CAST(a AS DOUBLE)
+                                     THEN 0 ELSE 1 END)
+                          ELSE 0 END) OVER () AS DOUBLE) * target)
+           AS lam
+  FROM {prev}
+)"""
+
+
+_E2E_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+met AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(w) AS n_words,
+         CAST(len(w) AS BIGINT) AS n_tok,
+         round(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 6)
+           AS mwl,
+         CASE WHEN len(text) > 0
+              THEN round(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                         * 1.0 / len(text), 6)
+              ELSE 0.0 END AS symr,
+         list_min(list_transform(
+           list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                          i -> w[i] || ' ' || coalesce(w[i+1], '') || ' ' ||
+                               coalesce(w[i+2], '')),
+           s -> md5(s))) AS content_key
+  FROM d0
+),
+flagged AS (
+  SELECT *,
+         (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+           AND (mwl BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
+           AND (symr < {_GOPHER_MAX_SYMBOL}) AS q
+  FROM met
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY content_key
+           ORDER BY (CASE WHEN q THEN 0 ELSE 1 END), n_chars DESC, doc_id
+         ) AS rk
+  FROM flagged
+),
+kd AS (SELECT *, (q AND rk = 1) AS kept FROM ranked),
+packed AS (
+  SELECT *,
+         SUM(CASE WHEN kept THEN n_tok ELSE 0 END) OVER (
+           PARTITION BY lang, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM kd
+),
+seq AS (
+  SELECT *,
+         CASE WHEN kept
+              THEN CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) END AS seq_id
+  FROM packed
+),
+man AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+         CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_quality,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+         CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+         MAX(CASE WHEN kept THEN seq_id END) AS max_seq_id
+  FROM seq GROUP BY lang, source
+),
+e0 AS (
+  SELECT *,
+         CAST(SUM(tokens_kept) OVER (PARTITION BY source) AS BIGINT) AS a,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang) = 1
+              THEN 1 ELSE 0 END AS rn1
+  FROM man
+),
+f0 AS (
+  SELECT *,
+         CAST(CAST(SUM(tokens_kept) OVER () AS BIGINT) // 2 AS DOUBLE)
+           / CAST(SUM(rn1) OVER () AS BIGINT) AS target,
+         CAST(SUM(tokens_kept) OVER () AS BIGINT) // 2 AS b,
+         1.0 AS lam
+  FROM e0
+),
+{",".join(_e2e_round_sql(t) for t in range(1, _MIX_ROUNDS + 1))}
+SELECT lang, source, n_docs_raw, n_docs_quality, n_docs_kept,
+       tokens_kept,
+       CAST((tokens_kept + {_PACK_BUDGET - 1}) // {_PACK_BUDGET} AS BIGINT)
+         AS n_sequences,
+       CAST(CASE WHEN COALESCE(max_seq_id + 1, 0)
+                      = (tokens_kept + {_PACK_BUDGET - 1}) // {_PACK_BUDGET}
+                 THEN 1 ELSE 0 END AS INTEGER) AS pack_reconciles,
+       CASE WHEN a = 0 THEN 0.0
+            ELSE ROUND(LEAST(1.0, lam * target / CAST(a AS DOUBLE)), 6)
+       END AS source_weight
+FROM f{_MIX_ROUNDS}
+"""
+
+
+@register("pipeline_e2e_manifest", oracle=_E2E_ORACLE)
+def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x368: COMPOSED CURATION FLAGSHIP (r12 verdict task 3) — the five
+    pipeline stages the repo attests individually, CHAINED over one scan
+    into the release manifest a curation run ships: import -> x73 Gopher
+    quality gate -> x96 fingerprint keep-best dedup -> x46 sequence
+    packing -> per-(lang, source) manifest, with x304's water-filling
+    mixture weight joined at source grain. Per shard: raw/quality/kept
+    doc counts, kept token mass, sequence count, and a PACK-RECONCILES
+    flag — contiguous packing guarantees max(seq_id)+1 ==
+    ceil(tokens_kept/{_PACK_BUDGET}), so the reconciliation the r12
+    verdict asked for ('packed token mass == deduped corpus token mass')
+    is ASSERTED INSIDE the result (hash-checked by the driver) and
+    re-asserted against the standalone stage queries in
+    tests/test_pipeline_e2e.py.
+
+    Stage fusion, not stage re-run: dropped docs are never filtered out
+    mid-stream — quality (q) and dedup-survivor (kept) are FLAGS, the
+    pack window sums CASE WHEN kept, and the manifest agg counts all
+    three populations from the same rows. That turns five conceptual
+    passes into ONE linear plan: scan -> narrow metric/fingerprint
+    projection -> window(content_key) -> window(lang, source) -> agg
+    (lang, source). The keep-best rank orders (q DESC, n_chars DESC,
+    doc_id) so a cluster keeps its best QUALITY-PASSING member (a
+    cluster of all-rejects keeps nothing — q AND rk=1 is false
+    everywhere).
+
+    Exactness: counts/token masses exact BIGINT; seq ids exact integer
+    division of a non-negative running sum (x46's DIV device); the
+    Gopher float thresholds and the 3-round λ epilogue reuse x73/x304's
+    attested expressions verbatim (identical parenthesization, ROUND-6
+    publish; a=0 sources guard the weight ratio to 0.0 both engines).
+
+    100 TB: two corpus shuffles (content_key window; lang,source window
+    — the agg reuses the second's partitioning) + a |lang x source|-row
+    epilogue. The x304 mixture rounds run IN-LINE as global windows over
+    the manifest frame, gated on a per-source first-row indicator for the
+    source-grain sums — no second branch exists, so the corpus subtree
+    executes exactly once (a groupBy(source)+join form re-ran the whole
+    scan: branch column-pruning broke exchange reuse; persist() fixed the
+    scan but poisoned bench repeats via plan-keyed cache hits). Stage
+    order matters: quality+dedup flags collapse BEFORE packing, so
+    sequence ids are already final — no re-pack pass exists."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.coalesce(F.element_at(toks, i + 1), F.lit("")),
+            F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+        ),
+    )
+    n_words = F.size(toks)
+    sum_len = F.expr(
+        "aggregate(split(text, ' '), 0, (acc, x) -> acc + length(x))"
+    )
+    met = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_tok"),
+        F.round(sum_len.cast("double") / n_words, 6).alias("mwl"),
+        F.when(
+            F.length("text") > 0,
+            F.round(
+                F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast(
+                    "double"
+                )
+                / F.length("text"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symr"),
+        F.array_min(F.transform(grams, F.md5)).alias("content_key"),
+    )
+    q = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mwl").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (F.col("symr") < _GOPHER_MAX_SYMBOL)
+    )
+    flagged = met.withColumn("q", q)
+    w_key = Window.partitionBy("content_key").orderBy(
+        F.when(F.col("q"), 0).otherwise(1),
+        F.col("n_chars").desc(),
+        "doc_id",
+    )
+    kd = flagged.withColumn("rk", F.row_number().over(w_key)).withColumn(
+        "kept", F.col("q") & (F.col("rk") == 1)
+    )
+    w_pack = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = kd.withColumn(
+        "cum",
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0)).over(w_pack),
+    ).withColumn(
+        "seq_id",
+        F.when(
+            F.col("kept"),
+            F.expr(f"(cum - n_tok) DIV {_PACK_BUDGET}").cast("long"),
+        ),
+    )
+    man = (
+        seq.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
+            F.sum(F.when(F.col("q"), 1).otherwise(0)).cast("long").alias(
+                "n_docs_quality"
+            ),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias(
+                "n_docs_kept"
+            ),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.max(F.when(F.col("kept"), F.col("seq_id"))).alias("max_seq_id"),
+        )
+    )
+    # x304 epilogue IN-LINE over the manifest frame (never the corpus, no
+    # second branch): per-source kept token mass and the global water-fill
+    # sums are window functions gated on a per-source first-row indicator,
+    # so the 3 unrolled lambda rounds extend the SAME linear plan — one
+    # scan by construction, no cache, no join (a persist()-based two-branch
+    # form poisoned bench repeats via plan-keyed cache hits; a
+    # localCheckpoint form serialized an eager extra job, 5.5 s at sf0.1).
+    carry = [
+        "lang", "source", "n_docs_raw", "n_docs_quality", "n_docs_kept",
+        "tokens_kept", "max_seq_id",
+    ]
+    w_all = Window.partitionBy()
+    cur = man.select(
+        *carry,
+        F.sum("tokens_kept")
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("a"),
+        F.when(
+            F.row_number().over(Window.partitionBy("source").orderBy("lang"))
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("rn1"),
+    )
+    b = F.expr("CAST(sum(tokens_kept) OVER (PARTITION BY 1) AS BIGINT) div 2")
+    cur = cur.select(
+        *carry,
+        "a",
+        "rn1",
+        b.alias("b"),
+        (
+            b.cast("double")
+            / F.sum("rn1").over(w_all).cast("long")
+        ).alias("target"),
+        F.lit(1.0).alias("lam"),
+    )
+    for _ in range(_MIX_ROUNDS):
+        capped = F.col("lam") * F.col("target") >= F.col("a").cast("double")
+        cur = cur.select(
+            *carry,
+            "a",
+            "rn1",
+            "b",
+            "target",
+            (
+                (
+                    F.col("b")
+                    - F.sum(
+                        F.when((F.col("rn1") == 1) & capped, F.col("a"))
+                        .otherwise(0)
+                    ).over(w_all)
+                ).cast("double")
+                / (
+                    F.sum(
+                        F.when(
+                            F.col("rn1") == 1,
+                            F.when(capped, 0).otherwise(1),
+                        ).otherwise(0)
+                    )
+                    .over(w_all)
+                    .cast("double")
+                    * F.col("target")
+                )
+            ).alias("lam"),
+        )
+    weight = F.when(F.col("a") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("lam") * F.col("target") / F.col("a").cast("double"),
+            ),
+            6,
+        )
+    )
+    n_seq = F.expr(
+        f"(tokens_kept + {_PACK_BUDGET - 1}) DIV {_PACK_BUDGET}"
+    ).cast("long")
+    return cur.select(
+        "lang",
+        "source",
+        "n_docs_raw",
+        "n_docs_quality",
+        "n_docs_kept",
+        "tokens_kept",
+        n_seq.alias("n_sequences"),
+        F.when(
+            F.coalesce(F.col("max_seq_id") + 1, F.lit(0)) == n_seq, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("pack_reconciles"),
+        weight.alias("source_weight"),
     )

@@ -11684,8 +11684,8 @@ def _seas_terms_sql(pfx: str) -> str:
     float agg across rows (x356's pivot device)."""
     return " + ".join(
         f"(CASE WHEN {pfx}n{w} = 0 THEN 0.0 ELSE "
-        f"CAST({pfx}n{w} * {pfx}ss{w} - {pfx}s{w} * {pfx}s{w} AS DOUBLE)"
-        f" / {pfx}n{w} END)"
+        f"CAST({pfx}n{w} * {pfx}ss{w} - CAST({pfx}s{w} AS HUGEINT) * {pfx}s{w}"
+        f" AS DOUBLE) / {pfx}n{w} END)"
         for w in range(7)
     )
 
@@ -11766,10 +11766,13 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = wd.groupBy("event_type").agg(*aggs)
     ssw = None
     for w in range(7):
+        # r12 advisor (medium): s_w*s_w in long*long silently wraps under
+        # non-ANSI Spark while the DuckDB BIGINT*BIGINT raises — pin the
+        # square to decimal(38,0)/HUGEINT exactly like the SST term below.
         term = F.when(F.col(f"n{w}") == 0, F.lit(0.0)).otherwise(
             (
                 F.col(f"n{w}") * F.col(f"ss{w}")
-                - F.col(f"s{w}") * F.col(f"s{w}")
+                - dec(F.col(f"s{w}")) * F.col(f"s{w}")
             ).cast("double")
             / F.col(f"n{w}")
         )
