@@ -37,6 +37,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -88,7 +89,12 @@ def run_once(spark, name: str, sf_dir: str):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    # default honors $SPARK_GRAFT_SF_DIR like bench.py (r13 landmine:
+    # env-var invocations silently ran at the hard default); --sf wins.
+    ap.add_argument(
+        "--sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+    )
     ap.add_argument("--arrow", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()

@@ -126,7 +126,13 @@ def compare(name: str, spark_pdf, duck_pdf) -> list[str]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    # default honors $SPARK_GRAFT_SF_DIR like bench.py does (r13: env-var
+    # invocations silently ran at sf0.01 and mislabeled sweep logs);
+    # explicit --sf always wins.
+    ap.add_argument(
+        "--sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
