@@ -2254,6 +2254,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
         .filter(F.size("ds").between(2, _CONT_DF_CAP))
     )
+    # Pair generation: explode x explode + a<b filter. An r13 A/B tried the
+    # "obvious" improvement — a positional-slice higher-order function
+    # emitting exactly C(n,2) structs (half the exploded rows, no filter) —
+    # and it measured WORSE at sf1 (24.97 s vs 20.5 s isolated 5-repeat):
+    # slice() copies the array tail for every element, so the HOF form pays
+    # O(n^2) array COPYING per bucket row in interpreted expression code,
+    # while the double explode streams through whole-stage codegen and the
+    # (doc_a, doc_b) partial agg combines map-side before the exchange.
+    # Keep the codegen'd form; the pair mass itself is capped by
+    # _CONT_DF_CAP (<= C(256,2) per bucket) either way.
     pairs = (
         grp.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))
