@@ -5,8 +5,11 @@ The composed curation flagship chains quality -> dedup -> pack -> manifest
 composition reconciles with the standalone stage queries it fuses and with
 its own conservation laws, at sf0.01 (the driver's correctness SF):
 
-* every manifest row's pack_reconciles flag holds (max(seq_id)+1 ==
-  ceil(tokens_kept/2048) — packed token mass equals deduped corpus mass);
+* every manifest row's pack_reconciles flag holds (the packing window's
+  final running total equals the aggregate's conditional token sum —
+  packed token mass equals deduped corpus mass; the earlier
+  max(seq_id)+1 == ceil spelling was straddle-broken, see the x368
+  docstring);
 * raw doc counts conserve the corpus;
 * the quality population equals the registered quality_gopher_rules count;
 * dedup is ACTIVE (kept < quality) yet never inverts (kept <= quality);

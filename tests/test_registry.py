@@ -85,24 +85,20 @@ def test_driver_window_covers_oldest_never_attested():
     # round-10+ artifacts, re-proposing already-attested queries. r12
     # regression: the driver drops CORRECTNESS_r{N}.json UNTRACKED after the
     # round-final commit, so a worktree glob ages the derivation by one round
-    # at judge time. Enumerate COMMITTED artifacts via git ls-files and
-    # validate the filename (see test_correctness_glob_sees_two_digit_rounds
-    # and test_untracked_correctness_decoy_ignored for the fixture-based
-    # regression tests).
-    import re as _re
-    import subprocess as _sp
+    # at judge time. Use the tool's own artifact discovery (git ls-files with
+    # a glob fallback for non-git checkouts — r13 review: an inline check=True
+    # subprocess here would ERROR on tarball exports and could silently drift
+    # from the production derivation; see test_correctness_glob_sees_two_
+    # digit_rounds and test_untracked_correctness_decoy_ignored for the
+    # fixture-based regression tests).
+    import sys as _sys
 
-    _names = _sp.run(
-        ["git", "-C", str(root), "ls-files", "--", "CORRECTNESS_r*.json"],
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.splitlines()
-    arts = [
-        root / n.strip()
-        for n in _names
-        if n.strip() and _re.fullmatch(r"CORRECTNESS_r\d+\.json", Path(n.strip()).name)
-    ]
+    _tools = str(root / "tools")
+    if _tools not in _sys.path:
+        _sys.path.insert(0, _tools)
+    import next_window as _nw
+
+    arts = _nw.correctness_artifacts(root)
     for art in sorted(arts):
         for name, row in json.loads(art.read_text()).items():
             if (

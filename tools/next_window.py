@@ -55,10 +55,16 @@ def correctness_artifacts(root: Path) -> list[Path]:
             check=True,
         ).stdout
         names = [ln.strip() for ln in out.splitlines() if ln.strip()]
+        # exists() guard (r13 review): ls-files reports INDEX entries, so a
+        # tracked artifact rm'd from disk (partial checkout, manual delete)
+        # would otherwise crash the read_text in attested_names. A staged-
+        # but-uncommitted artifact does count — staging is an intentional
+        # act, unlike the driver's untracked post-commit drop.
         arts = [
             root / n
             for n in names
             if re.fullmatch(r"CORRECTNESS_r\d+\.json", Path(n).name)
+            and (root / n).exists()
         ]
     except (OSError, subprocess.CalledProcessError):
         arts = [

@@ -27,14 +27,18 @@ def shingle_col(text_col: str | Column = "text") -> Column:
     """Distinct word-trigram shingles of a text column (missing trailing
     tokens identified with '' exactly as the oracle's coalesce does)."""
     toks = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
+    # try_element_at, NOT element_at (r13 advisor): under Spark 4's default
+    # ANSI mode an out-of-bounds element_at THROWS before coalesce can pad,
+    # so a < 3-token doc would crash the signature instead of getting the
+    # ''-identified trailing shingles this docstring promises.
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
-                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+                F.try_element_at(toks, i),
+                F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
+                F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
             ),
         )
     )

@@ -189,11 +189,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     th = F.col("th")
     empty_h = F.xxhash64(F.lit(""))
+    # try_element_at (r13 advisor): ANSI element_at throws past the end
+    # before coalesce can pad with the empty-token hash.
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(th) - 1, F.lit(1))),
             lambda i: F.xxhash64(
-                F.element_at(th, i), F.coalesce(F.element_at(th, i + 1), empty_h)
+                F.try_element_at(th, i),
+                F.coalesce(F.try_element_at(th, i + 1), empty_h),
             ),
         )
     )

@@ -1366,6 +1366,36 @@ _BLOOM_M = 262144  # 2^18 bit positions
 _BLOOM_N = 3  # n-gram length (matches x45's fixture-tuned choice)
 _BLOOM_MOD = 97  # eval split (matches x45)
 
+
+def _bloom_gram_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram, h) frame shared by x317 and x367 — ONE def
+    site so the relational audit and the bitmap screen can never drift
+    apart (their decision-equivalence test compares these ops pairwise).
+
+    Short-doc guard (r13 advisor): ``sequence(1, greatest(size-2, 0))``
+    expands DESCENDING to [1, 0] when the doc has < n tokens (Spark fills
+    step = -1 for start > stop) and ``slice(toks, 0, n)`` then throws
+    under ANSI — x45's when/otherwise empty-array device makes short docs
+    contribute zero grams, matching DuckDB's empty generate_series(1, 0).
+    """
+    n = _BLOOM_N
+    toks = F.split("text", " ")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(grams_arr).alias("gram"))
+    return grams.select(
+        "doc_id",
+        "gram",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+
 _BLOOM_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1445,27 +1475,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    n = _BLOOM_N
-    toks = F.split("text", " ")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(toks) - (n - 1), F.lit(0)),
-                ),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ).alias("gram"),
-    )
-    gh = grams.select(
-        "doc_id",
-        "gram",
-        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).distinct()
+    gh = _bloom_gram_hashes(docs)
     is_ev = F.col("doc_id") % _BLOOM_MOD == 0
     ev = gh.filter(is_ev).select("gram", "h").distinct()
     tr = gh.filter(~is_ev)
@@ -1970,27 +1980,7 @@ def decontaminate_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    n = _BLOOM_N
-    toks = F.split("text", " ")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(toks) - (n - 1), F.lit(0)),
-                ),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ).alias("gram"),
-    )
-    gh = grams.select(
-        "doc_id",
-        "gram",
-        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).distinct()
+    gh = _bloom_gram_hashes(docs)
     is_ev = F.col("doc_id") % _BLOOM_MOD == 0
     bitmap = build_bitmap(gh.filter(is_ev).select("h"), _BLOOM_M)
     tr = gh.filter(~is_ev).select("doc_id", "h")
@@ -2026,7 +2016,7 @@ def _e2e_round_sql(t: int) -> str:
     return f"""
 f{t} AS (
   SELECT lang, source, n_docs_raw, n_docs_quality, n_docs_kept, tokens_kept,
-         max_seq_id, a, rn1, b, target,
+         max_cum, a, rn1, b, target,
          CAST(b - SUM(CASE WHEN rn1 = 1
                            AND lam * target >= CAST(a AS DOUBLE)
                            THEN a ELSE 0 END) OVER () AS DOUBLE)
@@ -2098,7 +2088,7 @@ man AS (
          CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
          CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
            AS tokens_kept,
-         MAX(CASE WHEN kept THEN seq_id END) AS max_seq_id
+         CAST(MAX(CASE WHEN kept THEN cum END) AS BIGINT) AS max_cum
   FROM seq GROUP BY lang, source
 ),
 e0 AS (
@@ -2121,8 +2111,7 @@ SELECT lang, source, n_docs_raw, n_docs_quality, n_docs_kept,
        tokens_kept,
        CAST((tokens_kept + {_PACK_BUDGET - 1}) // {_PACK_BUDGET} AS BIGINT)
          AS n_sequences,
-       CAST(CASE WHEN COALESCE(max_seq_id + 1, 0)
-                      = (tokens_kept + {_PACK_BUDGET - 1}) // {_PACK_BUDGET}
+       CAST(CASE WHEN COALESCE(max_cum, 0) = tokens_kept
                  THEN 1 ELSE 0 END AS INTEGER) AS pack_reconciles,
        CASE WHEN a = 0 THEN 0.0
             ELSE ROUND(LEAST(1.0, lam * target / CAST(a AS DOUBLE)), 6)
@@ -2140,12 +2129,16 @@ def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing -> per-(lang, source) manifest, with x304's water-filling
     mixture weight joined at source grain. Per shard: raw/quality/kept
     doc counts, kept token mass, sequence count, and a PACK-RECONCILES
-    flag — contiguous packing guarantees max(seq_id)+1 ==
-    ceil(tokens_kept/{_PACK_BUDGET}), so the reconciliation the r12
-    verdict asked for ('packed token mass == deduped corpus token mass')
-    is ASSERTED INSIDE the result (hash-checked by the driver) and
-    re-asserted against the standalone stage queries in
-    tests/test_pipeline_e2e.py.
+    flag asserting MASS CONSERVATION between the two computation paths:
+    the packing window's final running total (max kept cum) must equal
+    the aggregate's conditional token sum — the reconciliation the r12
+    verdict asked for ('packed token mass == deduped corpus token mass'),
+    ASSERTED INSIDE the hash-checked result and re-asserted against the
+    standalone stage queries in tests/test_pipeline_e2e.py. (An earlier
+    spelling compared max(seq_id)+1 to ceil(tokens/{_PACK_BUDGET}) —
+    false whenever a shard's LAST doc straddles a sequence boundary,
+    since seq_id marks where a doc STARTS; r13 review counterexample:
+    kept docs of 2000+100 tokens give max(seq_id)+1 = 1 but ceil = 2.)
 
     Stage fusion, not stage re-run: dropped docs are never filtered out
     mid-stream — quality (q) and dedup-survivor (kept) are FLAGS, the
@@ -2178,13 +2171,17 @@ def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     toks = F.split(F.col("text"), " ")
+    # try_element_at, NOT element_at: under Spark 4's default ANSI mode an
+    # out-of-bounds element_at THROWS (r13 advisor), while the DuckDB
+    # oracle's w[i+1] pads NULL -> coalesce ''. Latent on this fixture
+    # (docs >= 10 words) but fatal on any corpus with a < 3-token doc.
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.coalesce(F.element_at(toks, i + 1), F.lit("")),
-            F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+            F.try_element_at(toks, i),
+            F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
+            F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
         ),
     )
     n_words = F.size(toks)
@@ -2255,7 +2252,9 @@ def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
             .cast("long")
             .alias("tokens_kept"),
-            F.max(F.when(F.col("kept"), F.col("seq_id"))).alias("max_seq_id"),
+            F.max(F.when(F.col("kept"), F.col("cum")))
+            .cast("long")
+            .alias("max_cum"),
         )
     )
     # x304 epilogue IN-LINE over the manifest frame (never the corpus, no
@@ -2267,7 +2266,7 @@ def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint form serialized an eager extra job, 5.5 s at sf0.1).
     carry = [
         "lang", "source", "n_docs_raw", "n_docs_quality", "n_docs_kept",
-        "tokens_kept", "max_seq_id",
+        "tokens_kept", "max_cum",
     ]
     w_all = Window.partitionBy()
     cur = man.select(
@@ -2346,7 +2345,7 @@ def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_kept",
         n_seq.alias("n_sequences"),
         F.when(
-            F.coalesce(F.col("max_seq_id") + 1, F.lit(0)) == n_seq, 1
+            F.coalesce(F.col("max_cum"), F.lit(0)) == F.col("tokens_kept"), 1
         )
         .otherwise(0)
         .cast("int")

@@ -72,14 +72,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", F.split(F.col("text"), " ").alias("toks")
     )
     toks = F.col("toks")
+    # greatest(.., 1) + try_element_at (r13 advisor hardening): the short-doc
+    # value is discarded by the when(size<3) branch below, but codegen's
+    # common-subexpression elimination can evaluate this array BEFORE the
+    # branch, and sequence(1, -1)/element_at past the end throw under ANSI.
     shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.md5(
             F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
             )
         ),
     )
@@ -222,13 +226,15 @@ def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     th = F.col("th")
     empty_h = F.xxhash64(F.lit(""))
+    # try_element_at (r13 advisor): ANSI element_at throws past the end
+    # before coalesce can pad with the empty-token hash.
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(th) - 2, F.lit(1))),
             lambda i: F.xxhash64(
-                F.element_at(th, i),
-                F.coalesce(F.element_at(th, i + 1), empty_h),
-                F.coalesce(F.element_at(th, i + 2), empty_h),
+                F.try_element_at(th, i),
+                F.coalesce(F.try_element_at(th, i + 1), empty_h),
+                F.coalesce(F.try_element_at(th, i + 2), empty_h),
             ),
         )
     )
@@ -1427,14 +1433,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
     toks = F.col("toks")
+    # greatest(.., 1) + try_element_at: same r13 advisor hardening as
+    # text_fingerprint — the short-doc array value is dead (when(short)
+    # below), but subexpression elimination may evaluate it anyway and
+    # ANSI element_at/sequence(1, -1) would throw.
     shingle_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.md5(
             F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
+                F.try_element_at(toks, i),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
             )
         ),
     )
@@ -2030,13 +2040,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     toks = F.split(F.col("text"), " ")
+    # try_element_at (r13 advisor): ANSI element_at throws past the array
+    # end, so a 1-2-token doc would crash the fingerprint; the oracle's
+    # w[i+1] pads NULL -> coalesce ''. try_element_at matches that.
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.coalesce(F.element_at(toks, i + 1), F.lit("")),
-            F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+            F.try_element_at(toks, i),
+            F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
+            F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
         ),
     )
     hashed = docs.select(
@@ -2234,14 +2247,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     toks = F.split(F.col("text"), " ")
+    # try_element_at (r13 advisor): ANSI element_at throws past the array
+    # end; the oracle's w[i+1] pads NULL -> coalesce ''.
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i),
-                F.coalesce(F.element_at(toks, i + 1), F.lit("")),
-                F.coalesce(F.element_at(toks, i + 2), F.lit("")),
+                F.try_element_at(toks, i),
+                F.coalesce(F.try_element_at(toks, i + 1), F.lit("")),
+                F.coalesce(F.try_element_at(toks, i + 2), F.lit("")),
             ),
         )
     )
