@@ -102,6 +102,10 @@ def format_bench_line(payload: dict) -> str:
         if len(line) <= _TAIL_BUDGET:
             break
         compact.pop(drop, None)
+        if drop == "queries":
+            # r13 advisor: 'queries_full' is a pointer INTO the 'queries'
+            # content; keeping it after the map is dropped dangles.
+            compact.pop("queries_full", None)
         line = json.dumps(compact)
     return line
 

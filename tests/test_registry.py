@@ -11,6 +11,7 @@ without an oracle (even rows-only results flow through the harness).
 from __future__ import annotations
 
 import json
+import os
 
 from conftest import SF_SMOKE
 from pyspark.sql import types as T
@@ -188,12 +189,18 @@ def test_correctness_glob_sees_two_digit_rounds(tmp_path):
     ]
 
 
-def test_untracked_correctness_decoy_ignored():
+def test_untracked_correctness_decoy_ignored(tmp_path):
     """r12 judge regression: the driver writes CORRECTNESS_r{N}.json to the
     worktree UNTRACKED after the round-final commit. The window derivation
     must not see it — otherwise the committed DRIVER_PRIORITY tuple (correct
-    at commit time) reads as stale one artifact-drop later. Drop an untracked
-    decoy into the real repo root and assert the derivation is unchanged."""
+    at commit time) reads as stale one artifact-drop later.
+
+    r13 advisor: drive the scenario through a throwaway git-init fixture
+    instead of mutating the live checkout (the old in-repo decoy leaked on a
+    hard kill and could race parallel window-deriving tests). Also pins the
+    r13-advisor pathspec fix: a decoy NESTED under a tracked subdirectory
+    must not join the ledger either (git globs cross '/' by default)."""
+    import subprocess
     import sys
     from pathlib import Path
 
@@ -202,27 +209,44 @@ def test_untracked_correctness_decoy_ignored():
         sys.path.insert(0, tools)
     import next_window
 
-    root = Path(__file__).resolve().parent.parent
-    decoy = root / "CORRECTNESS_r98.json"
-    assert not decoy.exists(), "stale decoy from a previous run — remove it"
-
-    before_arts = [p.name for p in next_window.correctness_artifacts(root)]
-    before_attested = next_window.attested_names(root)
-    before_window = next_window.expected_window()
-    try:
-        decoy.write_text(
-            json.dumps(
-                {
-                    n: {"rows_match": True, "schema_match": True, "hash_match": True}
-                    for n in before_window
-                }
-            )
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *args],
+            check=True,
+            capture_output=True,
+            env={
+                "PATH": os.environ.get("PATH", ""),
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+                "HOME": str(tmp_path),
+            },
         )
-        assert [p.name for p in next_window.correctness_artifacts(root)] == before_arts
-        assert next_window.attested_names(root) == before_attested
-        assert next_window.expected_window() == before_window
-    finally:
-        decoy.unlink(missing_ok=True)
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    git("init", "-q")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_committed": green})
+    )
+    git("add", "CORRECTNESS_r01.json")
+    git("commit", "-qm", "r01 artifact")
+
+    # Untracked root-level decoy — the driver's post-commit drop shape.
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({"q_untracked": green})
+    )
+    # TRACKED decoy nested under a subdirectory — the r13-advisor latent
+    # hole: an unanchored 'CORRECTNESS_r*.json' pathspec matches it.
+    nested = tmp_path / "fixtures"
+    nested.mkdir()
+    (nested / "CORRECTNESS_r97.json").write_text(json.dumps({"q_nested": green}))
+    git("add", "fixtures/CORRECTNESS_r97.json")
+    git("commit", "-qm", "nested decoy")
+
+    arts = [p.name for p in next_window.correctness_artifacts(tmp_path)]
+    assert arts == ["CORRECTNESS_r01.json"]
+    assert next_window.attested_names(tmp_path) == {"q_committed"}
 
 
 def test_survey_registry_sync():

@@ -48,13 +48,29 @@ def correctness_artifacts(root: Path) -> list[Path]:
       tmp dirs).
     """
     try:
+        # :(glob,top) anchors the pathspec to the repo ROOT (r13 advisor):
+        # a bare 'CORRECTNESS_r*.json' git glob crosses '/' by default, so a
+        # tracked copy nested under e.g. tests/fixtures/ would silently join
+        # the attestation ledger. Belt-and-braces: also drop any name that
+        # still contains a separator before the fullmatch check.
         out = subprocess.run(
-            ["git", "-C", str(root), "ls-files", "--", "CORRECTNESS_r*.json"],
+            [
+                "git",
+                "-C",
+                str(root),
+                "ls-files",
+                "--",
+                ":(glob,top)CORRECTNESS_r*.json",
+            ],
             capture_output=True,
             text=True,
             check=True,
         ).stdout
-        names = [ln.strip() for ln in out.splitlines() if ln.strip()]
+        names = [
+            ln.strip()
+            for ln in out.splitlines()
+            if ln.strip() and "/" not in ln.strip()
+        ]
         # exists() guard (r13 review): ls-files reports INDEX entries, so a
         # tracked artifact rm'd from disk (partial checkout, manual delete)
         # would otherwise crash the read_text in attested_names. A staged-

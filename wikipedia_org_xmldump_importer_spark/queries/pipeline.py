@@ -1976,7 +1976,15 @@ def decontaminate_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified in the formatted plan: Exchange sits above the partial
     HashAggregate). The eval side stays bounded: the driver hop collects
     distinct BIT POSITIONS (<= m), never eval grams, so a 100x bigger
-    benchmark suite costs the same 32 KB broadcast."""
+    benchmark suite costs the same 32 KB broadcast.
+
+    CAVEAT (r13 advisor): plan construction is NOT side-effect-free for
+    this one query — build_bitmap runs an eager .collect() Spark job at
+    DataFrame-construction time (the bitmap must exist before the screen
+    plan can reference it), unlike every other registered query which
+    stays lazy until the caller acts. Plan-only tooling (explain sweeps,
+    audits) triggers that job; the repo's own audit/invariance tools
+    already account for it."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
