@@ -18,12 +18,25 @@ far is >= 1 s stops repeating after two shots — noise is proportionally
 small there, and repeating the slow tail would triple the sweep's wall
 clock for nothing.
 
-Rows whose in-sweep median exceeds 2x their committed BENCH.json budget are
-automatically re-measured in an isolated pass at the end of the sweep (5
-repeats, median) and the isolated number is reported, with the substitution
-logged to stderr and listed under ``"isolated"`` in the JSON. This kills the
-recurring sweep-order false alarms (trap #14) at the source; disable with
+Rows whose in-sweep median exceeds ``SPARK_GRAFT_BENCH_ISOLATE_FACTOR``
+(default 2) x their committed BENCH.json budget are automatically
+re-measured in a FRESH SUBPROCESS JVM after the sweep ends (5 repeats,
+median) and the isolated number is reported, with the substitution logged
+to stderr and listed under ``"isolated"`` in the JSON.
+
+Why a subprocess (r13 verdict task 1): the previous same-session isolation
+pass ran in the saturated tail of a ~30-min sweep inside the same JVM, so
+it inherited GC/codegen pressure (trap #14) and manufactured false
+regressions two rounds running (r12: rfm_segments + five window rows; r13:
+dedup_embed_cosine 11.8 s in-sweep vs 1.5 s clean-session) — each costing a
+manual adjudication. A fresh JVM is exactly the "dedicated isolated run"
+those adjudications performed by hand. Disable with
 ``SPARK_GRAFT_BENCH_ISOLATE=0`` to see raw in-sweep numbers.
+
+``SPARK_GRAFT_BENCH_ISOLATE_FACTOR`` exists for off-budget-scale sweeps:
+the committed budgets are sf0.1 numbers, so an sf1 sweep flags nearly every
+row at factor 2 (r13 re-measured 257 rows for nothing). The sf1 harness
+runs with factor ~15 so only genuinely super-linear rows pay a re-measure.
 
 Usage:
     python bench.py                  # all queries, warm timing
@@ -31,6 +44,7 @@ Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
     SPARK_GRAFT_BENCH_REPEATS=1 python bench.py   # old single-shot mode
     SPARK_GRAFT_BENCH_ISOLATE=0 python bench.py   # no auto-re-measure pass
+    SPARK_GRAFT_BENCH_OUT=/tmp/x.json python bench.py q1   # full payload here
 """
 
 from __future__ import annotations
@@ -38,7 +52,9 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -108,6 +124,63 @@ def format_bench_line(payload: dict) -> str:
             compact.pop("queries_full", None)
         line = json.dumps(compact)
     return line
+
+
+def isolate_fresh_session(
+    names: list[str], sf_dir: str, repeats: int = 5, timeout: int = 1800
+) -> dict[str, float]:
+    """Re-measure ``names`` in a FRESH subprocess JVM; return their medians.
+
+    Spawns ONE child ``python bench.py name1 name2 ...`` (JVM startup
+    amortized across all suspects) with isolation disabled in the child
+    (recursion guard) and the full payload directed at a temp file via
+    ``SPARK_GRAFT_BENCH_OUT`` — the printed line may legally shrink past
+    the per-query map when many names are passed, so the out-file, not
+    stdout, is the parse surface. Returns {} on any child failure: the
+    caller keeps the in-sweep numbers, which is the honest fallback.
+    """
+    if not names:
+        return {}
+    out_path = None
+    try:
+        fd, out_path = tempfile.mkstemp(prefix="bench_iso_", suffix=".json")
+        os.close(fd)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["SPARK_GRAFT_BENCH_REPEATS"] = str(repeats)
+        env["SPARK_GRAFT_BENCH_ISOLATE"] = "0"
+        env["SPARK_GRAFT_BENCH_OUT"] = out_path
+        script = os.path.abspath(__file__)
+        proc = subprocess.run(
+            [sys.executable, script, *names],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        if proc.returncode != 0:
+            print(
+                f"BENCH ISOLATE subprocess rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            return {}
+        with open(out_path) as fh:
+            payload = json.load(fh)
+        return {
+            n: t
+            for n, t in payload.get("queries", {}).items()
+            if n in set(names) and isinstance(t, (int, float)) and t >= 0
+        }
+    except (OSError, subprocess.TimeoutExpired, json.JSONDecodeError) as e:
+        print(f"BENCH ISOLATE subprocess failed: {e}", file=sys.stderr)
+        return {}
+    finally:
+        if out_path is not None:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -184,15 +257,18 @@ def main() -> None:
             continue
         timings[name] = round(statistics.median(samples), 3)
 
-    # Isolated re-measure pass (r7 verdict task 7): sweep-order interference
-    # (residual codegen compilation, GC pressure from a heavy predecessor)
-    # keeps producing false 2x-budget alarms that previously needed manual
-    # trap-#14 adjudication each round. Any row whose in-sweep median
-    # exceeds 2x its committed BENCH.json budget is re-measured here at the
-    # END of the sweep — same session, cache cleared, 5 repeats — and the
-    # isolated median replaces the in-sweep number. A genuine regression
-    # stays >2x under isolation and still trips the budget check; a
-    # neighbor-noise artifact melts away without human adjudication.
+    # Isolated re-measure pass (r7 verdict task 7; subprocess form = r13
+    # verdict task 1): sweep-order interference (residual codegen
+    # compilation, GC/heap pressure accumulated over a 30-min sweep) keeps
+    # producing false budget alarms that need manual trap-#14 adjudication.
+    # Any row whose in-sweep median exceeds FACTOR x its committed
+    # BENCH.json budget is re-measured after the sweep in a FRESH
+    # SUBPROCESS JVM — the same-session variant was itself contaminated by
+    # the saturated tail (two rounds of false regressions, NOTES r13 item
+    # 10) — and the isolated median replaces the in-sweep number. A genuine
+    # regression stays over threshold in the clean JVM and still trips the
+    # budget check; a tail-saturation artifact melts away without human
+    # adjudication.
     budgets = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -203,35 +279,22 @@ def main() -> None:
 
     isolated: list[str] = []
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+        factor = float(os.environ.get("SPARK_GRAFT_BENCH_ISOLATE_FACTOR", "2"))
         suspects = [
             n
             for n, t in timings.items()
-            if t > 0 and budgets.get(n, 0) > 0 and t > 2.0 * budgets[n]
+            if t > 0 and budgets.get(n, 0) > 0 and t > factor * budgets[n]
         ]
+        fresh = isolate_fresh_session(suspects, sf_dir)
         for name in suspects:
-            spark.catalog.clearCache()
-            samples = []
-            try:
-                for _ in range(5):
-                    t0 = time.perf_counter()
-                    materialize(REGISTRY[name].fn(spark, sf_dir))
-                    samples.append(time.perf_counter() - t0)
-                    if (
-                        len(samples) >= 2
-                        and min(samples) >= 1.0
-                        and max(samples) / min(samples) < 2.0
-                    ):
-                        break
-            except Exception as e:
-                print(f"BENCH ISOLATE FAIL {name}: {e}", file=sys.stderr)
-                continue
-            iso = round(statistics.median(samples), 3)
+            if name not in fresh:
+                continue  # child failed for this row: keep in-sweep number
             print(
-                f"BENCH ISOLATE {name}: sweep {timings[name]} -> isolated {iso} "
-                f"(budget {budgets[name]})",
+                f"BENCH ISOLATE {name}: sweep {timings[name]} -> "
+                f"fresh-JVM {fresh[name]} (budget {budgets[name]})",
                 file=sys.stderr,
             )
-            timings[name] = iso
+            timings[name] = fresh[name]
             isolated.append(name)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
@@ -269,7 +332,9 @@ def main() -> None:
     # printed line carries the aggregate metric plus the headline subset
     # (flagship + TPC-H + one representative per operator family), shrunk
     # further if needed until the line fits the tail window.
-    full_path = os.path.join(
+    # SPARK_GRAFT_BENCH_OUT redirects the full payload (isolation children
+    # write to a temp file so they never clobber the parent's BENCH_FULL).
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     try:
