@@ -14,7 +14,11 @@ from __future__ import annotations
 import pytest
 from conftest import SF_SMOKE
 
-from wikipedia_org_xmldump_importer_spark.io import load_table, sink_jdbc
+from wikipedia_org_xmldump_importer_spark.io import (
+    load_table,
+    scan_jdbc,
+    sink_jdbc,
+)
 
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 _DERBY_URL = "jdbc:derby:memory:sinktest;create=true"
@@ -105,13 +109,14 @@ def test_sink_jdbc_partitioned_write_and_parallel_read(spark):
         },
     )
     lo, hi = 0, int(src.agg({"C_CUSTKEY": "max"}).collect()[0][0]) + 1
-    back = spark.read.jdbc(
-        url=url,
-        table="customer_sink",
-        column="C_CUSTKEY",
-        lowerBound=lo,
-        upperBound=hi,
-        numPartitions=4,
+    back = scan_jdbc(
+        spark,
+        url,
+        "customer_sink",
+        partition_column="C_CUSTKEY",
+        lower_bound=lo,
+        upper_bound=hi,
+        num_partitions=4,
         properties={"driver": _DERBY_DRIVER},
     )
     # the parallel-read contract: 4 stride partitions, one query each
@@ -121,11 +126,73 @@ def test_sink_jdbc_partitioned_write_and_parallel_read(spark):
     # caller-owned WHERE clauses, e.g. date slices)
     mid = (lo + hi) // 2
     preds = [f"C_CUSTKEY < {mid}", f"C_CUSTKEY >= {mid}"]
-    back2 = spark.read.jdbc(
-        url=url,
-        table="customer_sink",
+    back2 = scan_jdbc(
+        spark,
+        url,
+        "customer_sink",
         predicates=preds,
         properties={"driver": _DERBY_DRIVER},
     )
     assert back2.rdd.getNumPartitions() == len(preds)
     assert back2.count() == n_src
+
+
+def test_scan_jdbc_auto_bounds_and_contracts(spark):
+    """s21 (r13 verdict task 3): the stride form with OMITTED bounds must
+    derive them from one MIN/MAX probe and still return every row — the
+    +1 on MAX is load-bearing (Spark's last stride is ``col >= hi`` of the
+    second-to-last boundary; a MAX that lands exactly on upperBound's
+    boundary arithmetic must stay inside). Also pins the API contracts:
+    mutually-exclusive forms, empty predicate list, and the deliberate
+    single-connection fallback shape."""
+    if not _derby_available(spark):
+        pytest.skip(
+            f"no JDBC driver jar on the Spark classpath ({_DERBY_DRIVER} "
+            "not loadable)"
+        )
+    url = "jdbc:derby:memory:scanauto;create=true"
+    src = (
+        load_table(spark, SF_SMOKE, "nation")
+        .selectExpr(
+            "n_nationkey as N_NATIONKEY",
+            "n_name as N_NAME",
+            "n_regionkey as N_REGIONKEY",
+        )
+    )
+    sink_jdbc(
+        src,
+        url=url,
+        table="nation_auto",
+        mode="overwrite",
+        properties={"driver": _DERBY_DRIVER},
+    )
+    back = scan_jdbc(
+        spark,
+        url,
+        "nation_auto",
+        partition_column="N_NATIONKEY",
+        num_partitions=3,
+        properties={"driver": _DERBY_DRIVER},
+    )
+    assert back.rdd.getNumPartitions() == 3
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+    # single-connection fallback: explicit, 1 partition, full table
+    solo = scan_jdbc(
+        spark, url, "nation_auto", properties={"driver": _DERBY_DRIVER}
+    )
+    assert solo.rdd.getNumPartitions() == 1
+    assert solo.count() == src.count()
+
+    with pytest.raises(ValueError, match="mutually"):
+        scan_jdbc(
+            spark,
+            url,
+            "nation_auto",
+            partition_column="N_NATIONKEY",
+            predicates=["N_NATIONKEY < 5"],
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        scan_jdbc(spark, url, "nation_auto", predicates=[])
+    with pytest.raises(ValueError, match="num_partitions"):
+        scan_jdbc(spark, url, "nation_auto", partition_column="N_NATIONKEY")

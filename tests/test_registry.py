@@ -274,6 +274,7 @@ def test_survey_registry_sync():
         "import_dump_full",
         "stream_import_dump",
         "shard_dump",
+        "scan_jdbc",
         "sink_orc",
         "scan_orc",
         "compact_parquet",

@@ -38,9 +38,12 @@ _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def main() -> int:
-    from wikipedia_org_xmldump_importer_spark.io import load_table
+    from wikipedia_org_xmldump_importer_spark.io import (
+        load_table,
+        scan_jdbc,
+        sink_jdbc,
+    )
     from wikipedia_org_xmldump_importer_spark.session import build_session
-    from wikipedia_org_xmldump_importer_spark.io import sink_jdbc
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     parts = int(os.environ.get("SPARK_GRAFT_JDBC_PARTS", "8"))
@@ -73,16 +76,19 @@ def main() -> int:
         )
         write_sec = time.monotonic() - t0
 
-        hi = src.agg({"L_ORDERKEY": "max"}).collect()[0][0] + 1
         t0 = time.monotonic()
-        back = spark.read.jdbc(
-            url=url, table="lineitem_sink", column="L_ORDERKEY",
-            lowerBound=0, upperBound=int(hi), numPartitions=parts,
+        # s21 endpoint with AUTO-DERIVED bounds: the probe's MIN/MAX query
+        # is part of what a production read pays, so it stays in the timing.
+        back = scan_jdbc(
+            spark, url, "lineitem_sink",
+            partition_column="L_ORDERKEY", num_partitions=parts,
             properties={"driver": _DERBY_DRIVER},
         )
         n_back = back.count()
         read_sec = time.monotonic() - t0
+        read_parts = back.rdd.getNumPartitions()
         assert n_back == n, f"row-count mismatch: wrote {n}, read {n_back}"
+        assert read_parts == parts, f"read fan-out {read_parts} != {parts}"
 
         print(json.dumps({
             "metric": "jdbc_sink_mb_per_s",

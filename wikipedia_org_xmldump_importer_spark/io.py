@@ -141,6 +141,116 @@ def sink_jdbc(
     writer.mode(mode).save()
 
 
+def scan_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    fetchsize: int = 10_000,
+    properties: dict | None = None,
+) -> DataFrame:
+    """s21: PARTITIONED JDBC read — the missing read half of s5 (r13
+    verdict task 3). An importer-class user pulling a dimension or a
+    previously-loaded fact back out of the warehouse previously got a
+    single-connection scan; this endpoint mirrors sink_jdbc's parallelism
+    contract in both production read shapes:
+
+    * **stride form** (``partition_column`` + ``num_partitions``): Spark
+      fans the scan into ``num_partitions`` range-strided queries
+      (``WHERE col >= lo AND col < hi``), one connection each. If the
+      bounds are omitted they are derived with ONE cheap driver-side
+      ``SELECT MIN(col), MAX(col)`` probe — an indexed aggregate on any
+      real warehouse — so callers don't hand-maintain them.
+    * **predicate form** (``predicates``): caller-owned WHERE clauses
+      (date slices, hash buckets, tenant ids), one partition per clause —
+      the shape for non-numeric or skewed partition keys. The clauses
+      must be DISJOINT and COVERING; overlaps duplicate rows (same
+      contract as Spark's own ``read.jdbc(predicates=...)``).
+
+    With neither, this is an explicit single-connection read (fine for
+    genuinely small dims; everything else should pass a partitioning).
+
+    100 TB notes: partition count bounds concurrent connections — size it
+    to what the database tolerates, not to the cluster's cores (hundreds
+    of parallel scans can brown-out an OLTP source); ``fetchsize``
+    amortizes per-row round trips on the read path exactly as
+    ``batchsize`` does on the write path (Derby-measured in
+    tools/bench_jdbc.py; the classic 10k default). A monotonically-
+    loaded warehouse key (orderdate, ingest batch id) makes the stride
+    form partition-pruned on the database side too, because each stride
+    query hits one index range. Stride skew (a hot key range) is the
+    JDBC analog of shuffle skew: fall back to the predicate form with
+    hand-balanced slices when MIN/MAX strides would be lopsided.
+
+    Derby-executed coverage: tests/test_jdbc_sink.py round-trips both
+    forms and asserts the scan's partition count equals the request —
+    the contract that distinguishes this from a single-connection read.
+    """
+    if partition_column is not None and predicates is not None:
+        raise ValueError(
+            "scan_jdbc: partition_column and predicates are mutually "
+            "exclusive — pick the stride form or the predicate form"
+        )
+    props = {"fetchsize": str(fetchsize), **(properties or {})}
+    if predicates is not None:
+        if not predicates:
+            raise ValueError("scan_jdbc: predicates list must be non-empty")
+        return spark.read.jdbc(
+            url=url, table=table, predicates=list(predicates), properties=props
+        )
+    if partition_column is not None:
+        if not num_partitions or num_partitions < 1:
+            raise ValueError(
+                "scan_jdbc: stride form needs num_partitions >= 1"
+            )
+        if lower_bound is None or upper_bound is None:
+            # One driver-side probe query; pushed as a subquery so the
+            # database computes the aggregate (indexed on any real key).
+            probe = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option(
+                    "dbtable",
+                    f"(SELECT MIN({partition_column}) AS lo, "
+                    f"MAX({partition_column}) AS hi FROM {table}) probe",
+                )
+                .options(**props)
+                .load()
+                .collect()[0]
+            )
+            # positional access: identifier folding differs per database
+            # (Derby uppercases unquoted aliases, Postgres lowercases)
+            if probe[0] is None:  # empty table: any single stride works
+                lower_bound, upper_bound = 0, 1
+            else:
+                lower_bound = int(probe[0])
+                # +1: Spark's upperBound is exclusive on the last stride's
+                # WHERE col >= hi clause boundary arithmetic; MAX(col) must
+                # fall inside the final stride, not past it.
+                upper_bound = int(probe[1]) + 1
+        return spark.read.jdbc(
+            url=url,
+            table=table,
+            column=partition_column,
+            lowerBound=int(lower_bound),
+            upperBound=int(upper_bound),
+            numPartitions=int(num_partitions),
+            properties=props,
+        )
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**props)
+    )
+    return reader.load()
+
+
 def sink_orc(
     df: DataFrame,
     path: str,
