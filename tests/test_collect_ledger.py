@@ -52,6 +52,14 @@ LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/textops.py", "tokenizer_bpe_train"): (
         1, "limit(1) best-pair row per BPE merge round (vocab-bounded "
            "round count)"),
+    ("io.py", "scan_jdbc"): (
+        1, "1-row MIN/MAX bound probe for the stride form (only when the "
+           "caller omits bounds) — an indexed aggregate on any real "
+           "warehouse, never row-bound"),
+    ("sources/dump_multistream.py", "_stream_offsets"): (
+        1, "DISTINCT stream offsets only (one long per bz2 stream, never "
+           "per page): ~240k rows / ~2 MB for enwiki — the dump's split "
+           "map, which the driver must hold to plan the scan anyway"),
 }
 
 

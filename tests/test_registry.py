@@ -275,6 +275,10 @@ def test_survey_registry_sync():
         "stream_import_dump",
         "shard_dump",
         "scan_jdbc",
+        "scan_multistream",
+        "scan_multistream_siteinfo",
+        "read_multistream_index",
+        "write_multistream",
         "sink_orc",
         "scan_orc",
         "compact_parquet",
