@@ -89,3 +89,103 @@ def test_bitmap_decontamination_matches_relational_audit(spark):
     n_flagged = bitmap.filter(F.col("is_contaminated") == 1).count()
     audit = REGISTRY["decontaminate_bloom"].fn(spark, SF_001).collect()[0]
     assert n_flagged == audit.n_docs_flagged_bloom
+
+
+def _render_dump(docs_rows, path: str) -> None:
+    """Render documents rows as a MediaWiki export dump: one page per doc,
+    title = ``source/lang`` (page id carries doc_id), one revision whose
+    text payload is the document text. The inverse of the derivation in
+    test_manifest_from_dump_bytes — together they define the ingest seam."""
+    from xml.sax.saxutils import escape
+
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(
+            '<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/" '
+            'version="0.11" xml:lang="en">\n'
+            "  <siteinfo>\n    <sitename>CurationCorpus</sitename>\n"
+            "    <dbname>curation</dbname>\n  </siteinfo>\n"
+        )
+        for r in docs_rows:
+            body = escape(r.text)
+            f.write(
+                "  <page>\n"
+                f"    <title>{escape(r.source)}/{escape(r.lang)}</title>\n"
+                "    <ns>0</ns>\n"
+                f"    <id>{r.doc_id}</id>\n"
+                "    <revision>\n"
+                f"      <id>{r.doc_id + 1000000}</id>\n"
+                "      <timestamp>2024-01-01T00:00:00Z</timestamp>\n"
+                "      <contributor><username>importer</username>"
+                "<id>1</id></contributor>\n"
+                "      <model>wikitext</model>\n"
+                "      <format>text/x-wiki</format>\n"
+                f'      <text bytes="{len(body)}" xml:space="preserve">'
+                f"{body}</text>\n"
+                "      <sha1>x</sha1>\n"
+                "    </revision>\n"
+                "  </page>\n"
+            )
+        f.write("</mediawiki>\n")
+
+
+def _documents_from_pages(pages):
+    """The ingest-seam mapping: dump pages -> the documents table shape."""
+    return pages.select(
+        F.col("id").alias("doc_id"),
+        F.col("revision")[0]["text"]["_VALUE"].alias("text"),
+        F.split(F.col("title"), "/")[1].alias("lang"),
+        F.split(F.col("title"), "/")[0].alias("source"),
+        F.length(F.col("revision")[0]["text"]["_VALUE"])
+        .cast("long")
+        .alias("n_chars"),
+    )
+
+
+def test_manifest_from_dump_bytes(spark, tmp_path):
+    """r13 verdict task 6 — close the last seam between the ingest
+    components (SURVEY 2.1) and the curation flagship: the release
+    manifest must be IDENTICAL whether the corpus arrives as parquet, as
+    a mono XML dump through s2, or as a multistream pair through s20.
+
+    sf0.001's real documents table is rendered into an actual dump file,
+    ingested back through BOTH scan paths, mapped to the documents shape,
+    sunk to parquet, and x368 runs on each — row-for-row equality against
+    the manifest computed from the original parquet (exact: token masses
+    are BIGINT and the mixture epilogue is deterministic ROUND-6 floats
+    off exact integers, layout-invariance is separately attested)."""
+    from wikipedia_org_xmldump_importer_spark.io import load_table, sink_parquet
+    from wikipedia_org_xmldump_importer_spark.sources.dump_multistream import (
+        scan_multistream,
+        write_multistream,
+    )
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        scan_xml_pages,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    mono = str(tmp_path / "dump.xml")
+    _render_dump(docs.collect(), mono)
+
+    def manifest_rows(sf_dir):
+        out = REGISTRY["pipeline_e2e_manifest"].fn(spark, sf_dir)
+        return sorted(tuple(r) for r in out.collect())
+
+    ref = manifest_rows(sf)
+
+    # route A: mono dump -> s2 scan -> documents shape -> parquet -> x368
+    xml_sf = tmp_path / "xml_sf"
+    xml_sf.mkdir()
+    via_xml = _documents_from_pages(scan_xml_pages(spark, mono))
+    sink_parquet(via_xml, str(xml_sf / "documents.parquet"))
+    assert manifest_rows(str(xml_sf)) == ref
+
+    # route B: multistream pair -> s20 scan -> same mapping -> x368
+    ms_dump = str(tmp_path / "ms.xml.bz2")
+    ms_index = str(tmp_path / "ms-index.txt.bz2")
+    write_multistream(mono, ms_dump, ms_index, pages_per_stream=40)
+    ms_sf = tmp_path / "ms_sf"
+    ms_sf.mkdir()
+    via_ms = _documents_from_pages(scan_multistream(spark, ms_dump, ms_index))
+    sink_parquet(via_ms, str(ms_sf / "documents.parquet"))
+    assert manifest_rows(str(ms_sf)) == ref
