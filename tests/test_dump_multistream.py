@@ -205,6 +205,42 @@ def test_loud_failures(spark, tmp_path):
         write_multistream(no_pages, dummy, empty_idx)
 
 
+def test_escaped_title_and_revision_decoys(spark, tmp_path):
+    """r14 self-review regressions: (a) the index must record the title
+    VALUE ('A&B'), not the XML-escaped source text ('A&amp;B') — real
+    multistream indexes are unescaped and the scan's title column
+    unescapes too; (b) a '<title>'/'<id>' lookalike inside a revision
+    comment must never be captured at page level."""
+    src = str(tmp_path / "mono.xml")
+    with open(src, "w") as f:
+        f.write(
+            "<mediawiki>\n"
+            "  <page>\n"
+            "    <title>A&amp;B &quot;quoted&quot;: x&lt;y</title>\n"
+            "    <ns>0</ns>\n    <id>7</id>\n"
+            "    <revision>\n      <id>70</id>\n"
+            "      <timestamp>2024-01-01T00:00:00Z</timestamp>\n"
+            "      <contributor><username>u</username><id>1</id>"
+            "</contributor>\n"
+            "      <comment>moved <title>Decoy</title> and "
+            "<id>999</id> refs</comment>\n"
+            "      <model>wikitext</model>\n      <format>x</format>\n"
+            '      <text bytes="2" xml:space="preserve">hi</text>\n'
+            "      <sha1>s</sha1>\n    </revision>\n"
+            "  </page>\n"
+            "</mediawiki>\n"
+        )
+    dump = str(tmp_path / "ms.xml.bz2")
+    index = str(tmp_path / "idx.txt")
+    write_multistream(src, dump, index, pages_per_stream=5)
+    rows = read_multistream_index(spark, index).collect()
+    assert len(rows) == 1
+    assert rows[0].page_id == 7  # not the comment's 999
+    assert rows[0].title == 'A&B "quoted": x<y'
+    scanned = scan_multistream(spark, dump, index).collect()
+    assert [(r.id, r.title) for r in scanned] == [(7, 'A&B "quoted": x<y')]
+
+
 def test_split_pages_unit():
     text = (
         "  <page>\n<title>A</title>\n</page>\n"

@@ -59,6 +59,7 @@ from __future__ import annotations
 import bz2
 import os
 import re
+from xml.sax.saxutils import unescape
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,10 +153,19 @@ def write_multistream(
                     in_revision = False
                 if "<revision" in stripped:
                     in_revision = True
-                if cur_title is None:
+                if cur_title is None and not in_revision:
+                    # gated on page level exactly like <id>: a title-less
+                    # page must not steal a '<title>' lookalike out of a
+                    # revision comment/payload line
                     m = _TITLE_RE.search(stripped)
                     if m:
-                        cur_title = m.group(1)
+                        # the index records the TITLE VALUE (like the real
+                        # dump indexes), not the XML-escaped source text —
+                        # 'A&amp;B' in the dump is page title 'A&B', and
+                        # the scan's title column unescapes identically
+                        cur_title = unescape(
+                            m.group(1), {"&quot;": '"', "&apos;": "'"}
+                        )
                 if cur_id is None and not in_revision:
                     m = _ID_RE.search(stripped)
                     if m:
@@ -256,10 +266,12 @@ def _split_pages(raw: bytes) -> list[bytes]:
     parts = raw.split(b"</page>")
     pages: list[bytes] = []
     for frag in parts[:-1]:
-        i = frag.find(b"<page")
-        if i < 0:
+        # a REAL opener only: '<page>' or '<page ' — never a longer
+        # element name sharing the prefix
+        cands = [i for i in (frag.find(b"<page>"), frag.find(b"<page ")) if i >= 0]
+        if not cands:
             continue
-        pages.append(frag[i:] + b"</page>")
+        pages.append(frag[min(cands):] + b"</page>")
     return pages
 
 
