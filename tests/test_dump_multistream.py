@@ -251,3 +251,42 @@ def test_split_pages_unit():
     assert pages[0].startswith(b"<page>") and pages[0].endswith(b"</page>")
     assert "B&lt;/page&gt;C é中".encode("utf-8") in pages[1]
     assert _split_pages(b"</mediawiki>\n") == []
+
+
+def test_import_dump_full_from_multistream(spark, tmp_path):
+    """The flagship entry points accept the real dump format directly:
+    import_dump / import_dump_full with multistream_index produce tables
+    row-identical to the mono-file import of the same corpus."""
+    from wikipedia_org_xmldump_importer_spark.sources.xml_pages import (
+        import_dump,
+        import_dump_full,
+    )
+
+    src = os.path.join(FIXTURES, "wikilinks.xml")
+    dump = str(tmp_path / "ms.xml.bz2")
+    index = str(tmp_path / "idx.txt.bz2")
+    write_multistream(src, dump, index, pages_per_stream=2)
+
+    mono = import_dump(
+        spark, src, str(tmp_path / "out_mono"), namespace=None
+    )
+    ms = import_dump(
+        spark,
+        dump,
+        str(tmp_path / "out_ms"),
+        namespace=None,
+        multistream_index=index,
+    )
+    for name in mono:
+        a = {tuple(r) for r in mono[name].collect()}
+        b = {tuple(r) for r in ms[name].collect()}
+        assert a == b, f"table {name} differs between mono and multistream"
+
+    full_mono = import_dump_full(spark, src, str(tmp_path / "f_mono"))
+    full_ms = import_dump_full(
+        spark, dump, str(tmp_path / "f_ms"), multistream_index=index
+    )
+    for name in ("pagelinks", "redirect", "pagelinks_resolved"):
+        a = {tuple(r) for r in full_mono[name].collect()}
+        b = {tuple(r) for r in full_ms[name].collect()}
+        assert a == b, f"full-pipeline table {name} differs"

@@ -325,6 +325,24 @@ _FLATTENS = {
 }
 
 
+def _scan_pages_any(
+    spark: SparkSession,
+    dump_path: str,
+    include_text: bool,
+    multistream_index: str | None,
+) -> DataFrame:
+    """Dispatch the page source: s20 multistream scan when an index is
+    given (the format real dumps ship in — parallelism == chunk count),
+    else the s2 file scan (plain/.bz2 files or shard directories)."""
+    if multistream_index is not None:
+        from .dump_multistream import scan_multistream  # noqa: PLC0415
+
+        return scan_multistream(
+            spark, dump_path, multistream_index, include_text=include_text
+        )
+    return scan_xml_pages(spark, dump_path, include_text=include_text)
+
+
 def import_dump(
     spark: SparkSession,
     dump_path: str,
@@ -332,10 +350,14 @@ def import_dump(
     namespace: int | None = 0,
     drop_redirects: bool = False,
     tables: tuple[str, ...] = ("page", "revision", "contributor", "text"),
+    multistream_index: str | None = None,
 ) -> dict[str, DataFrame]:
     """The reference's whole pipeline as one call: dump → four Parquet
     tables (BASELINE.json: 'Spark XML reader + DataFrame write to JDBC' —
     swap sink_parquet for io.sink_jdbc when a DB DSN is configured).
+    ``multistream_index`` switches the page source to the s20 multistream
+    reader, so the format real dumps ship in feeds this pipeline directly
+    (tested row-identical to the mono path).
 
     100 TB notes: one XML scan feeds all requested flattens; caching the
     filtered page DF avoids re-parsing (XML parse dominates cost). A
@@ -346,7 +368,9 @@ def import_dump(
     """
     from ..io import sink_parquet  # noqa: PLC0415
 
-    pages = scan_xml_pages(spark, dump_path, include_text="text" in tables)
+    pages = _scan_pages_any(
+        spark, dump_path, "text" in tables, multistream_index
+    )
     if namespace is not None:
         pages = filter_namespace(pages, namespace, drop_redirects)
     pages = pages.cache()
@@ -548,6 +572,7 @@ def import_dump_full(
     jdbc_url: str | None = None,
     jdbc_properties: dict | None = None,
     namespace: int | None = None,
+    multistream_index: str | None = None,
 ) -> dict[str, DataFrame]:
     """The reference's ACTUAL job as one entry point (r8 verdict task 6):
     MediaWiki export dump -> page / revision / contributor / text tables
@@ -581,7 +606,7 @@ def import_dump_full(
     """
     from ..io import sink_jdbc, sink_parquet  # noqa: PLC0415
 
-    pages = scan_xml_pages(spark, dump_path, include_text=True)
+    pages = _scan_pages_any(spark, dump_path, True, multistream_index)
     if namespace is not None:
         pages = filter_namespace(pages, namespace, drop_redirects=False)
     pages = pages.cache()
