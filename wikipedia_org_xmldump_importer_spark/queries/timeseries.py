@@ -818,25 +818,34 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _EMA_K = 12  # trailing depth: weight 2^-11 ≈ 5e-4 — truncation < rounding pin
+# Exactness (r14 driver-red class fix): the old spelling summed
+# avg_v * 2^-k as FLOATS and pinned the sum at 6dp — but a sum landing ON
+# the .5e-6 boundary flips with accumulation order, and both engines
+# aggregate in nondeterministic parallel order (caught live: one sweep
+# green, the next off by 1e-6 on 1 of 3385 rows, same code and data).
+# Dyadic weights make the exact form free: scale every contribution by
+# 2^(K-1-k) — av_u (micro-unit BIGINT) times a power of two stays an exact
+# BIGINT — sum integers, and divide ONCE at the end (the single float op,
+# correctly rounded from identical integers on both engines).
 _EMA_ORACLE = f"""
 WITH hourly AS (
   SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
-         ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
-               / (100.0 * COUNT(*)), 6) AS avg_v,
+         CAST(ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 10000.0
+               / COUNT(*)) AS BIGINT) AS av_u,
          ROW_NUMBER() OVER (PARTITION BY event_type
                             ORDER BY time_bucket(INTERVAL '1 hour', ts)) AS idx
   FROM events GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
 ),
 contrib AS (
   SELECT hh.event_type, hh.idx + k.k AS tgt,
-         hh.avg_v * power(0.5, k.k) AS wv,
-         power(0.5, k.k) AS w
+         hh.av_u * (CAST(1 AS BIGINT) << ({_EMA_K - 1} - k.k)) AS wv_s,
+         CAST(1 AS BIGINT) << ({_EMA_K - 1} - k.k) AS w_s
   FROM hourly hh
   CROSS JOIN (SELECT unnest(generate_series(0, {_EMA_K - 1})) AS k) k
 )
 SELECT t.event_type, CAST(t.h AS VARCHAR) AS hour,
        COUNT(*) AS n_terms,
-       ROUND(ROUND(SUM(c.wv), 6) / SUM(c.w), 6) AS ema
+       ROUND(SUM(c.wv_s) / (1000000.0 * SUM(c.w_s)), 6) AS ema
 FROM contrib c
 JOIN hourly t ON t.event_type = c.event_type AND t.idx = c.tgt
 GROUP BY t.event_type, t.h
@@ -857,10 +866,14 @@ def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the anchor sums them. No window at all, no self-join — the same
     range-to-equi discretization as x77.
 
-    Cross-engine exactness: decay 1/2 makes every weight 2^-k EXACT in
-    binary floating point, and avg_v * 2^-k is a pure exponent shift — the
-    only order-sensitive float op is the final SUM, pinned at 6dp before
-    the normalize.
+    Cross-engine exactness (r14 fix — this row flipped 1e-6 between two
+    same-code sweeps): decay 1/2 makes every weight 2^-k a power of two,
+    so the WHOLE accumulation goes exact-integer — micro-unit hourly
+    means times 2^(K-1-k) are BIGINTs, summed exactly in any order; the
+    single float op is the final division of two exact integers, which
+    IEEE rounds identically from identical inputs on both engines. The
+    previous spelling summed floats and pinned at 6dp, which a sum
+    landing ON the .5e-6 boundary defeats (order-dependent last ulp).
 
     100 TB: the explode is a constant ×{_EMA_K} fan-out of the tiny hourly
     aggregate (not of raw events); one shuffle on (event_type) for the
@@ -868,11 +881,15 @@ def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.col("event_type"), F.window("ts", "1 hour").start.alias("h"))
-        .agg(F.round(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            / (100.0 * F.count(F.lit(1))),
-            6,
-        ).alias("avg_v"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                * 10000.0
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("av_u")
+        )
         .withColumn(
             "idx",
             F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
@@ -881,13 +898,15 @@ def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = hourly.select(
         "event_type",
         "idx",
-        "avg_v",
+        "av_u",
         F.explode(F.sequence(F.lit(0), F.lit(_EMA_K - 1))).alias("k"),
     ).select(
         "event_type",
         (F.col("idx") + F.col("k")).alias("tgt"),
-        (F.col("avg_v") * F.pow(F.lit(0.5), F.col("k"))).alias("wv"),
-        F.pow(F.lit(0.5), F.col("k")).alias("w"),
+        (
+            F.col("av_u") * F.expr(f"shiftleft(1L, {_EMA_K - 1} - k)")
+        ).alias("wv_s"),
+        F.expr(f"shiftleft(1L, {_EMA_K - 1} - k)").alias("w_s"),
     )
     anchors = hourly.select(
         F.col("event_type").alias("a_type"), F.col("idx").alias("a_idx"), "h"
@@ -900,7 +919,7 @@ def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_type", "h")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
-            F.round(F.round(F.sum("wv"), 6) / F.sum("w"), 6).alias("ema"),
+            F.round(F.sum("wv_s") / (1000000.0 * F.sum("w_s")), 6).alias("ema"),
         )
         .select(
             F.col("a_type").alias("event_type"),
