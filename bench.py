@@ -285,6 +285,15 @@ def main() -> None:
             for n, t in timings.items()
             if t > 0 and budgets.get(n, 0) > 0 and t > factor * budgets[n]
         ]
+        if suspects:
+            # Stop the parent session BEFORE spawning the child: after a
+            # long sweep the parent JVM holds tens of GB of touched heap,
+            # and a child JVM contending with that resident set measures
+            # memory pressure, not the query (observed live at sf1:
+            # dedup_containment 82 s in a child beside the live parent vs
+            # 20.5 s committed clean-session). Nothing after this point
+            # needs the session — the payload is pure bookkeeping.
+            spark.stop()
         fresh = isolate_fresh_session(suspects, sf_dir)
         for name in suspects:
             if name not in fresh:
