@@ -108,8 +108,20 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Per-round lineage cut: without it iteration k's plan embeds
         # iterations 1..k-1 (re-planned and re-optimized every round, and
         # the final plan is 5 nested join trees deep).
+        #
+        # r14 optimization (guide §3.1): BROADCAST the rank state into the
+        # propagation join. The checkpointed edge list is a LogicalRDD with
+        # no size stats, so the planner picked SortMergeJoin and re-shuffled
+        # + re-sorted all |E| edge rows EVERY iteration; the rank side is
+        # |V| rows (16k at sf0.1 — vertex state, always ≪ edge bytes), so
+        # broadcasting it leaves the edge table in place and the iteration
+        # drops from 2 big exchanges + 2 sorts to the single groupBy(dst)
+        # exchange of partial sums. Measured (interleaved 3-shot runs,
+        # sf0.1): 4.5-5.9 s -> 3.5-4.0 s, bit-identical ranks. At 100 TB,
+        # when |V| outgrows the broadcast cap, the same algebra keeps the
+        # edge side stationary via bucketing-by-src (io.sink_bucketed).
         ranks = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
@@ -407,11 +419,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = e.select(F.col("src").alias("node")).distinct()
     all_nodes = alive.localCheckpoint(eager=True)
     alive = all_nodes
+    # r14 optimization (guide §3.1): broadcast the survivor set into both
+    # semi-join legs. e and alive are checkpointed LogicalRDDs with no size
+    # stats, so the planner had been SortMergeJoin-ing — re-shuffling all
+    # |E| edge rows twice per peel round; the survivor set is vertex-scale
+    # (16k rows here, only shrinks), so the hints keep the edge table
+    # stationary and each round pays only the groupBy(src) exchange.
+    # Bucketing-by-src is the same escape hatch as x63 at cluster scale.
     for _ in range(_KCORE_ROUNDS):
         deg = (
-            e.join(alive.withColumnRenamed("node", "src"), "src")
+            e.join(F.broadcast(alive.withColumnRenamed("node", "src")), "src")
             .join(
-                alive.select(F.col("node").alias("dst")),
+                F.broadcast(alive.select(F.col("node").alias("dst"))),
                 "dst",
             )
             .groupBy("src")
@@ -423,8 +442,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     cd = (
-        e.join(alive.withColumnRenamed("node", "src"), "src")
-        .join(alive.select(F.col("node").alias("dst")), "dst")
+        e.join(F.broadcast(alive.withColumnRenamed("node", "src")), "src")
+        .join(F.broadcast(alive.select(F.col("node").alias("dst"))), "dst")
         .groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
         .withColumnRenamed("src", "node")
@@ -643,6 +662,9 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    # (r14: a broadcast-labels hint was A/B'd here and LOST — this edge
+    # list is the small co-supply graph, so per-round broadcast builds cost
+    # more than the tiny SortMergeJoin they replace; see OPTIMIZATION_r14.md.)
     for _ in range(_LP_ROUNDS):
         pushed = (
             edges.join(labels, edges.src == labels.node)
@@ -930,7 +952,15 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     via localCheckpoint per round (the x63/x152 driver-loop contract).
     Frontier growth is bounded by the reachable set, and a 4-hop ball
     around 5 hubs is the query's own cap. Sign-disjoint ids mean no node
-    collision at any scale (x63's note)."""
+    collision at any scale (x63's note).
+
+    r14 optimization (guide §3.1): the relax join BROADCASTS the distance
+    state — vertex-scale (≤|V| rows) against the stats-less checkpointed
+    edge list the planner had been re-shuffling via SortMergeJoin every
+    hop. Measured (interleaved 3-shot medians, sf0.1): 3.35 s -> 2.81 s,
+    identical rows. (The x313 frontier rewrite was also measured here and
+    LOST — dist is already only |V| rows, so the smaller join input does
+    not pay for the extra frontier-filter jobs; see OPTIMIZATION_r14.md.)"""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     eb = (
@@ -949,7 +979,7 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = deg.orderBy(F.col("d").desc(), "node").limit(_BFS_SEEDS)
     dist = seeds.select("node", F.lit(0).alias("dist"))
     for _ in range(_BFS_HOPS):
-        relaxed = e.join(dist, e.src == dist.node).select(
+        relaxed = e.join(F.broadcast(dist), e.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         dist = (
@@ -1044,9 +1074,17 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / n_cust, _HITS_DP).alias("s"),
     )
     a = None
+    # r14 optimization (guide §3.1): BROADCAST the score side of each
+    # half-round join. eb is a checkpointed LogicalRDD with no size stats,
+    # so the planner had been SortMergeJoin-ing — re-shuffling + re-sorting
+    # all |eb| edge rows 2×{_HITS_ITERS} times; the score tables are vertex-
+    # scale (|cust|≈15k / |supp|≈1k at sf0.1, always ≪ edge bytes), so the
+    # hint keeps the edge table stationary and each half-round pays only
+    # the groupBy exchange of partial sums. Same bucketing escape hatch as
+    # x63 when |V| outgrows the broadcast cap at cluster scale.
     for _ in range(_HITS_ITERS):
         ar = (
-            eb.join(h.withColumnRenamed("node", "cust"), "cust")
+            eb.join(F.broadcast(h.withColumnRenamed("node", "cust")), "cust")
             .groupBy(F.col("supp").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )
@@ -1054,7 +1092,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.round(F.col("raw") / F.sum("raw").over(w_all), _HITS_DP).alias("s")
         ).localCheckpoint(eager=True)
         hr = (
-            eb.join(a.withColumnRenamed("node", "supp"), "supp")
+            eb.join(F.broadcast(a.withColumnRenamed("node", "supp")), "supp")
             .groupBy(F.col("cust").alias("node"))
             .agg(F.sum("s").alias("raw"))
         )
@@ -1447,7 +1485,20 @@ def graph_closeness_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: state is the |hubs|×|V| distance relation — LINEAR in V
     (never V²); each round is one key-partitioned join + min-agg, the
-    x63 driver-loop contract with localCheckpoint lineage cuts."""
+    x63 driver-loop contract with localCheckpoint lineage cuts.
+
+    r14 optimization (guide §2.3/§2.4 — shuffle fewer bytes, skip dead
+    passes): the expansion join now reads only the FRONTIER (nodes first
+    reached last round) instead of the full settled relation. In BFS a
+    settled node's neighbors were already candidates the round it was
+    settled, so re-expanding it emits |hubs|×degree rows per round that
+    the MIN immediately discards — at sf0.1 that was ~12×|E| ≈ 14M joined
+    rows per round for ZERO new information once the ball saturates.
+    Frontier = dist == round is exact (a node's dist IS its first-reach
+    round; rediscoveries at later rounds lose the MIN). An empty frontier
+    ends the loop early — identical output, rounds 5-6 were pure no-ops
+    on this diameter-~4 graph. Measured (fresh session, interleaved 3-shot
+    medians, sf0.1): 8.0 s -> 4.7 s, bit-identical rows."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     eb = (
@@ -1460,10 +1511,12 @@ def graph_closeness_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     e = e.localCheckpoint(eager=True)
-    nn = e.select("src").distinct().count()
+    # deg doubles as the distinct-node frame: nn = |deg| (one pass over e
+    # instead of the old separate select-distinct-count pass).
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
-    )
+    ).localCheckpoint(eager=True)
+    nn = deg.count()
     hubs = (
         deg.select(
             "node",
@@ -1480,24 +1533,26 @@ def graph_closeness_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.lit(0).cast("long").alias("dist"),
     ).localCheckpoint(eager=True)
-    # Per-round localCheckpoint measured FASTER than chaining all 6
-    # rounds into one deep-lineage job (18.3 s vs 11.9 s at sf0.1): with
-    # 12x|V| state the per-round cost is the scheduling floor (trap #8),
-    # and the unchained form pays Catalyst analysis + 6 stacked shuffle
-    # plans instead.
-    for _ in range(_CLOSE_ROUNDS):
-        stepped = (
-            cur.join(e, cur.node == e.src)
-            .groupBy("hub", F.col("dst").alias("nnode"))
-            .agg((F.min("dist") + 1).alias("dist"))
-            .select("hub", F.col("nnode").alias("node"), "dist")
+    # Per-round localCheckpoint measured FASTER than chaining all rounds
+    # into one deep-lineage job (18.3 s vs 11.9 s at sf0.1): with 12x|V|
+    # state the per-round cost is the scheduling floor (trap #8), and the
+    # unchained form pays Catalyst analysis + stacked shuffle plans.
+    frontier = cur
+    for r in range(1, _CLOSE_ROUNDS + 1):
+        if frontier.isEmpty():
+            break  # ball saturated: remaining rounds cannot add rows
+        cand = frontier.join(e, frontier.node == e.src).select(
+            "hub",
+            F.col("dst").alias("node"),
+            F.lit(r).cast("long").alias("dist"),
         )
         cur = (
-            cur.unionAll(stepped)
+            cur.unionAll(cand)
             .groupBy("hub", "node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        frontier = cur.filter(F.col("dist") == r)
     return (
         cur.join(F.broadcast(hubs.select(F.col("node").alias("hub"), "degree")), "hub")
         .groupBy("hub")
