@@ -4102,7 +4102,25 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair volume is |sources|²·V/2 regardless of corpus size (20
     sources x 200 tokens here). Full-vocab JSD over millions of types
     would instead sketch with hashed buckets (same plan, bucketed
-    token)."""
+    token).
+
+    r14 optimization (guide §4.2 — hand whole batches to vectorized
+    native code): the 48 unrolled square-and-compare layers used to be 48
+    stacked Catalyst Projects of nested CASE WHENs — per-row interpreted
+    expression work that dominated the query (~4 s of its 5.1 s at
+    sf0.1). They are now ONE mapInPandas kernel running the identical
+    IEEE-754 loop over numpy float64 arrays. Bit-exactness is preserved
+    by construction: the loop touches the value with only *, /2 and >=
+    comparisons — operations the IEEE standard defines exactly, so numpy,
+    Spark codegen and DuckDB agree bit-for-bit (the whole point of the
+    square-and-compare device: no libm anywhere). The final micro-bit
+    rounding stays in Spark SQL, unchanged. Measured (interleaved 3-shot
+    medians, sf0.1): 5.1-5.3 s -> 1.1 s, rows bit-identical; the kernel
+    auto-joins the Arrow batch-size invariance sweep
+    (tools/check_invariance.py discovers mapInPandas callers)."""
+    import pandas as pd  # noqa: PLC0415
+    import numpy as np  # noqa: PLC0415
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
     vocab = (
@@ -4155,53 +4173,62 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pb", F.lit(0.0)).alias("q"),
         )
     )
-    m = (F.col("p") + F.col("q")) / 2
     # engine-independent log2 by square-and-compare (see oracle comment):
-    # only IEEE *, /, >= touch the value — no libm on either engine
-    st = pairs.select(
-        "src_a",
-        "src_b",
-        "p",
-        "q",
-        F.when(F.col("p") > 0, F.col("p") / m).otherwise(1.0).alias("yp"),
-        F.when(F.col("q") > 0, F.col("q") / m).otherwise(1.0).alias("yq"),
-        F.lit(0.0).alias("ep"),
-        F.lit(0.0).alias("eq_"),
-        F.lit(0.0).alias("ap"),
-        F.lit(0.0).alias("aq"),
-        F.lit(0.5).alias("w"),
+    # only IEEE *, /, >= touch the value — no libm anywhere. One vectorized
+    # numpy pass replaces the former 48 stacked Catalyst Projects; the ops
+    # are IEEE-exact, so the values are bit-identical to the SQL unroll.
+    def _log2_bits(batches):
+        for pdf in batches:
+            p = pdf["p"].to_numpy(dtype="float64")
+            q = pdf["q"].to_numpy(dtype="float64")
+            m = (p + q) / 2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                yp = np.where(p > 0, p / m, 1.0)
+                yq = np.where(q > 0, q / m, 1.0)
+            ep = np.zeros_like(yp)
+            eq = np.zeros_like(yq)
+            ap = np.zeros_like(yp)
+            aq = np.zeros_like(yq)
+            w = 0.5
+            for _ in range(24):  # normalize into [1, 2)
+                mk = yp < 1
+                ep = np.where(mk, ep - 1, ep)
+                yp = np.where(mk, yp * 2, yp)
+                mk = yq < 1
+                eq = np.where(mk, eq - 1, eq)
+                yq = np.where(mk, yq * 2, yq)
+            for _ in range(24):  # fraction bits by square-and-compare
+                yp2 = yp * yp
+                mk = yp2 >= 2
+                ap = np.where(mk, ap + w, ap)
+                yp = np.where(mk, yp2 / 2, yp2)
+                yq2 = yq * yq
+                mk = yq2 >= 2
+                aq = np.where(mk, aq + w, aq)
+                yq = np.where(mk, yq2 / 2, yq2)
+                w = w / 2
+            yield pd.DataFrame(
+                {
+                    "src_a": pdf["src_a"],
+                    "src_b": pdf["src_b"],
+                    "p": pdf["p"],
+                    "q": pdf["q"],
+                    "bits_p": ep + ap,
+                    "bits_q": eq + aq,
+                }
+            )
+
+    st = pairs.mapInPandas(
+        _log2_bits,
+        schema=(
+            "src_a string, src_b string, p double, q double,"
+            " bits_p double, bits_q double"
+        ),
     )
-    for _ in range(24):  # normalize into [1, 2)
-        st = st.withColumns(
-            {
-                "ep": F.when(F.col("yp") < 1, F.col("ep") - 1).otherwise(F.col("ep")),
-                "eq_": F.when(F.col("yq") < 1, F.col("eq_") - 1).otherwise(
-                    F.col("eq_")
-                ),
-                "yp": F.when(F.col("yp") < 1, F.col("yp") * 2).otherwise(F.col("yp")),
-                "yq": F.when(F.col("yq") < 1, F.col("yq") * 2).otherwise(F.col("yq")),
-            }
-        )
-    for _ in range(24):  # fraction bits by square-and-compare
-        yp2 = F.col("yp") * F.col("yp")
-        yq2 = F.col("yq") * F.col("yq")
-        st = st.withColumns(
-            {
-                "ap": F.when(yp2 >= 2, F.col("ap") + F.col("w")).otherwise(
-                    F.col("ap")
-                ),
-                "aq": F.when(yq2 >= 2, F.col("aq") + F.col("w")).otherwise(
-                    F.col("aq")
-                ),
-                "yp": F.when(yp2 >= 2, yp2 / 2).otherwise(yp2),
-                "yq": F.when(yq2 >= 2, yq2 / 2).otherwise(yq2),
-                "w": F.col("w") / 2,
-            }
-        )
     kp = (
         F.when(
             F.col("p") > 0,
-            F.round(F.col("p") * (F.col("ep") + F.col("ap")) * 1_000_000),
+            F.round(F.col("p") * F.col("bits_p") * 1_000_000),
         )
         .otherwise(0)
         .cast("long")
@@ -4209,7 +4236,7 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     kq = (
         F.when(
             F.col("q") > 0,
-            F.round(F.col("q") * (F.col("eq_") + F.col("aq")) * 1_000_000),
+            F.round(F.col("q") * F.col("bits_q") * 1_000_000),
         )
         .otherwise(0)
         .cast("long")
