@@ -4029,10 +4029,16 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving itemsets."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
+    # r14 (guide §2.4): ob feeds FOUR consumers (total, brand margins, both
+    # self-join sides) — checkpoint the distinct basket frame once instead
+    # of re-deriving the lineitem⋈part+distinct subtree per consumer (the
+    # before plan held 14 parquet scans / 32 Exchanges); the margin frames
+    # keep their explicit broadcasts, so no join strategy degrades.
     ob = (
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     tot = ob.agg(F.countDistinct("ok").cast("long").alias("n"))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("nb"))

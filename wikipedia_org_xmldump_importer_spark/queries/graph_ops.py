@@ -211,21 +211,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
     b = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    # r14 (guide §2.4): e feeds the wedge join TWICE plus the closure join
+    # — checkpoint the (small, top-k-capped) edge list once instead of
+    # re-deriving the lineitem→top-k-window→self-join subtree per consumer
+    # (the before plan held 18 parquet scans / 146 Exchanges).
     e = (
         a.join(b, "pk")
         .filter(F.col("s1") < F.col("s2"))
         .select("s1", "s2")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
     e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-    )
+    # one explode instead of a 3-branch union that re-derived tri (and its
+    # two joins) three times over — same corner multiset, one derivation
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("tri_cnt"))
 
 
@@ -305,11 +308,16 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1"))
     b = top.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2"))
+    # r14 (guide §2.4): e feeds both degree-union branches plus the moment
+    # join — checkpoint the capped edge list once instead of re-deriving
+    # the lineitem→top-k-window→self-join subtree three times (the before
+    # plan held 10 parquet scans / 80 Exchanges).
     e = (
         a.join(b, "pk")
         .filter(F.col("s1") < F.col("s2"))
         .select("s1", "s2")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("s1").alias("node"))
@@ -513,10 +521,17 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     same mitigation x7 documents."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r14 (guide §2.4): eb feeds THREE consumers (both self-join sides and
+    # the degree agg); without materialization each re-derived the full
+    # orders⋈lineitem + distinct subtree (16 parquet scans in the before
+    # plan). One eager localCheckpoint computes it once; the self-join
+    # sides then share a single reused hashpartitioning(cust) exchange.
+    # Interleaved 5-shot medians at sf0.1: 3.71 -> 3.00 s.
     eb = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = eb.groupBy("supp").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     a = eb.select("cust", F.col("supp").alias("supp_a"))
@@ -1165,10 +1180,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob (cap/sample their neighbor lists, x7's mitigation)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r14 (guide §2.4): same three-consumer reuse as x157 — checkpoint eb
+    # once instead of re-deriving orders⋈lineitem+distinct per consumer.
+    # Interleaved 5-shot medians at sf0.1: 3.24 -> 3.07 s (the broadcast
+    # hint below keeps the customer-grain weight join off the pair
+    # fan-out's shuffle).
     eb = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     cdeg = (
         eb.groupBy("cust")
@@ -1184,7 +1205,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "cust")
         .filter(F.col("supp_a") < F.col("supp_b"))
-        .join(cdeg, "cust")
+        # cdeg is customer-grain (tiny); broadcast instead of re-shuffling
+        # the pair fan-out (guide §3.1)
+        .join(F.broadcast(cdeg), "cust")
         .groupBy("supp_a", "supp_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common"),
@@ -1359,7 +1382,16 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
     )
-    deg = eb.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    # r14 (guide §2.4): deg is supplier grain (tiny at any SF) and feeds
+    # the histogram plus the whole Hill chain (topk → cut → hill) — the
+    # before plan re-derived orders⋈lineitem+distinct per consumer (6
+    # parquet scans / 20 Exchanges). Checkpoint the node-grain frame once;
+    # everything downstream re-derives from 1000 rows.
+    deg = (
+        eb.groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
     w_all_rows = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -2676,11 +2676,18 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     each span contributes max(0, end - max(start, prev_end + 1) + 1)
     tokens — overlap-exact, all integer arithmetic, bit-equal everywhere.
 
-    100 TB: shingle once, groupBy(gram) HAVING distinct-doc ≥ 2 (partial
-    aggs collapse hot grams map-side), one honest big-big hash join back
-    on gram, then the sweep runs inside a per-doc sort that reuses the
-    doc_id exchange of the final agg. No caps needed: the sweep is linear
-    in spans and coverage saturates at the doc length."""
+    100 TB: shingle once; r14 (guide §2.3/§2.4) collapsed the old
+    "groupBy(gram) then big-big join back on gram" into ONE gram-keyed
+    shuffle — occurrences ride the same exchange as the dup test
+    (collect_list per gram), survivors re-explode, so the k-gram STRINGS
+    cross the network once instead of twice and the explode subtree is
+    derived once instead of twice. Hot grams are the skew knob: a
+    pathological million-occurrence gram lands in one task's
+    collect_list — cap or salt per-gram occurrence lists past a bound
+    (x7's mitigation) before re-exploding. The sweep then runs inside a
+    per-doc sort that reuses the doc_id exchange of the final agg. No
+    caps needed at these corpus shapes: the sweep is linear in spans and
+    coverage saturates at the doc length."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     t = F.col("t")
@@ -2698,18 +2705,19 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
         .withColumn("pos_end", F.col("pos") + F.lit(_SPAN_K - 1))
     )
-    dup = (
+    occ = (
         grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
+        .agg(F.collect_list(F.struct("doc_id", "pos", "pos_end")).alias("occ"))
+        .filter(F.size(F.array_distinct(F.col("occ.doc_id"))) >= 2)
+        .select(F.explode("occ").alias("o"))
+        .select("o.doc_id", "o.pos", "o.pos_end")
     )
     wprev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    spans = grams.join(dup, "gram").select(
+    spans = occ.select(
         "doc_id", "pos", "pos_end", F.max("pos_end").over(wprev).alias("prev_end")
     )
     contrib = F.greatest(
