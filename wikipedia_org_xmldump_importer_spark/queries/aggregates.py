@@ -1699,12 +1699,22 @@ def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    p = q.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_wk"),
-        F.sum("qty").cast("decimal(38,0)").alias("s1"),
-        F.sum(F.col("qty").cast("decimal(19,0)") * F.col("qty")).alias("s2"),
-        F.sum("cents").cast("long").alias("cents"),
-    ).withColumn("bin", F.floor(F.col("cents") / 100000))
+    # r14 (guide §2.4): p is part grain and feeds both the ABC bin table
+    # and the final label join — without materialization the (part, week)
+    # → part double agg over lineitem ran twice (14 Exchanges / 2 scans).
+    # The ABC class frame keeps its explicit broadcast, so no join
+    # strategy degrades.
+    p = (
+        q.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_wk"),
+            F.sum("qty").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("qty").cast("decimal(19,0)") * F.col("qty")).alias("s2"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .withColumn("bin", F.floor(F.col("cents") / 100000))
+        .localCheckpoint(eager=True)
+    )
     bins = p.groupBy("bin").agg(F.sum("cents").alias("bin_cents"))
     w_run = Window.orderBy(F.col("bin").desc()).rowsBetween(
         Window.unboundedPreceding, 0
