@@ -91,6 +91,61 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _est_scan_splits(spark: SparkSession, path: str) -> int | None:
+    """Estimated split count of a parquet scan over ``path`` —
+    ``ceil(total_bytes / maxPartitionBytes)``, a deliberate UNDERestimate
+    of Spark's own split math (which also splits to fill parallelism), so
+    the caller's spread guard errs toward today's behavior. ``None`` when
+    the path is not locally inspectable (remote FS)."""
+    import math  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return None
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    m = re.fullmatch(r"(\d+)\s*([kKmMgG]?)[bB]?", raw)
+    if not m:
+        return None
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[m.group(2).lower()]
+    return max(1, math.ceil(total / (int(m.group(1)) * mult)))
+
+
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """``load_table`` + hash-spread on ``keys`` ONLY while the scan is
+    narrower than the session's parallelism.
+
+    The spread exists so a single-file local scan parallelizes per-row-heavy
+    projections (md5 shingles, gram explodes) across every core; at scale
+    the scan already carries >= parallelism splits and the repartition
+    would be a pure payload shuffle of the text column before a per-row
+    pipeline (guide §2.3/§2.4 — an accidental exchange). Results are
+    layout-invariant by attestation (the shuffle-layout invariance sweep),
+    so the branch only affects the plan, never the rows. Falls back to the
+    unconditional spread when the input is not locally inspectable."""
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    est = _est_scan_splits(spark, f"{sf_dir}/{name}.parquet")
+    if est is None or est < par:
+        df = df.repartition(par, *keys)
+    return df
+
+
 def sink_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:

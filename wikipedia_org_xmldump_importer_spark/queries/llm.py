@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from math import sqrt as _math_sqrt
 
 from ..functions.vector import as_double, cosine, with_norm
-from ..io import load_table
+from ..io import load_table, load_table_spread
 from ..registry import register
 
 # --------------------------------------------------------------------------
@@ -173,9 +173,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sig, n_bands = 16, 4
     # Repartition up front: few input splits would otherwise serialize the
     # CPU-heavy shingle/signature hashing onto as few tasks (see textops).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     # Shingles live as 8-byte integer hashes end-to-end (hash each token
     # once, combine consecutive pairs with xxhash64) — no per-shingle string
     # allocation. The token-hash array is materialized as a named column
@@ -2169,83 +2167,125 @@ def vec_kmeans_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = q.orderBy("vec_id").limit(_SKM_K).collect()
     cents = [list(r.qv) for r in seeds]
 
-    def dot_expr(c):
-        arr = "array(" + ",".join(str(int(x)) for x in c) + ")"
-        return F.expr(
-            f"aggregate(zip_with(qv, {arr}, (a, b) -> CAST(a AS BIGINT) * b), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
+    # r14 (guide §4.2): assignment + update ran as k interpreted
+    # aggregate(zip_with) lambda folds PER ROW per round (2k+1 folds in the
+    # final scoring) — no codegen, ~ms/row. Each round is now ONE
+    # mapInPandas pass: exact int64 GEMM against the k×d centroid matrix,
+    # argmin replicating Spark's struct-min ordering (NaN greatest, ties →
+    # lowest j; zero-dot negcos is -0.0 on both paths so signed-zero order
+    # never arises), and per-TASK partial (sum-vector, count) rows — k rows
+    # per task cross the boundary, never the corpus. The centroid re-round
+    # is exact integer half-away-from-zero on (sum, count): Spark's
+    # round(sum/count) sees the correctly-rounded double of a rational with
+    # |p/cnt − (k+½)| ≥ 1/(2cnt) ≫ ulp whenever it is not exactly the
+    # boundary, so both paths agree on every reachable mean. The final
+    # cos_u float expression and its F.round stay in Spark unchanged.
+    import numpy as _np  # noqa: PLC0415
 
+    _dim = len(cents[0]) if cents else 0
+
+    def _spark_argmin(dots, sqrt_n2):
+        """Row-wise argmin over -dots[:, j]/sqrt_n2[j] with Spark's struct
+        ordering (NaN greatest, first/lowest j wins ties)."""
+        nc = -(dots.astype(_np.float64)) / _np.array(sqrt_n2)[None, :]
+        best = nc[:, 0].copy()
+        bj = _np.zeros(len(nc), dtype=_np.int64)
+        for j in range(1, nc.shape[1]):
+            a = nc[:, j]
+            lt = (~_np.isnan(a)) & (_np.isnan(best) | (a < best))
+            bj[lt] = j
+            best[lt] = a[lt]
+        return bj
+
+    def _round_half_away(p: int, cnt: int) -> int:
+        if p >= 0:
+            return (2 * p + cnt) // (2 * cnt)
+        return -((2 * (-p) + cnt) // (2 * cnt))
+
+    qv_only = q.select("qv")
     for _ in range(_SKM_ITERS):
         n2 = [sum(int(x) * int(x) for x in c) for c in cents]
-        scored = q.select(
-            "vec_id",
-            "qv",
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            (
-                                -dot_expr(cents[j]).cast("double")
-                                / float(_math_sqrt(n2[j]))
-                            ).alias("negcos"),
-                            F.lit(j).alias("j"),
-                        )
-                        for j in range(_SKM_K)
-                    ]
-                )
-            ).alias("best"),
-        ).select("vec_id", "qv", F.col("best.j").alias("j"))
-        upd = (
-            scored.select("j", F.posexplode("qv").alias("d0", "v"))
-            .groupBy("j", "d0")
-            .agg(
-                F.round(F.sum("v").cast("double") / F.count(F.lit(1)))
-                .cast("int")
-                .alias("v")
+        sqrt_n2 = [float(_math_sqrt(x)) for x in n2]
+        c_mat = _np.array(cents, dtype=_np.int64)
+
+        def partial_sums(batches, c_mat=c_mat, sqrt_n2=sqrt_n2):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            k = c_mat.shape[0]
+            sums = np.zeros((k, c_mat.shape[1]), dtype=np.int64)
+            cnts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qv = np.array(list(pdf["qv"]), dtype=np.int64)
+                bj = _spark_argmin(qv @ c_mat.T, sqrt_n2)
+                for j in range(k):
+                    m = bj == j
+                    if m.any():
+                        sums[j] += qv[m].sum(axis=0)
+                        cnts[j] += int(m.sum())
+            yield pd.DataFrame(
+                {
+                    "j": np.arange(k, dtype=np.int64),
+                    "cnt": cnts,
+                    "s": [list(map(int, row)) for row in sums],
+                }
             )
-            .collect()
-        )
-        new = {}
+
+        upd = qv_only.mapInPandas(
+            partial_sums, schema="j long, cnt long, s array<long>"
+        ).collect()
+        agg_cnt = [0] * _SKM_K
+        agg_sum = [[0] * _dim for _ in range(_SKM_K)]
         for r in upd:
-            new.setdefault(r.j, {})[r.d0] = r.v
+            agg_cnt[r.j] += r.cnt
+            for d, v in enumerate(r.s):
+                agg_sum[r.j][d] += v
         cents = [
-            [new.get(j, {}).get(d, cents[j][d]) for d in range(len(cents[j]))]
+            [_round_half_away(agg_sum[j][d], agg_cnt[j]) for d in range(_dim)]
+            if agg_cnt[j] > 0
+            else cents[j]
             for j in range(_SKM_K)
         ]
 
     n2 = [sum(int(x) * int(x) for x in c) for c in cents]
-    fin = q.select(
-        "vec_id",
-        "label",
-        F.expr(
-            "aggregate(qv, CAST(0 AS BIGINT), "
-            "(acc, x) -> acc + CAST(x AS BIGINT) * x)"
-        ).alias("qn2"),
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        (
-                            -dot_expr(cents[j]).cast("double")
-                            / float(_math_sqrt(n2[j]))
-                        ).alias("negcos"),
-                        F.lit(j).alias("j"),
-                        dot_expr(cents[j]).alias("dp"),
-                    )
-                    for j in range(_SKM_K)
-                ]
+    _fin_sqrt_n2 = [float(_math_sqrt(x)) for x in n2]
+    _fin_c_mat = _np.array(cents, dtype=_np.int64)
+    _lbl_type = dict(q.dtypes)["label"]
+
+    def score_final(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = np.array(list(pdf["qv"]), dtype=np.int64)
+            dots = qv @ _fin_c_mat.T
+            bj = _spark_argmin(dots, _fin_sqrt_n2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "j": bj,
+                    "dp": dots[np.arange(len(bj)), bj],
+                    "qn2": (qv * qv).sum(axis=1),
+                }
             )
-        ).alias("best"),
+
+    fin = q.mapInPandas(
+        score_final,
+        schema=f"vec_id long, label {_lbl_type}, j long, dp long, qn2 long",
     ).select(
         "vec_id",
         "label",
-        F.col("best.j").alias("j"),
+        F.col("j").cast("int").alias("j"),
         F.round(
-            F.col("best.dp").cast("double")
+            F.col("dp").cast("double")
             / F.element_at(
                 F.array(*[F.lit(float(_math_sqrt(x))) for x in n2]),
-                F.col("best.j") + 1,
+                F.col("j").cast("int") + 1,
             )
             / F.sqrt(F.col("qn2").cast("double"))
             * 1_000_000
@@ -2341,10 +2381,11 @@ def embed_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's floor agree exactly there (trap: they disagree below
     zero).
 
-    100 TB: the count agg + broadcast modulus + hash filter is one scan;
-    the ≤2M-pair self-join of a ~{_COSH_TARGET}-row frame is a single
-    broadcast join. The JVM HOF cosine (functions/vector.py) keeps
-    evaluation order identical to DuckDB's list kernel."""
+    100 TB: two scans (pruned count, filtered sample collect); the
+    ≤2M-pair work runs as a GEMM over the re-parallelized ≤{_COSH_TARGET}-row
+    sample against its broadcast twin, and only per-batch (bin, count)
+    partials — ≤41 rows — cross the Python boundary and the final
+    exchange."""
     emb = load_table(spark, sf_dir, "embeddings")
     mod_ = emb.agg(
         F.ceil(F.count(F.lit(1)) / float(_COSH_TARGET)).cast("long").alias("m")
@@ -2365,7 +2406,18 @@ def embed_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # samples); each Arrow batch of the sample GEMMs against the full
     # sample matrix and emits only its upper-triangle pinned cosines — the
     # interpreted per-pair HOF fold this replaced was 15x slower (trap #5).
+    # r14 (guide §2.3/§4.2): the kernel bins its pairs before they leave
+    # Python — partial (bin, n) counts per batch (≤ 41 rows) instead of the
+    # raw cos4_u stream (O(target²/2) ≈ 2M rows of Arrow + one Exchange),
+    # and its input is the ALREADY-collected sample re-parallelized, not a
+    # third full scan + md5 filter of embeddings (at scale that scan is the
+    # query's dominant term and ran 3x per invocation; now 2x — count +
+    # sample). Bin equivalence with the old ((cos4_u+10000)/500).cast(long):
+    # the shifted value is in [0, 20000], and a correctly-rounded double
+    # quotient n/500.0 can't cross an integer boundary (|n/500 - k| ≥ 1/500
+    # ≫ ulp), so int64 floor-division is value-identical.
     import numpy as _np  # noqa: PLC0415
+    import pandas as _pd  # noqa: PLC0415
 
     srows = hashed.select("vec_id", "v").collect()
     sids = _np.array([r.vec_id for r in srows], dtype=_np.int64)
@@ -2373,7 +2425,7 @@ def embed_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     smat /= _np.linalg.norm(smat, axis=1, keepdims=True)
     b_all = spark.sparkContext.broadcast((sids, smat))
 
-    def pair_cos(batches):
+    def pair_cos_binned(batches):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
@@ -2389,20 +2441,22 @@ def embed_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             # half-AWAY-FROM-ZERO to match both engines' ROUND (np.rint is
             # half-to-even — a .00005-boundary cosine would drift a bin)
             x = cos[li, ri] * 10000
+            cos4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            counts = np.bincount((cos4 + 10000) // _COSH_BIN_CENTS)
+            nz = np.nonzero(counts)[0]
             yield pd.DataFrame(
-                {
-                    "cos4_u": (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(
-                        np.int64
-                    ),
-                }
+                {"bin": nz.astype(np.int64), "n": counts[nz].astype(np.int64)}
             )
 
-    pairs = hashed.select("vec_id", "v").mapInPandas(
-        pair_cos, schema="cos4_u long"
+    samp_local = _pd.DataFrame(
+        {
+            "vec_id": [r.vec_id for r in srows],
+            "v": [list(r.v) for r in srows],
+        }
     )
-    binned = pairs.groupBy(
-        ((F.col("cos4_u") + 10000) / _COSH_BIN_CENTS).cast("long").alias("bin")
-    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    samp = spark.createDataFrame(samp_local, schema="vec_id long, v array<double>")
+    pairs = samp.mapInPandas(pair_cos_binned, schema="bin long, n long")
+    binned = pairs.groupBy("bin").agg(F.sum("n").cast("long").alias("n_pairs"))
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return binned.select(
         F.col("bin").cast("long").alias("bin"),

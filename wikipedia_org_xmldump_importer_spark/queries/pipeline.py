@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.bloom import build_bitmap, screen_with_bitmap
-from ..io import load_table
+from ..io import load_table, load_table_spread
 from ..registry import register
 
 # --------------------------------------------------------------------------
@@ -75,9 +75,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda (NOTES.md trap #1) and the gram array uses explode_outer +
     null-filter so Catalyst can't infer a size()-filter that re-evaluates
     the shingling below the exchange (trap #2)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     t = F.col("t")
     # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs.
@@ -1472,9 +1470,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; only the distinct-eval-gram build shuffles. The exact
     join (here for the audit) is what the Bloom screen REPLACES at
     scale — survivors alone proceed to x45's exact confirm."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     gh = _bloom_gram_hashes(docs)
     is_ev = F.col("doc_id") % _BLOOM_MOD == 0
     # r14 optimization (guide §2.4): checkpoint the distinct eval-gram
@@ -1992,9 +1988,7 @@ def decontaminate_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays lazy until the caller acts. Plan-only tooling (explain sweeps,
     audits) triggers that job; the repo's own audit/invariance tools
     already account for it."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     gh = _bloom_gram_hashes(docs)
     is_ev = F.col("doc_id") % _BLOOM_MOD == 0
     bitmap = build_bitmap(gh.filter(is_ev).select("h"), _BLOOM_M)
@@ -2182,9 +2176,7 @@ def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan but poisoned bench repeats via plan-keyed cache hits). Stage
     order matters: quality+dedup flags collapse BEFORE packing, so
     sequence ids are already final — no re-pack pass exists."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = F.split(F.col("text"), " ")
     # try_element_at, NOT element_at: under Spark 4's default ANSI mode an
     # out-of-bounds element_at THROWS (r13 advisor), while the DuckDB

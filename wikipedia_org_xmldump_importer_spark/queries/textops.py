@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, load_table_spread
 from ..registry import register
 
 # --------------------------------------------------------------------------
@@ -32,9 +32,7 @@ def text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine; token skew (stopwords) is absorbed by partial aggs —
     the shuffle carries one row per (partition, token). Repartition first:
     few input splits would serialize the explode + partial agg."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     return (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
@@ -139,9 +137,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing groups on simhash BANDS (e.g. 4×12-bit), where wider bands
     admit fewer Hamming-distance neighbors (stricter) and narrower bands
     more (fuzzier) — the same s-curve trade as dedup_near_minhash."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     h = tok.select(
         "doc_id",
@@ -208,9 +204,7 @@ def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits, and every downstream stage before the first shuffle inherits
     # that parallelism — the CPU-heavy shingle hashing must spread across
     # cores/executors, not run on one task.
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     # Shingles are represented as 8-byte integer hashes end-to-end: hash each
     # token once, then combine consecutive token-hash triples with xxhash64.
     # Collision-equivalent to the oracle's string shingles (~n²/2⁶⁴ odds;
@@ -1271,9 +1265,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggs upstream and AQE skew-split at the join. The per-doc top-5
     runs as a rank-filtered window (WindowGroupLimit keeps a 5-heap per
     doc, never a full sort)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     n_docs = docs.count()  # one cheap count job; a literal keeps ln() foldable
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     # df derives from tf (one row per distinct doc-token pair): COUNT(*)
@@ -1428,9 +1420,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Repartition: the md5-shingle hashing is the CPU-heavy stage and must
     # spread across cores, not inherit one input split (NOTES.md trap #3).
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     staged = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("toks"))
     toks = F.col("toks")
     # greatest(.., 1) + try_element_at: same r13 advisor hardening as
@@ -1962,9 +1952,7 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5-per-shingle CPU cost is the honest price of cross-engine
     attestability (prod would swap xxhash64 at 5× less CPU, same
     topology — that variant is l2/x7's)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     bands = minhash_bands(docs.select("doc_id", "text"))
     buckets = (
         bands.groupBy("band", "bkey")
@@ -2036,9 +2024,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     count share the same partitioning — Spark evaluates both in a single
     sort); singleton clusters are filtered AFTER the window but they cost
     no pair materialization, just their one row through the shuffle."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = F.split(F.col("text"), " ")
     # try_element_at (r13 advisor): ANSI element_at throws past the array
     # end, so a 1-2-token doc would crash the fingerprint; the oracle's
@@ -2169,9 +2155,7 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast after AQE stats); the rank window partitions per doc over
     its own vocabulary only. N folds in as a literal after one bounded
     count."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     n_docs = docs.count()
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -2243,9 +2227,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: identical shape and caps to x7 — posting-list groupBy with
     df-capped buckets, bounded double-explode, one pair aggregation; the
     directed ratios are a projection on the pair row."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = F.split(F.col("text"), " ")
     # try_element_at (r13 advisor): ANSI element_at throws past the array
     # end; the oracle's w[i+1] pads NULL -> coalesce ''.
@@ -2352,9 +2334,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership; per-doc aggregation combines map-side. The explode runs
     twice (vocab build + coverage) — at scale persist the tokenized
     projection once for both consumers."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     vocab = (
@@ -2515,9 +2495,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest cost — both sides hash-partition on gram, no broadcast
     pretense; min(doc_id) is a partial agg, so the first-occurrence table
     never materializes per-row duplicates."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     t = F.col("t")
     grams_arr = F.when(
@@ -4608,9 +4586,7 @@ def docs_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: explode → map-combined source-grain agg; |sources| rows
     out. Same shuffle class as text_tf, no vocabulary state at all."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     tok = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
