@@ -1430,25 +1430,85 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     need k(k+1)/2 accumulators — at k≈100s switch to the pandas-UDF GEMM
     X'X form (one Arrow batch per task, numpy dgemm, sum the partials)."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.select(
-        F.round(F.col("l_quantity") * 100).cast("long").alias("qty"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
-        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
-    )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
-    for c in _CORRM_COLS:
-        aggs.append(F.sum(F.col(c)).cast("decimal(38,0)").alias(f"s_{c}"))
-        aggs.append(F.sum(dec(c) * F.col(c)).alias(f"s2_{c}"))
     pairs = [
         (a, b)
         for i, a in enumerate(_CORRM_COLS)
         for b in _CORRM_COLS[i + 1 :]
     ]
-    for a, b in pairs:
-        aggs.append(F.sum(dec(a) * F.col(b)).alias(f"sxy_{a}_{b}"))
-    m = q.agg(*aggs)
+    # r14 (guide §4.2 + the docstring's own k≈100s note): the one-pass
+    # moment agg ran 14 interpreted decimal(38,0) accumulators + 4
+    # BigDecimal rounds PER ROW — 1.75 s vs a 0.21 s raw-sum floor at
+    # sf0.1, and bigint cannot replace decimal (s2_price overflows int64
+    # already at sf0.1). Now the X'X form: a mapInPandas kernel quantizes
+    # (half-away-from-zero — identical to round(x*100) for every 2dp/
+    # integral input, which can never land within an ulp of a .5 boundary)
+    # and accumulates EXACT integer partials (int64 GEMM in ≤8192-row
+    # chunks, whose per-chunk products are ≤1e14·8192 < 2^63, merged into
+    # unbounded Python ints), emitting ONE decimal(38,0) row per task.
+    # Spark sums the per-task partials in decimal — the same exact
+    # integers as before, so the corr epilogue is value-identical.
+    # Precondition (holds for the driver tables): lineitem's numeric
+    # columns are non-null — the old sum() would skip a NULL where this
+    # kernel would poison the partial, so nullable inputs would need a
+    # dropna first.
+    import numpy as _np  # noqa: PLC0415
+
+    _k = len(_CORRM_COLS)
+
+    def _xtx_partials(batches):
+        import decimal as _dec  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        n_rows = 0
+        s = [0] * _k
+        m2 = [[0] * _k for _ in range(_k)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.column_stack(
+                [
+                    pdf["l_quantity"].to_numpy(dtype=np.float64),
+                    pdf["l_extendedprice"].to_numpy(dtype=np.float64),
+                    pdf["l_discount"].to_numpy(dtype=np.float64),
+                    pdf["l_tax"].to_numpy(dtype=np.float64),
+                ]
+            )
+            x = raw * 100.0
+            q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            n_rows += len(q)
+            for lo in range(0, len(q), 8192):
+                chunk = q[lo : lo + 8192]
+                cs = chunk.sum(axis=0)
+                cm = chunk.T @ chunk
+                for i in range(_k):
+                    s[i] += int(cs[i])
+                    for j in range(i, _k):
+                        m2[i][j] += int(cm[i, j])
+        out = {"n": [_dec.Decimal(n_rows)]}
+        for i, c in enumerate(_CORRM_COLS):
+            out[f"s_{c}"] = [_dec.Decimal(s[i])]
+            out[f"s2_{c}"] = [_dec.Decimal(m2[i][i])]
+        for i, a in enumerate(_CORRM_COLS):
+            for j in range(i + 1, _k):
+                out[f"sxy_{a}_{_CORRM_COLS[j]}"] = [_dec.Decimal(m2[i][j])]
+        yield pd.DataFrame(out)
+
+    _stat_cols = (
+        ["n"]
+        + [f(c) for c in _CORRM_COLS for f in (lambda c: f"s_{c}", lambda c: f"s2_{c}")]
+        + [f"sxy_{a}_{b}" for a, b in pairs]
+    )
+    _schema = ", ".join(f"{c} decimal(38,0)" for c in _stat_cols)
+    partials = li.select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).mapInPandas(_xtx_partials, schema=_schema)
+    m = partials.agg(
+        *[
+            F.sum(c).cast("decimal(38,0)").alias(c)
+            for c in _stat_cols
+        ]
+    )
 
     def corr_expr(a: str, b: str):
         num = (

@@ -654,10 +654,16 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("n").desc(), F.col("l_partkey")
     )
+    # r14 (guide §2.4): top feeds BOTH sides of the pk self-join — one
+    # eager checkpoint of the top-k-capped (supplier, part) signature
+    # halves the lineitem groupBy + per-supplier window derivation; the
+    # self-join already ran as an exchange join (no broadcast to lose —
+    # top is supplier-grain, unbroadcastable at scale by construction).
     top = (
         sp.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TRI_TOPK)
         .select("l_suppkey", "l_partkey")
+        .localCheckpoint(eager=True)
     )
     eb = (
         top.alias("a")
@@ -758,10 +764,16 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
     sp = li.groupBy("l_suppkey", "l_partkey").agg(F.count("*").alias("n"))
     w = Window.partitionBy("l_suppkey").orderBy(F.col("n").desc(), "l_partkey")
+    # r14 (guide §2.4): top feeds BOTH sides of the pk self-join — one
+    # eager checkpoint of the top-k-capped (supplier, part) signature
+    # halves the lineitem groupBy + per-supplier window derivation; the
+    # self-join already ran as an exchange join (no broadcast to lose —
+    # top is supplier-grain, unbroadcastable at scale by construction).
     top = (
         sp.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TRI_TOPK)
         .select("l_suppkey", "l_partkey")
+        .localCheckpoint(eager=True)
     )
     e = (
         top.alias("a")
@@ -865,10 +877,16 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
     sp = li.groupBy("l_suppkey", "l_partkey").agg(F.count("*").alias("n"))
     w = Window.partitionBy("l_suppkey").orderBy(F.col("n").desc(), "l_partkey")
+    # r14 (guide §2.4): top feeds BOTH sides of the pk self-join — one
+    # eager checkpoint of the top-k-capped (supplier, part) signature
+    # halves the lineitem groupBy + per-supplier window derivation; the
+    # self-join already ran as an exchange join (no broadcast to lose —
+    # top is supplier-grain, unbroadcastable at scale by construction).
     top = (
         sp.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TRI_TOPK)
         .select("l_suppkey", "l_partkey")
+        .localCheckpoint(eager=True)
     )
     eb = (
         top.alias("a")
@@ -1801,6 +1819,12 @@ def graph_modularity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
+    # r14 (guide §2.4): eb feeds 3 consumers (m2, deg, intra) through the
+    # 2-branch direction union — 6 derivations of the orders⋈lineitem
+    # distinct in the before-plan (689 rows / 20 Exchanges). One eager
+    # checkpoint of the edge-grain frame; the membership side (comm) keeps
+    # its lineage, so AQE's entity-grain broadcast decision (r12 advisor
+    # note above) is untouched — no rich-club-style stats degradation.
     eb = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -1808,6 +1832,7 @@ def graph_modularity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e = eb.unionAll(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     comm = cust.select(
