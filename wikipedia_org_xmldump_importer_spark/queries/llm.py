@@ -1323,31 +1323,65 @@ def vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus. Blanczos/subspace iteration generalizes the
     same shape to top-k components."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
-    q = e.select(
-        "vec_id", "pos", F.round(F.col("val") * 1_000_000).cast("long").alias("val_u")
-    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    # ^ the d² self-join fans each input row out ×d (82M rows at sf1 from a
-    # few-MB input): without the explicit repartition AQE coalesces the
-    # tiny shuffle inputs to ONE task and the fan-out runs single-core —
-    # measured 25.8 s vs 2.9 s at sf1 for the identical plan at 32 tasks.
-    x = q.select("vec_id", F.col("pos").alias("i"), F.col("val_u").alias("xu"))
-    y = q.select("vec_id", F.col("pos").alias("j"), F.col("val_u").alias("yu"))
-    # exact BIGINT moment sums (r11 straddle closure), rescaled once to
-    # micro-units so the matvec stays in plain-long range; the build-sum
-    # envelope is ~7e14 at sf0.1 and ~7e17 at sf100 — move to DECIMAL(38)
-    # accumulators past ~1e7 vectors at these magnitudes (the matvec
-    # envelope is 64*a_r*1e6 ~ 4e16 at sf0.1, ~4e19 past ~1e7 vectors —
-    # same boundary)
+    # r14 (guide §4.2/§2.3): the moment matrix A = Σ v·vT was built by a
+    # d² posexplode self-join — each input row fanned out ×d through an
+    # exchange (82M rows at sf1; the old explicit repartition existed only
+    # to spread that fan-out). Quantization stays in the JVM — the SAME
+    # per-element Round expression as before, now inside transform() — so
+    # the attested micro-int values are bit-identical; the fan-out itself
+    # is one numpy int64 X'X per ≤8192-row chunk, merged into unbounded
+    # Python ints per task and emitted as d² decimal(38,0) partial rows
+    # (the docstring's own "DECIMAL past ~1e7 vectors" envelope, now
+    # unconditional). Spark sums the partials; the a_r rescale expression
+    # is unchanged, so every downstream value is identical.
+    import decimal as _pydec  # noqa: PLC0415
+
+    qarr = emb.select(
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda v: F.round(v * 1_000_000).cast("long"),
+        ).alias("qv")
+    )
+
+    def _moment_partials(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        acc = None
+        d = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["qv"]), dtype=np.int64)
+            if acc is None:
+                d = m.shape[1]
+                acc = [[0] * d for _ in range(d)]
+            for lo in range(0, len(m), 8192):
+                c = m[lo : lo + 8192]
+                g = (c.T @ c).tolist()
+                acc = [
+                    [a + b for a, b in zip(arow, grow)]
+                    for arow, grow in zip(acc, g)
+                ]
+        if acc is None:
+            return
+        yield pd.DataFrame(
+            {
+                "i": [i + 1 for i in range(d) for _ in range(d)],
+                "j": [j + 1 for _ in range(d) for j in range(d)],
+                "p": [
+                    _pydec.Decimal(acc[i][j])
+                    for i in range(d)
+                    for j in range(d)
+                ],
+            }
+        )
+
     a = (
-        x.join(y, "vec_id")
+        qarr.mapInPandas(_moment_partials, schema="i int, j int, p decimal(38,0)")
         .groupBy("i", "j")
         .agg(
-            F.round(
-                F.sum(F.col("xu") * F.col("yu")).cast("double") / 1_000_000
-            )
+            F.round(F.sum("p").cast("double") / 1_000_000)
             .cast("long")
             .alias("a_r")
         )
@@ -1955,10 +1989,20 @@ def cluster_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
     cust = load_table(spark, sf_dir, "customer")
-    vals = cust.select(
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("v")
+    # r14 (guide §2.4): assignment depends only on v, so every Lloyd round
+    # can run on the VALUE HISTOGRAM instead of the corpus — |support| is
+    # bounded by the balance domain (≤ ~1.1M distinct cents at ANY corpus
+    # size), so one customer scan feeds the whole loop: the old form
+    # re-scanned customer ITERS+2 times. sum(v) over rows ≡ sum(v·cnt)
+    # over values and count ≡ sum(cnt) in exact integers, so every
+    # centroid, assignment and output stat is value-identical.
+    hist = (
+        cust.select(F.round(F.col("c_acctbal") * 100).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    row = vals.agg(
+    row = hist.agg(
         F.min("v").alias("lo"), F.max("v").alias("hi")
     ).collect()[0]
     cents = [
@@ -1966,31 +2010,29 @@ def cluster_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_away((row.lo + row.hi) / 2),
         int(row.hi),
     ]
-    for _ in range(_KM_ITERS):
-        a0 = F.abs(F.col("v") - cents[0])
-        a1 = F.abs(F.col("v") - cents[1])
-        a2 = F.abs(F.col("v") - cents[2])
-        j = (
+
+    def assign(cs):
+        a0 = F.abs(F.col("v") - cs[0])
+        a1 = F.abs(F.col("v") - cs[1])
+        a2 = F.abs(F.col("v") - cs[2])
+        return (
             F.when((a0 <= a1) & (a0 <= a2), 0)
             .when(a1 <= a2, 1)
             .otherwise(2)
         )
+
+    for _ in range(_KM_ITERS):
         agg = (
-            vals.select(j.alias("j"), "v")
+            hist.select(assign(cents).alias("j"), "v", "cnt")
             .groupBy("j")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.sum(F.col("v") * F.col("cnt")).alias("s"),
+                F.sum("cnt").alias("cnt"),
+            )
             .collect()
         )
         cents_j = {r.j: round_half_away(r.s / r.cnt) for r in agg}
         cents = [cents_j.get(i, cents[i]) for i in range(_KM_K)]
-    a0 = F.abs(F.col("v") - cents[0])
-    a1 = F.abs(F.col("v") - cents[1])
-    a2 = F.abs(F.col("v") - cents[2])
-    j = (
-        F.when((a0 <= a1) & (a0 <= a2), 0)
-        .when(a1 <= a2, 1)
-        .otherwise(2)
-    )
     c = (
         F.when(F.col("cluster_id") == 0, cents[0])
         .when(F.col("cluster_id") == 1, cents[1])
@@ -1998,13 +2040,15 @@ def cluster_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     )
     return (
-        vals.select(j.alias("cluster_id"), "v")
+        hist.select(assign(cents).alias("cluster_id"), "v", "cnt")
         .withColumn("c", c)
         .groupBy("cluster_id")
         .agg(
             F.max("c").cast("long").alias("centroid_cents"),
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.sum(F.abs(F.col("v") - F.col("c"))).cast("long").alias("sad_cents"),
+            F.sum("cnt").cast("long").alias("n_members"),
+            F.sum(F.abs(F.col("v") - F.col("c")) * F.col("cnt"))
+            .cast("long")
+            .alias("sad_cents"),
         )
     )
 
