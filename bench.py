@@ -294,6 +294,27 @@ def main() -> None:
             # 20.5 s committed clean-session). Nothing after this point
             # needs the session — the payload is pure bookkeeping.
             spark.stop()
+            # r14: spark.stop() alone is NOT enough — it stops the
+            # SparkContext but the gateway JVM PROCESS stays resident
+            # (heap, GC threads, mmap'd shuffle files) until the Python
+            # parent exits, and the child measured that contention, not
+            # the query (observed live: dedup_minhash_det 2.9 s in-sweep
+            # -> 11.2 s in the child beside the stopped-but-resident
+            # parent, 3.2 s reproduced clean). Tear the JVM down fully.
+            try:
+                from pyspark import SparkContext
+
+                gw = SparkContext._gateway
+                if gw is not None:
+                    gw.shutdown()
+                    proc = getattr(gw, "proc", None)
+                    if proc is not None:
+                        proc.terminate()
+                        proc.wait(timeout=30)
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+            except Exception as e:  # never let teardown kill the payload
+                print(f"BENCH ISOLATE teardown: {e}", file=sys.stderr)
         fresh = isolate_fresh_session(suspects, sf_dir)
         for name in suspects:
             if name not in fresh:

@@ -143,11 +143,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row n_days frame broadcast-crossed onto the 1-row tau "
         "aggregate — bounded by construction (x277)"
     ),
-    ("embed_cos_histogram", "BroadcastNestedLoopJoin"): (
-        "1-row count-derived modulus frame broadcast-crossed onto the "
-        "scan for the hash-sample filter — bounded by construction "
-        "(x280)"
-    ),
     ("graph_degree_powerlaw", "BroadcastNestedLoopJoin"): (
         "1-row d_(k+1) cutoff and 1-row Hill-alpha frames broadcast-"
         "crossed onto k-row / degree-grain frames — bounded by "

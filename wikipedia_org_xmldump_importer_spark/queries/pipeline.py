@@ -96,7 +96,12 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("eval_id"), "gram")
         .distinct()
     )
-    tr = grams.filter(F.col("doc_id") % _EVAL_MOD != 0).distinct()
+    # r14 (guide §2.2): NO .distinct() on the train side — the downstream
+    # countDistinct aggregates are duplicate-insensitive and the eval join
+    # is broadcast, so the pre-join distinct was a full corpus-gram
+    # exchange that changed nothing but the join's input row count; the
+    # matched stream the agg actually dedups is contamination-sized.
+    tr = grams.filter(F.col("doc_id") % _EVAL_MOD != 0)
     return (
         tr.join(ev, "gram")
         .groupBy("doc_id")
@@ -2192,9 +2197,12 @@ def pipeline_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_words = F.size(toks)
-    sum_len = F.expr(
-        "aggregate(split(text, ' '), 0, (acc, x) -> acc + length(x))"
-    )
+    # r14 (guide §4.1): Σ len(token) over a single-char split is exactly
+    # len(text) − (n_tokens − 1) — the delimiters are the only chars not
+    # in a token (empty tokens from space runs contribute 0 both ways).
+    # Same integer as the old aggregate() fold, but codegen arithmetic
+    # instead of an interpreted per-token lambda (A/B: rows identical).
+    sum_len = F.length("text") - (n_words - F.lit(1))
     met = docs.select(
         "doc_id",
         "lang",

@@ -1833,13 +1833,18 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: narrow scan-fused projection, no shuffle; the boolean columns
     are exactly what a curation pipeline pushes down as partition-pruning
-    predicates on a second pass. Mean word length via an aggregate() fold
-    over the token array (codegen'd integer sum), symbol ratio via one
-    global regexp_replace length delta."""
+    predicates on a second pass. Mean word length via pure length
+    arithmetic (Σ len(token) ≡ len(text) − (n_tokens − 1) for the
+    single-space split), symbol ratio via one global regexp_replace
+    length delta."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
     n_words = F.size("w")
-    sum_len = F.expr("aggregate(w, 0, (acc, x) -> acc + length(x))")
+    # r14 (guide §4.1): Σ len(token) ≡ len(text) − (n_tokens − 1) for a
+    # single-char split (delimiters are the only non-token chars; empty
+    # tokens contribute 0 both ways) — replaces the interpreted per-token
+    # aggregate() lambda with codegen integer arithmetic, same integer.
+    sum_len = F.length("text") - (n_words - F.lit(1))
     m = staged.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -4973,8 +4978,15 @@ def text_ngram_coverage_crossdomain(spark: SparkSession, sf_dir: str) -> DataFra
             )
         ).alias("g"),
     )
-    cnt = tg.groupBy("source", "g").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # r14 (guide §2.4): cnt feeds BOTH the top-k window and the coverage
+    # probe side — without the eager checkpoint the whole corpus subtree
+    # (scan + explode + count) is derived once per consumer (4 parquet
+    # scans in the before-plan). cnt is |sources x vocab|-bounded, so the
+    # materialization is the cheap side of the trade at any corpus size.
+    cnt = (
+        tg.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("source").orderBy(F.col("c").desc(), "g")
     top = (
@@ -4982,7 +4994,10 @@ def text_ngram_coverage_crossdomain(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rk") <= _XCOV_TOP)
         .select(F.col("source").alias("src_a"), "g")
     )
-    have = cnt.select(F.col("source").alias("src_b"), "g").distinct()
+    # r14 (guide §2.2): no .distinct() — cnt is the output of
+    # groupBy(source, g), so (source, g) is already unique and the
+    # distinct was a provably-redundant second |source x vocab| exchange.
+    have = cnt.select(F.col("source").alias("src_b"), "g")
     return (
         F.broadcast(top)
         .join(have, "g")

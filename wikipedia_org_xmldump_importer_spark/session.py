@@ -39,6 +39,14 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for pandas UDF / toPandas round-trips.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps every Column/DataFrame op to capture call-site
+        # context for enriched error messages; the wrapper costs 3-4 py4j
+        # round-trips per operation (errors/utils.py calls getActiveSession
+        # per op), ~25-30% of DataFrame-construction time on build-heavy
+        # queries. Results are unaffected — only failure tracebacks lose
+        # the user-code call-site line. Latched once per Python process at
+        # first session creation.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus)),
