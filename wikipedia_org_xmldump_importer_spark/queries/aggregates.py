@@ -1610,23 +1610,74 @@ def agg_regression_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     are products of three n-scale integers — DECIMAL(38) holds to ~3e9
     rows at these units; past that, pre-center on a first-pass mean."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.select(
-        F.round(F.col("l_quantity") * 100).cast("long").alias("y"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("x1"),
-        F.round(F.col("l_tax") * 100).cast("long").alias("x2"),
+    # r14 (guide §4.2, x195's X'X kernel mirrored): the one-pass moment agg
+    # ran 6 interpreted decimal(38,0) product accumulators + 3 BigDecimal
+    # rounds PER ROW — the same cost class the corr-matrix kernel removed.
+    # The kernel quantizes half-away-from-zero (identical to round(x*100)
+    # for every 2dp/integral input — such values can never land within an
+    # ulp of a .5 boundary) and accumulates EXACT integer partials: int64
+    # X'X over ≤8192-row chunks (per-chunk products ≤ 2.5e7·8192 ≪ 2^63 at
+    # these units), merged into unbounded Python ints, ONE decimal(38,0)
+    # row per task. Spark decimal-sums the per-task partials — the same
+    # exact integers as the old agg, so the normal-equation epilogue is
+    # value-identical. Precondition (holds for the driver tables): the
+    # three columns are non-null — a NULL would poison the kernel partial
+    # where the old sum() skipped it.
+    _regm_stats = [
+        "n", "sy", "sx1", "sx2",
+        "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y", "syy",
+    ]
+
+    def _regm_partials(batches):
+        import decimal as _dec  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        n_rows = 0
+        s = [0, 0, 0]
+        m2 = [[0] * 3 for _ in range(3)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.column_stack(
+                [
+                    pdf["l_quantity"].to_numpy(dtype=np.float64),
+                    pdf["l_discount"].to_numpy(dtype=np.float64),
+                    pdf["l_tax"].to_numpy(dtype=np.float64),
+                ]
+            )
+            x = raw * 100.0
+            q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            n_rows += len(q)
+            for lo in range(0, len(q), 8192):
+                chunk = q[lo : lo + 8192]
+                cs = chunk.sum(axis=0)
+                cm = chunk.T @ chunk
+                for i in range(3):
+                    s[i] += int(cs[i])
+                    for j in range(i, 3):
+                        m2[i][j] += int(cm[i, j])
+        yield pd.DataFrame(
+            {
+                "n": [_dec.Decimal(n_rows)],
+                "sy": [_dec.Decimal(s[0])],
+                "sx1": [_dec.Decimal(s[1])],
+                "sx2": [_dec.Decimal(s[2])],
+                "sx1x1": [_dec.Decimal(m2[1][1])],
+                "sx2x2": [_dec.Decimal(m2[2][2])],
+                "sx1x2": [_dec.Decimal(m2[1][2])],
+                "sx1y": [_dec.Decimal(m2[0][1])],
+                "sx2y": [_dec.Decimal(m2[0][2])],
+                "syy": [_dec.Decimal(m2[0][0])],
+            }
+        )
+
+    partials = li.select("l_quantity", "l_discount", "l_tax").mapInPandas(
+        _regm_partials,
+        schema=", ".join(f"{c} decimal(38,0)" for c in _regm_stats),
     )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    m = q.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum("x1").cast("decimal(38,0)").alias("sx1"),
-        F.sum("x2").cast("decimal(38,0)").alias("sx2"),
-        F.sum(dec("x1") * F.col("x1")).alias("sx1x1"),
-        F.sum(dec("x2") * F.col("x2")).alias("sx2x2"),
-        F.sum(dec("x1") * F.col("x2")).alias("sx1x2"),
-        F.sum(dec("x1") * F.col("y")).alias("sx1y"),
-        F.sum(dec("x2") * F.col("y")).alias("sx2y"),
-        F.sum(dec("y") * F.col("y")).alias("syy"),
+    m = partials.agg(
+        *[F.sum(c).cast("decimal(38,0)").alias(c) for c in _regm_stats]
     )
     s = m.select(
         "n",
