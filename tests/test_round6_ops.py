@@ -340,3 +340,31 @@ def test_q6_matches_two_filter_decomposition(spark):
     sub = li[m]
     assert got["n_lines"] == len(sub)
     assert abs(got["revenue_delta"] - round((sub["l_extendedprice"] * sub["l_discount"]).sum(), 2)) < 0.02
+
+
+def test_basket_mask_path_matches_explode_fallback(spark):
+    """r14: the ≤62-brand mask-histogram path must emit row-for-row the
+    same pairs/support/lift as the per-basket explode fallback."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_org_xmldump_importer_spark.io import load_table
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        _basket_brand_pairs_explode,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    old = (
+        _basket_brand_pairs_explode(joined)
+        .toPandas()
+        .sort_values(["brand_a", "brand_b"])
+        .reset_index(drop=True)
+    )
+    new = (
+        basket_brand_pairs(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["brand_a", "brand_b"])
+        .reset_index(drop=True)
+    )
+    assert old.equals(new)

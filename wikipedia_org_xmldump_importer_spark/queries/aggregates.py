@@ -742,29 +742,109 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All counts are integers, so support and lift divide exact operands —
     the ROUND is presentation pinning, not drift control.
 
-    100 TB: the pair generator is a per-basket self-join whose fan-out is
-    bounded by basket SIZE (≤ lines-per-order choose 2, ~6 here), never by
-    corpus size — the same bounded-bucket discipline as the dedup family.
-    A corpus with pathological mega-baskets needs a per-basket top-k cap
-    before the self-join; brand_n and n_orders are broadcast-size."""
+    100 TB: the brand domain is tiny and FIXED (≤ a few dozen values at any
+    scale factor), so each basket compresses to a ≤62-bit brand MASK and
+    every count the query needs reduces to sums over the mask HISTOGRAM —
+    a frame bounded by min(|orders|, 2^|brands|) rows of two longs, never
+    by corpus size. One (order)-grain bit_or shuffle (8-byte payload where
+    the old collect_set shuffled string arrays), one bounded histogram
+    agg, then all explode/pair fan-out runs on the histogram: n_ab(a,b) =
+    Σ cnt over masks containing both bits, n_b = Σ cnt over masks with the
+    bit, n_orders = Σ cnt — the same exact integers as the per-basket
+    spelling, proven by the pair-identity test. Bit ids are assigned by
+    sorted brand string, so id order ≡ brand_a < brand_b string order.
+    A corpus with a brand domain past 62 falls back to the per-basket
+    double-explode (same results; bounded-basket discipline documented in
+    the git history)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    # Basket building is the dominant cost and is read by THREE consumers
-    # (totals, margins, pairs). groupBy(order).collect_set(brand) does the
-    # dedup and the basket materialization in ONE shuffle (a distinct +
-    # self-join spelling paid a second shuffle and recomputed the join per
-    # CTE reference: 3.5 s -> 1.5 s at sf0.1); localCheckpoint pins the
-    # ~|orders|-row basket table so downstream stages never recompute it.
-    # Pair emission is a bounded double-explode of each basket's OWN set
-    # (≤ brands-per-order choose 2), the dedup-family bucket discipline.
-    baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("l_orderkey").alias("ok"))
-        .agg(F.collect_set("p_brand").alias("bs"))
+    brands = sorted(
+        r[0] for r in part.select("p_brand").distinct().collect()
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    if len(brands) > _BASKET_MASK_MAX_BRANDS:
+        return _basket_brand_pairs_explode(joined)
+    powers = [1 << i for i in range(len(brands))]
+    bit_of = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for b, p in zip(brands, powers)
+                for x in (b, p)
+            ]
+        ),
+        F.col("p_brand"),
+    )
+    # Histogram of distinct brand masks — ≤ min(|orders|, 2^|brands|) rows,
+    # eagerly pinned so the three consumers never recompute the corpus agg.
+    hist = (
+        joined.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.bit_or(bit_of).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint()
     )
     # Single 8-byte scalar to the driver — the grand total every ratio
     # shares; the bounded analog of the oracle's scalar subquery.
+    n_orders = hist.agg(F.sum("cnt")).collect()[0][0]
+    # Bit extraction as a codegen'd explode+filter (a higher-order
+    # F.filter lambda A/B'd ~80% slower — HOFs are interpreted per
+    # element); fan-out ≤ |hist|·|brands|², bounded at any corpus size.
+    seq = F.sequence(F.lit(0), F.lit(len(brands) - 1))
+    p_at = lambda c: F.element_at(F.lit(powers), c + 1)  # noqa: E731
+    brand_of = lambda c: F.element_at(  # noqa: E731
+        F.lit(brands), c.cast("int") + 1
+    )
+    ex = hist.select(F.explode(seq).alias("i"), "mask", "cnt").filter(
+        F.col("mask").bitwiseAND(p_at(F.col("i"))) != 0
+    )
+    brand_n = ex.groupBy(F.col("i").alias("b")).agg(
+        F.sum("cnt").alias("n_b")
+    )
+    pairs = (
+        ex.select("i", F.explode(seq).alias("j"), "mask", "cnt")
+        .filter(
+            (F.col("j") > F.col("i"))
+            & (F.col("mask").bitwiseAND(p_at(F.col("j"))) != 0)
+        )
+        .groupBy(F.col("i").alias("a"), F.col("j").alias("b"))
+        .agg(F.sum("cnt").alias("n_ab"))
+    )
+    na = brand_n.select(F.col("b").alias("a"), F.col("n_b").alias("na"))
+    nb = brand_n.select(F.col("b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.filter(F.col("n_ab") >= 20)
+        .join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            brand_of(F.col("a")).alias("brand_a"),
+            brand_of(F.col("b")).alias("brand_b"),
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.lit(n_orders), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(n_orders)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_BASKET_MASK_MAX_BRANDS = 62
+
+
+def _basket_brand_pairs_explode(joined: DataFrame) -> DataFrame:
+    """Pre-r14 per-basket spelling of x100 — the >62-brand fallback. The
+    pair generator is a per-basket double-explode whose fan-out is bounded
+    by basket size (≤ brands-per-order², ~49 here), never by corpus size."""
+    baskets = (
+        joined.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("p_brand").alias("bs"))
+        .localCheckpoint()
+    )
     n_orders = baskets.count()
     brand_n = (
         baskets.select(F.explode("bs").alias("brand"))

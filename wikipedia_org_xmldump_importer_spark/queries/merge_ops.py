@@ -548,9 +548,15 @@ def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolls the exposure up to the portfolio.
 
     100 TB: one (part, supplier)-grain distinct expand + part-grain agg
-    (two map-combined shuffles), a 2-number totals broadcast, and a
-    3-row bucket agg. Exact integers everywhere but the two display
-    shares."""
+    (two map-combined shuffles), a 3-row bucket agg, and the portfolio
+    totals taken from the BUCKET frame itself (every part lands in
+    exactly one bucket, so sum-over-buckets of the exact-long counts and
+    cents IS the ps-grain total) — the part-grain subtree is derived once
+    instead of twice (r14: was ps → totals agg + ps → bucket agg with a
+    totals cross join; 10 Exchanges → 8, BroadcastNestedLoopJoin and the
+    second part-grain derivation gone). The global window runs over the
+    ≤3-row bucket frame, bounded by the bucket domain at any scale.
+    Exact integers everywhere but the two display shares."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey").agg(
         F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
@@ -558,28 +564,24 @@ def supply_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    t = ps.agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum("cents").cast("long").alias("all_cents"),
-    )
     bucket = (
         F.when(F.col("n_suppliers") == 1, "single")
         .when(F.col("n_suppliers") == 2, "dual")
         .otherwise("multi")
     )
-    return (
-        ps.crossJoin(F.broadcast(t))
-        .groupBy(bucket.alias("sourcing"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
-            _ratio_pin(F.count(F.lit(1)), F.max("n_parts"), 1, 6).alias(
-                "part_share"
-            ),
-            _ratio_pin(F.sum("cents"), F.max("all_cents"), 1, 6).alias(
-                "revenue_share"
-            ),
-        )
+    b = ps.groupBy(bucket.alias("sourcing")).agg(
+        F.count(F.lit(1)).cast("long").alias("bn"),
+        F.sum("cents").cast("long").alias("bc"),
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "sourcing",
+        F.col("bn").alias("n_parts"),
+        F.round(F.col("bc") / 100.0, 2).alias("revenue"),
+        _ratio_pin(F.col("bn"), F.sum("bn").over(w), 1, 6).alias("part_share"),
+        _ratio_pin(F.col("bc"), F.sum("bc").over(w), 1, 6).alias(
+            "revenue_share"
+        ),
     )
 
 
