@@ -667,24 +667,34 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and tw's unordered sum could then drift by an ulp across engines).
     The median crossing test is 2*cw >= tw — integers end to end.
 
-    100 TB: one shuffle on (flag) + a sort — the same cost class as any
-    percentile; for heavy groups swap in the two-pass histogram-bin
-    approach (x41) at ~1e-3 relative error."""
+    100 TB: r14 — the running sum runs at VALUE grain, not row grain. The
+    old spelling partitioned every row by flag (|flags| = 3 ⇒ three
+    single-threaded whole-corpus sorts — the §2 skew hazard embodied).
+    Rows with equal v are contiguous in the pinned order and cw is
+    nondecreasing, so a v-block contains a crossing row iff its LAST row
+    crosses, whose cw is exactly the value-grain cumulative weight
+    Σ_{v'≤v} w(v') — the threshold-crossing MIN over (flag, v, Σw) rows is
+    therefore value-identical to the row-grain filter (exact integers end
+    to end, no order dependence). One map-combined groupBy(flag, v)
+    shuffle (state bounded by the quantity domain, ~50 values at any
+    corpus size) and a window over ≤|domain| rows per flag."""
     li = load_table(spark, sf_dir, "lineitem")
-    pts = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_quantity").alias("v"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+    wv = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").alias("v"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+        )
+        .groupBy("flag", "v")
+        .agg(F.sum("w").alias("w"))
     )
     w_run = (
         Window.partitionBy("flag")
-        .orderBy("v", "l_orderkey", "l_linenumber")
+        .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.partitionBy("flag")
-    cum = pts.select(
+    cum = wv.select(
         "flag",
         "v",
         F.sum("w").over(w_run).alias("cw"),

@@ -1837,49 +1837,54 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: token-grain (w) joins hash on the vocab key and
     map-combine; the per-type term table is |vocab| rows (broadcasts
     when it fits); the top-50 is orderBy+limit —
-    TakeOrderedAndProject, never a global window or driver sort."""
+    TakeOrderedAndProject, never a global window or driver sort.
+
+    r14: the target counts, pool counts, vocab and all three totals
+    collapse into ONE vocab-grain pass — `wc = tok.groupBy(w).agg(
+    c_t, c_s)` (both conditional sums in one shuffle; a word absent
+    from a side gets an exact 0 where the old LEFT JOIN coalesced a
+    NULL — the same integer), nt/ns/v are sums/count over wc, and the
+    term table is a projection of wc. The old spelling derived the
+    corpus token explode FOUR times (ct, cs, totals, docw) with two
+    vocab joins on top; now the corpus is exploded twice (wc + docw,
+    the latter irreducible — per-doc sums need doc_id) and wc (vocab-
+    grain, bounded sub-corpus — the text_ngram_coverage adjudication)
+    is checkpointed once for its two consumers."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     )
     is_t = F.col("source") == _DSIR_TARGET
-    ct = tok.filter(is_t).groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("c_t")
-    )
-    cs = tok.filter(~is_t).groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("c_s")
-    )
-    vocab = ct.select("w").union(cs.select("w")).distinct()
-    consts = tok.agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("nt"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("ns"),
-    ).crossJoin(
-        F.broadcast(
-            vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    wc = (
+        tok.groupBy("w")
+        .agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("c_t"),
+            F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("c_s"),
         )
+        .localCheckpoint()
     )
-    term = (
-        vocab.join(ct, "w", "left")
-        .join(cs, "w", "left")
-        .crossJoin(F.broadcast(consts))
-        .select(
-            "w",
-            F.round(
-                1000000.0
-                * F.log(
-                    (
-                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
-                        * (F.col("ns") + F.col("v"))
-                    )
-                    / (
-                        (F.coalesce(F.col("c_s"), F.lit(0)) + 1).cast("double")
-                        * (F.col("nt") + F.col("v"))
-                    )
+    consts = wc.agg(
+        F.sum("c_t").cast("long").alias("nt"),
+        F.sum("c_s").cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    term = wc.crossJoin(F.broadcast(consts)).select(
+        "w",
+        F.round(
+            1000000.0
+            * F.log(
+                (
+                    (F.col("c_t") + 1).cast("double")
+                    * (F.col("ns") + F.col("v"))
+                )
+                / (
+                    (F.col("c_s") + 1).cast("double")
+                    * (F.col("nt") + F.col("v"))
                 )
             )
-            .cast("long")
-            .alias("tu"),
         )
+        .cast("long")
+        .alias("tu"),
     )
     docw = (
         tok.filter(~is_t)

@@ -1029,17 +1029,23 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer counts — nothing float anywhere; the running sum's frame
     order is the pinned day axis.
 
-    100 TB: the span build shuffles on orderkey once; deltas aggregate to
-    |days| rows before the single-partition running window touches them
-    (same dim-grain justification as x98 — a multi-year axis is ~10³
+    100 TB: r14 — lineitem pre-aggregates to order grain (map-combined
+    max per orderkey) BEFORE the orders join, so the join carries
+    |orders| rows a side instead of sort-merging the full lineitem fact
+    (the per-order groupBy then disappears: orderkey is unique on both
+    sides). `daily` (day-grain, bounded by the calendar at any corpus
+    size) feeds BOTH the axis-bounds agg and the left join — one eager
+    localCheckpoint stops the whole span subtree being derived twice,
+    and the axis join broadcasts the checkpointed day frame (bounded,
+    same dim-grain justification as x98 — a multi-year axis is ~10³
     rows; shard the sweep by coarse period + offset-merge if the axis
     itself ever outgrows one task)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    last = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
     spans = (
-        orders.join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("last_ship"))
+        orders.select("o_orderkey", "o_orderdate")
+        .join(last, last.l_orderkey == orders.o_orderkey)
         .select(
             F.date_trunc("DAY", "o_orderdate").alias("open_d"),
             (F.date_trunc("DAY", "last_ship") + F.expr("INTERVAL 1 DAY")).alias(
@@ -1050,14 +1056,14 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionByName(
         spans.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta"))
     )
-    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net")).localCheckpoint()
     axis = (
         daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
         .select(F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"))
     )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        axis.join(daily, "d", "left")
+        axis.join(F.broadcast(daily), "d", "left")
         .select(
             F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("day"),
             F.sum(F.coalesce("net", F.lit(0))).over(w).cast("long").alias(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..io import load_table
+from ..io import load_table, load_table_spread
 from ..registry import register
 
 _UD1_ORACLE = """
@@ -123,7 +123,11 @@ def udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i, tok
 
     spark.udtf.register("tokenize_udtf", Tokenize)
-    docs = load_table(spark, sf_dir, "documents")
+    # r14: the per-row Python eval loop inherits the scan partitioning — a
+    # single local parquet split ran the whole UDTF serially. The spread
+    # guard parallelizes locally and is a no-op once the scan has >=
+    # defaultParallelism splits (io.load_table_spread).
+    docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     docs.createOrReplaceTempView("docs_udtf_v")
     return spark.sql(
         """
