@@ -246,10 +246,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row min-class-size frame broadcast-crossed onto the ranked "
         "rows — bounded by construction (x197)"
     ),
-    ("supply_single_source_risk", "BroadcastNestedLoopJoin"): (
-        "1-row portfolio-totals frame broadcast-crossed onto the part-"
-        "grain table for the share denominators — bounded by "
-        "construction (x201)"
+    ("supply_single_source_risk", "GlobalWindowExec"): (
+        "the portfolio-totals window runs over the <=3-row BUCKET frame "
+        "(every part lands in exactly one sourcing bucket, so the grand "
+        "totals are sums over the bucket rows themselves) — bounded by "
+        "construction; replaced the r13 1-row BNLJ cross (x201)"
     ),
     ("graph_clustering_coeff", "BroadcastNestedLoopJoin"): (
         "two 1-row frames (wedge totals x triangle count) cross for the "
