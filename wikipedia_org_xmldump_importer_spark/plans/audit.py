@@ -369,8 +369,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "docstring declares (x106 class); |types| rows after (x329)"
     ),
     ("agg_mood_median", "GlobalWindowExec"): (
-        "one global rank window for the grand median (percentile-class "
-        "shuffle); chi2 assembly is |types| rows (x330)"
+        "the grand-median cum window runs over the |price-grid| VALUE "
+        "support (bounded at any corpus size; r14 value-grain rewrite — "
+        "was a row-grain global rank before), never rows (x330)"
     ),
     ("agg_cramer_von_mises", "GlobalWindowExec"): (
         "global + per-group rank windows share ONE (cents,event_id) sort "

@@ -5013,27 +5013,47 @@ def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    rk = v.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    # VALUE-GRAIN rewrite (r14, the x99 agg_weighted_percentile device):
+    # ONE map-combined (type, cents) histogram is the only corpus pass —
+    # the old form ran a single-partition row_number over EVERY event for
+    # the grand median (the §2 skew hazard) and then re-scanned the corpus
+    # for the above/below split. Equal cents are adjacent in rank order,
+    # so the row at rank ⌊(N+1)/2⌋ has the first cents whose cumulative
+    # count reaches that rank (min over cc ≥ target ≡ the old min over
+    # rn == target), and the per-type counts are exact integer sums of
+    # histogram cells. The global cum window now runs over the bounded
+    # |price-grid| support, never rows.
+    hist = (
+        v.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
     )
-    med = rk.agg(
+    gv = hist.groupBy("cents").agg(F.sum("cnt").cast("long").alias("c"))
+    w_ord = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = gv.select(
+        "cents",
+        F.sum("c").over(w_ord).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("nn"),
+    )
+    med = cum.agg(
         F.min(
-            F.when(F.col("rn") == F.floor((F.col("nn") + 1) / 2), F.col("cents"))
+            F.when(
+                F.col("cc") >= F.floor((F.col("nn") + 1) / 2), F.col("cents")
+            )
         ).alias("med")
     )
-    s = (
-        v.crossJoin(F.broadcast(med))
+    grp = (
+        hist.crossJoin(F.broadcast(med))
         .filter(F.col("cents") != F.col("med"))
-        .select(
-            "event_type",
-            F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("ab"),
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("nj"),
+            F.sum(
+                F.when(F.col("cents") > F.col("med"), F.col("cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("aj"),
         )
-    )
-    grp = s.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("nj"),
-        F.sum("ab").cast("long").alias("aj"),
     )
     tot = grp.agg(
         F.sum("nj").cast("long").alias("n"),

@@ -1334,9 +1334,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = 2 * cents + qty
     q2 = 2 * qty
     unit = (t - F.pmod(t, q2)).cast("double") / q2.cast("double") / F.lit(100.0)
-    catalog = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit).alias("unit_cost")
-    )
     europe = (
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(
@@ -1345,13 +1342,32 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    qual = part.filter((F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
+    # Guide §3.2: both downstream joins are per-group-selective filters
+    # (the europe join drops whole (partkey, suppkey) groups, the qual
+    # join drops whole partkey window partitions — MIN-per-group and the
+    # per-partkey window are untouched for survivors), so broadcast
+    # SEMI-joins on the two key sets prune lineitem BEFORE the catalog
+    # agg instead of after it: the (partkey, suppkey) exchange carries
+    # only qualifying-europe rows at any scale.
+    li_f = li.join(
+        F.broadcast(europe.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "leftsemi",
+    ).join(
+        F.broadcast(qual.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "leftsemi",
+    )
+    catalog = li_f.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit).alias("unit_cost")
+    )
     w = Window.partitionBy("l_partkey")
     priced = (
         catalog.join(europe, catalog.l_suppkey == europe.s_suppkey)
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
     )
-    qual = part.filter((F.col("p_size") <= 25) & (F.col("p_type") == "LARGE"))
     return (
         priced.join(F.broadcast(qual), priced.l_partkey == qual.p_partkey)
         .orderBy(

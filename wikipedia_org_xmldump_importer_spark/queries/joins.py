@@ -715,11 +715,16 @@ def join_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gx",
         "gy",
     )
+    # No distinct needed: only side A explodes (9 DISTINCT neighbor cells),
+    # side B keeps its single home cell, so a (key_a, key_b) pair can match
+    # on at most ONE cell id — the join emits every candidate exactly once
+    # and the old .distinct() was a full exchange+dedup of the candidate
+    # set that provably changed nothing (r14; contrast one-sided vs the
+    # both-sides-exploded grid variants where dedup IS required).
     cand = (
         a.join(b, ["gx", "gy"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "size_a", "size_b", "cents_a", "cents_b")
-        .distinct()
     )
     return cand.filter(
         (F.abs(F.col("size_a") - F.col("size_b")) <= _G2D_SIZE_BAND)

@@ -323,8 +323,12 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bstat = batch.groupBy("o_custkey").agg(
         F.min("o_orderdate").alias("first_new")
     )
-    vmax = hist.groupBy(F.col("o_custkey").alias("v_custkey")).agg(
-        F.max("version").alias("base_ver")
+    # version is row_number per key inside scd2_snapshot, so max(version)
+    # == COUNT(*) per key over the pre-cutoff rows — computing it from
+    # `old` directly (map-combined count, no window) spares the appended
+    # branch a second full derivation of the snapshot's per-key sort (r14).
+    vmax = old.groupBy(F.col("o_custkey").alias("v_custkey")).agg(
+        F.count(F.lit(1)).alias("base_ver")
     )
     closed = hist.join(bstat, "o_custkey", "left").select(
         "o_custkey",

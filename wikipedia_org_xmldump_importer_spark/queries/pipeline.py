@@ -474,20 +474,27 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    gc = (
+    # ONE corpus pass (r14): the (type, cents) count histogram is bounded
+    # by |types|×|price grid| at any corpus size and BOTH CDFs derive from
+    # it — the global counts are Σ over types of the per-type counts (same
+    # exact integers), so the old second full scan+agg of events for glc
+    # is gone. The eager pin also stops the 4 downstream consumers
+    # (probes, grp, anchors, nglob) re-deriving the corpus agg.
+    cv = (
         v.groupBy("event_type", "cents")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .select(
-            "event_type",
-            "cents",
-            F.sum("t").over(wg).alias("cum_g"),
-            F.sum("t").over(Window.partitionBy("event_type")).alias("n_g"),
-        )
+        .localCheckpoint()
+    )
+    gc = cv.select(
+        "event_type",
+        "cents",
+        F.sum("t").over(wg).alias("cum_g"),
+        F.sum("t").over(Window.partitionBy("event_type")).alias("n_g"),
     )
     wglob = Window.orderBy("gv").rowsBetween(Window.unboundedPreceding, 0)
     glc = (
-        v.groupBy(F.col("cents").alias("gv"))
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        cv.groupBy(F.col("cents").alias("gv"))
+        .agg(F.sum("t").cast("long").alias("t"))
         .select(
             "gv",
             F.sum("t").over(wglob).alias("cum_glob"),

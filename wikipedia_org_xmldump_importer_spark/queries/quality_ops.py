@@ -1259,24 +1259,51 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-edge union shares nothing and parallelizes as 7 independent
     2-stage jobs; a dimension too big to broadcast falls back to a
     shuffled left join on the key, same plan class as j1."""
-    parts = []
+    # ONE scan per FACT table (r14): lineitem carries three FK edges and
+    # was scanned three times, once per edge. Grouping edges by fact table
+    # chains the (distinct, key-only, broadcast) dim left joins onto a
+    # single scan — each dim side is DISTINCT so every left join preserves
+    # the fact row count exactly, making the per-edge null-flags
+    # independent columns of one pass — then ONE agg emits all of the
+    # table's orphan counts and a stack() unpivots them to the per-edge
+    # rows. Counts and rates are bit-identical to the per-edge spelling.
+    by_fact: dict[str, list[tuple[str, str, str, str]]] = {}
     for name, ft, fk, dt, dk in _FK_EDGES:
-        f = load_table(spark, sf_dir, ft)
-        d = load_table(spark, sf_dir, dt).select(dk).distinct()
-        j = f.join(F.broadcast(d), f[fk] == d[dk], "left")
-        orph = F.sum(F.when(d[dk].isNull(), 1).otherwise(0)).cast("long")
+        by_fact.setdefault(ft, []).append((name, fk, dt, dk))
+    parts = []
+    for ft, edges in by_fact.items():
+        j = load_table(spark, sf_dir, ft)
+        flags = []
+        for name, fk, dt, dk in edges:
+            d = load_table(spark, sf_dir, dt).select(dk).distinct()
+            j = j.join(F.broadcast(d), j[fk] == d[dk], "left")
+            flags.append((name, d[dk]))
+        agg = j.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            *[
+                F.sum(F.when(dkc.isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"o{i}")
+                for i, (_, dkc) in enumerate(flags)
+            ],
+        )
+        stack_args = ", ".join(
+            f"'{name}', o{i}" for i, (name, _) in enumerate(flags)
+        )
         parts.append(
-            j.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                orph.alias("n_orphans"),
-                F.round(
-                    orph.cast("double") / F.count(F.lit(1)), 6
-                ).alias("orphan_rate"),
+            agg.select(
+                F.expr(
+                    f"stack({len(flags)}, {stack_args})"
+                    " AS (fk_edge, n_orphans)"
+                ),
+                "n_rows",
             ).select(
-                F.lit(name).alias("fk_edge"),
+                "fk_edge",
                 "n_rows",
                 "n_orphans",
-                "orphan_rate",
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_rows"), 6
+                ).alias("orphan_rate"),
             )
         )
     out = parts[0]

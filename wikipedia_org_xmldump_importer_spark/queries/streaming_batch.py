@@ -467,15 +467,26 @@ def stream_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("value") * 100).cast("long") / 5000)
         .cast("long")
         .alias("bucket"),
-        F.dayofmonth("ts").alias("dom"),
     )
-    cells = base.groupBy("day_idx", "event_type", "bucket").agg(
-        F.count(F.lit(1)).alias("c_day")
+    # ONE corpus pass (r14): the reference histogram derives from the
+    # bounded daily cells frame, not a second scan+agg of events —
+    # day-of-month is a pure function of day_idx (ts is NTZ, ts_us its
+    # exact epoch-µs, session TZ UTC), so filtering the (day, type,
+    # bucket) grain on dayofmonth(date_from_unix_date(day_idx)) ≤ 7 and
+    # summing the cell counts gives the identical c_ref integers. The
+    # eager pin stops cells/ref/domain re-deriving the corpus agg.
+    cells = (
+        base.groupBy("day_idx", "event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_day"))
+        .localCheckpoint()
     )
     ref = (
-        base.filter(F.col("dom") <= 7)
+        cells.filter(
+            F.dayofmonth(F.expr("date_from_unix_date(CAST(day_idx AS INT))"))
+            <= 7
+        )
         .groupBy("event_type", "bucket")
-        .agg(F.count(F.lit(1)).alias("c_ref"))
+        .agg(F.sum("c_day").alias("c_ref"))
     )
     domain = cells.select("event_type", "bucket").union(
         ref.select("event_type", "bucket")

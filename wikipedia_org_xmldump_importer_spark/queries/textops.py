@@ -2163,9 +2163,21 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_spread(spark, sf_dir, "documents", "doc_id")
     n_docs = docs.count()
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "tok").select(
+    # df derives from tf exactly as in text_tfidf (r14): tf has one row per
+    # distinct (doc, tok), so COUNT(*) per tok over tf == COUNT(DISTINCT
+    # doc_id) over the raw token stream. Without the cut the df branch
+    # re-scanned and re-exploded the whole corpus (no exchange reuse across
+    # the differing aggregates); the localCheckpoint materializes the
+    # collapsed tf frame once for both consumers, and df (vocab-grain,
+    # orders smaller than tf) broadcasts explicitly because the checkpoint
+    # erases the stats AQE used to pick the broadcast.
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
         "tf",
@@ -4700,8 +4712,16 @@ def ml_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: x8's scoring is a narrow map; everything after runs on the
     ≤(|langs|+1)² matrix."""
     l = text_langid(spark, sf_dir)
-    cell = l.groupBy("actual_lang", "pred_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # The ≤(|langs|+1)² confusion-matrix frame feeds SIX consumers
+    # (classes, row/col margins, diagonal, totals, pe) — without the pin
+    # each one re-derives x8's full per-row scoring pass over the corpus
+    # (36 Exchanges / 691-row plan measured r14). One eager localCheckpoint
+    # on the bounded cell table collapses that to a single corpus scan;
+    # everything downstream runs on dim-grain rows.
+    cell = (
+        l.groupBy("actual_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
     )
     classes = (
         cell.select(F.col("actual_lang").alias("cl"))

@@ -1658,12 +1658,29 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
     )
-    med = ranked.groupBy("event_type").agg(
-        F.min(
-            F.when(F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("value"))
-        ).alias("med")
+    # The |types|-row median frame is eagerly pinned: dev feeds TWO
+    # consumers (the MAD rank branch and the final agg), and without the
+    # pin each consumer's lineage re-derives med's full per-type rank
+    # sort of the corpus (r14; local wash, one corpus window derivation
+    # instead of two at scale).
+    med = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rk") == F.floor((F.col("n") + 1) / 2), F.col("value")
+                )
+            ).alias("med")
+        )
+        .localCheckpoint()
     )
-    dev = ranked.join(F.broadcast(med), "event_type").select(
+    # dev needs no rank columns — joining the RAW rows to the broadcast
+    # median spares a second full per-type sort of events (Catalyst does
+    # not prune the unused Window from ranked's lineage: 6 WindowExec
+    # nodes in the r14 before-plan, 3 derivations x2; this cuts one) (r14).
+    dev = ev.select("event_type", "event_id", "value").join(
+        F.broadcast(med), "event_type"
+    ).select(
         "event_type",
         "event_id",
         "value",
@@ -9827,21 +9844,25 @@ def events_gap_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange); moments collapse map-side."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    # Consecutive gap pairs are LEAD over the same (type, ts, id) window —
+    # row i pairs (g_i, g_{i+1}); both-non-null keeps exactly i = 2..n-1,
+    # the same pair set the old i+1 self-join produced (r14: the join
+    # re-shuffled the gap stream onto a synthetic (type, i+1) key and
+    # hash-probed |gaps| rows; lead rides the already-sorted window
+    # partition — one exchange, one sort, no join).
     gaps = ev.select(
         "event_type",
-        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("g"),
-        F.row_number().over(w).alias("i"),
+        "ts_us",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("g1"),
     )
-    a = gaps.filter(F.col("g").isNotNull())
-    b = gaps.filter(F.col("g").isNotNull()).select(
-        F.col("event_type").alias("bet"),
-        F.col("g").alias("g2"),
-        F.col("i").alias("bi"),
+    pairs = (
+        gaps.select(
+            "event_type", "g1", F.lead("g1").over(w).alias("g2")
+        )
+        .filter(F.col("g1").isNotNull() & F.col("g2").isNotNull())
+        .select("event_type", "g1", "g2")
     )
-    pairs = a.join(
-        b,
-        (F.col("bet") == F.col("event_type")) & (F.col("bi") == F.col("i") + 1),
-    ).select("event_type", F.col("g").alias("g1"), "g2")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     mo = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
