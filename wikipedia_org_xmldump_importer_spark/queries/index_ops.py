@@ -770,8 +770,17 @@ def ngram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bg.w1", "bg.w2")
     )
-    cnt = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("k11")
+    # The bigram-count table feeds FOUR consumers (both margins, the grand
+    # total, the cells join) and runtime ReuseExchange does not share the
+    # explode+agg subtree across them — one eager pin makes the corpus
+    # explode run once (interleaved 0.91 -> 0.73 s at sf0.1, r14). Unlike
+    # doc_lm_perplexity's REJECTED bigram-stream checkpoint this is the
+    # DISTINCT-pair count table (vocab²-bounded, zipf-sublinear in corpus
+    # size), not a per-occurrence stream.
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k11"))
+        .localCheckpoint()
     )
     m1 = cnt.groupBy("w1").agg(F.sum("k11").cast("long").alias("r"))
     m2 = cnt.groupBy("w2").agg(F.sum("k11").cast("long").alias("c"))

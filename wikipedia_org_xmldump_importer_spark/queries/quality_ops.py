@@ -247,19 +247,25 @@ def rev_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # Aggregate BEFORE the join chain (r14): the exact integer rev_u sum
+    # is associative, so lineitem collapses to per-order partials map-side
+    # first and the star joins probe order-grain rows instead of the full
+    # fact (interleaved 1.05 -> 0.94 s at sf0.1; at scale the orders join
+    # shuffles 4x fewer, narrower rows).
+    lo = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u")
+    )
     yearly = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        lo.join(orders, lo.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
         )
-        .agg(
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_u")
-        )
+        .agg(F.sum("rev_u").alias("rev_u"))
     )
     w = Window.partitionBy("nation").orderBy("yr")
     prev_u = F.lag("rev_u").over(w)

@@ -793,15 +793,19 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" TIMESTAMP_NTZ), {c})"
         ).cast("long")
     )  # noqa: E731
-    lag = (
-        o.join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("max_ship"))
-        .select(
-            F.col("o_orderpriority").alias("priority"),
-            day("o_orderdate").alias("d1"),
-            day("max_ship").alias("d2"),
-        )
+    # Aggregate BEFORE the join (r14, the orders_open_backlog device):
+    # lineitem collapses to its per-order max(shipdate) map-side first —
+    # o_orderkey is unique, so grouping the joined rows by (orderkey,
+    # priority, date) was the same per-order max with a 3-column group key
+    # and a fact-grain probe; this form probes/joins order-grain rows
+    # (interleaved 0.97 -> 0.63 s at sf0.1).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    lag = o.join(per_order, per_order.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        day("o_orderdate").alias("d1"),
+        day("max_ship").alias("d2"),
     )
 
     def c_of(col: str):

@@ -7722,16 +7722,27 @@ def events_ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day", "cents")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # Explode-union (r14, the graph_triangle_count device): each histogram
+    # row participates once as "current" (side 2) and once shifted +1 as
+    # "previous" (side 1) via ONE explode(array(...)) instead of a 2-branch
+    # union — the union re-derived the corpus scan+agg per branch (2 scans,
+    # 0 runtime ReusedExchange, verified), the explode derives it once and
+    # fans out the bounded (type, day, cents) grain 2x. Local wash at
+    # sf0.1; at scale the corpus agg volume halves.
     paired = cnt.select(
-        "event_type", "day", "cents", "c", F.lit(2).alias("side")
-    ).unionByName(
-        cnt.select(
-            "event_type",
-            (F.col("day") + 1).alias("day"),
-            "cents",
-            "c",
-            F.lit(1).alias("side"),
-        )
+        "event_type",
+        "cents",
+        "c",
+        F.explode(
+            F.array(
+                F.struct(F.col("day").alias("day"), F.lit(2).alias("side")),
+                F.struct(
+                    (F.col("day") + 1).alias("day"), F.lit(1).alias("side")
+                ),
+            )
+        ).alias("ds"),
+    ).select(
+        "event_type", F.col("ds.day").alias("day"), "cents", "c", "ds.side"
     )
     grid = paired.groupBy("event_type", "day", "cents").agg(
         F.sum(F.when(F.col("side") == 1, F.col("c")).otherwise(0)).alias("d1"),
