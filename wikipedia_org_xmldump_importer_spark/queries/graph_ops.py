@@ -1559,7 +1559,12 @@ def graph_closeness_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # No post-union distinct (r14): eb is already distinct and its two
+    # direction branches are SIGN-DISJOINT (src = custkey > 0, dst =
+    # -(suppkey+1) < 0, the reversal swaps the signs), so the union can
+    # contain no duplicate row — the old .distinct() was a full |2E|
+    # exchange+dedup that provably changed nothing.
+    e = eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.localCheckpoint(eager=True)
     # deg doubles as the distinct-node frame: nn = |deg| (one pass over e
     # instead of the old separate select-distinct-count pass).
@@ -1700,9 +1705,12 @@ def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # No post-union distinct (r14): eb is distinct and the two direction
+    # branches are sign-disjoint (custkeys > 0, supplier nodes < 0), so
+    # the union has no duplicates — the .distinct() was a full |2E|
+    # exchange+dedup that changed nothing (same proof as closeness_hubs).
     e = (
         eb.union(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     cur = (
