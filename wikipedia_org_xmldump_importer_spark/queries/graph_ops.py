@@ -1004,9 +1004,12 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # No post-union distinct (r14): eb is distinct and the direction
+    # branches are sign-disjoint (custkeys > 0, supplier nodes < 0) — the
+    # same |2E| dedup removal as closeness_hubs/walk_corpus.
     e = eb.unionByName(
         eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     e = e.localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     seeds = deg.orderBy(F.col("d").desc(), "node").limit(_BFS_SEEDS)
