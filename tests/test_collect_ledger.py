@@ -49,11 +49,12 @@ LEDGER: dict[tuple[str, str], tuple[int, str]] = {
     ("queries/llm.py", "embed_cos_histogram"): (
         1, "hash-modulus fixed-target sample (bounded-by-construction "
            "sample size, not corpus-bound)"),
-    ("queries/aggregates.py", "basket_brand_pairs"): (
-        2, "brand DOMAIN values (tiny and fixed — 25 at every TPC-H SF, "
-           "capped at _BASKET_MASK_MAX_BRANDS=62 before the mask path is "
-           "taken at all) + the 1-row grand-total scalar over the bounded "
-           "mask histogram"),
+    ("queries/aggregates.py", "_brand_mask_hist"): (
+        2, "shared x100/x299 basket kernel: brand DOMAIN values (tiny and "
+           "fixed — 25 at every TPC-H SF, capped at "
+           "_BASKET_MASK_MAX_BRANDS=62 before the mask path is taken at "
+           "all) + the 1-row grand-total scalar over the bounded mask "
+           "histogram"),
     ("queries/textops.py", "tokenizer_bpe_train"): (
         1, "limit(1) best-pair row per BPE merge round (vocab-bounded "
            "round count)"),

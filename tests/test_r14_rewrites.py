@@ -145,6 +145,37 @@ def test_keep_best_vmax_count_equals_snapshot_max_version(spark):
     assert vmax_old == vmax_new == {1: 3, 2: 1}
 
 
+def test_association_rules_mask_path_matches_selfjoin_fallback(spark):
+    """x299 r14: the ≤62-brand mask-histogram path must emit row-for-row
+    the same directed rules/support/confidence/lift as the per-basket
+    self-join fallback (the pre-r14 spelling, kept as the >62-brand
+    path)."""
+    from pyspark.sql import functions as F
+
+    from wikipedia_org_xmldump_importer_spark.io import load_table
+    from wikipedia_org_xmldump_importer_spark.queries.aggregates import (
+        _basket_association_rules_selfjoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    old = (
+        _basket_association_rules_selfjoin(joined)
+        .toPandas()
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
+    new = (
+        REGISTRY["basket_association_rules"].fn(spark, sf)
+        .toPandas()
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
+    assert old.equals(new)
+
+
 def test_grid_2d_one_sided_explode_emits_pairs_once(spark):
     """join_grid_2d r14: with only side A exploded to its 9 distinct
     neighbor cells and side B on its home cell, every qualifying pair is

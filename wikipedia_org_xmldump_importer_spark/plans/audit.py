@@ -77,11 +77,6 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "1-row weight-total frame broadcast-crossed onto the "
         "|sources|-row plan table — bounded by construction (x352)"
     ),
-    ("basket_association_rules", "BroadcastNestedLoopJoin"): (
-        "1-row basket-total frame broadcast-crossed onto the rule "
-        "candidates for the integer-sided support gate — bounded by "
-        "construction (x299)"
-    ),
     ("agg_design_effect_icc", "BroadcastNestedLoopJoin"): (
         "two 1-row global-moment frames crossed for the ANOVA/DEFF "
         "epilogue — bounded by construction (x320)"

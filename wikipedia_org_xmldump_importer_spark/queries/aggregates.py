@@ -740,6 +740,54 @@ WITH basket_t AS (
 )
 
 
+def _brand_mask_hist(spark: SparkSession, sf_dir: str):
+    """Shared brand-mask histogram kernel for the basket queries (x100,
+    x299 — r14): returns ``(brands, joined, hist, n_orders)`` where
+    ``hist`` is the eagerly-pinned histogram of distinct per-order brand
+    MASKS (bit i = sorted-brand i present) — bounded by
+    min(|orders|, 2^|brands|) rows of two longs at ANY corpus size — and
+    ``n_orders`` the grand total folded to a driver literal. When the
+    brand domain exceeds the 62-bit mask budget, ``hist``/``n_orders``
+    come back None and callers take their per-basket fallback on
+    ``joined``.
+
+    Both driver hops are bounded by construction (ledgered in
+    tests/test_collect_ledger.py): the brand DOMAIN (≤62 values on the
+    mask path) and ONE 8-byte scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brands = sorted(
+        r[0] for r in part.select("p_brand").distinct().collect()
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    if len(brands) > _BASKET_MASK_MAX_BRANDS:
+        return brands, joined, None, None
+    powers = [1 << i for i in range(len(brands))]
+    bit_of = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for b, p in zip(brands, powers)
+                for x in (b, p)
+            ]
+        ),
+        F.col("p_brand"),
+    )
+    # Histogram of distinct brand masks — ≤ min(|orders|, 2^|brands|) rows,
+    # eagerly pinned so every consumer reads it instead of the corpus agg.
+    hist = (
+        joined.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.bit_or(bit_of).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    # Single 8-byte scalar to the driver — the grand total every ratio
+    # shares; the bounded analog of the oracle's scalar subquery.
+    n_orders = hist.agg(F.sum("cnt")).collect()[0][0]
+    return brands, joined, hist, n_orders
+
+
 @register("basket_brand_pairs", oracle=_BASKET_CTE_ORACLE)
 def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x100: market-basket analysis — brand pairs co-occurring in the same
@@ -766,37 +814,10 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     A corpus with a brand domain past 62 falls back to the per-basket
     double-explode (same results; bounded-basket discipline documented in
     the git history)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    brands = sorted(
-        r[0] for r in part.select("p_brand").distinct().collect()
-    )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    if len(brands) > _BASKET_MASK_MAX_BRANDS:
+    brands, joined, hist, n_orders = _brand_mask_hist(spark, sf_dir)
+    if hist is None:
         return _basket_brand_pairs_explode(joined)
     powers = [1 << i for i in range(len(brands))]
-    bit_of = F.element_at(
-        F.create_map(
-            *[
-                F.lit(x)
-                for b, p in zip(brands, powers)
-                for x in (b, p)
-            ]
-        ),
-        F.col("p_brand"),
-    )
-    # Histogram of distinct brand masks — ≤ min(|orders|, 2^|brands|) rows,
-    # eagerly pinned so the three consumers never recompute the corpus agg.
-    hist = (
-        joined.groupBy(F.col("l_orderkey").alias("ok"))
-        .agg(F.bit_or(bit_of).alias("mask"))
-        .groupBy("mask")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()
-    )
-    # Single 8-byte scalar to the driver — the grand total every ratio
-    # shares; the bounded analog of the oracle's scalar subquery.
-    n_orders = hist.agg(F.sum("cnt")).collect()[0][0]
     # Bit extraction as a codegen'd explode+filter (a higher-order
     # F.filter lambda A/B'd ~80% slower — HOFs are interpreted per
     # element); fan-out ≤ |hist|·|brands|², bounded at any corpus size.
@@ -4238,16 +4259,76 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|brands| rows), and the 1-row total crosses as a broadcast too.
     Apriori beyond pairs = iterate the same bounded join on the
     surviving itemsets."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pt = load_table(spark, sf_dir, "part")
-    # r14 (guide §2.4): ob feeds FOUR consumers (total, brand margins, both
-    # self-join sides) — checkpoint the distinct basket frame once instead
-    # of re-deriving the lineitem⋈part+distinct subtree per consumer (the
-    # before plan held 14 parquet scans / 32 Exchanges); the margin frames
-    # keep their explicit broadcasts, so no join strategy degrades.
+    # r14: every count this query needs (grand total, brand margins,
+    # joint pair counts) is a sum over the x100 brand-MASK histogram —
+    # bounded by min(|orders|, 2^|brands|) rows at ANY corpus size — so
+    # the whole rule table computes on the shared bounded kernel instead
+    # of checkpointing the |orders|-scale distinct basket frame and
+    # self-joining it (the r13 spelling, kept verbatim as the >62-brand
+    # fallback). Same exact integers (pair-identity locked by test), same
+    # single-division 6dp-pinned ratios, same integer-sided support gate
+    # (the grand total folds in as a literal like x100 — no BNLJ cross).
+    brands, joined, hist, n_orders = _brand_mask_hist(spark, sf_dir)
+    if hist is None:
+        return _basket_association_rules_selfjoin(joined)
+    powers = [1 << i for i in range(len(brands))]
+    seq = F.sequence(F.lit(0), F.lit(len(brands) - 1))
+    p_at = lambda c: F.element_at(F.lit(powers), c + 1)  # noqa: E731
+    brand_of = lambda c: F.element_at(  # noqa: E731
+        F.lit(brands), c.cast("int") + 1
+    )
+    ex = hist.select(F.explode(seq).alias("i"), "mask", "cnt").filter(
+        F.col("mask").bitwiseAND(p_at(F.col("i"))) != 0
+    )
+    brand_n = ex.groupBy(F.col("i").alias("b")).agg(
+        F.sum("cnt").cast("long").alias("n_b")
+    )
+    pr = (
+        ex.select("i", F.explode(seq).alias("j"), "mask", "cnt")
+        .filter(
+            (F.col("j") > F.col("i"))
+            & (F.col("mask").bitwiseAND(p_at(F.col("j"))) != 0)
+        )
+        .groupBy(F.col("i").alias("ba"), F.col("j").alias("bb"))
+        .agg(F.sum("cnt").cast("long").alias("nab"))
+    )
+    dirn = pr.select(
+        F.col("ba").alias("ante"), F.col("bb").alias("cons"), "nab"
+    ).unionAll(pr.select(F.col("bb").alias("ante"), F.col("ba").alias("cons"), "nab"))
+    ca = brand_n.select(F.col("b").alias("ante"), F.col("n_b").alias("na"))
+    cb = brand_n.select(F.col("b").alias("cons"), F.col("n_b").alias("nc"))
+    j = (
+        dirn.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cb), "cons")
+        .filter(F.col("nab") * 100 >= F.lit(n_orders))
+    )
+    return j.select(
+        brand_of(F.col("ante")).alias("antecedent"),
+        brand_of(F.col("cons")).alias("consequent"),
+        F.col("nab").alias("n_joint"),
+        F.round(F.col("nab").cast("double") / F.lit(n_orders), 6).alias(
+            "support"
+        ),
+        F.round(F.col("nab").cast("double") / F.col("na"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("nab").cast("double")
+            * F.lit(n_orders)
+            / (F.col("na").cast("double") * F.col("nc")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def _basket_association_rules_selfjoin(joined: DataFrame) -> DataFrame:
+    """Pre-r14 per-basket spelling of x299 — the >62-brand fallback
+    (checkpointed distinct basket frame + within-order self-join; the
+    bounded-basket discipline is x100's)."""
     ob = (
-        li.join(pt, li.l_partkey == pt.p_partkey)
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        joined.select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
