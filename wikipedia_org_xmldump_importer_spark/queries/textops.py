@@ -2528,11 +2528,19 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gram").isNotNull())
         .distinct()
     )
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # r14: first-occurrence via MIN over a gram-partitioned window instead
+    # of groupBy(gram) + join-back — the join's SMJ probe side already
+    # placed every row of a gram in one partition, so the window has the
+    # IDENTICAL skew exposure while deriving the explode+distinct subtree
+    # ONCE instead of twice (2 corpus scans -> 1; zero runtime
+    # ReusedExchange in the old executed plan, verified).
+    fd = grams.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("gram")).alias("first_doc"),
+    )
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        grams.join(first, "gram")
-        .groupBy("doc_id")
+        fd.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_grams"),
             F.sum(novel).cast("long").alias("n_novel"),
