@@ -124,6 +124,50 @@ def _est_scan_splits(spark: SparkSession, path: str) -> int | None:
     return max(1, math.ceil(total / (int(m.group(1)) * mult)))
 
 
+def table_broadcastable(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True when ``{sf_dir}/{name}.parquet`` would plausibly BROADCAST in a
+    join under the session's ``spark.sql.autoBroadcastJoinThreshold`` —
+    on-disk parquet bytes x3 (columnar compression -> in-memory row
+    expansion, a deliberate overestimate so the guard errs toward the
+    at-scale plan) under the threshold.
+
+    Consumers branch between two row-identical plan shapes on this (e.g.
+    flagship_star_revenue: join-first when orders broadcasts, order-grain
+    pre-aggregation when it will not — r15; the load_table_spread
+    pattern). Falls back to False — the at-scale shape — when the path is
+    not locally inspectable or broadcast is disabled (threshold -1)."""
+    import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+        elif os.path.isfile(path):
+            total = os.path.getsize(path)
+        else:
+            return False  # not locally inspectable -> the at-scale shape
+    except OSError:
+        return False
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    )
+    m = re.fullmatch(r"(-?\d+)\s*([kKmMgG]?)[bB]?", raw)
+    if not m:
+        return False
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[m.group(2).lower()]
+    threshold = int(m.group(1)) * mult
+    if threshold <= 0:
+        return False
+    return total * 3 < threshold
+
+
 def load_table_spread(
     spark: SparkSession, sf_dir: str, name: str, *keys: str
 ) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, table_broadcastable
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -165,12 +165,35 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    # Aggregate BEFORE the join chain (r14): rev_u/count partials collapse
-    # lineitem to order grain map-side, so the four star joins probe
-    # ~4x fewer, narrower rows and the at-scale orders join shuffles
-    # order-grain partials instead of the raw fact. Exact integer partial
-    # sums + inner joins on unique keys => value-identical (the final
-    # _pin2 sees the same rev_u total per (region, year) group).
+    if table_broadcastable(spark, sf_dir, "orders"):
+        # Every join side broadcasts and the only exchange is the 35-row
+        # (region, year) partial-agg shuffle — the r14 order-grain
+        # pre-aggregation ADDED a fact-grain exchange in this regime and
+        # measured as a pure regression (driver r14: 0.98 -> 1.27 s; r15
+        # interleaved A/B 0.80 -> 0.76 s join-first), because unlike
+        # fn_business_days/orders_open_backlog the pre-agg here does not
+        # REPLACE a fact-grain exchange (the final group is dim-grain).
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy(
+                F.col("r_name").alias("region_name"),
+                F.year("o_orderdate").alias("o_year"),
+            )
+            .agg(
+                _pin2(F.sum(_rev_u()), 10000).alias("revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+    # At scale orders does NOT broadcast: aggregate BEFORE the join chain
+    # (r14) so the four star joins probe ~4x fewer, narrower rows and the
+    # orders SortMergeJoin shuffles order-grain partials instead of the raw
+    # fact. Exact integer partial sums + inner joins on unique keys =>
+    # value-identical to the join-first branch (the final _pin2 sees the
+    # same rev_u total per (region, year) group); row identity of the two
+    # branches is locked by tests/test_r15_rewrites.py.
     lo = li.groupBy("l_orderkey").agg(
         F.sum(_rev_u()).alias("rev_u"),
         F.count(F.lit(1)).alias("n_items"),

@@ -97,40 +97,57 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy instead of two joins (the summed term stays the bit-identical
     # division p/outdeg; only the join count changes). Isolated 5-repeat
     # median: 4.45 s -> measured below at sf0.1.
-    sym = eb.unionByName(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges = sym.join(deg, "src").localCheckpoint()
-    n_nodes = edges.select("src").distinct().count()  # small driver scalar
-    ranks = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.round(F.lit(1.0 / n_nodes), _PR_ITER_DP).alias("p")
+    # r15 restructure (guide §2.4/§3.1; interleaved 5-shot medians 3.98 ->
+    # 3.19 s at sf0.1, rows identical), three coupled changes:
+    #  * checkpoint the BARE symmetric edge list (2 longs/row) and keep the
+    #    out-degrees in a separate checkpointed VERTEX table instead of
+    #    denormalizing outdeg onto every edge row — the edge
+    #    materialization narrows by a third and the sym⋈deg fact-grain
+    #    join disappears from the prologue;
+    #  * n_nodes/rank-init derive from that degree table (row count ==
+    #    distinct src by construction) instead of a second fact-scale
+    #    DISTINCT pass over the materialized edges;
+    #  * the per-edge division p/outdeg moves to the BROADCAST side as a
+    #    per-NODE contribution w = p/outdeg (vertex-grain join, built once
+    #    per round): the propagation join streams edges against the tiny
+    #    hash relation and the agg sums w — the same double values summed
+    #    (division per src computed once instead of per edge), so the
+    #    {_PR_ITER_DP}dp re-round sees bit-identical inputs.
+    # Per-round localCheckpoints are DROPPED: rank state has exactly ONE
+    # consumer per round (the next round's broadcast), so the nested plan
+    # executes each round's subtree exactly once — no union/multi-consumer
+    # re-derivation exists here (unlike x251/x152, whose per-round states
+    # feed 2 consumers and keep their checkpoints). r14's graph_hits
+    # no-checkpoint negative result does not transfer for that reason.
+    # At 100 TB, when |V| outgrows the broadcast cap, the same algebra
+    # keeps the edge side stationary via bucketing-by-src
+    # (io.sink_bucketed).
+    sym = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    n_nodes = deg.count()  # small driver scalar (row count == distinct src)
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0 / n_nodes), _PR_ITER_DP).alias("p"),
     )
     for _ in range(_PR_ITERS):
-        # Per-round lineage cut: without it iteration k's plan embeds
-        # iterations 1..k-1 (re-planned and re-optimized every round, and
-        # the final plan is 5 nested join trees deep).
-        #
-        # r14 optimization (guide §3.1): BROADCAST the rank state into the
-        # propagation join. The checkpointed edge list is a LogicalRDD with
-        # no size stats, so the planner picked SortMergeJoin and re-shuffled
-        # + re-sorted all |E| edge rows EVERY iteration; the rank side is
-        # |V| rows (16k at sf0.1 — vertex state, always ≪ edge bytes), so
-        # broadcasting it leaves the edge table in place and the iteration
-        # drops from 2 big exchanges + 2 sorts to the single groupBy(dst)
-        # exchange of partial sums. Measured (interleaved 3-shot runs,
-        # sf0.1): 4.5-5.9 s -> 3.5-4.0 s, bit-identical ranks. At 100 TB,
-        # when |V| outgrows the broadcast cap, the same algebra keeps the
-        # edge side stationary via bucketing-by-src (io.sink_bucketed).
+        # deg is a stats-less checkpointed LogicalRDD — without the hint the
+        # planner SMJs this vertexxvertex join (2 extra exchanges/round);
+        # both sides are |V|-scale, the same broadcast-cap caveat as the
+        # contribution broadcast below.
+        contrib = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
+            "node", (F.col("p") / F.col("outdeg")).alias("w")
+        )
         ranks = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            sym.join(F.broadcast(contrib), sym.src == contrib.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
-                    F.lit(0.15 / n_nodes)
-                    + _PR_DAMP * F.sum(F.col("p") / F.col("outdeg")),
+                    F.lit(0.15 / n_nodes) + _PR_DAMP * F.sum("w"),
                     _PR_ITER_DP,
                 ).alias("p")
             )
-            .localCheckpoint()
         )
     return ranks.select("node", F.round("p", 6).alias("pagerank"))
 
