@@ -1616,7 +1616,15 @@ def graph_closeness_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, _CLOSE_ROUNDS + 1):
         if frontier.isEmpty():
             break  # ball saturated: remaining rounds cannot add rows
-        cand = frontier.join(e, frontier.node == e.src).select(
+        # r15 (guide §3.1): BROADCAST the frontier into the expansion join.
+        # Both sides are stats-less LogicalRDDs, so the static planner had
+        # been SortMergeJoin-ing — re-shuffling all |E| edge rows every
+        # round; the frontier is ≤ |hubs|x|V| rows and in practice a thin
+        # shell of the ball (12 rows in round 1). Interleaved 5-shot
+        # medians 4.92 -> 4.21 s at sf0.1, rows identical. Same
+        # bucketing-by-src escape hatch as x63 when |hubs|x|V| outgrows
+        # the broadcast cap at cluster scale.
+        cand = F.broadcast(frontier).join(e, frontier.node == e.src).select(
             "hub",
             F.col("dst").alias("node"),
             F.lit(r).cast("long").alias("dist"),
@@ -1976,9 +1984,21 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = eb.unionAll(eb.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    # r15 (guide §2.4 + the batch-3 lesson): e feeds deg AND the rich-edge
+    # scan, and deg feeds THREE consumers (nodes_k, ds, dd) — stats-driven,
+    # every consumer re-derived the whole orders⋈lineitem+distinct subtree
+    # (30 Exchanges / 769-row plan). Checkpoint both ONCE; the r14 attempt
+    # failed because it relied on planner stats for the two degree joins —
+    # the explicit broadcasts below keep them BHJ (deg is vertex-scale at
+    # any corpus size). Interleaved 5-shot medians 3.08 -> 2.55 s at sf0.1,
+    # rows identical.
+    e = eb.unionAll(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
     )
     spark_ks = spark.createDataFrame([(4,), (8,), (16,), (32,)], ["k"]).select(
         F.col("k").cast("long").alias("k")
@@ -1992,8 +2012,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = deg.select(F.col("node").alias("s_node"), F.col("d").alias("s_d"))
     dd = deg.select(F.col("node").alias("d_node"), F.col("d").alias("d_d"))
     edges_k = (
-        e.join(ds, e.src == ds.s_node)
-        .join(dd, e.dst == dd.d_node)
+        e.join(F.broadcast(ds), e.src == ds.s_node)
+        .join(F.broadcast(dd), e.dst == dd.d_node)
         .crossJoin(F.broadcast(spark_ks))
         .filter((F.col("s_d") > F.col("k")) & (F.col("d_d") > F.col("k")))
         .groupBy("k")

@@ -6053,61 +6053,65 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined groupBy(pos DIV 2) on a frame that HALVES per level.
     Years of daily data = a few thousand positions; the same plan serves
     per-key decompositions by adding the key to every grouping."""
+    # r15 restructure (guide §1.2 step 1 — remove passes; the x240
+    # events_markov_stationary single-row array device applied here): the
+    # whole dyadic state is ≤ _HAAR_N values, bounded by the CALENDAR at
+    # any corpus size, so the decomposition runs on ONE packed row —
+    # grid lookup as a day→n map, each level a transform() over the
+    # previous level's array column (withColumn chaining keeps the tree
+    # linear; CollapseProject does not inline multi-referenced non-cheap
+    # aliases), one explode of the concatenated coefficient structs. This
+    # replaces the grid join + {_HAAR_LEVELS} per-level eager
+    # localCheckpoint jobs (the former trap-#11 union-of-branches shape)
+    # with a single job: interleaved 5-shot medians 1.14 -> 0.41 s at
+    # sf0.1, rows identical. Arithmetic is the same (a±b)/2 dyadic chain
+    # on the same coalesce(n,0) doubles — exact in binary FP, so
+    # cross-engine bit-equality is unchanged.
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select((F.col("ts_us") / _US_PER_DAY).cast("long").alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    d0 = daily.agg(F.min("day").alias("d0"))
-    grid = spark.range(_HAAR_N).select(F.col("id").cast("long").alias("pos"))
-    level = (
-        grid.join(
-            F.broadcast(daily.crossJoin(F.broadcast(d0)).select(
-                (F.col("day") - F.col("d0")).alias("pos"), "n"
-            )),
-            "pos",
-            "left",
-        )
-        .select("pos", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("v"))
+    row = daily.agg(
+        F.min("day").alias("d0"),
+        F.map_from_entries(F.collect_list(F.struct("day", "n"))).alias("mp"),
     )
-    out = None
+    row = row.withColumn(
+        "a0",
+        F.expr(
+            f"transform(sequence(0, {_HAAR_N - 1}),"
+            f" i -> CAST(coalesce(mp[d0 + i], 0) AS DOUBLE))"
+        ),
+    )
     for k in range(1, _HAAR_LEVELS + 1):
-        paired = level.select(
-            (F.col("pos") / 2).cast("long").alias("pos2"),
-            (F.col("pos") % 2).alias("par"),
-            "v",
+        n_k = _HAAR_N >> k
+        row = row.withColumn(
+            f"a{k}",
+            F.expr(
+                f"transform(sequence(0, {n_k - 1}),"
+                f" j -> (a{k - 1}[2*j] + a{k - 1}[2*j+1]) / 2)"
+            ),
+        ).withColumn(
+            f"d{k}",
+            F.expr(
+                f"transform(sequence(0, {n_k - 1}),"
+                f" j -> (a{k - 1}[2*j] - a{k - 1}[2*j+1]) / 2)"
+            ),
         )
-        even = F.max(F.when(F.col("par") == 0, F.col("v")))
-        odd = F.max(F.when(F.col("par") == 1, F.col("v")))
-        nxt = (
-            paired.groupBy(F.col("pos2").alias("pos"))
-            .agg(
-                ((even + odd) / 2).alias("v"),
-                ((even - odd) / 2).alias("d"),
-            )
-        )
-        # localCheckpoint is load-bearing (trap #11): the final result
-        # UNIONs one branch per level, and Spark reuses plans only at
-        # exchanges — without the cut, level k's branch re-executes levels
-        # 1..k-1 and the union goes quadratic in scheduling floors
-        # (measured 15.2 s -> ~1 s at sf0.1 on 32-row frames)
-        nxt = nxt.localCheckpoint(eager=True)
-        details = nxt.select(
-            F.lit(k).cast("int").alias("level"),
-            F.col("pos").cast("int").alias("pos"),
-            F.lit("detail").alias("kind"),
-            F.round("d", 6).alias("coef"),
-        )
-        out = details if out is None else out.unionByName(details)
-        level = nxt.select("pos", "v")
-    approx = level.select(
-        F.lit(_HAAR_LEVELS).cast("int").alias("level"),
-        F.col("pos").cast("int").alias("pos"),
-        F.lit("approx").alias("kind"),
-        F.round("v", 6).alias("coef"),
+    branches = " , ".join(
+        f"transform(d{k}, (x, p) -> struct(CAST({k} AS INT) AS level,"
+        f" CAST(p AS INT) AS pos, 'detail' AS kind, round(x, 6) AS coef))"
+        for k in range(1, _HAAR_LEVELS + 1)
     )
-    return out.unionByName(approx)
+    all_coefs = (
+        f"concat({branches}, transform(a{_HAAR_LEVELS}, (x, p) ->"
+        f" struct(CAST({_HAAR_LEVELS} AS INT) AS level, CAST(p AS INT) AS pos,"
+        f" 'approx' AS kind, round(x, 6) AS coef)))"
+    )
+    return row.select(F.explode(F.expr(all_coefs)).alias("c")).select(
+        "c.level", "c.pos", "c.kind", "c.coef"
+    )
 
 
 # --------------------------------------------------------------------------
