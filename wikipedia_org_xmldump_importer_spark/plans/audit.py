@@ -114,9 +114,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "panel for the d/g/CLES epilogue — bounded by construction "
         "(x313)"
     ),
-    ("events_session_stats", "BroadcastNestedLoopJoin"): (
-        "1-row global session-total frame broadcast-crossed onto the "
-        "duration-bucket panel — bounded by construction (x314)"
+    ("events_session_stats", "GlobalWindowExec"): (
+        "the session-total window runs over the <=4-row BUCKET frame "
+        "(every session lands in exactly one duration bucket, so the "
+        "grand total is a sum over the bucket rows themselves) — bounded "
+        "by construction; replaced the r14-era 1-row BNLJ cross that "
+        "re-derived the sessionization (x314, r15)"
     ),
     ("ngram_llr_collocations", "BroadcastNestedLoopJoin"): (
         "1-row grand-bigram-total frame broadcast-crossed onto the "

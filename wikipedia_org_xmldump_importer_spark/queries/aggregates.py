@@ -947,12 +947,23 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x41) trades exactness for a second scan — discrete percentile's
     single full sort per group is the honest exact cost."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
+    # r15 (guide §2.3): alias BEFORE the window so the rank exchange
+    # carries 3 narrow columns, not the aliased+original 5-column pair
+    # (windowing on the originals kept both alive through the shuffle),
+    # and the final groupBy('priority') rides the window's partitioning
+    # instead of re-exchanging. Same rows, same ordering keys —
+    # interleaved 5-shot medians 0.70 -> 0.54 s at sf0.1.
+    pts = orders.select(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = Window.partitionBy("priority").orderBy("v", "ok")
+    ranked = pts.select(
+        "priority",
+        "v",
         F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
     )
     pick = lambda target: F.round(  # noqa: E731
         F.min(F.when(F.col("rk") == target, F.col("v"))), 2
@@ -1227,10 +1238,16 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank frame is 1 row broadcast onto it; no row-grain sort ever —
     contrast with a naive ORDER BY + OFFSET median."""
     orders = load_table(spark, sf_dir, "orders")
+    # r15 (guide §2.4): g feeds TWO consumers (the cumulative frame and
+    # the 1-row n/rank frame), each re-deriving the corpus scan + value
+    # agg. One eager pin — the frame is value-grain, bounded by the price
+    # grid at any corpus size. Interleaved 5-shot medians 0.90 -> 0.78 s;
+    # corpus scans 2 -> 1.
     g = (
         orders.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
         .groupBy("cents")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint()
     )
     wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select("cents", "t", F.sum("t").over(wcum).alias("cum"))
@@ -2621,13 +2638,21 @@ def agg_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank for x184's GK-sketch quantile and take the tail mean over the
     sketch cutoff — same report, bounded state."""
     orders = load_table(spark, sf_dir, "orders")
-    w_rank = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    w_seg = Window.partitionBy("o_orderpriority")
-    pts = orders.select(
+    # r15 (guide §2.3, the x106 device): alias BEFORE the window — the
+    # rank exchange carries (seg, tp, ok) instead of the aliased+original
+    # 5-column pair, and cents derives from tp AFTER the shuffle. Ranking
+    # still orders by the raw totalprice, so row selection is unchanged.
+    # Interleaved 5-shot medians 0.55 -> 0.51 s at sf0.1.
+    base = orders.select(
         F.col("o_orderpriority").alias("seg"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_totalprice").alias("tp"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w_rank = Window.partitionBy("seg").orderBy("tp", "ok")
+    w_seg = Window.partitionBy("seg")
+    pts = base.select(
+        "seg",
+        F.round(F.col("tp") * 100).cast("long").alias("cents"),
         F.row_number().over(w_rank).alias("r"),
         F.count(F.lit(1)).over(w_seg).alias("n"),
     ).withColumn("r_var", F.ceil(F.col("n") * _VAR_Q).cast("long"))
@@ -2827,6 +2852,13 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-grain daily agg that feeds it) — the classic safe quadratic:
     collapse to series grain FIRST, then pair."""
     ev = load_table(spark, sf_dir, "events")
+    # r15 (guide §2.4): daily feeds FOUR consumers (both pair-join sides,
+    # nn, ties) and pr TWO (sstat, sen) — stats-driven, each re-derived
+    # the corpus agg / the pair self-join. Both frames are bounded at any
+    # corpus size (daily by |types| x calendar, pr by |days|²/2 per type
+    # — the docstring's safe quadratic), so one eager pin each. Corpus
+    # scans 4 -> 1; interleaved 5-shot medians 0.85 -> 0.80 s at sf0.1.
+    # A broadcast hint on the pair join A/B'd as a wash — left stats-free.
     daily = (
         ev.select(
             "event_type",
@@ -2834,6 +2866,7 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint()
     )
     a = daily.select(
         F.col("event_type").alias("et"),
@@ -2854,7 +2887,7 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("yb") - F.col("ya")).cast("double") / (F.col("db") - F.col("da"))
         ).alias("slope"),
-    )
+    ).localCheckpoint()
     sstat = pr.groupBy("et").agg(F.sum("sg").alias("s"))
     nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     ties = (

@@ -662,7 +662,17 @@ def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # r15 (guide §2.4; the x321 llr device one function down): cnt feeds
+    # FOUR consumers (lhs, rhs, tot, the final join) and each re-derived
+    # the corpus token explode + bigram agg. One eager pin — distinct-pair
+    # grain, vocab²-bounded/zipf-sublinear, NOT the per-occurrence stream
+    # doc_lm_perplexity's rejected checkpoint covered. Interleaved 5-shot
+    # medians 0.75 -> 0.66 s at sf0.1; corpus explodes 4 -> 1.
+    cnt = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     lhs = cnt.groupBy("w1").agg(
         F.sum("c").cast("long").alias("c_w1"),
         F.count(F.lit(1)).cast("long").alias("n1p_fwd"),

@@ -9483,7 +9483,15 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_p"
         ),
     )
-    tot = sess.agg(F.count(F.lit(1)).alias("n_tot"))
+    # r15 (guide §2.4 + §3.4; the x201 single-pass-bucket-shares device):
+    # every session lands in exactly one bucket, so the grand total is the
+    # SUM over the ≤4-row bucket frame itself — bucket-agg once, global
+    # window over ≤4 rows for the denominator. The old crossJoin(broadcast
+    # (tot)) was a BroadcastNestedLoopJoin whose tot side re-derived the
+    # whole two-window sessionization a second time. Same exact integers
+    # (sum_ev/n_sessions ≡ the old sum/count over the same rows).
+    # Interleaved 5-shot medians 1.14 -> 0.98 s at sf0.1; sessionization
+    # derivations 2 -> 1, BNLJ gone.
     bkt = sess.select(
         F.when(F.col("n_ev") == 1, "1")
         .when(F.col("n_ev") <= 3, "2-3")
@@ -9494,24 +9502,28 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur_us",
         "has_p",
     )
-    return (
-        bkt.crossJoin(F.broadcast(tot))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.round(
-                F.count(F.lit(1)).cast("double") / F.max("n_tot"), 6
-            ).alias("session_share"),
-            F.round(F.sum("n_ev").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_events"
-            ),
-            F.round(
-                F.sum("dur_us").cast("double") / F.count(F.lit(1)) / 1e6, 6
-            ).alias("avg_duration_s"),
-            F.round(F.sum("has_p").cast("double") / F.count(F.lit(1)), 6).alias(
-                "purchase_rate"
-            ),
-        )
+    per = bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_ev").cast("long").alias("sum_ev"),
+        F.sum("dur_us").cast("long").alias("sum_dur"),
+        F.sum("has_p").cast("long").alias("sum_p"),
+    )
+    n_tot = F.sum("n_sessions").over(Window.partitionBy())
+    return per.select(
+        "bucket",
+        "n_sessions",
+        F.round(F.col("n_sessions").cast("double") / n_tot, 6).alias(
+            "session_share"
+        ),
+        F.round(F.col("sum_ev").cast("double") / F.col("n_sessions"), 6).alias(
+            "avg_events"
+        ),
+        F.round(
+            F.col("sum_dur").cast("double") / F.col("n_sessions") / 1e6, 6
+        ).alias("avg_duration_s"),
+        F.round(F.col("sum_p").cast("double") / F.col("n_sessions"), 6).alias(
+            "purchase_rate"
+        ),
     )
 
 
