@@ -1756,8 +1756,14 @@ def embed_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     term = (F.col("qv") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    # r15 (guide §3.1): lbl is (label, i)-grain — |labels|×d rows at ANY
+    # corpus size — so broadcasting it turns the centroid join from a
+    # shuffle of the n×d quantized stream into a map-side BHJ. Local wash
+    # (interleaved medians 0.76 vs 0.78 s; the 128k-row SMJ is cheap
+    # here); kept for the corpus-scale shuffle it removes — the
+    # graph_degree_powerlaw adjudication class.
     d = (
-        q.join(lbl, ["label", "i"])
+        q.join(F.broadcast(lbl), ["label", "i"])
         .groupBy("vec_id", "label")
         .agg(
             F.sum(term * (F.col("qv") * F.col("n") - F.col("s"))).alias("d2n2"),

@@ -5342,26 +5342,47 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day"),
     )
-    starts = seg.select(
+    # r15 (guide §2.4; the x91 union→explode device): the starts/ends
+    # UNION re-derived the whole sessionization + interval agg + day
+    # explode per branch. One explode(array(start_struct, end_struct))
+    # emits both boundary rows from ONE derivation — row set identical
+    # (each segment yields exactly one +1 and one -1 in both spellings).
+    # Interleaved 5-shot medians 0.91 -> 0.78 s at sf0.1; sessionization
+    # derivations 2 -> 1.
+    both = seg.select(
         "day",
-        F.greatest(F.col("s"), F.col("day") * _US_PER_DAY).alias("t"),
-        F.lit(1).alias("delta"),
         "user_id",
         "s",
-    )
-    ends = seg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest(F.col("s"), F.col("day") * _US_PER_DAY).alias(
+                        "t"
+                    ),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    (
+                        F.least(
+                            F.col("e"), (F.col("day") + 1) * _US_PER_DAY - 1
+                        )
+                        + 1
+                    ).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("bev"),
+    ).select(
         "day",
-        (
-            F.least(F.col("e"), (F.col("day") + 1) * _US_PER_DAY - 1) + 1
-        ).alias("t"),
-        F.lit(-1).alias("delta"),
+        F.col("bev.t").alias("t"),
+        F.col("bev.delta").alias("delta"),
         "user_id",
         "s",
     )
     sweep = Window.partitionBy("day").orderBy(
         "t", "delta", "user_id", "s"
     ).rowsBetween(Window.unboundedPreceding, 0)
-    run_conc = starts.unionByName(ends).select(
+    run_conc = both.select(
         "day", "delta", F.sum("delta").over(sweep).alias("conc")
     )
     return run_conc.groupBy(F.col("day").alias("day_idx")).agg(
