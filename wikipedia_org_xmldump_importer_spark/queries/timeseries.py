@@ -7097,24 +7097,26 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "power",
         F.round(F.col("power") / F.sum("power").over(w_t), 6).alias("p_share"),
     )
-    ent = sh.groupBy("event_type").agg(
-        F.sum(
-            F.when(
-                F.col("p_share") > 0,
-                F.round(-F.col("p_share") * F.log("p_share") * 1_000_000).cast(
-                    "long"
-                ),
-            ).otherwise(0)
-        ).alias("h_u")
-    )
-    return sh.join(ent, "event_type").select(
+    # r15 (guide §2.4): the entropy total used to be a groupBy + join back
+    # on event_type — the join's agg side re-derived the whole corpus
+    # (type, hour) subtree (SortMergeJoin in the before plan). The total is
+    # a per-type SUM over the same ≤_SPEC_K rows, so it rides the SAME
+    # window partition as p_share — no join, one corpus derivation. Same
+    # exact integers. Interleaved 5-shot medians 0.95 -> 0.82 s at sf0.1.
+    h_u = F.sum(
+        F.when(
+            F.col("p_share") > 0,
+            F.round(-F.col("p_share") * F.log("p_share") * 1_000_000).cast(
+                "long"
+            ),
+        ).otherwise(0)
+    ).over(w_t)
+    return sh.select(
         "event_type",
         "k",
         "power",
         "p_share",
-        F.round(F.col("h_u") / 1e6 / _math.log(_SPEC_K), 6).alias(
-            "spectral_entropy"
-        ),
+        F.round(h_u / 1e6 / _math.log(_SPEC_K), 6).alias("spectral_entropy"),
     )
 
 
@@ -10042,38 +10044,62 @@ def ts_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f90"),
     )
+    # r15 (guide §2.4; the x91 union→explode device): the l50/l90 UNION
+    # branches each re-derived the test-tail join (and behind it the
+    # daily agg + rank windows). Both quantile levels now come from ONE
+    # agg over the joined tail — fc is per-type, so grouping by
+    # (event_type, f50, f90) is the same grain as the old per-branch
+    # (event_type, forecast) — then one explode(array(...)) emits the two
+    # report rows. Same exact integers. Interleaved 5-shot medians
+    # 0.65 -> 0.60 s at sf0.1; corpus derivations 2 -> 1.
     te = idx.filter(F.col("i") > F.col("n") - 7).select("event_type", "y")
     j = te.join(F.broadcast(fc), "event_type")
-    l50 = j.groupBy("event_type", F.col("f50").alias("forecast")).agg(
+    both = j.groupBy("event_type", "f50", "f90").agg(
         F.sum(5 * F.abs(F.col("y") - F.col("f50")))
         .cast("long")
-        .alias("loss_tenths"),
+        .alias("loss50"),
         F.sum(F.when(F.col("y") <= F.col("f50"), 1).otherwise(0))
         .cast("long")
-        .alias("n_covered"),
-    ).select("event_type", F.lit(50).cast("int").alias("q_level"), "forecast", "loss_tenths", "n_covered")
-    l90 = j.groupBy("event_type", F.col("f90").alias("forecast")).agg(
+        .alias("cov50"),
         F.sum(
             F.when(
                 F.col("y") > F.col("f90"), 9 * (F.col("y") - F.col("f90"))
             ).otherwise(F.col("f90") - F.col("y"))
         )
         .cast("long")
-        .alias("loss_tenths"),
+        .alias("loss90"),
         F.sum(F.when(F.col("y") <= F.col("f90"), 1).otherwise(0))
         .cast("long")
-        .alias("n_covered"),
-    ).select("event_type", F.lit(90).cast("int").alias("q_level"), "forecast", "loss_tenths", "n_covered")
-    return (
-        l50.unionAll(l90)
-        .select(
-            "event_type",
-            "q_level",
-            "forecast",
-            "loss_tenths",
-            F.round(F.col("loss_tenths") / 70.0, 6).alias("avg_pinball"),
-            F.round(F.col("n_covered") / 7.0, 6).alias("coverage"),
-        )
+        .alias("cov90"),
+    )
+    rows = both.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(50).cast("int").alias("q_level"),
+                    F.col("f50").alias("forecast"),
+                    F.col("loss50").alias("loss_tenths"),
+                    F.col("cov50").alias("n_covered"),
+                ),
+                F.struct(
+                    F.lit(90).cast("int").alias("q_level"),
+                    F.col("f90").alias("forecast"),
+                    F.col("loss90").alias("loss_tenths"),
+                    F.col("cov90").alias("n_covered"),
+                ),
+            )
+        ).alias("r"),
+    ).select(
+        "event_type", "r.q_level", "r.forecast", "r.loss_tenths", "r.n_covered"
+    )
+    return rows.select(
+        "event_type",
+        "q_level",
+        "forecast",
+        "loss_tenths",
+        F.round(F.col("loss_tenths") / 70.0, 6).alias("avg_pinball"),
+        F.round(F.col("n_covered") / 7.0, 6).alias("coverage"),
     )
 
 
