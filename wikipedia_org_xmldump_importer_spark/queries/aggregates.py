@@ -3821,7 +3821,11 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum(z·t) over values and count ≡ sum(t) in exact integers, so every
     # downstream value is identical. No eager pin: ReuseExchange shares
     # the histogram exchange between the median and z consumers (A/B'd —
-    # the pin was a wash). Interleaved medians 0.90 -> 0.78 s at sf0.1.
+    # the pin was a wash). Head-to-head interleaved medians vs the
+    # row-grain form: 0.688 -> 0.725 s, a ~5% LOCAL regression kept
+    # deliberately for the single-task-sort wall + second corpus scan it
+    # removes (the agg_mood_median r14 adjudication accepted the same
+    # trade; the earlier 0.90 -> 0.78 reading was cross-window drift).
     hist = v.groupBy("event_type", "cents").agg(
         F.count(F.lit(1)).cast("long").alias("t")
     )
@@ -4212,9 +4216,10 @@ def agg_boxplot_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass below consumes the SAME histogram weighted by t — the second
     # corpus scan is gone too. No eager pin: ReuseExchange shares the
     # histogram exchange between the two consumers (A/B'd — unpinned
-    # 0.70 vs pinned 0.74 s). Interleaved medians vs the row-grain form
-    # are a local wash; kept for the two corpus-scale terms (the
-    # agg_mood_median adjudication).
+    # 0.70 vs pinned 0.74 s). Head-to-head interleaved medians vs the
+    # row-grain form: 0.707 -> 0.729 s, a ~3% LOCAL regression kept
+    # deliberately for the two corpus-scale terms it removes (the
+    # agg_mood_median r14 adjudication accepted the same trade).
     hist = v.groupBy("event_type", "cents").agg(
         F.count(F.lit(1)).cast("long").alias("t")
     )
