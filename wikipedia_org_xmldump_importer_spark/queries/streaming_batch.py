@@ -332,22 +332,31 @@ def stream_user_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds two integers of state per user; tests assert final stream
     emits == this.
 
-    100 TB: one (user, window) rank window — the per-user partitions are
-    bounded by the cap's own purpose (heavy users are exactly what it
-    trims); the agg collapses to (user, window) grain map-side."""
+    100 TB: one map-combined (user, window) agg — no window, no sort.
+    r15 (guide §1.2 — don't compute what you throw away): the old form
+    row_number'd every event inside its (user, window) partition and then
+    only COUNTED the rows with rn <= cap — but #rows with rn <= cap is
+    exactly least(n_events, cap), so the report needs no per-row ranks at
+    all. (The rank picks WHICH rows survive; this operator only reports
+    HOW MANY — the live streaming half still keeps the two-integer
+    first-k state.) Value-identical by that identity; interleaved 5-shot
+    medians 0.68 -> 0.38 s at sf0.1, the per-partition sort gone."""
     ev = load_table(spark, sf_dir, "events")
     hr = (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast(
         "long"
     )
-    w = Window.partitionBy("user_id", "wstart_hr").orderBy("ts", "event_id")
-    r = ev.select("user_id", hr.alias("wstart_hr"), "ts", "event_id").withColumn(
-        "rn", F.row_number().over(w)
-    )
-    return r.groupBy("user_id", "wstart_hr").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.when(F.col("rn") <= _ST15_CAP, 1).otherwise(0))
-        .cast("long")
-        .alias("n_kept"),
+    return (
+        ev.select("user_id", hr.alias("wstart_hr"))
+        .groupBy("user_id", "wstart_hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            "wstart_hr",
+            "n_events",
+            F.least(F.col("n_events"), F.lit(_ST15_CAP).cast("long")).alias(
+                "n_kept"
+            ),
+        )
     )
 
 
