@@ -369,13 +369,19 @@ def ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bg.w1", "bg.w2")
     )
-    cnt = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").alias("n_bigram"))
-        .filter(F.col("n_bigram") >= _PMI_MIN_COUNT)
-    )
-    tot = uni.agg(F.count("*").alias("n_uni")).crossJoin(
-        bg.agg(F.count("*").alias("n_bg"))
+    # r15 (guide §2.4/§6 — scan volume): the two 1-row totals used to
+    # re-count the RAW streams, re-deriving the corpus split+explode a
+    # third and fourth time; n_uni ≡ Σ n_w over ucnt and n_bg ≡ Σ
+    # n_bigram over the unfiltered bigram table, so both now ride the
+    # count tables — corpus explodes 4 -> 2 (one per stream,
+    # irreducible). Local wash (interleaved 1.04 vs 0.98 s in a noisy
+    # window); kept for the halved corpus-scan term. Pinning the count
+    # tables A/B'd 0.65 -> 0.83 — REJECTED, ReuseExchange already shares
+    # the groupBy exchanges.
+    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    cnt = bcnt.filter(F.col("n_bigram") >= _PMI_MIN_COUNT)
+    tot = ucnt.agg(F.sum("n_w").cast("long").alias("n_uni")).crossJoin(
+        bcnt.agg(F.sum("n_bigram").cast("long").alias("n_bg"))
     )
     u1 = ucnt.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
     u2 = ucnt.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
